@@ -1,0 +1,762 @@
+"""Lazy Column facade: a resolver producing (pyspark.sql.Column, DType).
+
+The reference's Column is an eager typed vector
+(/root/reference/torcharrow/icolumn.py:126); ours is a *deferred
+expression* bound (or bindable — see ``me`` in expr.py) to a frame, so that
+every op stays inside Catalyst/whole-stage codegen and distributes. The
+numeric semantics layer reproduces the reference's PyTorch-style promotion
+and div/mod rules (csrc/velox/column.h:132-218,
+csrc/velox/functions/numeric_functions.h:27-72) as pure Column algebra —
+no UDFs, no Catalyst extensions.
+"""
+
+from __future__ import annotations
+
+import math
+import typing as _ty
+
+from pyspark.sql import Column as SC
+from pyspark.sql import functions as F
+
+from . import dtypes as dt
+
+Resolver = _ty.Callable[[_ty.Any], _ty.Tuple[SC, dt.DType]]
+
+
+def _scalar_dtype(v) -> dt.DType:
+    return dt.infer_dtype_from_value(v)
+
+
+_INT_NAMES = ("int8", "int16", "int32", "int64")
+
+
+def _cast_to(expr: SC, d: dt.DType) -> SC:
+    return expr.cast(dt.to_spark(d))
+
+
+class Column:
+    """A typed, lazy column expression."""
+
+    def __init__(self, resolver: Resolver, owner=None, name: str | None = None):
+        self._resolver = resolver
+        self._owner = owner  # owning frame (None for unbound `me` exprs)
+        self._name = name
+
+    # -- resolution ---------------------------------------------------------
+
+    def _resolve(self, df=None) -> _ty.Tuple[SC, dt.DType]:
+        frame = df if df is not None else self._owner
+        return self._resolver(frame)
+
+    def _expr(self, df=None) -> SC:
+        return self._resolve(df)[0]
+
+    @property
+    def dtype(self) -> dt.DType:
+        return self._resolve(None)[1]
+
+    def alias(self, name: str) -> "Column":
+        def resolve(df):
+            e, d = self._resolve(df)
+            return e.alias(name), d
+
+        return Column(resolve, self._owner, name)
+
+    # -- generic builders ---------------------------------------------------
+
+    @staticmethod
+    def _lift(other, df) -> _ty.Tuple[SC, dt.DType, bool]:
+        """Return (expr, dtype, is_scalar) for a Column or Python literal."""
+        if isinstance(other, Column):
+            e, d = other._resolve(df)
+            return e, d, False
+        return F.lit(other), _scalar_dtype(other), True
+
+    def _other_owner(self, other):
+        if self._owner is not None:
+            return self._owner
+        if isinstance(other, Column):
+            return other._owner
+        return None
+
+    def _unary(self, fn, out_dtype=None) -> "Column":
+        def resolve(df):
+            e, d = self._resolve(df)
+            od = out_dtype(d) if callable(out_dtype) else (out_dtype or d)
+            return fn(e, d), od
+
+        return Column(resolve, self._owner)
+
+    # -- promotion-aware binary arithmetic ---------------------------------
+    # Reference: icolumn.py:823-931 + numerical_column_cpu.py:297-561.
+
+    def _arith(self, other, op, reflect=False) -> "Column":
+        owner = self._other_owner(other)
+
+        def resolve(df):
+            le, ld = self._resolve(df)
+            re_, rd, r_scalar = Column._lift(other, df)
+            if reflect:
+                (le, ld), (re_, rd) = (re_, rd), (le, ld)
+                l_scalar, r_scalar_ = r_scalar, False
+            else:
+                l_scalar, r_scalar_ = False, r_scalar
+            return _apply_arith(op, le, ld, l_scalar, re_, rd, r_scalar_)
+
+        return Column(resolve, owner)
+
+    def __add__(self, other):
+        # string + string concatenates (reference istring_column.py:135-147)
+        def resolve(df):
+            le, ld = self._resolve(df)
+            re_, rd, r_scalar = Column._lift(other, df)
+            if dt.is_string(ld):
+                return F.concat(le, re_), dt.string.with_null(ld.nullable or rd.nullable)
+            return _apply_arith("add", le, ld, False, re_, rd, r_scalar)
+
+        return Column(resolve, self._other_owner(other))
+
+    def __radd__(self, other):
+        def resolve(df):
+            le, ld = self._resolve(df)
+            re_, rd, _ = Column._lift(other, df)
+            if dt.is_string(ld):
+                return F.concat(re_, le), dt.string.with_null(ld.nullable or rd.nullable)
+            return _apply_arith("add", re_, rd, True, le, ld, False)
+
+        return Column(resolve, self._other_owner(other))
+
+    def __sub__(self, other):
+        return self._arith(other, "sub")
+
+    def __rsub__(self, other):
+        return self._arith(other, "sub", reflect=True)
+
+    def __mul__(self, other):
+        return self._arith(other, "mul")
+
+    def __rmul__(self, other):
+        return self._arith(other, "mul", reflect=True)
+
+    def __truediv__(self, other):
+        return self._arith(other, "truediv")
+
+    def __rtruediv__(self, other):
+        return self._arith(other, "truediv", reflect=True)
+
+    def __floordiv__(self, other):
+        return self._arith(other, "floordiv")
+
+    def __rfloordiv__(self, other):
+        return self._arith(other, "floordiv", reflect=True)
+
+    def __mod__(self, other):
+        return self._arith(other, "floormod")
+
+    def __rmod__(self, other):
+        return self._arith(other, "floormod", reflect=True)
+
+    def __pow__(self, other):
+        return self._arith(other, "pow")
+
+    def __rpow__(self, other):
+        return self._arith(other, "pow", reflect=True)
+
+    # -- comparisons (null-propagating) ------------------------------------
+
+    def _compare(self, other, fn) -> "Column":
+        owner = self._other_owner(other)
+
+        def resolve(df):
+            le, ld = self._resolve(df)
+            re_, rd, _ = Column._lift(other, df)
+            return fn(le, re_), dt.boolean.with_null(ld.nullable or rd.nullable)
+
+        return Column(resolve, owner)
+
+    def __eq__(self, other):  # type: ignore[override]
+        return self._compare(other, lambda a, b: a == b)
+
+    def __ne__(self, other):  # type: ignore[override]
+        return self._compare(other, lambda a, b: a != b)
+
+    def __lt__(self, other):
+        return self._compare(other, lambda a, b: a < b)
+
+    def __le__(self, other):
+        return self._compare(other, lambda a, b: a <= b)
+
+    def __gt__(self, other):
+        return self._compare(other, lambda a, b: a > b)
+
+    def __ge__(self, other):
+        return self._compare(other, lambda a, b: a >= b)
+
+    # -- logical / bitwise --------------------------------------------------
+
+    def _bitwise(self, other, bool_fn, int_fn) -> "Column":
+        owner = self._other_owner(other)
+
+        def resolve(df):
+            le, ld = self._resolve(df)
+            re_, rd, _ = Column._lift(other, df)
+            nullable = ld.nullable or rd.nullable
+            if dt.is_boolean(ld):
+                return bool_fn(le, re_), dt.boolean.with_null(nullable)
+            out = dt.promote(ld, rd)
+            return int_fn(le, re_), out
+
+        return Column(resolve, owner)
+
+    def __and__(self, other):
+        return self._bitwise(other, lambda a, b: a & b, lambda a, b: a.bitwiseAND(b))
+
+    def __rand__(self, other):
+        return self.__and__(other)
+
+    def __or__(self, other):
+        return self._bitwise(other, lambda a, b: a | b, lambda a, b: a.bitwiseOR(b))
+
+    def __ror__(self, other):
+        return self.__or__(other)
+
+    def __xor__(self, other):
+        return self._bitwise(
+            other, lambda a, b: a != b, lambda a, b: a.bitwiseXOR(b)
+        )
+
+    def __invert__(self):
+        def resolve(df):
+            e, d = self._resolve(df)
+            if dt.is_boolean(d):
+                return ~e, d
+            return F.bitwise_not(e), d
+
+        return Column(resolve, self._owner)
+
+    def __neg__(self):
+        return self._unary(lambda e, d: -e)
+
+    def __pos__(self):
+        return self._unary(lambda e, d: e)
+
+    # -- math ---------------------------------------------------------------
+
+    def abs(self):
+        return self._unary(lambda e, d: F.abs(e))
+
+    def ceil(self):
+        def resolve(df):
+            e, d = self._resolve(df)
+            if dt.is_integer(d):
+                return e, d
+            return _cast_to(F.ceil(e), d), d
+
+        return Column(resolve, self._owner)
+
+    def floor(self):
+        def resolve(df):
+            e, d = self._resolve(df)
+            if dt.is_integer(d):
+                return e, d
+            return _cast_to(F.floor(e), d), d
+
+        return Column(resolve, self._owner)
+
+    def round(self, decimals: int = 0):
+        # reference rounds half-to-even (PyTorch): use bround
+        # (numerical_column_cpu.py:545-613).
+        def resolve(df):
+            e, d = self._resolve(df)
+            return _cast_to(F.bround(e, decimals), d), d
+
+        return Column(resolve, self._owner)
+
+    def log(self):
+        # int -> float32 out (reference numerical_column_cpu.py:615-618)
+        def resolve(df):
+            e, d = self._resolve(df)
+            od = d if dt.is_floating(d) else dt.float32.with_null(d.nullable)
+            return _cast_to(F.log(e), od), od
+
+        return Column(resolve, self._owner)
+
+    def exp(self):
+        def resolve(df):
+            e, d = self._resolve(df)
+            od = d if dt.is_floating(d) else dt.float32.with_null(d.nullable)
+            return _cast_to(F.exp(e), od), od
+
+        return Column(resolve, self._owner)
+
+    def sqrt(self):
+        def resolve(df):
+            e, d = self._resolve(df)
+            od = d if dt.is_floating(d) else dt.float32.with_null(d.nullable)
+            return _cast_to(F.sqrt(e), od), od
+
+        return Column(resolve, self._owner)
+
+    def sigmoid(self):
+        # reference csrc/velox/functions/functions.h:177-183
+        def resolve(df):
+            e, d = self._resolve(df)
+            od = d if dt.is_floating(d) else dt.float32.with_null(d.nullable)
+            x = e.cast("double")
+            return _cast_to(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), od), od
+
+        return Column(resolve, self._owner)
+
+    def cast(self, dtype: dt.DType):
+        def resolve(df):
+            e, d = self._resolve(df)
+            return _cast_to(e, dtype), dtype
+
+        return Column(resolve, self._owner)
+
+    # -- null handling / membership ----------------------------------------
+
+    def is_null(self):
+        return self._unary(lambda e, d: e.isNull(), dt.boolean)
+
+    def is_not_null(self):
+        return self._unary(lambda e, d: e.isNotNull(), dt.boolean)
+
+    def fill_null(self, value):
+        def resolve(df):
+            e, d = self._resolve(df)
+            return F.coalesce(e, F.lit(value)), d.with_null(False)
+
+        return Column(resolve, self._owner)
+
+    def isin(self, values):
+        # null -> False (reference icolumn.py:940-978)
+        def resolve(df):
+            e, d = self._resolve(df)
+            return F.coalesce(e.isin(list(values)), F.lit(False)), dt.boolean
+
+        return Column(resolve, self._owner)
+
+    # -- aggregation expressions -------------------------------------------
+    # Result-dtype table: reference dtypes.py:485-508 (mean/median->float64,
+    # count->int64, sum keeps/widens). Unbound columns (`me`) stay lazy for
+    # use in grouped select; bound columns evaluate eagerly like the
+    # reference's eager scalars.
+
+    def _agg(self, fn, out_dtype):
+        def resolve(df):
+            e, d = self._resolve(df)
+            od = out_dtype(d) if callable(out_dtype) else out_dtype
+            return _cast_to(fn(e), od), od
+
+        lazy = Column(resolve, self._owner)
+        if self._owner is not None:
+            return self._owner._eval_scalar(lazy)
+        return lazy
+
+    def sum(self):
+        return self._agg(F.sum, lambda d: dt.int64.with_null(True) if dt.is_integer(d) or dt.is_boolean(d) else d.with_null(True))
+
+    def min(self):
+        return self._agg(F.min, lambda d: d.with_null(True))
+
+    def max(self):
+        return self._agg(F.max, lambda d: d.with_null(True))
+
+    def mean(self):
+        return self._agg(F.avg, dt.float64.with_null(True))
+
+    def median(self):
+        return self._agg(F.median, dt.float64.with_null(True))
+
+    def std(self):
+        return self._agg(F.stddev_samp, dt.float64.with_null(True))
+
+    def mode(self):
+        return self._agg(F.mode, lambda d: d.with_null(True))
+
+    def count(self):
+        return self._agg(F.count, dt.int64)
+
+    def any(self):
+        return self._agg(lambda e: F.bool_or(e.cast("boolean")), dt.boolean.with_null(True))
+
+    def all(self):
+        return self._agg(lambda e: F.bool_and(e.cast("boolean")), dt.boolean.with_null(True))
+
+    def nunique(self):
+        return self._agg(F.count_distinct, dt.int64)
+
+    def approx_nunique(self):
+        return self._agg(F.approx_count_distinct, dt.int64)
+
+    def quantile(self, q: float):
+        return self._agg(lambda e: F.percentile(e, F.lit(q)), dt.float64.with_null(True))
+
+    # -- accessors ----------------------------------------------------------
+
+    @property
+    def str(self) -> "StringMethods":
+        return StringMethods(self)
+
+    @property
+    def list(self) -> "ListMethods":
+        return ListMethods(self)
+
+    @property
+    def maps(self) -> "MapMethods":
+        return MapMethods(self)
+
+    def __getitem__(self, key):
+        """Struct field / map key / array index access."""
+
+        def resolve(df):
+            e, d = self._resolve(df)
+            if dt.is_struct(d):
+                return e.getField(key), d.get(key)
+            if dt.is_map(d):
+                return e.getItem(key), d.item_dtype.with_null(True)
+            if dt.is_list(d):
+                return F.element_at(e, key + 1 if key >= 0 else key), d.item_dtype.with_null(True)
+            raise TypeError(f"cannot index into {d.name}")
+
+        return Column(resolve, self._owner)
+
+    def __repr__(self):
+        if self._owner is not None:
+            try:
+                return self._owner._repr_column(self)
+            except Exception:
+                pass
+        return f"Column<{self._name or 'expr'}>"
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic semantics layer
+
+
+def _float_result(ld: dt.DType, rd: dt.DType) -> dt.DType:
+    """Result dtype of a float-producing op (truediv): float64 only if an
+    input is float64, else float32 (reference `self * 1.0` trick,
+    numerical_column_cpu.py:385-419)."""
+    nullable = ld.nullable or rd.nullable
+    if "float64" in (ld.name, rd.name):
+        return dt.float64.with_null(nullable)
+    return dt.float32.with_null(nullable)
+
+
+def _promote_for(le, ld, l_scalar, re_, rd, r_scalar) -> dt.DType:
+    if l_scalar and not r_scalar:
+        return dt.promote_column_scalar(rd, ld).with_null(ld.nullable or rd.nullable)
+    if r_scalar and not l_scalar:
+        return dt.promote_column_scalar(ld, rd).with_null(ld.nullable or rd.nullable)
+    return dt.promote(ld, rd)
+
+
+def _apply_arith(op, le, ld, l_scalar, re_, rd, r_scalar):
+    """Lower one arithmetic op to a Spark expression with reference
+    semantics. Returns (expr, dtype)."""
+    nullable = ld.nullable or rd.nullable
+
+    if op in ("add", "sub", "mul"):
+        out = _promote_for(le, ld, l_scalar, re_, rd, r_scalar)
+        a, b = _cast_to(le, out.with_null(False)), _cast_to(re_, out.with_null(False))
+        expr = {"add": a + b, "sub": a - b, "mul": a * b}[op]
+        return _cast_to(expr, out), out
+
+    if op == "truediv":
+        # Always float; x/0 -> ±inf/nan like the reference (C++ IEEE), which
+        # Spark's double division matches (numerical_column_cpu.py:385-419).
+        out = _float_result(ld, rd)
+        expr = le.cast("double") / re_.cast("double")
+        return _cast_to(expr, out), out
+
+    if op == "floordiv":
+        # Python floor semantics incl. negatives (-3//2 == -2); reference
+        # kernel: csrc/velox/functions/numeric_functions.h:27-52. Int//0
+        # yields null here (documented divergence: reference raises).
+        if dt.is_integer(ld) and dt.is_integer(rd):
+            out = _promote_for(le, ld, l_scalar, re_, rd, r_scalar)
+            a = _cast_to(le, out.with_null(False))
+            b = _cast_to(re_, out.with_null(False))
+            # floored mod first (exact in int space), then exact integer
+            # division of the now-exactly-divisible numerator via decimal —
+            # double division would lose precision past 2^53.
+            fmod = ((a % b) + b) % b
+            q = ((a - fmod).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+            return _cast_to(q, out), out
+        out = _float_result(ld, rd)
+        expr = F.floor(le.cast("double") / re_.cast("double")).cast("double")
+        return _cast_to(expr, out), out
+
+    if op == "floormod":
+        # Python sign semantics (floored mod), reference
+        # numeric_functions.h:54-72. Spark % is C-style -> ((a%b)+b)%b.
+        if dt.is_integer(ld) and dt.is_integer(rd):
+            out = _promote_for(le, ld, l_scalar, re_, rd, r_scalar)
+        else:
+            out = _float_result(ld, rd)
+        a, b = le.cast("double"), re_.cast("double")
+        if dt.is_integer(out):
+            a = _cast_to(le, out.with_null(False))
+            b = _cast_to(re_, out.with_null(False))
+        expr = ((a % b) + b) % b
+        return _cast_to(expr, out), out
+
+    if op == "pow":
+        out = _promote_for(le, ld, l_scalar, re_, rd, r_scalar)
+        expr = F.pow(le.cast("double"), re_.cast("double"))
+        return _cast_to(expr, out), out
+
+    raise ValueError(op)
+
+
+def if_else(cond: Column, a, b) -> Column:
+    """Vectorized ternary (reference icolumn.py:100-119)."""
+
+    owner = cond._owner
+
+    def resolve(df):
+        ce, _ = cond._resolve(df)
+        ae, ad, a_scalar = Column._lift(a, df)
+        be, bd, b_scalar = Column._lift(b, df)
+        if dt.is_numerical(ad) and dt.is_numerical(bd):
+            out = dt.promote(ad, bd)
+        else:
+            out = dt.common_dtype(ad, bd) if ad.name == bd.name else ad
+        return _cast_to(F.when(ce, ae).otherwise(be), out), out
+
+    return Column(resolve, owner)
+
+
+# ---------------------------------------------------------------------------
+# Accessors
+
+
+class StringMethods:
+    """`.str` namespace (reference istring_column.py:32-239); every method
+    lowers to a JVM-side built-in — no Python in the hot path."""
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def _m(self, fn, out=dt.string):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            od = out.with_null(d.nullable) if out.name != "boolean" else dt.boolean.with_null(d.nullable)
+            return _cast_to(fn(e), od) if dt.is_numerical(od) else fn(e), od
+
+        return Column(resolve, self._c._owner)
+
+    def length(self):
+        return self._m(F.length, dt.int64)
+
+    def slice(self, start: int = 0, stop: int | None = None):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            if stop is None:
+                return F.substring(e, start + 1, 2**31 - 1), d
+            return F.substring(e, start + 1, max(stop - start, 0)), d
+
+        return Column(resolve, self._c._owner)
+
+    def split(self, pat: str = " ", n: int = -1):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            limit = -1 if n == -1 else n + 1
+            import re as _re
+
+            return F.split(e, _re.escape(pat), limit), dt.List(dt.string, d.nullable)
+
+        return Column(resolve, self._c._owner)
+
+    def strip(self):
+        return self._m(F.trim)
+
+    def lower(self):
+        return self._m(F.lower)
+
+    def upper(self):
+        return self._m(F.upper)
+
+    def startswith(self, pat: str):
+        return self._m(lambda e: e.startswith(pat), dt.boolean)
+
+    def endswith(self, pat: str):
+        return self._m(lambda e: e.endswith(pat), dt.boolean)
+
+    def count(self, pat: str):
+        import re as _re
+
+        return self._m(lambda e: F.size(F.regexp_extract_all(e, F.lit(_re.escape(pat)), 0)).cast("long"), dt.int64)
+
+    def find(self, sub: str):
+        return self._m(lambda e: (F.instr(e, sub) - 1).cast("long"), dt.int64)
+
+    def replace(self, pat: str, repl: str, regex: bool = False):
+        if regex:
+            return self._m(lambda e: F.regexp_replace(e, pat, repl))
+        return self._m(lambda e: F.replace(e, F.lit(pat), F.lit(repl)))
+
+    def match(self, pat: str):
+        return self._m(lambda e: F.regexp_like(e, F.lit(f"^(?:{pat})$")), dt.boolean)
+
+    def contains(self, pat: str, regex: bool = True):
+        if regex:
+            return self._m(lambda e: F.regexp_like(e, F.lit(pat)), dt.boolean)
+        return self._m(lambda e: e.contains(pat), dt.boolean)
+
+    def findall(self, pat: str):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            return F.regexp_extract_all(e, F.lit(pat), 0), dt.List(dt.string, d.nullable)
+
+        return Column(resolve, self._c._owner)
+
+    def cat(self, other):
+        return self._c + other
+
+    # Python str.is* predicates (reference string_functions.h:69-473
+    # implements Python-spec unicode semantics in C++; we approximate with
+    # regex classes, exact for ASCII which covers the test corpus).
+    def isalpha(self):
+        return self._m(lambda e: F.regexp_like(e, F.lit(r"^[\p{L}]+$")), dt.boolean)
+
+    def isalnum(self):
+        return self._m(lambda e: F.regexp_like(e, F.lit(r"^[\p{L}\p{N}]+$")), dt.boolean)
+
+    def isdigit(self):
+        return self._m(lambda e: F.regexp_like(e, F.lit(r"^[\p{Nd}]+$")), dt.boolean)
+
+    def isdecimal(self):
+        return self._m(lambda e: F.regexp_like(e, F.lit(r"^[0-9]+$")), dt.boolean)
+
+    def islower(self):
+        return self._m(lambda e: F.regexp_like(e, F.lit(r"^[^\p{Lu}]*\p{Ll}[^\p{Lu}]*$")), dt.boolean)
+
+    def isupper(self):
+        return self._m(lambda e: F.regexp_like(e, F.lit(r"^[^\p{Ll}]*\p{Lu}[^\p{Ll}]*$")), dt.boolean)
+
+    def isspace(self):
+        return self._m(lambda e: F.regexp_like(e, F.lit(r"^\s+$")), dt.boolean)
+
+    def isnumeric(self):
+        return self._m(lambda e: F.regexp_like(e, F.lit(r"^[\p{N}]+$")), dt.boolean)
+
+
+class ListMethods:
+    """`.list` namespace (reference ilist_column.py:36-182). Element-wise
+    ops lower to Spark higher-order functions — the Catalyst analog of the
+    reference's vectorized `vmap` (ilist_column.py:105-140)."""
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def length(self):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            return F.size(e).cast("long"), dt.int64.with_null(d.nullable)
+
+        return Column(resolve, self._c._owner)
+
+    def get(self, i: int):
+        return self._c[i]
+
+    def slice(self, start: int = 0, stop: int | None = None):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            if stop is None:
+                return F.slice(e, start + 1, F.greatest(F.size(e) - start, F.lit(0))), d
+            return F.slice(e, start + 1, max(stop - start, 0)), d
+
+        return Column(resolve, self._c._owner)
+
+    def join(self, sep: str):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            return F.array_join(e, sep), dt.string.with_null(d.nullable)
+
+        return Column(resolve, self._c._owner)
+
+    def _element_col(self, x: SC, item_dtype: dt.DType) -> Column:
+        return Column(lambda df: (x, item_dtype))
+
+    def vmap(self, fn) -> Column:
+        """Vectorized per-element map: `fn` receives an element Column and
+        must return a Column built from our algebra — evaluated entirely
+        inside Catalyst via F.transform (reference vmap:
+        ilist_column.py:105-140)."""
+
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            item = d.item_dtype if dt.is_list(d) else dt.float64
+            out_item: list = [item]
+
+            def lam(x):
+                res = fn(self._element_col(x, item))
+                ex, xd = res._resolve(df)
+                out_item[0] = xd
+                return ex
+
+            expr = F.transform(e, lam)
+            return expr, dt.List(out_item[0], d.nullable)
+
+        return Column(resolve, self._c._owner)
+
+    map = vmap  # Spark-first: the vectorized path IS the default map
+
+    def filter(self, pred) -> Column:
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            item = d.item_dtype
+
+            def lam(x):
+                return pred(self._element_col(x, item))._resolve(df)[0]
+
+            return F.filter(e, lam), d
+
+        return Column(resolve, self._c._owner)
+
+    def reduce(self, fn, initializer) -> Column:
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            item = d.item_dtype
+
+            def merge(acc, x):
+                return fn(self._element_col(acc, item), self._element_col(x, item))._resolve(df)[0]
+
+            init = F.lit(initializer).cast(dt.to_spark(item))
+            return F.aggregate(e, init, merge), item.with_null(d.nullable)
+
+        return Column(resolve, self._c._owner)
+
+
+class MapMethods:
+    """`.maps` namespace (reference imap_column.py:30-91)."""
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def keys(self):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            return F.map_keys(e), dt.List(d.key_dtype, d.nullable)
+
+        return Column(resolve, self._c._owner)
+
+    def values(self):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            return F.map_values(e), dt.List(d.item_dtype, d.nullable)
+
+        return Column(resolve, self._c._owner)
+
+    def get(self, key, fill=None):
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            expr = e.getItem(key)
+            if fill is not None:
+                expr = F.coalesce(expr, F.lit(fill))
+            return expr, d.item_dtype.with_null(fill is None)
+
+        return Column(resolve, self._c._owner)

@@ -1,0 +1,526 @@
+"""DataFrame facade: a lazy, typed wrapper over pyspark.sql.DataFrame.
+
+Reference surface: /root/reference/torcharrow/idataframe.py:44-677 and
+velox_rt/dataframe_cpu.py. The reference is eager and single-node; this
+facade keeps everything as an unexecuted Catalyst plan so the same API
+distributes across a cluster. Actions happen only in ``to_*`` /
+``collect``-style methods, mirroring §4.1's design rule ("keep our API
+lazy ... never .collect() between ops").
+
+Positional-order note (SURVEY §7.4): distributed data has no inherent row
+order, so order-dependent ops (cumulatives, keep='first' dedup, head/tail)
+take an explicit ``order_by``; when omitted they fall back to an
+ingestion-time ``__index__`` column if present.
+"""
+
+from __future__ import annotations
+
+import typing as _ty
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import dtypes as dt
+from .columns import Column, if_else  # noqa: F401  (re-exported)
+
+INDEX_COL = "__index__"
+
+
+def _active_session() -> SparkSession:
+    s = SparkSession.getActiveSession()
+    if s is None:
+        from .session import get_session
+
+        s = get_session()
+    return s
+
+
+class DataFrame:
+    """Typed lazy frame. ``_sdf`` is the underlying Spark DataFrame."""
+
+    def __init__(self, sdf: SDF):
+        self._sdf = sdf
+
+    # -- interop ------------------------------------------------------------
+
+    def to_spark(self) -> SDF:
+        return self._sdf.drop(INDEX_COL) if INDEX_COL in self._sdf.columns else self._sdf
+
+    def to_pandas(self):
+        return self.to_spark().toPandas()
+
+    def to_arrow(self):
+        return self.to_spark().toArrow()
+
+    def to_pylist(self) -> list:
+        return [row.asDict(recursive=True) for row in self.to_spark().collect()]
+
+    @property
+    def dtype(self) -> dt.Struct:
+        return dt.from_spark(self.to_spark().schema, nullable=False)
+
+    @property
+    def columns(self) -> _ty.List[str]:
+        return [c for c in self._sdf.columns if c != INDEX_COL]
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    def _eval_scalar(self, col: Column):
+        e, d = col._resolve(self)
+        row = self._sdf.agg(e.alias("v")).collect()[0]
+        return row["v"]
+
+    def _repr_column(self, col: Column) -> str:
+        e, _ = col._resolve(self)
+        rows = self._sdf.select(e.alias("v")).limit(11).collect()
+        vals = [r["v"] for r in rows[:10]]
+        suffix = ", ..." if len(rows) > 10 else ""
+        return f"Column([{', '.join(map(repr, vals))}{suffix}])"
+
+    def __repr__(self) -> str:
+        pdf = self._sdf.limit(10).toPandas()
+        return repr(pdf)
+
+    # -- column access / surgery (reference §2.2) ---------------------------
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            schema = {f.name: f for f in self._sdf.schema.fields}
+            if key not in schema:
+                raise KeyError(key)
+            f = schema[key]
+            d = dt.from_spark(f.dataType, f.nullable)
+            return Column(lambda df: (F.col(key), d), owner=self, name=key)
+        if isinstance(key, list) and all(isinstance(k, str) for k in key):
+            return DataFrame(self._sdf.select(*key))
+        if isinstance(key, Column):
+            return self.where(key)
+        raise TypeError(f"unsupported key {key!r}")
+
+    def __setitem__(self, name: str, value):
+        if isinstance(value, Column):
+            e, _ = value._resolve(self)
+            self._sdf = self._sdf.withColumn(name, e)
+        else:
+            self._sdf = self._sdf.withColumn(name, F.lit(value))
+
+    def with_column(self, name: str, value) -> "DataFrame":
+        e = value._resolve(self)[0] if isinstance(value, Column) else F.lit(value)
+        return DataFrame(self._sdf.withColumn(name, e))
+
+    def drop(self, columns: _ty.List[str]) -> "DataFrame":
+        return DataFrame(self._sdf.drop(*columns))
+
+    def keep(self, columns: _ty.List[str]) -> "DataFrame":
+        return DataFrame(self._sdf.select(*columns))
+
+    def rename(self, mapper: _ty.Dict[str, str]) -> "DataFrame":
+        return DataFrame(self._sdf.withColumnsRenamed(mapper))
+
+    def reorder(self, columns: _ty.List[str]) -> "DataFrame":
+        return DataFrame(self._sdf.select(*columns))
+
+    def head(self, n: int = 5) -> "DataFrame":
+        return DataFrame(self._sdf.limit(n))
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    # -- select / where with `me` expressions (reference
+    #    dataframe_cpu.py:2016-2082) ---------------------------------------
+
+    def _as_expr(self, item):
+        if isinstance(item, Column):
+            return item._resolve(self)[0]
+        return item
+
+    def select(self, *args, **kwargs) -> "DataFrame":
+        """SQL-style SELECT: positional args are column names, `'*'`, or
+        `'-name'` exclusions; kwargs are computed columns (me-exprs or
+        Columns)."""
+        cols: _ty.List = []
+        exclude = [a[1:] for a in args if isinstance(a, str) and a.startswith("-")]
+        for a in args:
+            if isinstance(a, str):
+                if a == "*":
+                    cols.extend(c for c in self.columns if c not in exclude)
+                elif not a.startswith("-"):
+                    cols.append(a)
+            elif isinstance(a, Column):
+                cols.append(a._resolve(self)[0])
+        for name, v in kwargs.items():
+            e = v._resolve(self)[0] if isinstance(v, Column) else F.lit(v)
+            cols.append(e.alias(name))
+        return DataFrame(self._sdf.select(*cols))
+
+    def where(self, *conditions) -> "DataFrame":
+        sdf = self._sdf
+        for c in conditions:
+            e = c._resolve(self)[0] if isinstance(c, Column) else c
+            sdf = sdf.filter(e)
+        return DataFrame(sdf)
+
+    # -- sorting (reference dataframe_cpu.py:591-620) -----------------------
+
+    def sort(
+        self,
+        by: _ty.Union[str, _ty.List[str], None] = None,
+        ascending: bool = True,
+        na_position: str = "last",
+    ) -> "DataFrame":
+        by = [by] if isinstance(by, str) else (by or self.columns)
+        exprs = []
+        for c in by:
+            col = F.col(c)
+            if ascending:
+                exprs.append(col.asc_nulls_last() if na_position == "last" else col.asc_nulls_first())
+            else:
+                exprs.append(col.desc_nulls_last() if na_position == "last" else col.desc_nulls_first())
+        return DataFrame(self._sdf.orderBy(*exprs))
+
+    def top_k(self, by: str, k: int, ascending: bool = False) -> "DataFrame":
+        """Relational top-k: total-order limit — Spark plans this as
+        TakeOrderedAndProject (no full sort, no single-node bottleneck)."""
+        col = F.col(by).asc() if ascending else F.col(by).desc()
+        return DataFrame(self._sdf.orderBy(col).limit(k))
+
+    # -- null handling / dedup (reference §2.11) ----------------------------
+
+    def fill_null(self, value) -> "DataFrame":
+        if isinstance(value, dict):
+            return DataFrame(self._sdf.fillna(value))
+        return DataFrame(self._sdf.fillna(value))
+
+    def drop_null(self, how: str = "any") -> "DataFrame":
+        return DataFrame(self._sdf.dropna(how=how))
+
+    def drop_duplicates(
+        self,
+        subset: _ty.Optional[_ty.List[str]] = None,
+        keep: str = "first",
+        order_by: _ty.Optional[_ty.List[str]] = None,
+    ) -> "DataFrame":
+        """Dedup. With ``subset`` and ``keep='first'``, "first" needs a total
+        order (reference relies on single-node insertion order:
+        dataframe_cpu.py:1578-1606); distributed, pass ``order_by``. This
+        lowers to one hash-shuffle on ``subset`` + min_by per group — no
+        window sort over the full table."""
+        if subset is None:
+            return DataFrame(self._sdf.dropDuplicates())
+        if keep not in ("first", "last"):
+            raise ValueError(keep)
+        order_by = order_by or ([INDEX_COL] if INDEX_COL in self._sdf.columns else None)
+        if order_by is None:
+            return DataFrame(self._sdf.dropDuplicates(subset))
+        w = Window.partitionBy(*subset).orderBy(
+            *[F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_by]
+        )
+        out = (
+            self._sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        return DataFrame(out)
+
+    # -- row-level functional ops (reference §2.3) --------------------------
+
+    def map(
+        self,
+        arg,
+        na_action: _ty.Optional[str] = None,
+        dtype: _ty.Optional[dt.DType] = None,
+        columns: _ty.Optional[_ty.List[str]] = None,
+    ) -> Column:
+        """Per-row UDF or dict lookup (reference icolumn.py:420-611).
+
+        dict -> a Catalyst MapLookup (JVM-side, no Python);
+        callable -> Arrow-vectorized pandas UDF (never row-at-a-time py4j).
+        """
+        columns = columns or self.columns[:1]
+        if isinstance(arg, dict):
+            items: _ty.List = []
+            for k, v in arg.items():
+                items.extend([F.lit(k), F.lit(v)])
+            m = F.create_map(*items)
+            vd = dt.infer_dtype_from_prefix(list(arg.values()))
+            src = F.col(columns[0])
+            expr = F.element_at(m, src)
+            if hasattr(arg, "default_factory"):  # defaultdict
+                expr = F.coalesce(expr, F.lit(arg.default_factory()))
+            return Column(lambda df: (expr, vd.with_null(True)), owner=self)
+        if not callable(arg):
+            raise TypeError("map() needs a dict or callable")
+        if dtype is None:
+            raise ValueError("map(callable) requires dtype= (reference icolumn.py:597-610)")
+        spark_t = dt.to_spark(dtype)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        ignore_null = na_action == "ignore"
+
+        def _fn(*series):
+            n = len(series[0])
+            out = []
+            def _null(v):
+                return v is None or (isinstance(v, float) and v != v)
+
+            for i in range(n):
+                vals = tuple(None if _null(s.iloc[i]) else s.iloc[i] for s in series)
+                if ignore_null and any(v is None for v in vals):
+                    out.append(None)
+                    continue
+                out.append(arg(*vals) if len(vals) > 1 else arg(vals[0]))
+            return pd.Series(out, dtype=object)
+
+        _udf = pandas_udf(_fn, spark_t)
+        expr = _udf(*[F.col(c) for c in columns])
+        return Column(lambda df: (expr, dtype.with_null(True)), owner=self)
+
+    def flatmap(self, fn, dtype: dt.DType, columns: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
+        """Row -> list of rows (reference icolumn.py:646-675): UDF returning
+        an array + explode."""
+        col = self.map(fn, dtype=dt.List(dtype), columns=columns)
+        e, _ = col._resolve(self)
+        return DataFrame(self._sdf.select(F.explode(e).alias("value")))
+
+    def filter(self, predicate, columns: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
+        """Keep rows where predicate(row-values) is True (reference
+        icolumn.py:677-727)."""
+        if isinstance(predicate, Column):
+            return self.where(predicate)
+        col = self.map(predicate, dtype=dt.boolean, columns=columns)
+        e, _ = col._resolve(self)
+        return DataFrame(self._sdf.filter(e))
+
+    def transform(self, fn, dtype: _ty.Optional[dt.DType] = None, format: str = "python",
+                  columns: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
+        """Batch UDF over whole column batches (reference icolumn.py:613-644)
+        via mapInArrow — zero-copy Arrow batches, the Spark analog of the
+        reference's `format='column'` path."""
+        import pyarrow as pa
+
+        columns = columns or self.columns
+        src = self._sdf.select(*columns)
+        out_schema = dt.to_spark(dtype) if dtype is not None else src.schema
+
+        def _iter(batches: _ty.Iterable[pa.RecordBatch]) -> _ty.Iterable[pa.RecordBatch]:
+            for b in batches:
+                res = fn(b)
+                if isinstance(res, pa.RecordBatch):
+                    yield res
+                elif isinstance(res, pa.Table):
+                    yield from res.to_batches()
+                else:
+                    raise TypeError("transform fn must return a RecordBatch/Table")
+
+        return DataFrame(src.mapInArrow(_iter, out_schema))
+
+    # -- aggregation (reference §2.6) ---------------------------------------
+
+    _DF_AGGS = {
+        "min": F.min,
+        "max": F.max,
+        "sum": F.sum,
+        "mean": F.avg,
+        "median": F.median,
+        "mode": F.mode,
+        "std": F.stddev_samp,
+        "count": F.count,
+        "any": lambda c: F.bool_or(c.cast("boolean")),
+        "all": lambda c: F.bool_and(c.cast("boolean")),
+        "nunique": F.count_distinct,
+    }
+
+    def _numeric_columns(self) -> _ty.List[str]:
+        out = []
+        for f in self.to_spark().schema.fields:
+            if dt.is_numerical(dt.from_spark(f.dataType)):
+                out.append(f.name)
+        return out
+
+    def _df_agg(self, op: str, numeric_only: bool = True) -> "DataFrame":
+        cols = self._numeric_columns() if numeric_only else self.columns
+        fn = self._DF_AGGS[op]
+        return DataFrame(self._sdf.agg(*[fn(F.col(c)).alias(c) for c in cols]))
+
+    def sum(self):
+        return self._df_agg("sum")
+
+    def mean(self):
+        return self._df_agg("mean")
+
+    def min(self):
+        return self._df_agg("min")
+
+    def max(self):
+        return self._df_agg("max")
+
+    def std(self):
+        return self._df_agg("std")
+
+    def median(self):
+        return self._df_agg("median")
+
+    def count(self) -> int:
+        return self._sdf.count()
+
+    def describe(self, percentiles=(0.25, 0.5, 0.75)) -> "DataFrame":
+        """Per-column count/mean/std/min/quantiles/max (reference
+        inumerical_column.py:137-198) — one aggregate job, unpivoted."""
+        cols = self._numeric_columns()
+        aggs = []
+        for c in cols:
+            col = F.col(c)
+            aggs += [
+                F.count(col).cast("double").alias(f"{c}:count"),
+                F.avg(col).alias(f"{c}:mean"),
+                F.stddev_samp(col).alias(f"{c}:std"),
+                F.min(col).cast("double").alias(f"{c}:min"),
+                F.max(col).cast("double").alias(f"{c}:max"),
+                *[F.percentile(col, F.lit(p)).alias(f"{c}:{int(p*100)}%") for p in percentiles],
+            ]
+        row = self._sdf.agg(*aggs)
+        stats = ["count", "mean", "std", "min", *[f"{int(p*100)}%" for p in percentiles], "max"]
+        n = len(stats)
+        exprs = ", ".join(
+            "'" + s + "', " + ", ".join(f"cast(`{c}:{s}` as double)" for c in cols) for s in stats
+        )
+        out = row.selectExpr(f"stack({n}, {exprs}) as (metric, {', '.join('`'+c+'`' for c in cols)})")
+        return DataFrame(out)
+
+    def cumsum(self, columns: _ty.Optional[_ty.List[str]] = None,
+               order_by: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
+        """Cumulative sum (reference inumerical_column.py:229-312) — needs a
+        total order; see module docstring."""
+        order_by = order_by or ([INDEX_COL] if INDEX_COL in self._sdf.columns else None)
+        if order_by is None:
+            raise ValueError("cumsum requires order_by (no inherent row order at scale)")
+        w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        columns = columns or self._numeric_columns()
+        sdf = self._sdf
+        for c in columns:
+            sdf = sdf.withColumn(c, F.sum(F.col(c)).over(w))
+        return DataFrame(sdf)
+
+    # -- groupby ------------------------------------------------------------
+
+    def groupby(self, by: _ty.Union[str, _ty.List[str]], drop_null: bool = True) -> "GroupedDataFrame":
+        by = [by] if isinstance(by, str) else list(by)
+        return GroupedDataFrame(self, by, drop_null=drop_null)
+
+    # -- joins / set ops (beyond-parity, free in Spark — SURVEY §2.5) -------
+
+    def join(self, other: "DataFrame", on, how: str = "inner", broadcast: bool = False) -> "DataFrame":
+        right = other._sdf
+        if broadcast:
+            right = F.broadcast(right)
+        return DataFrame(self.to_spark().join(right, on, how))
+
+    def union(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self.to_spark().unionByName(other.to_spark()))
+
+    def append(self, rows: _ty.List[tuple]) -> "DataFrame":
+        spark = self._sdf.sparkSession
+        new = spark.createDataFrame(rows, self.to_spark().schema)
+        return DataFrame(self.to_spark().unionByName(new))
+
+
+class GroupedDataFrame:
+    """Split-apply-combine handle (reference dataframe_cpu.py:2201-2435).
+
+    Lowers to Spark's hash aggregate (partial map-side combine + one
+    shuffle) instead of the reference's driver-side dict of row indices.
+    Output naming follows the reference: ``f"{col}.{op}"``
+    (dataframe_cpu.py:2257).
+    """
+
+    _AGG_FNS = DataFrame._DF_AGGS
+
+    # result-dtype rules: reference dtypes.py:485-508
+    _CAST_OUT = {
+        "mean": "double",
+        "median": "double",
+        "std": "double",
+        "count": "long",
+        "nunique": "long",
+    }
+
+    def __init__(self, df: DataFrame, by: _ty.List[str], drop_null: bool = True):
+        self._df = df
+        self._by = by
+        base = df.to_spark()
+        if drop_null:
+            base = base.dropna(subset=by)
+        self._base = base
+        self._gd = base.groupBy(*by)
+
+    @property
+    def size(self) -> DataFrame:
+        return DataFrame(self._gd.agg(F.count(F.lit(1)).alias("size")))
+
+    # ops that only make sense on numeric/boolean inputs; applying a
+    # blanket gd.agg('sum') skips other columns (pandas-style) instead of
+    # failing analysis on e.g. a timestamp column.
+    _NUMERIC_ONLY = {"sum", "mean", "median", "std", "any", "all"}
+
+    def _value_cols(self, op: str | None = None) -> _ty.List[str]:
+        out = []
+        for f in self._base.schema.fields:
+            if f.name in self._by:
+                continue
+            if op in self._NUMERIC_ONLY and not dt.is_numerical(dt.from_spark(f.dataType)):
+                continue
+            out.append(f.name)
+        return out
+
+    def _normalize(self, spec) -> _ty.Dict[str, _ty.List[str]]:
+        """str | [str] | {col: op|[ops]} -> {col: [ops]}
+        (reference dataframe_cpu.py:2413-2435)."""
+        if isinstance(spec, str):
+            return {c: [spec] for c in self._value_cols(spec)}
+        if isinstance(spec, list):
+            out: _ty.Dict[str, _ty.List[str]] = {}
+            for op in spec:
+                for c in self._value_cols(op):
+                    out.setdefault(c, []).append(op)
+            return out
+        if isinstance(spec, dict):
+            return {c: ([ops] if isinstance(ops, str) else list(ops)) for c, ops in spec.items()}
+        raise TypeError(f"bad agg spec {spec!r}")
+
+    def agg(self, spec) -> DataFrame:
+        plan = self._normalize(spec)
+        aggs = []
+        for c, ops in plan.items():
+            for op in ops:
+                expr = self._AGG_FNS[op](F.col(c))
+                if op in self._CAST_OUT:
+                    expr = expr.cast(self._CAST_OUT[op])
+                elif op == "sum":
+                    ftype = dict(zip(self._base.schema.names, self._base.schema.fields))[c].dataType
+                    if dt.is_integer(dt.from_spark(ftype)):
+                        expr = expr.cast("long")
+                aggs.append(expr.alias(f"{c}.{op}"))
+        return DataFrame(self._gd.agg(*aggs))
+
+    def select(self, **kwargs) -> DataFrame:
+        """Named aggregations with me-exprs: gd.select(total=me['x'].sum())
+        (reference dataframe_cpu.py:2400-2411)."""
+        aggs = []
+        for name, col in kwargs.items():
+            e, _ = col._resolve(self._df)
+            aggs.append(e.alias(name))
+        return DataFrame(self._gd.agg(*aggs))
+
+    def __getattr__(self, op: str):
+        if op in self._AGG_FNS:
+            return lambda: self.agg(op)
+        raise AttributeError(op)
+
+    def apply_in_pandas(self, fn, schema) -> DataFrame:
+        """Per-group pandas function (the distributed analog of the
+        reference's `for (key, df) in gd` iteration,
+        dataframe_cpu.py:2304-2321)."""
+        return DataFrame(self._gd.applyInPandas(fn, schema=schema))

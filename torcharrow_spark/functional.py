@@ -1,0 +1,334 @@
+"""Domain operators (reference torcharrow/functional.py:38-596 + C++
+kernels under csrc/velox/functions/rec and /text).
+
+Dispatch contract matches the reference: any name not defined here
+resolves against the engine's scalar-function registry at call time
+(reference velox_rt/functional.py:22-68 resolves through the Velox
+registry; our registry is ``pyspark.sql.functions`` + Spark SQL builtins,
+a near-superset of Presto's — SURVEY §2.8).
+
+Every op lowers to JVM-side expressions; no Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+import typing as _ty
+
+from pyspark.sql import Column as SC
+from pyspark.sql import functions as F
+
+from . import dtypes as dt
+from .columns import Column
+
+__all__ = [
+    "bucketize",
+    "sigrid_hash",
+    "firstx",
+    "clamp_list",
+    "has_id_overlap",
+    "id_overlap_count",
+    "get_max_count",
+    "get_jaccard_similarity",
+    "get_cosine_similarity",
+    "get_score_sum",
+    "get_score_min",
+    "get_score_max",
+    "add_tokens",
+    "lookup_indices",
+    "scale_to_0_1",
+    "scale_to_z_score",
+]
+
+
+def _unwrap(c) -> SC:
+    if isinstance(c, Column):
+        return c._resolve(None if c._owner is None else c._owner)[0]
+    return c
+
+
+def _owner(*cols):
+    for c in cols:
+        if isinstance(c, Column) and c._owner is not None:
+            return c._owner
+    return None
+
+
+def _wrap(resolve_fn, *src) -> Column:
+    return Column(resolve_fn, owner=_owner(*src))
+
+
+# ---------------------------------------------------------------------------
+# rec ops
+
+
+def bucketize(value: Column, borders: _ty.Sequence[float]) -> Column:
+    """Dense value -> bucket index: ``sum(value >= b for b in borders)``
+    (capability of reference rec/bucketize.h; scalar or per-list-element —
+    list input lowers to F.transform)."""
+
+    def bucket_expr(e: SC) -> SC:
+        idx = F.lit(0)
+        for b in borders:
+            idx = idx + F.when(e >= F.lit(b), 1).otherwise(0)
+        return idx.cast("int")
+
+    def resolve(df):
+        e, d = value._resolve(df)
+        if dt.is_list(d):
+            return F.transform(e, bucket_expr), dt.List(dt.int32, d.nullable)
+        return bucket_expr(e), dt.int32.with_null(d.nullable)
+
+    return _wrap(resolve, value)
+
+
+def md5_int64_expr(e: SC, bits: int = 48) -> SC:
+    """Deterministic 48-bit integer hash of a string expression via md5.
+
+    Chosen (rather than xxhash/murmur) because an external SQL oracle can
+    reproduce it exactly: both Spark and DuckDB expose md5(text)->hex.
+    12 hex digits = 48 bits < 2^53, exact in double for oracle engines
+    without a hex->int builtin."""
+    digits = bits // 4
+    return F.conv(F.substring(F.md5(e), 1, digits), 16, 10).cast("long")
+
+
+def sigrid_hash(value: Column, salt: int, max_value: int) -> Column:
+    """Salted hash into [0, max_value) — same *capability* as the
+    reference's sigrid_hash (csrc/velox/functions/rec/sigrid_hash.h), using
+    an md5-based mix instead of the reference's algorithm so results are
+    reproducible by any SQL engine (documented divergence)."""
+
+    def resolve(df):
+        e, d = value._resolve(df)
+        h = md5_int64_expr(F.concat(e.cast("string"), F.lit(f":{salt}")))
+        return (h % F.lit(max_value)).cast("long"), dt.int64.with_null(d.nullable)
+
+    return _wrap(resolve, value)
+
+
+def firstx(col: Column, x: int) -> Column:
+    """First x list elements (reference functional.py:319-339)."""
+
+    def resolve(df):
+        e, d = col._resolve(df)
+        return F.slice(e, 1, x), d
+
+    return _wrap(resolve, col)
+
+
+def clamp_list(col: Column, lo, hi) -> Column:
+    """Clamp every list element (reference rec/clamp_list.h)."""
+
+    def resolve(df):
+        e, d = col._resolve(df)
+        return F.transform(e, lambda x: F.greatest(F.lit(lo), F.least(F.lit(hi), x))), d
+
+    return _wrap(resolve, col)
+
+
+# id-list overlap scores (reference functional.py:342-438 / rec/compute_score.h)
+
+
+def has_id_overlap(a: Column, b: Column) -> Column:
+    def resolve(df):
+        ae, ad = a._resolve(df)
+        be, bd = b._resolve(df)
+        return (
+            F.arrays_overlap(ae, be).cast("float"),
+            dt.float32.with_null(ad.nullable or bd.nullable),
+        )
+
+    return _wrap(resolve, a, b)
+
+
+def id_overlap_count(a: Column, b: Column) -> Column:
+    def resolve(df):
+        ae, ad = a._resolve(df)
+        be, bd = b._resolve(df)
+        return (
+            F.size(F.array_intersect(ae, be)).cast("float"),
+            dt.float32.with_null(ad.nullable or bd.nullable),
+        )
+
+    return _wrap(resolve, a, b)
+
+
+def get_max_count(a: Column, b: Column) -> Column:
+    def resolve(df):
+        ae, ad = a._resolve(df)
+        be, bd = b._resolve(df)
+        return (
+            F.greatest(F.size(ae), F.size(be)).cast("float"),
+            dt.float32.with_null(ad.nullable or bd.nullable),
+        )
+
+    return _wrap(resolve, a, b)
+
+
+def get_jaccard_similarity(a: Column, b: Column) -> Column:
+    def resolve(df):
+        ae, ad = a._resolve(df)
+        be, bd = b._resolve(df)
+        inter = F.size(F.array_intersect(ae, be)).cast("double")
+        union = F.size(F.array_union(ae, be)).cast("double")
+        out = F.when(union > 0, inter / union).otherwise(F.lit(0.0)).cast("float")
+        return out, dt.float32.with_null(ad.nullable or bd.nullable)
+
+    return _wrap(resolve, a, b)
+
+
+def _dot(ae: SC, be: SC) -> SC:
+    return F.aggregate(
+        F.zip_with(ae, be, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def get_cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over aligned numeric lists — pure higher-order functions,
+    fully vectorized in codegen (reference rec/compute_score.h)."""
+
+    def resolve(df):
+        ae, ad = a._resolve(df)
+        be, bd = b._resolve(df)
+        dot = _dot(ae, be)
+        na = F.sqrt(_dot(ae, ae))
+        nb = F.sqrt(_dot(be, be))
+        out = F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+        return out.cast("float"), dt.float32.with_null(ad.nullable or bd.nullable)
+
+    return _wrap(resolve, a, b)
+
+
+def _score_agg(a: Column, agg_fn) -> Column:
+    def resolve(df):
+        ae, ad = a._resolve(df)
+        return agg_fn(ae).cast("float"), dt.float32.with_null(ad.nullable)
+
+    return _wrap(resolve, a)
+
+
+def get_score_sum(a: Column) -> Column:
+    return _score_agg(a, lambda e: F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v.cast("double")))
+
+
+def get_score_min(a: Column) -> Column:
+    return _score_agg(a, F.array_min)
+
+
+def get_score_max(a: Column) -> Column:
+    return _score_agg(a, F.array_max)
+
+
+# text ops (reference functional.py:117-208)
+
+
+def add_tokens(col: Column, tokens: _ty.Sequence, begin: bool = True) -> Column:
+    """Prepend/append BOS/EOS-style tokens (reference text/add_tokens.h)."""
+
+    def resolve(df):
+        e, d = col._resolve(df)
+        toks = F.array(*[F.lit(t) for t in tokens])
+        out = F.concat(toks, e) if begin else F.concat(e, toks)
+        return out, d
+
+    return _wrap(resolve, col)
+
+
+def lookup_indices(vocab: _ty.Dict[str, int], col: Column, default: int = -1) -> Column:
+    """Vocab lookup over a list<string> column (reference text/vocab.cpp):
+    a Catalyst map literal + F.transform — the map ships with the plan, the
+    JVM-side lookup is O(1) per token, no Python."""
+
+    items: _ty.List = []
+    for k, v in vocab.items():
+        items.extend([F.lit(k), F.lit(v)])
+    m = F.create_map(*items)
+
+    def resolve(df):
+        e, d = col._resolve(df)
+        out = F.transform(e, lambda t: F.coalesce(F.element_at(m, t), F.lit(default)))
+        return out, dt.List(dt.int32, d.nullable)
+
+    return _wrap(resolve, col)
+
+
+# scaling (reference functional.py:568-596). Column-level versions use a
+# whole-frame window (fine on one node / small frames); `scaled_frame` in
+# operators/preprocess.py is the agg+broadcast-join variant for cluster
+# scale.
+
+
+def _whole_frame_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+
+def scale_to_0_1(col: Column) -> Column:
+    def resolve(df):
+        e, d = col._resolve(df)
+        w = _whole_frame_window()
+        mn, mx = F.min(e).over(w), F.max(e).over(w)
+        x = e.cast("double")
+        out = F.when(mx > mn, (x - mn) / (mx - mn)).otherwise(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+        )
+        return out.cast("float"), dt.float32.with_null(d.nullable)
+
+    return _wrap(resolve, col)
+
+
+def scale_to_z_score(col: Column) -> Column:
+    # biased (population) std, matching reference functional.py:582-596
+    def resolve(df):
+        e, d = col._resolve(df)
+        w = _whole_frame_window()
+        mu, sd = F.avg(e).over(w), F.stddev_pop(e).over(w)
+        out = F.when(sd > 0, (e.cast("double") - mu) / sd).otherwise(F.lit(0.0))
+        return out.cast("float"), dt.float32.with_null(d.nullable)
+
+    return _wrap(resolve, col)
+
+
+# ---------------------------------------------------------------------------
+# Generic registry fallthrough (reference velox_rt/functional.py:22-68):
+# unknown names dispatch to pyspark.sql.functions / Spark SQL builtins.
+
+
+def _generic(name: str):
+    fn = getattr(F, name, None)
+
+    def wrapper(*args, **kwargs):
+        owner = _owner(*args)
+
+        def resolve(df):
+            sargs = [
+                a._resolve(df) [0] if isinstance(a, Column) else a
+                for a in args
+            ]
+            if fn is not None:
+                expr = fn(*sargs, **kwargs)
+            else:
+                expr = F.call_function(name, *[
+                    s if isinstance(s, SC) else F.lit(s) for s in sargs
+                ])
+            # infer the result dtype by analyzing (not executing) a plan
+            if df is not None:
+                st = df._sdf.select(expr.alias("__t__")).schema[0]
+                return expr, dt.from_spark(st.dataType, st.nullable)
+            return expr, dt.float64.with_null(True)
+
+        return Column(resolve, owner=owner)
+
+    wrapper.__name__ = name
+    return wrapper
+
+
+def __getattr__(name: str):
+    if name.startswith("_"):
+        raise AttributeError(name)
+    return _generic(name)

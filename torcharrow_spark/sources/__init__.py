@@ -1,0 +1,98 @@
+"""Sources & sinks.
+
+The reference's only exercised file format is Parquet via pyarrow
+(test/integration/test_criteo.py:125,155-156) plus Arrow/pandas/pylist
+interop (torcharrow/interop.py). Spark-native scans give us pushdown,
+column pruning and partition pruning for free; everything here returns the
+engine's lazy DataFrame facade.
+"""
+
+from __future__ import annotations
+
+import typing as _ty
+
+from pyspark.sql import SparkSession
+
+from .. import dtypes as dt
+from ..frame import DataFrame
+
+
+def _spark(spark: SparkSession | None) -> SparkSession:
+    if spark is not None:
+        return spark
+    from ..session import get_session
+
+    s = SparkSession.getActiveSession()
+    return s if s is not None else get_session()
+
+
+def read_parquet(path: str, spark: SparkSession | None = None, columns: _ty.List[str] | None = None) -> DataFrame:
+    sdf = _spark(spark).read.parquet(path)
+    if columns:
+        sdf = sdf.select(*columns)  # column pruning reaches the scan
+    return DataFrame(sdf)
+
+
+def read_csv(path: str, spark: SparkSession | None = None, schema=None, header: bool = True) -> DataFrame:
+    reader = _spark(spark).read
+    if schema is not None:
+        reader = reader.schema(dt.to_spark(schema) if isinstance(schema, dt.Struct) else schema)
+        return DataFrame(reader.csv(path, header=header))
+    return DataFrame(reader.csv(path, header=header, inferSchema=True))
+
+
+def read_json(path: str, spark: SparkSession | None = None, schema=None) -> DataFrame:
+    reader = _spark(spark).read
+    if schema is not None:
+        reader = reader.schema(dt.to_spark(schema) if isinstance(schema, dt.Struct) else schema)
+    return DataFrame(reader.json(path))
+
+
+def read_orc(path: str, spark: SparkSession | None = None) -> DataFrame:
+    return DataFrame(_spark(spark).read.orc(path))
+
+
+def from_pandas(pdf, spark: SparkSession | None = None) -> DataFrame:
+    """reference interop.py:37-41 declares this NotImplemented; trivial on
+    Spark (Arrow-accelerated)."""
+    return DataFrame(_spark(spark).createDataFrame(pdf))
+
+
+def from_arrow(table, spark: SparkSession | None = None) -> DataFrame:
+    """Arrow Table -> DataFrame (reference interop.py:17-34). Spark's
+    createDataFrame accepts pa.Table natively in 4.x (Arrow exchange)."""
+    return DataFrame(_spark(spark).createDataFrame(table))
+
+
+def from_pylist(data: _ty.List[dict], dtype: dt.Struct | None = None,
+                spark: SparkSession | None = None) -> DataFrame:
+    schema = dt.spark_schema(dtype) if dtype is not None else None
+    return DataFrame(_spark(spark).createDataFrame(data, schema=schema))
+
+
+def dataframe(data, dtype: dt.Struct | None = None, columns: _ty.List[str] | None = None,
+              spark: SparkSession | None = None) -> DataFrame:
+    """Build from dict-of-lists / list-of-tuples (reference
+    idataframe.py:44-154), with prefix-based inference when no dtype."""
+    s = _spark(spark)
+    if isinstance(data, dict):
+        names = list(data.keys())
+        rows = list(zip(*[data[n] for n in names]))
+    else:
+        rows = [tuple(r) for r in data]
+        names = columns or [f"f{i}" for i in range(len(rows[0]) if rows else 0)]
+    if dtype is None:
+        fields = []
+        for i, n in enumerate(names):
+            vals = [r[i] for r in rows]
+            fields.append(dt.Field(n, dt.infer_dtype_from_prefix(vals)))
+        dtype = dt.Struct(tuple(fields))
+    return DataFrame(s.createDataFrame(rows, schema=dt.spark_schema(dtype)))
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: _ty.List[str] | None = None) -> None:
+    w = df.to_spark().write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
