@@ -1,0 +1,48 @@
+"""Beyond-parity operators for large-scale training-data pipelines.
+
+These are first-class engine components (BASELINE.json north star): exact
+and near deduplication, similarity search, text analysis, and multimodal
+column plumbing — all designed partition-first for the 100 TB target:
+no driver-side materialization, no cross joins except against broadcast
+sides, every grouping keyed on a hash-distributed column.
+"""
+
+from .dedup import (
+    exact_dedup,
+    exact_dedup_ids,
+    minhash_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_groups,
+)
+from .multimodal import attach_media, decode_features, frame_sample_plan
+from .similarity import brute_force_topk, cosine_pairs, lsh_topk
+from .textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+
+__all__ = [
+    "attach_media",
+    "brute_force_topk",
+    "decode_features",
+    "frame_sample_plan",
+    "simhash",
+    "cosine_pairs",
+    "doc_fingerprint",
+    "exact_dedup",
+    "exact_dedup_ids",
+    "language_id",
+    "lsh_topk",
+    "minhash_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "simhash_groups",
+    "text_stats",
+    "token_count",
+]

@@ -1,0 +1,128 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything is a narrow projection over built-in string/regex functions —
+no shuffle at all, so these scale linearly with input bytes and pipeline
+with any downstream op. All formulas are SQL-reproducible for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and oracle-reproducible; for real corpora users
+# supply their own lists.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "en"],
+    "es": ["el", "la", "y", "de", "un", "una", "es", "en"],
+    "de": ["der", "die", "das", "und", "von", "ein", "ist", "in"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo", "ta"],
+}
+
+
+def _words(col):
+    return F.split(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
+
+
+def token_count(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    """Whitespace tokens + a BPE-ish subword estimate: words plus one
+    extra unit per 4 chars beyond the first 4 of each word (a stand-in
+    for byte-pair merges; deterministic, no tokenizer asset needed)."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words).cast("long")
+    bpe_units = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(F.floor((F.length(w) + 3) / 4), F.lit(1).cast("long")),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_tokens"),
+        bpe_units.alias("n_bpe_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    """Heuristic document quality in [0,1]: mean word length sanity,
+    punctuation density, stopword (English) hit rate, length band."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words).cast("double")
+    n_chars = F.length(text).cast("double")
+    mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("double")
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    len_ok = F.when((n_words >= 5) & (n_words <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.3) * len_ok
+        + F.lit(0.2) * wlen_ok
+        + F.lit(0.2) * punct_ok
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def language_id(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    """Stopword-vote language ID: the language whose stopword list hits
+    the most tokens wins (ties broken by language code order). One
+    projection, no shuffle."""
+    words = _words(F.col(text_col))
+    hits = {}
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits[lang] = F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
+    mx = F.greatest(*hits.values())
+    # first alphabetical language reaching the max wins — the same CASE
+    # ladder is expressible verbatim in any SQL oracle
+    pred = F.lit(None).cast("string")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(hits[lang] == mx, F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        mx.alias("stopword_hits"),
+    )
+
+
+def doc_fingerprint(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    """Content fingerprint: 48-bit hash of normalized text + a coarser
+    'shape' fingerprint (word-count band × leading words) for clustering
+    boilerplate."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    h = F.conv(F.substring(F.md5(norm), 1, 12), 16, 10).cast("long")
+    words = F.split(norm, " ")
+    shape = F.md5(
+        F.concat(
+            (F.size(words) / F.lit(10)).cast("long").cast("string"),
+            F.lit("|"),
+            F.array_join(F.slice(words, 1, 4), " "),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        h.alias("fingerprint"),
+        shape.alias("shape_fingerprint"),
+    )
+
+
+def text_stats(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    """One-pass combined stats (token counts + quality + language)."""
+    tc = token_count(df, text_col, id_col)
+    qs = quality_score(df, text_col, id_col)
+    li = language_id(df, text_col, id_col)
+    return tc.join(qs, id_col).join(li, id_col)

@@ -33,6 +33,31 @@ def read_parquet(path: str, spark: SparkSession | None = None, columns: _ty.List
     return DataFrame(sdf)
 
 
+def read_parquet_ns(path: str, spark: SparkSession | None = None,
+                    ts_cols: _ty.List[str] | None = None) -> DataFrame:
+    """Parquet with nanosecond timestamps (Spark's reader rejects
+    TIMESTAMP(NANOS) by default): read nanos as long, convert to
+    microsecond TIMESTAMP_NTZ — truncation matches what external engines
+    (DuckDB, pandas) do when downcasting ns->us."""
+    s = _spark(spark)
+    prev = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        sdf = s.read.parquet(path)
+        # schema is resolved eagerly at read time, so the conf can be restored
+        sdf.schema
+    finally:
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    from pyspark.sql import functions as F
+
+    for c in ts_cols or ["ts"]:
+        if c in sdf.columns:
+            sdf = sdf.withColumn(
+                c, F.expr(f"cast(timestamp_micros(`{c}` div 1000) as timestamp_ntz)")
+            )
+    return DataFrame(sdf)
+
+
 def read_csv(path: str, spark: SparkSession | None = None, schema=None, header: bool = True) -> DataFrame:
     reader = _spark(spark).read
     if schema is not None:

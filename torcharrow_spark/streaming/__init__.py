@@ -1,0 +1,92 @@
+"""Structured Streaming surface.
+
+The reference has no streaming at all (SURVEY §2.14) — this is a
+beyond-parity extension: event-time windowed aggregation with watermarks
+for late data, and a stateful sessionization operator. Batch equivalents
+(`windowed_counts_batch`) share the same expression logic so results are
+oracle-checkable; the streaming wrappers run the identical plan with
+`readStream` + `availableNow` for tests, Kafka/files in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_counts_batch(events: SDF, window: str = "1 hour") -> SDF:
+    """Tumbling event-time window aggregation (batch plan)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "windowed_counts",
+):
+    """Same aggregation as a streaming query over a parquet directory.
+    Watermark bounds state: rows later than `watermark` behind the max
+    event time are dropped and their windows finalized. Returns the
+    started StreamingQuery writing to an in-memory sink (tests) —
+    production would swap the sink for Kafka/Delta via writeStream."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize(events: SDF, gap_minutes: int = 30) -> SDF:
+    """Sessionization (batch): a new session starts when a user's gap
+    since the previous event exceeds `gap_minutes`. lag + running sum of
+    session-start flags over a per-user window — one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # TIMESTAMP_NTZ has no direct long cast; go through ltz (session=UTC)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    with_id = events.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return with_id.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
