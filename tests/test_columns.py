@@ -1,0 +1,116 @@
+"""Column-algebra semantics tests with literal inputs and hand-computed
+expectations (reference model: device-parameterized operator unit tests,
+SURVEY §5.1)."""
+
+import math
+
+import torcharrow_spark as ts
+from torcharrow_spark import dt, me
+
+
+def col(spark, df, expr):
+    return [r["v"] for r in df.select(v=expr).to_pylist()]
+
+
+def test_arith_promotion(spark):
+    d = ts.dataframe({"a": [1, 2, None], "b": [3, 4, 5]}, spark=spark)
+    assert col(spark, d, me["a"] + me["b"]) == [4, 6, None]
+    assert (me["a"] + me["b"])._resolve(d)[1].name == "int64"
+    # truediv always float, /0 -> inf not error (numerical_column_cpu.py:385-419)
+    d2 = ts.dataframe({"a": [1.0, -1.0, 0.0], "b": [0.0, 0.0, 0.0]}, spark=spark)
+    vals = col(spark, d2, me["a"] / me["b"])
+    assert vals[0] == math.inf and vals[1] == -math.inf and math.isnan(vals[2])
+
+
+def test_floor_div_mod(spark):
+    # Python semantics: -3//2 == -2, -3%2 == 1 (numeric_functions.h:27-72)
+    d = ts.dataframe({"a": [7, -3, -7, 8], "b": [2, 2, 3, -3]}, spark=spark)
+    assert col(spark, d, me["a"] // me["b"]) == [3, -2, -3, -3]
+    assert col(spark, d, me["a"] % me["b"]) == [1, 1, 2, -1]
+    # int // 0 -> null (documented divergence: reference raises)
+    d0 = ts.dataframe({"a": [5], "b": [0]}, spark=spark)
+    assert col(spark, d0, me["a"] // me["b"]) == [None]
+
+
+def test_round_half_even(spark):
+    d = ts.dataframe({"x": [2.5, 3.5, 2.675]}, spark=spark)
+    assert col(spark, d, me["x"].round()) == [2.0, 4.0, 3.0]
+
+
+def test_string_accessor(spark):
+    d = ts.dataframe({"s": ["Hello World", "ab", None]}, spark=spark)
+    assert col(spark, d, me["s"].str.lower()) == ["hello world", "ab", None]
+    assert col(spark, d, me["s"].str.length()) == [11, 2, None]
+    assert col(spark, d, me["s"].str.slice(0, 5)) == ["Hello", "ab", None]
+    assert col(spark, d, me["s"].str.startswith("He")) == [True, False, None]
+    assert col(spark, d, me["s"].str.find("World")) == [6, -1, None]
+    assert col(spark, d, me["s"].str.replace("l", "L")) == ["HeLLo WorLd", "ab", None]
+    assert col(spark, d, me["s"].str.split(" ")) == [["Hello", "World"], ["ab"], None]
+    assert col(spark, d, me["s"].str.isalpha()) == [False, True, None]
+
+
+def test_list_accessor(spark):
+    d = ts.dataframe({"l": [[1, 2, 3], [], None]}, spark=spark)
+    assert col(spark, d, me["l"].list.length()) == [3, 0, None]
+    assert col(spark, d, me["l"].list.vmap(lambda x: x * 10)) == [[10, 20, 30], [], None]
+    assert col(spark, d, me["l"].list.filter(lambda x: x > 1)) == [[2, 3], [], None]
+    assert col(spark, d, me["l"].list.reduce(lambda a, b: a + b, 0)) == [6, 0, None]
+    assert col(spark, d, me["l"][0]) == [1, None, None]
+    assert col(spark, d, me["l"].list.slice(1, 3)) == [[2, 3], [], None]
+
+
+def test_map_accessor(spark):
+    d = ts.dataframe(
+        {"m": [{"a": 1, "b": 2}, {"c": 3}]},
+        dtype=dt.Struct((dt.Field("m", dt.Map(dt.string, dt.int64)),)),
+        spark=spark,
+    )
+    keys = col(spark, d, me["m"].maps.keys())
+    assert [sorted(k) for k in keys] == [["a", "b"], ["c"]]
+    assert col(spark, d, me["m"].maps.get("a", -1)) == [1, -1]
+
+
+def test_if_else_isin_fillnull(spark):
+    d = ts.dataframe({"x": [1, None, 3]}, spark=spark)
+    assert col(spark, d, ts.if_else(me["x"] > 1, 10, 20)) == [20, 20, 10]
+    assert col(spark, d, me["x"].isin([1, 3])) == [True, False, True]
+    assert col(spark, d, me["x"].fill_null(0)) == [1, 0, 3]
+    assert col(spark, d, me["x"].is_null()) == [False, True, False]
+
+
+def test_eager_scalar_aggs(spark):
+    d = ts.dataframe({"x": [1.0, 2.0, 3.0, None]}, spark=spark)
+    assert d["x"].sum() == 6.0
+    assert d["x"].mean() == 2.0
+    assert d["x"].count() == 3
+    assert d["x"].min() == 1.0
+    assert d["x"].nunique() == 3
+
+
+def test_functional_ops(spark):
+    from torcharrow_spark import functional as fn
+
+    d = ts.dataframe({"x": [5.0, 15.0, 30.0], "l": [[1, 2], [2, 3], [9]]}, spark=spark)
+    assert col(spark, d, fn.bucketize(me["x"], [10.0, 20.0])) == [0, 1, 2]
+    assert col(spark, d, fn.firstx(me["l"], 1)) == [[1], [2], [9]]
+    assert col(spark, d, fn.clamp_list(me["l"], 2, 8)) == [[2, 2], [2, 3], [8]]
+    # overlap scores against a literal list
+    import pyspark.sql.functions as F
+
+    other = ts.Column(lambda df: (F.array(F.lit(2), F.lit(9)), dt.List(dt.int64)))
+    assert col(spark, d, fn.has_id_overlap(me["l"], other)) == [1.0, 1.0, 1.0]
+    assert col(spark, d, fn.id_overlap_count(me["l"], other)) == [1.0, 1.0, 1.0]
+    import pytest as _pt
+
+    assert col(spark, d, fn.get_jaccard_similarity(me["l"], other)) == _pt.approx(
+        [1 / 3, 1 / 3, 0.5]
+    )
+
+
+def test_generic_dispatch(spark):
+    from torcharrow_spark import functional as fn
+
+    d = ts.dataframe({"s": ["a", "bb"]}, spark=spark)
+    assert col(spark, d, fn.lpad(me["s"], 3, "_")) == ["__a", "_bb"]
+    # unknown in F but valid SQL function
+    assert col(spark, d, fn.repeat(me["s"], 2)) == ["aa", "bbbb"]

@@ -1,0 +1,80 @@
+"""Type-system unit tests (reference model: test_dtypes.py — SURVEY §5.2).
+Pure metadata; no Spark jobs."""
+
+import pytest
+from pyspark.sql import types as T
+
+from torcharrow_spark import dtypes as dt
+
+
+def test_simple_roundtrip():
+    for d, st in [
+        (dt.int64, T.LongType()),
+        (dt.float32, T.FloatType()),
+        (dt.string, T.StringType()),
+        (dt.boolean, T.BooleanType()),
+    ]:
+        assert dt.to_spark(d) == st
+        assert dt.from_spark(st, nullable=False) == d
+
+
+def test_nested_roundtrip():
+    d = dt.Struct(
+        (
+            dt.Field("a", dt.int64),
+            dt.Field("b", dt.List(dt.string.with_null(True), nullable=True)),
+            dt.Field("m", dt.Map(dt.string, dt.float64, _nullable=True)),
+        )
+    )
+    st = dt.to_spark(d)
+    assert isinstance(st, T.StructType)
+    back = dt.from_spark(st, nullable=False)
+    assert back.get("a") == dt.int64
+    assert dt.is_list(back.get("b"))
+    assert dt.is_map(back.get("m"))
+
+
+def test_nullable_struct_requires_nullable_fields():
+    # reference dtypes_core.py:277-283
+    with pytest.raises(TypeError):
+        dt.Struct((dt.Field("a", dt.int64),), True)
+    dt.Struct((dt.Field("a", dt.int64.with_null(True)),), True)
+
+
+def test_promotion_lattice():
+    # reference dtypes.py:356-378
+    assert dt.promote(dt.int8, dt.int64).name == "int64"
+    assert dt.promote(dt.boolean, dt.int8).name == "int8"
+    assert dt.promote(dt.int64, dt.float32).name == "float32"
+    assert dt.promote(dt.float32, dt.float64).name == "float64"
+    assert dt.promote(dt.int32.with_null(True), dt.int8).nullable
+
+
+def test_column_scalar_promotion():
+    # column wins for int-int / float-float (reference column.h:148-218)
+    assert dt.promote_column_scalar(dt.int8, dt.int64).name == "int8"
+    assert dt.promote_column_scalar(dt.float32, dt.float64).name == "float32"
+    assert dt.promote_column_scalar(dt.int32, dt.float32).name == "float32"
+
+
+def test_inference():
+    # int->int64, float->float32 (PyTorch convention, dtypes.py:639-641)
+    assert dt.infer_dtype_from_value(3).name == "int64"
+    assert dt.infer_dtype_from_value(3.0).name == "float32"
+    assert dt.infer_dtype_from_value("x").name == "string"
+    assert dt.infer_dtype_from_value(True).name == "boolean"
+    d = dt.infer_dtype_from_prefix([1, 2, None])
+    assert d.name == "int64" and d.nullable
+    d = dt.infer_dtype_from_prefix([1, 2.5])
+    assert d.name == "float32"
+    d = dt.infer_dtype_from_value([1, 2])
+    assert dt.is_list(d) and d.item_dtype.name == "int64"
+
+
+def test_hint_inference():
+    import typing
+
+    assert dt.dtype_from_hint(int).name == "int64"
+    assert dt.dtype_from_hint(typing.Optional[str]).nullable
+    assert dt.is_list(dt.dtype_from_hint(typing.List[int]))
+    assert dt.is_map(dt.dtype_from_hint(typing.Dict[str, float]))

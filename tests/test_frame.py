@@ -1,0 +1,134 @@
+"""DataFrame/GroupedDataFrame behavior tests (reference model:
+test_dataframe.py — SURVEY §5.1)."""
+
+import torcharrow_spark as ts
+from torcharrow_spark import dt, me
+
+
+def test_select_where_exclude(spark):
+    d = ts.dataframe({"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 9]}, spark=spark)
+    out = d.select("*", "-c", s=me["a"] + me["b"])
+    assert out.columns == ["a", "b", "s"]
+    assert [r["s"] for r in out.to_pylist()] == [5, 7, 9]
+    assert len(d.where(me["a"] > 1, me["b"] < 6)) == 1
+
+
+def test_column_surgery(spark):
+    d = ts.dataframe({"a": [1], "b": [2]}, spark=spark)
+    d["c"] = me["a"] + 10
+    assert d.to_pylist() == [{"a": 1, "b": 2, "c": 11}]
+    assert d.drop(["b"]).columns == ["a", "c"]
+    assert d.keep(["b"]).columns == ["b"]
+    assert d.rename({"a": "x"}).columns == ["x", "b", "c"]
+    assert d.reorder(["c", "a", "b"]).columns == ["c", "a", "b"]
+
+
+def test_groupby_reference_naming(spark):
+    d = ts.dataframe(
+        {"g": ["x", "x", "y", None], "v": [1, 2, 3, 4]}, spark=spark
+    )
+    out = d.groupby("g").agg({"v": ["sum", "count"]}).sort(by=["g"])
+    rows = out.to_pylist()
+    # null group dropped (reference drop_null=True, dataframe_cpu.py:2092)
+    assert rows == [
+        {"g": "x", "v.sum": 3, "v.count": 2},
+        {"g": "y", "v.sum": 3, "v.count": 1},
+    ]
+    sized = d.groupby("g").size.sort(by=["g"]).to_pylist()
+    assert sized == [{"g": "x", "size": 2}, {"g": "y", "size": 1}]
+
+
+def test_groupby_me_select(spark):
+    d = ts.dataframe({"g": ["x", "x", "y"], "v": [1.0, 3.0, 5.0]}, spark=spark)
+    out = d.groupby("g").select(total=me["v"].sum(), avg=me["v"].mean()).sort(by=["g"])
+    assert out.to_pylist() == [
+        {"g": "x", "total": 4.0, "avg": 2.0},
+        {"g": "y", "total": 5.0, "avg": 5.0},
+    ]
+
+
+def test_dedup_and_nulls(spark):
+    d = ts.dataframe(
+        {"k": [1, 1, 2], "o": [2, 1, 5], "v": ["a", "b", "c"]}, spark=spark
+    )
+    out = d.drop_duplicates(subset=["k"], keep="first", order_by=["o"]).sort(by=["k"])
+    assert [r["v"] for r in out.to_pylist()] == ["b", "c"]
+    last = d.drop_duplicates(subset=["k"], keep="last", order_by=["o"]).sort(by=["k"])
+    assert [r["v"] for r in last.to_pylist()] == ["a", "c"]
+
+    dn = ts.dataframe(
+        {"x": [1, None], "y": [None, None]},
+        dtype=ts.dt.Struct(
+            (
+                ts.dt.Field("x", ts.dt.int64.with_null(True)),
+                ts.dt.Field("y", ts.dt.int64.with_null(True)),
+            )
+        ),
+        spark=spark,
+    )
+    assert len(dn.drop_null("any")) == 0
+    assert len(dn.drop_null("all")) == 1
+    assert dn.fill_null(0).to_pylist() == [{"x": 1, "y": 0}, {"x": 0, "y": 0}]
+
+
+def test_sort_na_position(spark):
+    d = ts.dataframe({"x": [3, None, 1]}, spark=spark)
+    assert [r["x"] for r in d.sort(by=["x"]).to_pylist()] == [1, 3, None]
+    assert [r["x"] for r in d.sort(by=["x"], na_position="first").to_pylist()] == [None, 1, 3]
+    assert [r["x"] for r in d.sort(by=["x"], ascending=False).to_pylist()] == [3, 1, None]
+
+
+def test_map_flatmap_filter(spark):
+    d = ts.dataframe({"x": [1, 2, None]}, spark=spark)
+    m = d.map({1: "one"}, columns=["x"])
+    assert [r["v"] for r in d.select(v=m).to_pylist()] == ["one", None, None]
+    f = d.filter(lambda x: x is not None and x > 1, columns=["x"])
+    assert [r["x"] for r in f.to_pylist()] == [2]
+    fm = d.flatmap(lambda x: [x, x * 10] if x else [], dtype=dt.int64.with_null(True), columns=["x"])
+    assert sorted(r["value"] for r in fm.to_pylist()) == [1, 2, 10, 20]
+
+
+def test_transform_arrow(spark):
+    import pyarrow as pa
+
+    d = ts.dataframe({"x": [1, 2, 3]}, spark=spark)
+
+    def double(batch: pa.RecordBatch) -> pa.RecordBatch:
+        import pyarrow.compute as pc
+
+        return pa.RecordBatch.from_arrays([pc.multiply(batch["x"], 2)], names=["x"])
+
+    out = d.transform(double)
+    assert sorted(r["x"] for r in out.to_pylist()) == [2, 4, 6]
+
+
+def test_describe_cumsum_concat(spark):
+    d = ts.dataframe({"i": [1, 2], "x": [1.0, 3.0]}, spark=spark)
+    desc = {r["metric"]: r["x"] for r in d.describe().to_pylist()}
+    assert desc["count"] == 2.0 and desc["mean"] == 2.0
+    cs = d.cumsum(columns=["x"], order_by=["i"]).sort(by=["i"])
+    assert [r["x"] for r in cs.to_pylist()] == [1.0, 4.0]
+    cc = ts.concat([d, d])
+    assert len(cc) == 4
+
+
+def test_join_append(spark):
+    left = ts.dataframe({"k": [1, 2], "v": ["a", "b"]}, spark=spark)
+    right = ts.dataframe({"k": [2, 3], "w": [20, 30]}, spark=spark)
+    j = left.join(right, "k", "inner", broadcast=True)
+    assert j.to_pylist() == [{"k": 2, "v": "b", "w": 20}]
+    ap = left.append([(4, "d")])
+    assert len(ap) == 3
+
+
+def test_interop(spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    d = ts.dataframe({"x": [1, 2]}, spark=spark)
+    assert d.to_pandas()["x"].tolist() == [1, 2]
+    assert d.to_arrow().column("x").to_pylist() == [1, 2]
+    back = ts.from_pandas(pd.DataFrame({"y": [1.5]}), spark=spark)
+    assert back.to_pylist() == [{"y": 1.5}]
+    back2 = ts.from_arrow(pa.table({"z": ["s"]}), spark=spark)
+    assert back2.to_pylist() == [{"z": "s"}]

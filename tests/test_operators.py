@@ -1,0 +1,115 @@
+"""LLM-pipeline operator tests with hand-computed expectations."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from torcharrow_spark import operators as ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),       # exact dup of 0
+        (2, "the cat sat on the hat"),       # near dup
+        (3, "completely different text here entirely"),
+        (4, "  The  cat   sat on the mat "), # dup of 0 after normalization
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    ids = ops.exact_dedup_ids(docs)
+    rows = {r["doc_id"]: r["dup_count"] for r in ids.collect()}
+    assert rows == {0: 3, 2: 1, 3: 1}
+    surv = ops.exact_dedup(docs)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [0, 2, 3]
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in ops.minhash_pairs(docs, shingle_k=2).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_for_dups(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in ops.simhash(docs).collect()}
+    assert sh[0] == sh[1] == sh[4]
+    assert sh[0] != sh[3]
+
+
+def test_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ops.ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0 < pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_brute_force_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0")
+    out = ops.brute_force_topk(emb, q, k=2)
+    rows = out.orderBy("rank").collect()
+    assert rows[0]["match_id"] == 1 and rows[0]["cosine"] > 0.99
+    assert rows[1]["match_id"] == 2 and abs(rows[1]["cosine"]) < 1e-9
+
+
+def test_lsh_recall_on_testdata(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = ops.brute_force_topk(emb, q, k=1)
+    approx = ops.lsh_topk(emb, q, k=1, n_planes=2)
+    # with 2 planes (4 buckets) ~1/4 chance per neighbor; just require the
+    # plumbing returns ranked rows for most queries
+    assert approx.count() >= 5
+    assert exact.count() == 10
+
+
+def test_text_stats_values(spark):
+    d = spark.createDataFrame([(1, "the cat! sat.")], "doc_id long, text string")
+    r = ops.text_stats(d).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["n_chars"] == 13
+    assert r["pred_lang"] == "en"
+    assert r["stopword_hits"] == 1
+    assert r["punct_ratio"] == round(2 / 13, 4)
+
+
+def test_fingerprint_normalization(spark):
+    d = spark.createDataFrame(
+        [(1, "A  b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in ops.doc_fingerprint(d).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    d = spark.createDataFrame([(1, b"\x01\x02\x03" * 50)], "doc_id long, img binary")
+    with_meta = ops.attach_media(d, "img", media_type="image", fmt="raw")
+    meta = with_meta.select("img_meta.*").collect()[0]
+    assert meta["n_bytes"] == 150 and meta["media_type"] == "image"
+    feat = ops.decode_features(with_meta, "img", "doc_id", fake=True).collect()[0]
+    assert feat["width"] == 16 + 150 % 64
+    assert len(feat["features"]) == 8
+    frames = ops.frame_sample_plan(d.withColumn("img", F.col("img")), "img", "doc_id", every_n=1)
+    assert frames.count() >= 1
+
+
+def test_scaled_frame(spark):
+    from torcharrow_spark.operators.preprocess import scaled_frame
+
+    d = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    out = scaled_frame(d, ["x"], method="z").orderBy("x").collect()
+    import math
+
+    sd = math.sqrt(2 / 3)
+    assert abs(out[0]["x_scaled"] - (-1 / sd)) < 1e-12
+    assert out[1]["x_scaled"] == 0.0
+    mm = scaled_frame(d, ["x"], method="minmax").orderBy("x").collect()
+    assert [r["x_scaled"] for r in mm] == [0.0, 0.5, 1.0]

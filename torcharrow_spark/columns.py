@@ -465,10 +465,19 @@ def _apply_arith(op, le, ld, l_scalar, re_, rd, r_scalar):
         return _cast_to(expr, out), out
 
     if op == "truediv":
-        # Always float; x/0 -> ±inf/nan like the reference (C++ IEEE), which
-        # Spark's double division matches (numerical_column_cpu.py:385-419).
+        # Always float; x/0 -> ±inf/nan like the reference's C++ IEEE
+        # division (numerical_column_cpu.py:385-419). Spark's Divide
+        # returns null on a zero divisor, so the IEEE cases are spelled
+        # out (b null still propagates null via the otherwise branch).
         out = _float_result(ld, rd)
-        expr = le.cast("double") / re_.cast("double")
+        a, b = le.cast("double"), re_.cast("double")
+        expr = F.when(
+            b == 0,
+            F.when(a.isNull(), F.lit(None).cast("double"))
+            .when(a > 0, F.lit(float("inf")))
+            .when(a < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan"))),
+        ).otherwise(a / b)
         return _cast_to(expr, out), out
 
     if op == "floordiv":

@@ -31,10 +31,11 @@ def exact_dedup_ids(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> 
     """One surviving id per distinct (normalized) text: group on a 48-bit
     content hash + the text itself (hash alone could collide), keep min id.
     Single shuffle; map-side partial aggregation applies."""
-    h = F.conv(F.substring(F.md5(_norm_text(F.col(text_col))), 1, 12), 16, 10).cast("long")
+    norm = _norm_text(F.col(text_col))
+    h = F.conv(F.substring(F.md5(norm), 1, 12), 16, 10).cast("long")
     return (
-        df.select(F.col(id_col), F.col(text_col), h.alias("content_hash"))
-        .groupBy("content_hash", text_col)
+        df.select(F.col(id_col), norm.alias("__norm__"), h.alias("content_hash"))
+        .groupBy("content_hash", "__norm__")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .select(id_col, "content_hash", "dup_count")
     )
@@ -51,15 +52,22 @@ def exact_dedup(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
 
 
 def _shingles(df: SDF, text_col: str, id_col: str, k: int) -> SDF:
-    """Distinct k-word shingles per doc. posexplode over the split words,
-    then a slice-join — stays in codegen, no UDFs."""
+    """Distinct k-word shingles per doc, one row per (doc, shingle) —
+    array-built in codegen, exploded only where a join needs rows."""
+    return df.select(
+        F.col(id_col), F.explode(_shingle_array(text_col, k)).alias("shingle")
+    )
+
+
+def _shingle_array(text_col: str, k: int):
+    """Distinct k-word shingles of one document as an array expression."""
     words = F.split(_norm_text(F.col(text_col)), " ")
     n = F.size(words)
-    # shingle i = words[i..i+k-1], 0 <= i <= n-k
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
     )
 
 
@@ -72,23 +80,23 @@ def minhash_signatures(
 ) -> SDF:
     """Per-doc MinHash signature: hash h_s(x) = md5(s || '|' || shingle);
     the signature element for seed s is the lexicographic min hex digest.
-    One shuffle (groupBy doc). Returns (id, sig: array<string>)."""
+
+    Implementation note (measured at sf0.1): one explode over (doc,
+    shingle) + a single groupBy(doc) computing all num_hashes mins as
+    separate aggregates. The md5s run in whole-stage codegen (nested
+    higher-order lambdas would be interpreted, ~5x slower), and the
+    min-aggregates combine map-side, so the one shuffle carries only
+    docs × num_hashes × 32 bytes — negligible at any scale. Docs with no
+    shingles (< k words) are dropped. Returns (id, sig: array<string>)."""
     sh = _shingles(df, text_col, id_col, shingle_k)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashed = sh.select(
-        id_col,
-        F.explode(seeds).alias("seed"),
-        F.col("shingle"),
-    ).select(
-        id_col,
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
-    )
-    per_seed = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
-    return (
-        per_seed.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "minh"))).alias("sm"))
-        .select(id_col, F.transform("sm", lambda x: x["minh"]).alias("sig"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"__mh{s}__")
+        for s in range(num_hashes)
+    ]
+    per_doc = sh.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__mh{s}__") for s in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -136,27 +144,29 @@ def minhash_pairs(
 def simhash(df: SDF, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> SDF:
     """SimHash over word tokens. Bit j of a token's hash is the top bit of
     hex nibble j of md5(token) (bits <= 32); the doc's simhash sets bit j
-    iff the sum over tokens of (+-1) votes is positive. Pure expressions,
-    one groupBy-free aggregation via explode + groupBy(id)."""
+    iff the sum over tokens of (+-1) votes is positive.
+
+    Entirely higher-order functions over a per-row token-hash array —
+    zero shuffles (an explode+groupBy formulation would shuffle every
+    token of the corpus)."""
     assert bits <= 32
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("tok"),
-    ).select(id_col, F.md5("tok").alias("h"))
-    votes = [
-        F.sum(
-            F.when(
-                F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int") >= 8, 1
-            ).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    hashes = F.transform(F.split(_norm_text(F.col(text_col)), " "), F.md5)
+
+    def vote(j: int):
+        return F.aggregate(
+            F.col("__h__"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") >= 8, 1).otherwise(-1),
+        )
+
     sim = None
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(vote(j) > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
-    return agg.select(id_col, sim.alias("simhash"))
+    return df.select(F.col(id_col), hashes.alias("__h__")).select(
+        id_col, sim.alias("simhash")
+    )
 
 
 def simhash_groups(df: SDF, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> SDF:

@@ -27,6 +27,13 @@ def _words(col):
     return F.split(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
 
 
+def _round4(col):
+    """floor(x*1e4 + 0.5)/1e4 — engine-independent half-up rounding (the
+    builtin round() of different engines disagrees on double half-way
+    representations)."""
+    return F.floor(col * 10000.0 + 0.5) / 10000.0
+
+
 def token_count(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
     """Whitespace tokens + a BPE-ish subword estimate: words plus one
     extra unit per 4 chars beyond the first 4 of each word (a stand-in
@@ -70,10 +77,10 @@ def quality_score(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SD
     )
     return df.select(
         F.col(id_col),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality"),
+        _round4(mean_wlen).alias("mean_word_len"),
+        _round4(punct_ratio).alias("punct_ratio"),
+        _round4(stop_ratio).alias("stopword_ratio"),
+        _round4(score).alias("quality"),
     )
 
 

@@ -1,0 +1,1110 @@
+"""Declared query inventory: one entry per implemented operator family
+(SURVEY §2), each with a DuckDB-equivalent oracle SQL string.
+
+Float determinism policy (SURVEY §7.4): any aggregate over doubles whose
+accumulation order Spark may vary is computed exactly — money columns are
+summed as DECIMAL(18,2) (exact) and cast back to DOUBLE; derived stats
+(avg/std) are double arithmetic over those exact sums, so both engines
+produce bit-identical values. Per-row double expressions (same operand
+order both sides) are inherently deterministic. Column names are aliased
+identically in the Spark plan and the oracle SQL (driver hashes columns
+sorted by name).
+"""
+
+from __future__ import annotations
+
+import typing as _ty
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = _ty.Callable[[SparkSession, str], SDF]
+
+QUERIES: _ty.Dict[str, QueryFn] = {}
+ORACLES: _ty.Dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str):
+    """Load a testdata table through the engine (tuned session, ns-aware)."""
+    import torcharrow_spark as ts
+    from torcharrow_spark.sources import read_parquet_ns
+
+    ts.tune(spark)
+    if table == "events":
+        return read_parquet_ns(f"{sf_dir}/events.parquet", spark)
+    return ts.read_parquet(f"{sf_dir}/{table}.parquet", spark)
+
+
+# exact decimal sum of a 2-decimal double column, returned as double
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference §2.2, §2.6: select/where/groupby/agg/sort)
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> SDF:
+    """Flagship TPC-H-Q1-style groupby-agg through the engine facade
+    (reference capability: where + groupby + agg, dataframe_cpu.py:2016,
+    2092)."""
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+
+    li = _load(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(me["l_shipdate"] <= "1998-09-02")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .select(
+            sum_qty=ts.Column(lambda df: (_dsum(F.col("l_quantity")), None)),
+            sum_base_price=ts.Column(lambda df: (_dsum(F.col("l_extendedprice")), None)),
+            avg_qty=ts.Column(lambda df: (_dsum(F.col("l_quantity")) / cnt, None)),
+            avg_price=ts.Column(lambda df: (_dsum(F.col("l_extendedprice")) / cnt, None)),
+            count_order=ts.Column(lambda df: (cnt, None)),
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "q02_select_where",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity + 5.0 AS qty_plus
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.05
+    """,
+)
+def q02_select_where(spark: SparkSession, sf_dir: str) -> SDF:
+    """Projection + conjunctive filter via me-expressions (reference
+    select/where, idataframe.py:501-585). Per-row double math — operand
+    order identical to the oracle, so exact."""
+    from torcharrow_spark import me
+
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(me["l_quantity"] > 45, me["l_discount"] >= 0.05)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            revenue=me["l_extendedprice"] * (1 - me["l_discount"]),
+            qty_plus=me["l_quantity"] + 5.0,
+        )
+        .to_spark()
+    )
+
+
+@query(
+    "q03_join_topk",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           MIN(c.c_mktsegment) AS segment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_join_topk(spark: SparkSession, sf_dir: str) -> SDF:
+    """Join + aggregate + top-k (beyond-parity §2.5; the reference stubs
+    joins out). Customer side is broadcast — no shuffle for the dim join."""
+    o = _load(spark, sf_dir, "orders").to_spark()
+    c = _load(spark, sf_dir, "customer").to_spark()
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.min("c_mktsegment").alias("segment"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q04_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q04_sort_limit(spark: SparkSession, sf_dir: str) -> SDF:
+    """Multi-key sort + limit (reference sort, dataframe_cpu.py:591-620).
+    Spark plans orderBy+limit as TakeOrderedAndProject — no full sort."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = (
+        li.keep(["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+        ._sdf.orderBy(
+            F.col("l_returnflag").asc(),
+            F.col("l_quantity").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+    return out
+
+
+@query(
+    "q05_dedup_keep_first",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_quantity) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q05_dedup_keep_first(spark: SparkSession, sf_dir: str) -> SDF:
+    """drop_duplicates(keep='first') with an explicit order column
+    (reference dataframe_cpu.py:1578-1606; distributed semantics per
+    SURVEY §7.4 need a total order)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.keep(["l_orderkey", "l_linenumber", "l_quantity"])
+        .drop_duplicates(subset=["l_orderkey"], keep="first",
+                         order_by=["l_linenumber", "l_quantity"])
+        .to_spark()
+    )
+
+
+@query(
+    "q06_null_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_filled,
+           CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
+           (l_returnflag IN ('A','R')) AS is_returned
+    FROM lineitem
+    WHERE l_linenumber <= 3
+    """,
+)
+def q06_null_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    """fill_null / if_else / isin (reference §2.11, icolumn.py:100-119,
+    940-978). Nulls are synthesized with nullif since testdata has none."""
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+
+    li = _load(spark, sf_dir, "lineitem").where(me["l_linenumber"] <= 3)
+    li["disc_null"] = ts.Column(
+        lambda df: (F.nullif(F.col("l_discount"), F.lit(0.0)), None)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_filled=li["disc_null"].fill_null(-1.0),
+        size_class=ts.if_else(me["l_quantity"] > 25, "big", "small"),
+        is_returned=me["l_returnflag"].isin(["A", "R"]),
+    ).to_spark()
+
+
+@query(
+    "q07_arith_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR((CAST(l_quantity AS BIGINT) - 25) / 7.0) AS BIGINT) AS fdiv,
+           ((CAST(l_quantity AS BIGINT) - 25) % 7 + 7) % 7 AS fmod,
+           CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS sq,
+           ABS(l_discount - 0.05) AS absdiff,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) // 100 AS price_band
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def q07_arith_semantics(spark: SparkSession, sf_dir: str) -> SDF:
+    """Python floor-div/mod on negatives, pow, abs — the exact-semantics
+    layer (reference numeric_functions.h:27-72; our columns.py algebra)."""
+    from torcharrow_spark import dt, me
+
+    li = _load(spark, sf_dir, "lineitem").where(me["l_linenumber"] == 1)
+    q = me["l_quantity"].cast(dt.int64)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fdiv=(q - 25) // 7,
+        fmod=(q - 25) % 7,
+        sq=(q**2).cast(dt.int64),
+        absdiff=(me["l_discount"] - 0.05).abs(),
+        price_band=me["l_extendedprice"].cast(dt.int64) // 100,
+    ).to_spark()
+
+
+@query(
+    "q08_string_ops",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS prefix,
+           starts_with(c_name, 'Customer') AS is_cust,
+           contains(c_mktsegment, 'ING') AS seg_ing,
+           replace(c_name, '#', '-') AS dashed,
+           string_split(c_name, '#')[-1] AS num_part
+    FROM customer
+    """,
+)
+def q08_string_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    """.str accessor surface (reference istring_column.py:32-239), all
+    JVM built-ins."""
+    from torcharrow_spark import me
+
+    c = _load(spark, sf_dir, "customer")
+    s = me["c_name"].str
+    return c.select(
+        "c_custkey",
+        uname=s.upper(),
+        name_len=s.length(),
+        prefix=s.slice(0, 8),
+        is_cust=s.startswith("Customer"),
+        seg_ing=me["c_mktsegment"].str.contains("ING", regex=False),
+        dashed=s.replace("#", "-"),
+        num_part=me["c_name"].str.split("#")[-1],
+    ).to_spark()
+
+
+@query(
+    "q09_list_ops",
+    oracle="""
+    SELECT p_partkey,
+           len(words) AS n_words,
+           list_transform(words, w -> upper(w)) AS upper_words,
+           array_to_string(words, '_') AS joined,
+           words[1:2] AS first2,
+           list_transform(words, w -> length(w)) AS word_lens,
+           CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_len
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    """,
+)
+def q09_list_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    """.list accessor + higher-order functions — the vectorized vmap path
+    (reference ilist_column.py:105-182)."""
+    from torcharrow_spark import dt, me
+
+    p = _load(spark, sf_dir, "part")
+    p["words"] = me["p_name"].str.split(" ")
+    w = p["words"]
+    return p.select(
+        "p_partkey",
+        n_words=w.list.length(),
+        upper_words=w.list.map(lambda x: x.str.upper()),
+        joined=w.list.join("_"),
+        first2=w.list.slice(0, 2),
+        word_lens=w.list.map(lambda x: x.str.length()),
+        total_len=w.list.map(lambda x: x.str.length()).list.reduce(
+            lambda a, b: a + b, 0
+        ),
+    ).to_spark()
+
+
+@query(
+    "q10_groupby_multi",
+    oracle="""
+    SELECT n.n_name, c.c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+           MIN(c.c_name) AS first_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, c.c_mktsegment
+    """,
+)
+def q10_groupby_multi(spark: SparkSession, sf_dir: str) -> SDF:
+    """Multi-key grouped agg after a broadcast dim join (reference
+    groupby capability + §2.5 extension)."""
+    c = _load(spark, sf_dir, "customer").to_spark()
+    n = _load(spark, sf_dir, "nation").to_spark()
+    cnt = F.count(F.lit(1))
+    bal = _dsum(F.col("c_acctbal"))
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            cnt.alias("n_cust"),
+            bal.alias("total_bal"),
+            (bal / cnt).alias("avg_bal"),
+            F.min("c_name").alias("first_name"),
+        )
+    )
+
+
+@query(
+    "q11_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q11_window_rank(spark: SparkSession, sf_dir: str) -> SDF:
+    """Top-N per group via window (beyond-parity §2.5; rolling is a stub
+    in the reference, dataframe_cpu.py:2472-2482)."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders").to_spark()
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "q12_cumsum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_quantity
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty
+    FROM lineitem
+    """,
+)
+def q12_cumsum(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cumulative sum with an explicit order (reference cumsum,
+    inumerical_column.py:229-312; distributed per-key to avoid the
+    single-partition global window)."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem").to_spark()
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data;
+    # l_quantity as tiebreak makes the cumulative multiset deterministic
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("cum_qty"),
+    )
+
+
+@query(
+    "q13_df_stats",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(l_quantity) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(MIN(l_quantity) AS DOUBLE) AS mn,
+             CAST(MAX(l_quantity) AS DOUBLE) AS mx
+      FROM lineitem
+    )
+    SELECT n AS count_qty, sm AS sum_qty, sm / n AS mean_qty,
+           sqrt((sq - sm * sm / n) / (n - 1)) AS std_qty,
+           mn AS min_qty, mx AS max_qty
+    FROM s
+    """,
+)
+def q13_df_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    """Whole-frame stats incl. sample std from exact decimal sums
+    (reference describe/std, inumerical_column.py:137-198,332-344) —
+    deterministic under any partitioning."""
+    li = _load(spark, sf_dir, "lineitem").to_spark()
+    q = F.col("l_quantity")
+    dec = q.cast("decimal(18,2)")
+    agg = li.agg(
+        F.count(q).alias("n"),
+        F.sum(dec).cast("double").alias("sm"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+        F.min(q).cast("double").alias("mn"),
+        F.max(q).cast("double").alias("mx"),
+    )
+    n, sm, sq = F.col("n"), F.col("sm"), F.col("sq")
+    return agg.select(
+        n.alias("count_qty"),
+        sm.alias("sum_qty"),
+        (sm / n).alias("mean_qty"),
+        F.sqrt((sq - sm * sm / n) / (n - 1)).alias("std_qty"),
+        F.col("mn").alias("min_qty"),
+        F.col("mx").alias("max_qty"),
+    )
+
+
+@query(
+    "q14_map_dict",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              WHEN 'P' THEN 'pending' END AS status_name,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN true
+                ELSE false END AS urgent
+    FROM orders
+    """,
+)
+def q14_map_dict(spark: SparkSession, sf_dir: str) -> SDF:
+    """map(dict) lowering to a JVM map-literal lookup (reference
+    icolumn.py:420-611 dict path) + isin."""
+    from torcharrow_spark import me
+
+    o = _load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        status_name=o.map(
+            {"F": "finished", "O": "open", "P": "pending"}, columns=["o_orderstatus"]
+        ),
+        urgent=me["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]),
+    ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# Events / time-series (beyond-parity: reference has no temporal types or
+# streaming — SURVEY §1.2, §2.14)
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES_CTE = f"""
+norm AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(words[i:i+2], ' ')
+                   for i in range(1, len(words) - 1)]) AS sh
+    FROM norm
+  )
+)
+"""
+
+
+@query(
+    "q15_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> SDF:
+    """Semi-structured extraction from the events.props JSON strings via
+    regexp (identical regex both engines), then grouped agg."""
+    ev = _load(spark, sf_dir, "events").to_spark()
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+    )
+
+
+@query(
+    "q16_event_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q16_event_windows(spark: SparkSession, sf_dir: str) -> SDF:
+    """Tumbling event-time window aggregation — the batch plan shared with
+    the Structured Streaming wrapper (streaming/__init__.py)."""
+    ev = _load(spark, sf_dir, "events").to_spark()
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "q17_sessionize",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, value,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM t
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q17_sessionize(spark: SparkSession, sf_dir: str) -> SDF:
+    """Sessionization: gap > 30 min starts a new session (streaming
+    module; one shuffle on user_id)."""
+    from torcharrow_spark.streaming import with_session_ids
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    with_id = with_session_ids(ev, 30)
+    return with_id.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: deduplication
+
+
+@query(
+    "q18_exact_dedup",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id,
+           list_sum([ (strpos('0123456789abcdef', substr(md5({_NORM}), i, 1)) - 1)::BIGINT
+                      * (16::BIGINT ** (12 - i))::BIGINT
+                      for i in range(1, 13)])::BIGINT AS content_hash,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY {_NORM}
+    """,
+)
+def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact dedup by content hash, keep-min-id (operators/dedup.py)."""
+    from torcharrow_spark.operators import exact_dedup_ids
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return exact_dedup_ids(docs)
+
+
+@query(
+    "q19_minhash_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || sh)) AS minh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(minh, '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.band = b.band AND a.band_key = b.band_key
+                          AND a.doc_id < b.doc_id
+    """,
+)
+def q19_minhash_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    """MinHash-LSH candidate pairs: 3-word shingles, 8 hashes, 4 bands
+    (operators/dedup.py:minhash_pairs)."""
+    from torcharrow_spark.operators import minhash_pairs
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return minhash_pairs(docs, shingle_k=3, num_hashes=8, bands=4)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n".join(
+        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)::BIGINT" for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(string_split({_NORM}, ' '))) AS h FROM documents
+    ),
+    bits AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {recombine} AS simhash FROM bits
+    """
+
+
+@query("q20_simhash", oracle=_simhash_oracle(16))
+def q20_simhash(spark: SparkSession, sf_dir: str) -> SDF:
+    """16-bit SimHash per document (operators/dedup.py:simhash)."""
+    from torcharrow_spark.operators import simhash
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return simhash(docs, bits=16)
+
+
+@query(
+    "q21_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b,
+             CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.3
+    """,
+)
+def q21_ngram_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact 3-shingle Jaccard pairs >= 0.3, join-first
+    (operators/dedup.py:ngram_jaccard_pairs)."""
+    from torcharrow_spark.operators import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search
+
+_DDOT = "list_dot_product"
+
+
+@query(
+    "q22_ann_brute_force",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, match_id,
+             CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS cosine
+      FROM (SELECT query_id, match_id,
+                   {_DDOT}(qv, cv) AS dot,
+                   sqrt({_DDOT}(qv, qv)) AS na,
+                   sqrt({_DDOT}(cv, cv)) AS nb
+            FROM c CROSS JOIN q
+            WHERE match_id <> query_id)
+    )
+    SELECT query_id, match_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, match_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q22_ann_brute_force(spark: SparkSession, sf_dir: str) -> SDF:
+    """Brute-force cosine top-3 for query vectors vec_id < 5
+    (operators/similarity.py:brute_force_topk)."""
+    from torcharrow_spark.operators import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, q, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "q23_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        (  (CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+              d -> (strpos('0123456789abcdef', substr(md5('0,' || d), 1, 1)) - 1 - 7.5)
+                   * embedding[d + 1]::DOUBLE)) >= 0 THEN 1 ELSE 0 END) * 1
+         + (CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+              d -> (strpos('0123456789abcdef', substr(md5('1,' || d), 1, 1)) - 1 - 7.5)
+                   * embedding[d + 1]::DOUBLE)) >= 0 THEN 1 ELSE 0 END) * 2
+         + (CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+              d -> (strpos('0123456789abcdef', substr(md5('2,' || d), 1, 1)) - 1 - 7.5)
+                   * embedding[d + 1]::DOUBLE)) >= 0 THEN 1 ELSE 0 END) * 4
+         + (CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+              d -> (strpos('0123456789abcdef', substr(md5('3,' || d), 1, 1)) - 1 - 7.5)
+                   * embedding[d + 1]::DOUBLE)) >= 0 THEN 1 ELSE 0 END) * 8
+        )::INT AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id AS match_id, v AS cv, bucket FROM b),
+    scored AS (
+      SELECT query_id, match_id,
+             CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS cosine
+      FROM (SELECT query_id, match_id,
+                   {_DDOT}(qv, cv) AS dot,
+                   sqrt({_DDOT}(qv, qv)) AS na,
+                   sqrt({_DDOT}(cv, cv)) AS nb
+            FROM c JOIN q USING (bucket)
+            WHERE match_id <> query_id)
+    )
+    SELECT query_id, match_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, match_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q23_ann_lsh(spark: SparkSession, sf_dir: str) -> SDF:
+    """LSH-bucketed approximate top-3 via 4 md5-derived hyperplanes
+    (operators/similarity.py:lsh_topk)."""
+    from torcharrow_spark.operators import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    q = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, q, k=3, n_planes=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis
+
+
+def _stopword_sql(lang: str) -> str:
+    from torcharrow_spark.operators.textstats import STOPWORDS
+
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(words, w -> list_contains([{lst}], w)))"
+
+
+@query(
+    "q24_text_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             len(words)::BIGINT AS n_tokens,
+             CAST(list_sum(list_transform(words,
+                  w -> greatest((length(w) + 3) // 4, 1))) AS BIGINT) AS n_bpe_tokens,
+             length(text)::BIGINT AS n_chars,
+             len(words)::DOUBLE AS nw,
+             length(text)::DOUBLE AS nc,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS np,
+             {_stopword_sql('en')}::DOUBLE AS h_en_d,
+             {_stopword_sql('de')}::BIGINT AS h_de,
+             {_stopword_sql('en')}::BIGINT AS h_en,
+             {_stopword_sql('es')}::BIGINT AS h_es,
+             {_stopword_sql('fr')}::BIGINT AS h_fr,
+             {_stopword_sql('zh')}::BIGINT AS h_zh
+      FROM w
+    ),
+    derived AS (
+      SELECT *,
+             CASE WHEN nw > 0 THEN nc / nw ELSE 0.0 END AS mean_wlen,
+             CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS punct_ratio_r,
+             CASE WHEN nw > 0 THEN h_en_d / nw ELSE 0.0 END AS stop_ratio_r,
+             greatest(h_de, h_en, h_es, h_fr, h_zh) AS mxh
+      FROM base
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
+           floor(mean_wlen * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+           floor(punct_ratio_r * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+           floor(stop_ratio_r * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+           floor((0.3 * (CASE WHEN nw >= 5 AND nw <= 100000 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (CASE WHEN nc / nw >= 2.0 AND nc / nw <= 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.2 * (CASE WHEN punct_ratio_r <= 0.2 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * least(stop_ratio_r * 4, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality,
+           CASE WHEN h_de = mxh THEN 'de' WHEN h_en = mxh THEN 'en'
+                WHEN h_es = mxh THEN 'es' WHEN h_fr = mxh THEN 'fr'
+                WHEN h_zh = mxh THEN 'zh' END AS pred_lang,
+           mxh AS stopword_hits
+    FROM derived
+    """,
+)
+def q24_text_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    """Combined token-count + quality + language-ID stats
+    (operators/textstats.py), all shuffle-free projections."""
+    from torcharrow_spark.operators import text_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return text_stats(docs)
+
+
+@query(
+    "q25_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_sum([ (strpos('0123456789abcdef', substr(md5({_NORM}), i, 1)) - 1)::BIGINT
+                      * (16::BIGINT ** (12 - i))::BIGINT
+                      for i in range(1, 13)])::BIGINT AS fingerprint,
+           md5((len(string_split({_NORM}, ' ')) // 10)::VARCHAR || '|' ||
+               array_to_string(string_split({_NORM}, ' ')[1:4], ' ')) AS shape_fingerprint
+    FROM documents
+    """,
+)
+def q25_fingerprint(spark: SparkSession, sf_dir: str) -> SDF:
+    """48-bit content fingerprint + boilerplate shape fingerprint
+    (operators/textstats.py:doc_fingerprint)."""
+    from torcharrow_spark.operators import doc_fingerprint
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return doc_fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: multimodal plumbing
+
+
+@query(
+    "q26_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_bytes,
+           (16 + strlen(text) % 64)::INT AS width,
+           (16 + (strlen(text) // 64) % 64)::INT AS height
+    FROM documents
+    """,
+)
+def q26_multimodal_meta(spark: SparkSession, sf_dir: str) -> SDF:
+    """Binary media column + typed metadata + Arrow-batched (stub) decode
+    (operators/multimodal.py). The decode runs the real mapInPandas path;
+    width/height derive deterministically from byte length so the oracle
+    can verify the plumbing end-to-end."""
+    from torcharrow_spark.operators import attach_media, decode_features
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    with_img = attach_media(docs.withColumn("img", F.encode("text", "utf-8")), "img")
+    dec = decode_features(with_img, "img", "doc_id", fake=True)
+    meta = with_img.select("doc_id", F.col("img_meta.n_bytes").alias("n_bytes"))
+    return dec.join(meta, "doc_id").select("doc_id", "n_bytes", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# Domain ops (reference §2.13: torcharrow.functional)
+
+
+@query(
+    "q27_rec_ops",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(l_extendedprice) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           (CASE WHEN l_quantity >= 10 THEN 1 ELSE 0 END
+          + CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+          + CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END)::INT AS qty_bucket,
+           list_sum([ (strpos('0123456789abcdef',
+                              substr(md5(l_orderkey::VARCHAR || ':42'), i, 1)) - 1)::BIGINT
+                      * (16::BIGINT ** (12 - i))::BIGINT
+                      for i in range(1, 13)])::BIGINT % 1000 AS okey_hash,
+           CASE WHEN sqrt(sq / n - (sm / n) * (sm / n)) > 0
+                THEN (l_extendedprice - sm / n) / sqrt(sq / n - (sm / n) * (sm / n))
+                ELSE 0.0 END AS price_z
+    FROM lineitem, s
+    WHERE l_linenumber = 1
+    """,
+)
+def q27_rec_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    """bucketize + sigrid_hash (functional.py) + cluster-scale z-score
+    (operators/preprocess.py:scaled_frame with exact decimal moments)."""
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark import me
+    from torcharrow_spark.operators.preprocess import scaled_frame
+
+    li = _load(spark, sf_dir, "lineitem")
+    scaled = scaled_frame(li.to_spark(), ["l_extendedprice"], method="z")
+    import torcharrow_spark as ts
+
+    tsdf = ts.DataFrame(scaled).where(me["l_linenumber"] == 1)
+    return tsdf.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty_bucket=fn.bucketize(me["l_quantity"], [10.0, 25.0, 40.0]),
+        okey_hash=fn.sigrid_hash(me["l_orderkey"], 42, 1000),
+        price_z=me["l_extendedprice_scaled"],
+    ).to_spark()
+
+
+@query(
+    "q28_list_scores",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ') AS a,
+             ['widget', 'bolt', 'nut'] AS b
+      FROM part
+    )
+    SELECT p_partkey,
+           (CASE WHEN len(list_filter(a, x -> list_contains(b, x))) > 0
+                 THEN 1.0 ELSE 0.0 END)::REAL AS overlap,
+           len(list_distinct(list_filter(a, x -> list_contains(b, x))))::REAL AS overlap_count,
+           greatest(len(a), len(b))::REAL AS max_count,
+           (CASE WHEN len(list_distinct(list_concat(a, b))) > 0
+                 THEN len(list_distinct(list_filter(a, x -> list_contains(b, x))))::DOUBLE
+                      / len(list_distinct(list_concat(a, b)))::DOUBLE
+                 ELSE 0.0 END)::REAL AS jaccard,
+           list_slice(a, 1, 2) AS first2,
+           list_transform(a, x -> CASE WHEN x < 'm' THEN 'm' ELSE x END) AS clamped
+    FROM t
+    """,
+)
+def q28_list_scores(spark: SparkSession, sf_dir: str) -> SDF:
+    """Id-list overlap scores + firstx + clamp_list (reference
+    functional.py:342-438, rec/compute_score.h)."""
+    import torcharrow_spark as ts
+    from torcharrow_spark import dt
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark import me
+
+    p = _load(spark, sf_dir, "part")
+    p["a"] = me["p_name"].str.split(" ")
+    ref = ts.Column(
+        lambda df: (
+            F.array(F.lit("widget"), F.lit("bolt"), F.lit("nut")),
+            dt.List(dt.string),
+        )
+    )
+    a = p["a"]
+    return p.select(
+        "p_partkey",
+        overlap=fn.has_id_overlap(a, ref),
+        overlap_count=fn.id_overlap_count(a, ref),
+        max_count=fn.get_max_count(a, ref),
+        jaccard=fn.get_jaccard_similarity(a, ref),
+        first2=fn.firstx(a, 2),
+        clamped=fn.clamp_list(a, "m", "zzzz"),
+    ).to_spark()
+
+
+@query(
+    "q29_vocab_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_concat(list_concat(['<s>'],
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[1:5]),
+                 ['</s>']) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_transform(toks, w -> CASE w
+               WHEN '<s>' THEN 0 WHEN '</s>' THEN 1
+               WHEN 'the' THEN 2 WHEN 'data' THEN 3 WHEN 'spark' THEN 4
+               WHEN 'row' THEN 5 WHEN 'key' THEN 6 WHEN 'join' THEN 7
+               ELSE -1 END) AS token_ids
+    FROM t
+    """,
+)
+def q29_vocab_tokens(spark: SparkSession, sf_dir: str) -> SDF:
+    """BOS/EOS add_tokens + vocab lookup_indices (reference
+    functional.py:117-208, text/vocab.cpp) as map-literal + transform."""
+    import torcharrow_spark as ts
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark import me
+
+    vocab = {"<s>": 0, "</s>": 1, "the": 2, "data": 3, "spark": 4, "row": 5, "key": 6, "join": 7}
+    docs = _load(spark, sf_dir, "documents")
+    norm = ts.Column(
+        lambda df: (
+            F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "),
+            None,
+        )
+    )
+    docs["words"] = norm
+    toks = fn.add_tokens(
+        fn.add_tokens(docs["words"].list.slice(0, 5), ["</s>"], begin=False),
+        ["<s>"],
+        begin=True,
+    )
+    return docs.select("doc_id", token_ids=fn.lookup_indices(vocab, toks)).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (reference §2.3: map/flatmap over Arrow batches)
+
+
+@query(
+    "q30_flatmap_words",
+    oracle="""
+    SELECT unnest(string_split(text, ' ')) AS value FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q30_flatmap_words(spark: SparkSession, sf_dir: str) -> SDF:
+    """flatmap(callable) — pandas-UDF array return + explode (reference
+    icolumn.py:646-675)."""
+    from torcharrow_spark import dt, me
+
+    docs = _load(spark, sf_dir, "documents").where(me["doc_id"] < 200)
+    return docs.flatmap(
+        lambda t: t.split(" "), dtype=dt.string.with_null(True), columns=["text"]
+    ).to_spark()
+
+
+@query(
+    "q31_map_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS price_class
+    FROM orders
+    """,
+)
+def q31_map_udf(spark: SparkSession, sf_dir: str) -> SDF:
+    """map(callable) — Arrow-vectorized row UDF (reference
+    icolumn.py:420-611 callable path)."""
+    from torcharrow_spark import dt
+
+    o = _load(spark, sf_dir, "orders")
+
+    def classify(p):
+        if p < 50000:
+            return "low"
+        if p < 150000:
+            return "mid"
+        return "high"
+
+    return o.select(
+        "o_orderkey",
+        price_class=o.map(classify, dtype=dt.string, columns=["o_totalprice"]),
+    ).to_spark()

@@ -12,6 +12,12 @@ import os
 from pyspark.sql import SparkSession
 
 _RUNTIME_CONFS = {
+    # Reference semantics are IEEE/C++-style (x/0.0 -> ±inf, truncating
+    # casts, null on invalid array index: SURVEY §2.7), which is Spark's
+    # non-ANSI mode; Spark 4 flipped the default to ANSI (errors).
+    "spark.sql.ansi.enabled": "false",
+    # non-ANSI flips size(null) to -1 (legacy Hive quirk); we want null
+    "spark.sql.legacy.sizeOfNull": "false",
     # AQE re-plans shuffles at runtime (partition coalescing + skew-join
     # splitting) — essential at 100 TB where static planning misestimates.
     "spark.sql.adaptive.enabled": "true",

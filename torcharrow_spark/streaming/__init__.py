@@ -46,6 +46,10 @@ def windowed_counts_stream(
     started StreamingQuery writing to an in-memory sink (tests) —
     production would swap the sink for Kafka/Delta via writeStream."""
     stream = spark.readStream.schema(schema).parquet(path)
+    # watermarks require an instant (ltz) timestamp; session tz is pinned
+    # to UTC so the wall-clock round-trips exactly
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -54,7 +58,7 @@ def windowed_counts_stream(
             F.sum("value").alias("total_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -69,10 +73,11 @@ def windowed_counts_stream(
     )
 
 
-def sessionize(events: SDF, gap_minutes: int = 30) -> SDF:
-    """Sessionization (batch): a new session starts when a user's gap
-    since the previous event exceeds `gap_minutes`. lag + running sum of
-    session-start flags over a per-user window — one shuffle on user_id."""
+def with_session_ids(events: SDF, gap_minutes: int = 30) -> SDF:
+    """Assign a per-user session sequence number: a new session starts
+    when the gap since the user's previous event exceeds `gap_minutes`.
+    lag + running sum of session-start flags over a per-user window —
+    one shuffle on user_id."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -80,10 +85,15 @@ def sessionize(events: SDF, gap_minutes: int = 30) -> SDF:
     secs = F.col("ts").cast("timestamp").cast("long")
     gap = secs - F.lag(secs).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
-    with_id = events.withColumn(
+    return events.withColumn(
         "session_seq",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def sessionize(events: SDF, gap_minutes: int = 30) -> SDF:
+    """Session-level rollup of `with_session_ids`."""
+    with_id = with_session_ids(events, gap_minutes)
     return with_id.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
