@@ -390,19 +390,68 @@ class DataFrame:
         out = row.selectExpr(f"stack({n}, {exprs}) as (metric, {', '.join('`'+c+'`' for c in cols)})")
         return DataFrame(out)
 
-    def cumsum(self, columns: _ty.Optional[_ty.List[str]] = None,
-               order_by: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
-        """Cumulative sum (reference inumerical_column.py:229-312) — needs a
-        total order; see module docstring."""
+    def _cumulative(self, fn, columns, order_by, partition_by=None) -> "DataFrame":
         order_by = order_by or ([INDEX_COL] if INDEX_COL in self._sdf.columns else None)
         if order_by is None:
-            raise ValueError("cumsum requires order_by (no inherent row order at scale)")
-        w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            raise ValueError("cumulative ops require order_by (no inherent row order at scale)")
+        w = Window.partitionBy(*(partition_by or [])).orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
         columns = columns or self._numeric_columns()
         sdf = self._sdf
         for c in columns:
-            sdf = sdf.withColumn(c, F.sum(F.col(c)).over(w))
+            sdf = sdf.withColumn(c, fn(F.col(c)).over(w))
         return DataFrame(sdf)
+
+    def cumsum(self, columns=None, order_by=None, partition_by=None) -> "DataFrame":
+        """Cumulative sum (reference inumerical_column.py:229-312) — needs a
+        total order; see module docstring. `partition_by` keeps the window
+        distributed (a global cumulative is a single-partition sort)."""
+        return self._cumulative(F.sum, columns, order_by, partition_by)
+
+    def cummin(self, columns=None, order_by=None, partition_by=None) -> "DataFrame":
+        return self._cumulative(F.min, columns, order_by, partition_by)
+
+    def cummax(self, columns=None, order_by=None, partition_by=None) -> "DataFrame":
+        return self._cumulative(F.max, columns, order_by, partition_by)
+
+    def cumprod(self, columns=None, order_by=None, partition_by=None) -> "DataFrame":
+        return self._cumulative(F.product, columns, order_by, partition_by)
+
+    def tail(self, n: int = 5, order_by: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
+        """Last n rows under an explicit order (reference icolumn.py:352-409;
+        positional tail needs a total order at scale)."""
+        if order_by is None:
+            raise ValueError("tail requires order_by (no inherent row order at scale)")
+        rev = self._sdf.orderBy(*[F.col(c).desc() for c in order_by]).limit(n)
+        return DataFrame(rev.orderBy(*order_by))
+
+    def is_unique(self, columns: _ty.Optional[_ty.List[str]] = None) -> bool:
+        """True iff no two rows agree on `columns` (reference
+        icolumn.py:171-206) — one aggregate, no collect of data."""
+        columns = columns or self.columns
+        row = self._sdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in columns]).alias("d"),
+            *[F.count_if(F.col(c).isNull()).alias(f"nn{i}") for i, c in enumerate(columns)],
+        ).collect()[0]
+        nulls = sum(row[f"nn{i}"] for i in range(len(columns)))
+        return bool(row["n"] == row["d"] + (1 if nulls == 1 else nulls))
+
+    def _is_monotonic(self, column: str, order_by: _ty.List[str], op) -> bool:
+        w = Window.orderBy(*order_by)
+        step = self._sdf.select(
+            op(F.col(column), F.coalesce(F.lag(column).over(w), F.col(column))).alias("ok")
+        )
+        row = step.agg(F.bool_and(F.col("ok")).alias("m")).collect()[0]
+        return bool(row["m"])
+
+    def is_monotonic_increasing(self, column: str, order_by: _ty.List[str]) -> bool:
+        """reference numerical_column_cpu.py:757-796; order must be given."""
+        return self._is_monotonic(column, order_by, lambda a, b: a >= b)
+
+    def is_monotonic_decreasing(self, column: str, order_by: _ty.List[str]) -> bool:
+        return self._is_monotonic(column, order_by, lambda a, b: a <= b)
 
     # -- groupby ------------------------------------------------------------
 
@@ -420,6 +469,22 @@ class DataFrame:
 
     def union(self, other: "DataFrame") -> "DataFrame":
         return DataFrame(self.to_spark().unionByName(other.to_spark()))
+
+    def union_distinct(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self.to_spark().unionByName(other.to_spark()).distinct())
+
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self.to_spark().intersect(other.to_spark()))
+
+    def except_(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self.to_spark().exceptAll(other.to_spark()))
+
+    def to_tensor(self, conversion=None):
+        """Driver-side tensor export (reference §2.12); see
+        interop_torch.to_tensor."""
+        from .interop_torch import to_tensor
+
+        return to_tensor(self, conversion)
 
     def append(self, rows: _ty.List[tuple]) -> "DataFrame":
         spark = self._sdf.sparkSession

@@ -1108,3 +1108,288 @@ def q31_map_udf(spark: SparkSession, sf_dir: str) -> SDF:
         "o_orderkey",
         price_class=o.map(classify, dtype=dt.string, columns=["o_totalprice"]),
     ).to_spark()
+
+
+# ---------------------------------------------------------------------------
+# Order statistics / distinct aggregates (reference §2.6)
+
+
+@query(
+    "q32_order_stats",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q32_order_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    """median / exact quantile / count_distinct per group (reference
+    inumerical_column.py:346-413, icolumn.py:1423-1430). Exact percentile
+    is a sort-based aggregate; at 100 TB swap in approx_percentile."""
+    li = _load(spark, sf_dir, "lineitem").to_spark()
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "q33_string_predicates",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_name,
+             string_split(c_name, '#')[1] AS word,
+             string_split(c_name, '#')[-1] AS digits
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_full_match(word, '[a-zA-Z]+') AS word_isalpha,
+           regexp_full_match(digits, '[0-9]+') AS digits_isdecimal,
+           regexp_full_match(lower(word), '[^A-Z]*[a-z][^A-Z]*') AS word_islower,
+           len(regexp_extract_all(c_name, '[0-9]+')) AS n_number_runs,
+           regexp_full_match(c_name, 'Customer#[0-9]+') AS matches_pattern,
+           length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_nondigit
+    FROM t
+    """,
+)
+def q33_string_predicates(spark: SparkSession, sf_dir: str) -> SDF:
+    """Python-spec str.is* predicates + findall/match (reference
+    string_functions.h:69-473, istring_column.py:242-339)."""
+    from torcharrow_spark import me
+
+    c = _load(spark, sf_dir, "customer")
+    c["word"] = me["c_name"].str.split("#")[0]
+    c["digits"] = me["c_name"].str.split("#")[-1]
+    return c.select(
+        "c_custkey",
+        word_isalpha=c["word"].str.isalpha(),
+        digits_isdecimal=c["digits"].str.isdecimal(),
+        word_islower=c["word"].str.lower().str.islower(),
+        n_number_runs=c["c_name"].str.findall(r"[0-9]+").list.length(),
+        matches_pattern=c["c_name"].str.match(r"Customer#[0-9]+"),
+        n_nondigit=c["c_name"].str.replace(r"[0-9]", "", regex=True).str.length(),
+    ).to_spark()
+
+
+@query(
+    "q34_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 4096 AS b_or,
+           xor(l_orderkey, l_partkey) AS b_xor,
+           ~l_orderkey AS b_not,
+           (l_returnflag = 'A' OR l_linestatus = 'F') AS l_or,
+           (l_returnflag = 'A' AND l_linestatus = 'F') AS l_and
+    FROM lineitem WHERE l_linenumber = 2
+    """,
+)
+def q34_bitwise(spark: SparkSession, sf_dir: str) -> SDF:
+    """Bitwise on ints / logical on bools (reference
+    numerical_column_cpu.py:495-548, functions.h:103-136)."""
+    from torcharrow_spark import me
+
+    li = _load(spark, sf_dir, "lineitem").where(me["l_linenumber"] == 2)
+    return li.select(
+        "l_orderkey",
+        b_and=me["l_orderkey"] & 255,
+        b_or=me["l_orderkey"] | 4096,
+        b_xor=me["l_orderkey"] ^ me["l_partkey"],
+        b_not=~me["l_orderkey"],
+        l_or=(me["l_returnflag"] == "A") | (me["l_linestatus"] == "F"),
+        l_and=(me["l_returnflag"] == "A") & (me["l_linestatus"] == "F"),
+    ).to_spark()
+
+
+@query(
+    "q35_set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT nk, 'union' AS op FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+    UNION ALL
+    SELECT nk, 'intersect' AS op FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+    UNION ALL
+    SELECT nk, 'except' AS op FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    """,
+)
+def q35_set_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    """union / intersect / except (stubs in the reference:
+    dataframe_cpu.py:2485; first-class here)."""
+    import torcharrow_spark as ts
+
+    c = _load(spark, sf_dir, "customer").select(nk=ts.me["c_nationkey"])
+    s = _load(spark, sf_dir, "supplier").select(nk=ts.me["s_nationkey"])
+    cd = ts.DataFrame(c.to_spark().distinct())
+    sd = ts.DataFrame(s.to_spark().distinct())
+    u = cd.union_distinct(sd).to_spark().withColumn("op", F.lit("union"))
+    i = cd.intersect(sd).to_spark().withColumn("op", F.lit("intersect"))
+    e = cd.except_(sd).to_spark().withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e)
+
+
+@query(
+    "q36_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q36_rollup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Hierarchical rollup aggregation (beyond parity — reference has no
+    grouping sets; free in Spark, SURVEY §2.6)."""
+    li = _load(spark, sf_dir, "lineitem").to_spark()
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+
+
+@query(
+    "q37_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value, 1 AS is_left,
+             CAST(NULL AS TIMESTAMP) AS signup_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, NULL, NULL, 0 AS is_left, ts AS signup_ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, value, is_left,
+             last_value(signup_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_left
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, value, last_signup_ts
+    FROM carried WHERE is_left = 1
+    """,
+)
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> SDF:
+    """As-of join: each purchase event gets the user's most recent signup
+    timestamp (operators/joins.py:asof_join — union+window, one shuffle,
+    no range cross-join, no Python)."""
+    from torcharrow_spark.operators.joins import asof_join
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(purchases, signups, on="ts", by=["user_id"], suffix="")
+    return out.select(
+        "event_id", "user_id", "ts", "value", F.col("signup_ts").alias("last_signup_ts")
+    )
+
+
+@query(
+    "q38_cummax",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           MAX(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_max,
+           MIN(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_min
+    FROM orders
+    """,
+)
+def q38_cummax(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cumulative min/max per customer over order time (reference
+    _cummin/_cummax, numerical_column_cpu.py:698-753), distributed via
+    partitioned windows."""
+    import torcharrow_spark as ts
+
+    o = _load(spark, sf_dir, "orders")
+    base = o.keep(["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    mx = base.cummax(
+        columns=["o_totalprice"], order_by=["o_orderdate", "o_orderkey"],
+        partition_by=["o_custkey"],
+    ).rename({"o_totalprice": "running_max"})
+    mn = base.cummin(
+        columns=["o_totalprice"], order_by=["o_orderdate", "o_orderkey"],
+        partition_by=["o_custkey"],
+    ).rename({"o_totalprice": "running_min"})
+    return (
+        mx.to_spark()
+        .join(mn.to_spark(), ["o_custkey", "o_orderkey", "o_orderdate"])
+        .select("o_custkey", "o_orderkey", "running_max", "running_min")
+    )
+
+
+@query(
+    "q39_score_ops",
+    oracle="""
+    SELECT vec_id,
+           list_min(embedding)::REAL AS score_min,
+           list_max(embedding)::REAL AS score_max,
+           len(embedding)::BIGINT AS dim
+    FROM embeddings
+    """,
+)
+def q39_score_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    """get_score_min/max over weighted-score lists (reference
+    functional.py:441-564)."""
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark import me
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        score_min=fn.get_score_min(me["embedding"]),
+        score_max=fn.get_score_max(me["embedding"]),
+        dim=me["embedding"].list.length(),
+    ).to_spark()
+
+
+@query(
+    "q40_tensor_prep",
+    oracle="""
+    SELECT c_custkey,
+           [c_acctbal, c_nationkey::DOUBLE, length(c_name)::DOUBLE] AS dense,
+           floor(ln(greatest(c_acctbal, 0.0) + 3.0) * 1e9 + 0.5) / 1e9 AS log_bal,
+           greatest(least(c_acctbal, 9000.0), 1000.0) AS clamped_bal
+    FROM customer
+    """,
+)
+def q40_tensor_prep(spark: SparkSession, sf_dir: str) -> SDF:
+    """Criteo-style preprocessing slice (SURVEY §7.2): fill/clamp/log +
+    array_constructor feeding the tensor bridge (§2.12). The driver
+    checks the frame; to_tensor/batched_tensors are exercised in tests."""
+    from torcharrow_spark import dt, if_else, me
+    from torcharrow_spark import functional as fn
+
+    c = _load(spark, sf_dir, "customer")
+    # Java Math.log and C std::log disagree by 1 ulp on some inputs;
+    # fix 9 decimals with an engine-independent floor round
+    log_bal = ((if_else(me["c_acctbal"] > 0, me["c_acctbal"], 0.0) + 3.0)
+               .cast(dt.float64).log() * 1e9 + 0.5).floor() / 1e9
+    return c.select(
+        "c_custkey",
+        dense=fn.array(
+            me["c_acctbal"],
+            me["c_nationkey"].cast(dt.float64),
+            me["c_name"].str.length().cast(dt.float64),
+        ),
+        log_bal=log_bal.cast(dt.float64),
+        clamped_bal=if_else(
+            me["c_acctbal"] > 9000.0,
+            9000.0,
+            if_else(me["c_acctbal"] < 1000.0, 1000.0, me["c_acctbal"]),
+        ),
+    ).to_spark()
