@@ -52,16 +52,21 @@ def exact_dedup(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
 
 
 def _shingles(df: SDF, text_col: str, id_col: str, k: int) -> SDF:
-    """Distinct k-word shingles per doc, one row per (doc, shingle) —
-    array-built in codegen, exploded only where a join needs rows."""
-    return df.select(
-        F.col(id_col), F.explode(_shingle_array(text_col, k)).alias("shingle")
+    """Distinct k-word shingles per doc, one row per (doc, shingle).
+
+    The word array is materialized in its own projection BEFORE the
+    higher-order transform: lambda bodies are interpreted (not codegen),
+    and an inline `split(regexp_replace(...))` inside the lambda is
+    re-evaluated per shingle position — measured 6.5x slower at sf0.1."""
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    return df.select(F.col(id_col), words.alias("__w__")).select(
+        F.col(id_col), F.explode(_shingle_array(F.col("__w__"), k)).alias("shingle")
     )
 
 
-def _shingle_array(text_col: str, k: int):
-    """Distinct k-word shingles of one document as an array expression."""
-    words = F.split(_norm_text(F.col(text_col)), " ")
+def _shingle_array(words, k: int):
+    """Distinct k-word shingles as an array expression; `words` must be a
+    bound column (see _shingles), not an inline expression tree."""
     n = F.size(words)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
@@ -83,14 +88,30 @@ def minhash_signatures(
 
     Implementation note (measured at sf0.1): one explode over (doc,
     shingle) + a single groupBy(doc) computing all num_hashes mins as
-    separate aggregates. The md5s run in whole-stage codegen (nested
-    higher-order lambdas would be interpreted, ~5x slower), and the
-    min-aggregates combine map-side, so the one shuffle carries only
-    docs × num_hashes × 32 bytes — negligible at any scale. Docs with no
-    shingles (< k words) are dropped. Returns (id, sig: array<string>)."""
+    separate aggregates. Each block of 4 hash values is sliced out of ONE
+    md5 digest (4 x 8 hex chars = 32 bits each) instead of hashing the
+    shingle num_hashes times — ceil(num_hashes/4) md5s per shingle. The
+    md5s run in whole-stage codegen, min-aggregates combine map-side, so
+    the one shuffle carries only docs × num_hashes × 8 bytes. Docs with
+    no shingles (< k words) are dropped. Returns (id, sig: array<long>);
+    signature element s is hex chars [8*(s%4), 8*(s%4)+8) of
+    md5(f'{s//4}|' || shingle) parsed as a 32-bit int — min over LONGS
+    keeps the aggregate a HashAggregate with a primitive buffer (min
+    over strings demotes the whole stage to Sort+SortAggregate, a
+    per-partition sort of every shingle in the corpus)."""
     sh = _shingles(df, text_col, id_col, shingle_k)
+    n_digests = (num_hashes + 3) // 4
+    sh = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle"))).alias(f"__d{b}__")
+            for b in range(n_digests)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"__mh{s}__")
+        F.min(
+            F.conv(F.substring(F.col(f"__d{s // 4}__"), (s % 4) * 8 + 1, 8), 16, 10).cast("long")
+        ).alias(f"__mh{s}__")
         for s in range(num_hashes)
     ]
     per_doc = sh.groupBy(id_col).agg(*aggs)
@@ -110,8 +131,11 @@ def minhash_pairs(
 ) -> SDF:
     """Candidate near-duplicate pairs via LSH banding: split the signature
     into `bands` rows-per-band chunks; docs sharing any band key become a
-    pair. The self-join is on band_key — a uniformly distributed hash —
-    so it shuffles evenly and never goes quadratic in the corpus size."""
+    pair. Group-and-pair instead of self-join: a self-join of the
+    (uncached, derived) banded table would recompute the whole
+    shingle+signature pipeline for BOTH sides; grouping on (band,
+    band_key) — a uniformly distributed hash — computes it once, shuffles
+    evenly, and never goes quadratic in the corpus size."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, shingle_k, num_hashes)
@@ -122,17 +146,31 @@ def minhash_pairs(
     ).select(
         id_col,
         "band",
-        F.array_join(F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band), "|").alias("band_key"),
+        F.array_join(
+            F.transform(
+                F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("band_key"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    ids_per_bucket = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    return (
+        ids_per_bucket.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -191,18 +229,34 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> SDF:
     """Exact Jaccard similarity over distinct k-shingles, computed
-    join-first: |A ∩ B| falls out of a self-join on shingle + pair count;
-    |A ∪ B| = |A| + |B| − |A ∩ B|. Only docs sharing ≥1 shingle are ever
-    paired, and the shingle join key is high-cardinality text → even
-    shuffle. No per-row set materialization."""
+    group-first: shuffle (doc, shingle) ONCE on shingle, collect the
+    (sorted) doc list per shingle, and emit the C(n,2) ordered pairs from
+    each list with a nested array transform — |A ∩ B| is then a pair
+    count. A self-join formulation shuffles the shingle table twice;
+    this shuffles it once, and only shingles shared by ≥2 docs survive
+    to the pair stage. |A ∪ B| = |A| + |B| − |A ∩ B|. The shingle key is
+    high-cardinality text → even shuffle; a boilerplate shingle shared by
+    m docs still costs O(m²) pairs — cap with an upstream frequency
+    filter if a corpus has mega-duplicated lines."""
     sh = _shingles(df, text_col, id_col, shingle_k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    ids_per_shingle = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        ids_per_shingle.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))

@@ -631,13 +631,15 @@ def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     oracle=f"""
     WITH {_SHINGLES_CTE},
     mh AS (
-      SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || sh)) AS minh
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5((seed // 4)::VARCHAR || '|' || sh),
+                                 (seed % 4) * 8 + 1, 8))::UBIGINT::BIGINT) AS minh
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
       GROUP BY doc_id, seed
     ),
     sig AS (
       SELECT doc_id, seed // 2 AS band,
-             string_agg(minh, '|' ORDER BY seed) AS band_key
+             string_agg(minh::VARCHAR, '|' ORDER BY seed) AS band_key
       FROM mh GROUP BY doc_id, band
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
