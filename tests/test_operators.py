@@ -113,3 +113,56 @@ def test_scaled_frame(spark):
     assert out[1]["x_scaled"] == 0.0
     mm = scaled_frame(d, ["x"], method="minmax").orderBy("x").collect()
     assert [r["x_scaled"] for r in mm] == [0.0, 0.5, 1.0]
+
+
+def test_sigrid_hash_reference_goldens(spark):
+    """Bit-exactness vs the reference kernel's own unit test
+    (reference test/transformation/test_sigrid_hash.py: range(16),
+    salt=0, max=100, scalar and list overloads)."""
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+    from torcharrow_spark import functional as fn
+
+    want = [6, 60, 54, 54, 9, 4, 91, 11, 67, 79, 2, 25, 92, 98, 83, 66]
+    d = ts.dataframe({"a": list(range(16))}, spark=spark)
+    got = [
+        r["h"]
+        for r in d.select("a", h=fn.sigrid_hash(me["a"], 0, 100)).sort(by=["a"]).to_pylist()
+    ]
+    assert got == want
+
+    dl = ts.dataframe({"a": [[0, 1, 2, 3], [4, 5, 6], [7, 8, 9]]}, spark=spark)
+    got_l = [r["h"] for r in dl.select(h=fn.sigrid_hash(me["a"], 0, 100)).to_pylist()]
+    assert got_l == [[6, 60, 54, 54], [9, 4, 91], [11, 67, 79]]
+
+    # max_value == 1 always maps to 0 (kernel early-out)
+    one = d.select(h=fn.sigrid_hash(me["a"], 7, 1)).to_pylist()
+    assert all(r["h"] == 0 for r in one)
+
+
+def test_bpe_tokenize(spark):
+    """BPE merging follows lowest-rank-first; round-trippable pieces map
+    through the encoder; OOV bytes come back as -1."""
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark.functions import BPETokenizer
+
+    tok = BPETokenizer.toy()
+    # local semantics first: 'the' collapses via (t,h)->(th,e)
+    assert tok.encode("the") == [tok.encoder["the"]]
+    # (t,h) has rank 0 so 'th'+'e' wins inside the word before (Ġ,t)
+    # can ever pair — ' the' splits as [Ġ, the]
+    assert tok.encode(" the") == [tok.encoder["Ġ"], tok.encoder["the"]]
+    ids = tok.encode("the cat")
+    assert ids[0] == tok.encoder["the"]
+    assert all(isinstance(i, int) for i in ids)
+    assert -1 in tok.encode("THE")  # uppercase bytes are OOV in the toy vocab
+
+    d = ts.dataframe({"doc_id": [1, 2], "text": ["the cat", " the"]}, spark=spark)
+    rows = {
+        r["doc_id"]: r["tokens"]
+        for r in d.select("doc_id", tokens=fn.bpe_tokenize(tok, me["text"])).to_pylist()
+    }
+    assert rows[1] == tok.encode("the cat")
+    assert rows[2] == tok.encode(" the")

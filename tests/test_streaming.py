@@ -48,3 +48,31 @@ def test_sessionize_gap(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
     out = sessionize(ev, 30).orderBy("user_id", "session_seq").collect()
     assert [(r["user_id"], r["n_events"]) for r in out] == [(1, 2), (1, 1), (2, 1)]
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization == batch window sessionization
+    on in-order data (state carries sessions across micro-batches)."""
+    from torcharrow_spark.streaming import sessionize_stream, with_session_ids
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+    ev = ev.select("user_id", "ts", "value")
+    batch = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in with_session_ids(ev, 30).collect()
+    }
+
+    stream_dir = str(tmp_path / "events_us2")
+    ev.write.mode("overwrite").parquet(stream_dir)
+    q = sessionize_stream(spark, stream_dir, ev.schema, 30, query_name="t_sess")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["ts"].replace(tzinfo=None)): r["session_seq"]
+        for r in spark.sql("SELECT * FROM t_sess").collect()
+    }
+    assert len(got) == len(batch)
+    mismatches = {k: (v, batch.get(k)) for k, v in got.items() if batch.get(k) != v}
+    assert not mismatches, list(mismatches.items())[:5]

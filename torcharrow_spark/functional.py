@@ -34,7 +34,9 @@ __all__ = [
     "get_score_min",
     "get_score_max",
     "add_tokens",
+    "bpe_tokenize",
     "lookup_indices",
+    "rand",
     "scale_to_0_1",
     "scale_to_z_score",
 ]
@@ -92,16 +94,60 @@ def md5_int64_expr(e: SC, bits: int = 48) -> SC:
     return F.conv(F.substring(F.md5(e), 1, digits), 16, 10).cast("long")
 
 
+_HASH128_KMUL = 0x9DDFEA08EB382D69 - (1 << 64)  # as signed two's-complement
+
+
+def _twang_mix64(key: SC) -> SC:
+    """Thomas Wang's 64-bit mixer (public domain; used by folly's integer
+    hasher). Pure wrapping long arithmetic — Java semantics under
+    spark.sql.ansi.enabled=false match C++ unsigned wraparound bit-for-bit;
+    right shifts must be the UNSIGNED variant."""
+    key = F.bitwise_not(key) + F.shiftleft(key, 21)
+    key = key.bitwiseXOR(F.shiftrightunsigned(key, 24))
+    key = key + F.shiftleft(key, 3) + F.shiftleft(key, 8)
+    key = key.bitwiseXOR(F.shiftrightunsigned(key, 14))
+    key = key + F.shiftleft(key, 2) + F.shiftleft(key, 4)
+    key = key.bitwiseXOR(F.shiftrightunsigned(key, 28))
+    return key + F.shiftleft(key, 31)
+
+
+def _hash128_to_64(upper: SC, lower: SC) -> SC:
+    """Murmur-inspired 128->64 bit fold (CityHash's Hash128to64, public;
+    folly hash_combine's combiner)."""
+    k = F.lit(_HASH128_KMUL)
+    a = lower.bitwiseXOR(upper) * k
+    a = a.bitwiseXOR(F.shiftrightunsigned(a, 47))
+    b = upper.bitwiseXOR(a) * k
+    b = b.bitwiseXOR(F.shiftrightunsigned(b, 47))
+    return b * k
+
+
+def sigrid_hash_expr(e: SC, salt: int, max_value: int) -> SC:
+    """Exact port of the reference's sigrid_hash semantics
+    (csrc/velox/functions/rec/sigrid_hash.h): hash = hash_combine(salt,
+    twang_mix64(v)), result = hash mod max_value with the quotient rounded
+    toward -inf (the kernel's magic-multiply division) == F.pmod.
+    Validated against the reference's golden values
+    (test/transformation/test_sigrid_hash.py). All JVM-side codegen."""
+    if max_value <= 0:
+        raise ValueError("max_value must be larger than 0")
+    hashed = _hash128_to_64(F.lit(salt).cast("long"), _twang_mix64(e.cast("long")))
+    return F.pmod(hashed, F.lit(max_value)).cast("long")
+
+
 def sigrid_hash(value: Column, salt: int, max_value: int) -> Column:
-    """Salted hash into [0, max_value) — same *capability* as the
-    reference's sigrid_hash (csrc/velox/functions/rec/sigrid_hash.h), using
-    an md5-based mix instead of the reference's algorithm so results are
-    reproducible by any SQL engine (documented divergence)."""
+    """Salted hash into [0, max_value), bit-exact with the reference
+    (rec/sigrid_hash.h). Scalar int64 or list-of-int64 input (list lowers
+    to F.transform, matching the kernel's list overload)."""
 
     def resolve(df):
         e, d = value._resolve(df)
-        h = md5_int64_expr(F.concat(e.cast("string"), F.lit(f":{salt}")))
-        return (h % F.lit(max_value)).cast("long"), dt.int64.with_null(d.nullable)
+        if dt.is_list(d):
+            return (
+                F.transform(e, lambda x: sigrid_hash_expr(x, salt, max_value)),
+                dt.List(dt.int64, d.nullable),
+            )
+        return sigrid_hash_expr(e, salt, max_value), dt.int64.with_null(d.nullable)
 
     return _wrap(resolve, value)
 
@@ -297,6 +343,33 @@ def scale_to_z_score(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 # Generic registry fallthrough (reference velox_rt/functional.py:22-68):
 # unknown names dispatch to pyspark.sql.functions / Spark SQL builtins.
+
+
+def bpe_tokenize(tokenizer, col: Column) -> Column:
+    """GPT-2-style byte-level BPE over a string column (reference
+    functional.py:145-175; kernel text/gpt2_bpe_tokenizer.cpp). The
+    tokenizer object (functions/bpe.BPETokenizer) rides the pandas_udf
+    closure to executors once; per-batch Arrow transfer, no per-row py4j."""
+    from .functions.bpe import encode_udf
+
+    _encode = encode_udf(tokenizer)
+
+    def resolve(df):
+        e, d = col._resolve(df)
+        return _encode(e), dt.List(dt.int32, True)
+
+    return _wrap(resolve, col)
+
+
+def rand(seed: _ty.Optional[int] = None) -> Column:
+    """Uniform [0,1) column (reference factory fn `rand`,
+    velox_rt/functional.py:85; size comes from the owning frame rather
+    than a `size=` arg — Spark columns are never free-standing)."""
+
+    def resolve(df):
+        return (F.rand(seed) if seed is not None else F.rand()), dt.float64.with_null(False)
+
+    return Column(resolve)
 
 
 def _generic(name: str):

@@ -920,29 +920,64 @@ def q26_multimodal_meta(spark: SparkSession, sf_dir: str) -> SDF:
 # Domain ops (reference §2.13: torcharrow.functional)
 
 
+def _sigrid_hash_oracle(col: str, salt: int, max_value: int) -> str:
+    """DuckDB emulation of the reference's exact sigrid_hash
+    (functional.sigrid_hash_expr): 64-bit wrapping arithmetic via UHUGEINT
+    mod 2^64; lateral column aliases chain the twang_mix64 + Hash128to64
+    steps. Must be selected inside a subquery/CTE so the intermediate
+    aliases don't leak into the output schema."""
+    return f"""
+      ({col}::UHUGEINT % M) AS k0,
+      ((M - 1 - k0) + ((k0 << 21) % M)) % M AS k1,
+      xor(k1, k1 >> 24) AS k2,
+      (k2 + ((k2 << 3) % M) + ((k2 << 8) % M)) % M AS k3,
+      xor(k3, k3 >> 14) AS k4,
+      (k4 + ((k4 << 2) % M) + ((k4 << 4) % M)) % M AS k5,
+      xor(k5, k5 >> 28) AS k6,
+      (k6 + ((k6 << 31) % M)) % M AS tw,
+      (xor(tw, {salt}::UHUGEINT) * KMUL) % M AS a0,
+      xor(a0, a0 >> 47) AS a1,
+      (xor({salt}::UHUGEINT, a1) * KMUL) % M AS b0,
+      xor(b0, b0 >> 47) AS b1,
+      (b1 * KMUL) % M AS b2,
+      (CASE WHEN b2 >= HALF THEN b2::HUGEINT - M::HUGEINT ELSE b2::HUGEINT END) AS sgn,
+      (((sgn % {max_value}) + {max_value}) % {max_value})::BIGINT AS __sigrid__
+    """
+
+
+_SIGRID_CONSTS = """consts AS (
+      SELECT 18446744073709551616::UHUGEINT AS M,
+             11376068507788127593::UHUGEINT AS KMUL,
+             9223372036854775808::UHUGEINT AS HALF
+    )"""
+
+
 @query(
     "q27_rec_ops",
-    oracle="""
-    WITH s AS (
+    oracle=f"""
+    WITH {_SIGRID_CONSTS},
+    s AS (
       SELECT COUNT(l_extendedprice) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
       FROM lineitem
+    ),
+    sg AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             {_sigrid_hash_oracle("l_orderkey", 42, 1000)}
+      FROM lineitem, consts
+      WHERE l_linenumber = 1
     )
     SELECT l_orderkey, l_linenumber,
            (CASE WHEN l_quantity >= 10 THEN 1 ELSE 0 END
           + CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
           + CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END)::INT AS qty_bucket,
-           list_sum([ (strpos('0123456789abcdef',
-                              substr(md5(l_orderkey::VARCHAR || ':42'), i, 1)) - 1)::BIGINT
-                      * (16::BIGINT ** (12 - i))::BIGINT
-                      for i in range(1, 13)])::BIGINT % 1000 AS okey_hash,
+           __sigrid__ AS okey_hash,
            CASE WHEN sqrt(sq / n - (sm / n) * (sm / n)) > 0
                 THEN (l_extendedprice - sm / n) / sqrt(sq / n - (sm / n) * (sm / n))
                 ELSE 0.0 END AS price_z
-    FROM lineitem, s
-    WHERE l_linenumber = 1
+    FROM sg, s
     """,
 )
 def q27_rec_ops(spark: SparkSession, sf_dir: str) -> SDF:
@@ -1394,4 +1429,22 @@ def q40_tensor_prep(spark: SparkSession, sf_dir: str) -> SDF:
             9000.0,
             if_else(me["c_acctbal"] < 1000.0, 1000.0, me["c_acctbal"]),
         ),
+    ).to_spark()
+
+
+@query("q41_bpe_tokenize")  # no oracle: BPE's merge loop is not SQL-expressible
+def q41_bpe_tokenize(spark: SparkSession, sf_dir: str) -> SDF:
+    """Byte-level BPE tokenization with a deterministic toy vocab
+    (functional.bpe_tokenize / functions/bpe.py; reference
+    text/gpt2_bpe_tokenizer.cpp). Driver records the rows-only check."""
+    from torcharrow_spark import me
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark.functions import BPETokenizer
+
+    tok = BPETokenizer.toy()
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tokens=fn.bpe_tokenize(tok, me["text"]),
+        n_tokens=fn.bpe_tokenize(tok, me["text"]).list.length(),
     ).to_spark()

@@ -100,3 +100,65 @@ def sessionize(events: SDF, gap_minutes: int = 30) -> SDF:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("total_value"),
     )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    gap_minutes: int = 30,
+    query_name: str = "sessionize_stream",
+):
+    """Custom stateful streaming operator (applyInPandasWithState): assign
+    per-user session sequence numbers continuously across micro-batches.
+    Per-user state = (epoch seconds of last event, current session seq);
+    a batch's events are processed in event-time order within the batch,
+    and state carries the session across batch boundaries — the part a
+    stateless window can't do. Emits (user_id, ts, value, session_seq)
+    in append mode to an in-memory sink (tests); swap the sink for
+    Kafka/Delta in production.
+
+    State size is O(#users x 16 bytes), hash-partitioned on user_id by
+    the streaming shuffle — no skew beyond user activity itself. Matches
+    the batch `with_session_ids` when events arrive in order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = stream.select("user_id", "ts", "value")
+
+    gap_secs = gap_minutes * 60
+
+    def assign(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            secs = pdf["ts"].values.astype("datetime64[s]").astype("int64")
+            seqs = []
+            for s in secs:
+                if last_ts is None or s - last_ts > gap_secs:
+                    seq += 1
+                last_ts = int(s)
+                seqs.append(seq)
+            out = pdf.assign(session_seq=pd.array(seqs, dtype="int64"))
+            yield out[["user_id", "ts", "value", "session_seq"]]
+        state.update((int(last_ts) if last_ts is not None else -1, int(seq)))
+
+    out_schema = "user_id long, ts timestamp, value double, session_seq long"
+    state_schema = "last_ts long, seq long"
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
