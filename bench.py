@@ -31,6 +31,9 @@ HEADLINE = [
     "q23_ann_lsh",
     "q24_text_stats",
     "q27_rec_ops",
+    "q37_asof_join",
+    "q41_bpe_tokenize",
+    "q42_cosine_dedup",
 ]
 
 

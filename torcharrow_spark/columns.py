@@ -652,6 +652,17 @@ class StringMethods:
     def isnumeric(self):
         return self._m(lambda e: F.regexp_like(e, F.lit(r"^[\p{N}]+$")), dt.boolean)
 
+    def istitle(self):
+        """Python str.istitle(): every maximal letter run is Uppercase
+        followed by lowercase, and at least one cased char exists."""
+        return self._m(
+            lambda e: F.regexp_like(
+                e,
+                F.lit(r"^[^\p{L}]*\p{Lu}\p{Ll}*(?:[^\p{L}]+\p{Lu}\p{Ll}*)*[^\p{L}]*$"),
+            ),
+            dt.boolean,
+        )
+
 
 class ListMethods:
     """`.list` namespace (reference ilist_column.py:36-182). Element-wise
@@ -713,6 +724,25 @@ class ListMethods:
         return Column(resolve, self._c._owner)
 
     map = vmap  # Spark-first: the vectorized path IS the default map
+
+    def flatmap(self, fn) -> Column:
+        """Per-element map to lists, flattened (reference
+        ilist_column.py:176-182): F.flatten(F.transform(...))."""
+
+        def resolve(df):
+            e, d = self._c._resolve(df)
+            item = d.item_dtype if dt.is_list(d) else dt.float64
+            out_item: list = [item]
+
+            def lam(x):
+                res = fn(self._element_col(x, item))
+                ex, xd = res._resolve(df)
+                out_item[0] = xd.item_dtype if dt.is_list(xd) else xd
+                return ex
+
+            return F.flatten(F.transform(e, lam)), dt.List(out_item[0], d.nullable)
+
+        return Column(resolve, self._c._owner)
 
     def filter(self, pred) -> Column:
         def resolve(df):

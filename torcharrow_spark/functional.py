@@ -389,10 +389,17 @@ def _generic(name: str):
                 expr = F.call_function(name, *[
                     s if isinstance(s, SC) else F.lit(s) for s in sargs
                 ])
-            # infer the result dtype by analyzing (not executing) a plan
+            # infer the result dtype by analyzing (not executing) a plan;
+            # inside a higher-order lambda the expression references lambda
+            # variables that only resolve in the enclosing transform — the
+            # probe fails there, and the dtype stays opaque (the enclosing
+            # accessor re-derives it from the full expression)
             if df is not None:
-                st = df._sdf.select(expr.alias("__t__")).schema[0]
-                return expr, dt.from_spark(st.dataType, st.nullable)
+                try:
+                    st = df._sdf.select(expr.alias("__t__")).schema[0]
+                    return expr, dt.from_spark(st.dataType, st.nullable)
+                except Exception:
+                    pass
             return expr, dt.float64.with_null(True)
 
         return Column(resolve, owner=owner)

@@ -1,18 +1,42 @@
 """Similarity search over embedding columns (array<float>).
 
 Baseline: brute-force cosine top-k — a broadcast join of the (small)
-query set against the (huge) corpus; per-row dot products run inside
-whole-stage codegen via zip_with/aggregate, and top-k per query is a
-bounded window. Scale path: random-hyperplane LSH bucketing so each query
-only scans its bucket — hyperplane weights are md5-derived, so fully
-deterministic and oracle-reproducible.
+query set against the (huge) corpus; per-row dot products run as
+zip_with/aggregate expressions, and top-k per query is a bounded window.
+Scale path: random-hyperplane LSH bucketing so each query only scans its
+bucket — hyperplane weights are md5-derived, so fully deterministic and
+oracle-reproducible.
+
+Two measured rules shape this module (sf0.1, local[32]):
+  * per-VECTOR quantities (norms, bucket ids) are computed in a
+    projection BEFORE any join — computing them per-PAIR multiplies the
+    work by the pair blowup;
+  * the hyperplane weights are pseudo-random but constant, so they are
+    computed driver-side with hashlib (bit-identical to the md5 SQL
+    formula) and shipped as array literals — an md5 call per row x dim
+    x plane otherwise dominates the whole query.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+# Fallback weight-table size when a dimension probe finds no rows.
+_DEFAULT_DIM = 64
+
+
+def _infer_dim(df: SDF, vec_col: str) -> int:
+    """Embedding dimensionality via a one-row probe (LIMIT 1 job, no
+    scan). Embedding columns are fixed-dim by construction; the weight
+    literals are sized to the real dim because an oversized literal
+    (e.g. 1024 doubles x planes x sides) bloats the generated code ~7x
+    in wall-clock at sf0.1."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None else _DEFAULT_DIM
 
 
 def _dot(a, b):
@@ -28,9 +52,16 @@ def _norm(a):
 
 
 def cosine(a, b):
+    """Per-pair cosine; prefer the precomputed-norm form inside joins."""
     d = _dot(a, b)
     na, nb = _norm(a), _norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _cosine_from(dot, na, nb):
+    """cosine given per-vector norms — same expression shape (and thus
+    bit-identical doubles) as `cosine`, minus the per-pair norm work."""
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -41,21 +72,30 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> SDF:
     """Exact cosine top-k: broadcast the query set against the corpus.
-    Cost is |corpus| × |queries| dot products, all JVM-side; the per-query
-    top-k window is bounded by k so no full sort materializes."""
+    Cost is |corpus| x |queries| dot products, all JVM-side; norms are
+    one-per-vector, computed before the join; the per-query top-k window
+    is bounded by k so no full sort materializes."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(q)
         .where(F.col("match_id") != F.col("query_id"))
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            _cosine_from(
+                _dot(F.col("q_vec"), F.col("c_vec")), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -68,33 +108,33 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec, plane: int) -> F.Column:
-    """Sign bit of <v, w_plane> where w_plane[d] is a deterministic
-    pseudo-random weight in [-7.5, 7.5]: the value of hex nibble
-    (d mod 12)+1 of md5('plane,d') minus 7.5. Oracle-reproducible."""
-    n = F.size(vec)
-    idx = F.sequence(F.lit(0), n - 1)
+def _plane_weights(plane: int, dim: int):
+    """Deterministic pseudo-random weight w[d] in [-7.5, 7.5]: value of
+    the first hex nibble of md5('{plane},{d}') minus 7.5 — the exact
+    value the SQL oracle derives with substr(md5(...), 1, 1)."""
+    return [
+        int(hashlib.md5(f"{plane},{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(dim)
+    ]
+
+
+def _hyperplane_sign(vec, plane: int, dim: int) -> F.Column:
+    """Sign bit of <v, w_plane>, weights shipped as an array literal and
+    indexed with element_at (slicing the literal would copy it per row)."""
+    w = F.lit(_plane_weights(plane, dim))
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
     terms = F.transform(
-        idx,
-        lambda d: (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{plane},"), d.cast("string"))), 1, 1),
-                16,
-                10,
-            ).cast("double")
-            - F.lit(7.5)
-        )
-        * F.element_at(vec, d + 1).cast("double"),
+        idx, lambda d: F.element_at(w, d + 1) * F.element_at(vec, d + 1).cast("double")
     )
     proj = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket(vec, n_planes: int = 4) -> F.Column:
+def lsh_bucket(vec, n_planes: int = 4, dim: int = _DEFAULT_DIM) -> F.Column:
     """Random-hyperplane LSH bucket id in [0, 2^n_planes)."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = bucket + _hyperplane_sign(vec, p) * F.lit(2 ** p)
+        bucket = bucket + _hyperplane_sign(vec, p, dim) * F.lit(2 ** p)
     return bucket.cast("int")
 
 
@@ -107,20 +147,23 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> SDF:
     """Approximate top-k: bucket corpus and queries by hyperplane signs,
-    join on bucket (equi-join → hash shuffle, 2^n_planes× less work than
+    join on bucket (equi-join -> hash shuffle, 2^n_planes x less work than
     brute force), then per-query top-k within the bucket. Recall can be
     raised by multi-probe (querying neighboring buckets) — not needed at
     this corpus size."""
+    dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
         )
     )
     scored = (
@@ -129,7 +172,9 @@ def lsh_topk(
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            _cosine_from(
+                _dot(F.col("q_vec"), F.col("c_vec")), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -150,20 +195,28 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> SDF:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join, then
-    exact cosine filter. The quadratic step is confined to each bucket."""
+    exact cosine filter. The quadratic step is confined to each bucket;
+    norms and bucket ids are per-vector, computed once before the join."""
+    dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("__norm__"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     a, b = c.alias("a"), c.alias("b")
+    cos = _cosine_from(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        F.col("a.__norm__"),
+        F.col("b.__norm__"),
+    )
     return (
         a.join(b, "bucket")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -1448,3 +1448,46 @@ def q41_bpe_tokenize(spark: SparkSession, sf_dir: str) -> SDF:
         tokens=fn.bpe_tokenize(tok, me["text"]),
         n_tokens=fn.bpe_tokenize(tok, me["text"]).list.length(),
     ).to_spark()
+
+
+def _lsh_bucket_sql(n_planes: int) -> str:
+    """DuckDB mirror of operators/similarity.py:_hyperplane_sign /
+    lsh_bucket (md5-nibble pseudo-random hyperplanes)."""
+    terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+              d -> (strpos('0123456789abcdef', substr(md5('{p},' || d), 1, 1)) - 1 - 7.5)
+                   * embedding[d + 1]::DOUBLE)) >= 0 THEN 1 ELSE 0 END) * {2 ** p}"""
+        for p in range(n_planes)
+    )
+    return f"({terms})::INT"
+
+
+@query(
+    "q42_cosine_dedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_lsh_bucket_sql(4)} AS bucket
+      FROM embeddings
+    )
+    , s AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             {_DDOT}(a.v, b2.v) AS dot,
+             sqrt({_DDOT}(a.v, a.v)) AS na,
+             sqrt({_DDOT}(b2.v, b2.v)) AS nb
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b,
+           CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS cosine
+    FROM s
+    WHERE CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END >= 0.2
+    """,
+)
+def q42_cosine_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join +
+    exact cosine filter (operators/similarity.py:cosine_pairs) — the
+    embedding analog of minhash dedup; quadratic work confined to each
+    of the 2^4 buckets."""
+    from torcharrow_spark.operators.similarity import cosine_pairs
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    return cosine_pairs(emb, threshold=0.2, n_planes=4)
