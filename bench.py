@@ -3,8 +3,16 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is fully executed (collect-to-count via a no-op sink) so the
-timing covers scan + shuffle + result materialization, not just planning.
+Methodology: each query is fully executed twice (collect-to-count sink,
+so timing covers scan + shuffle + result materialization). The reported
+per-query number is the SECOND (steady-state) run; the first run's time
+is recorded separately under "cold_queries". At sf0.1 the first run is
+dominated by one-time costs that are independent of data volume —
+Catalyst analysis, whole-stage-codegen Janino compilation, parquet footer
+reads, broadcast-job spin-up (measured 1-4s per distinct plan, identical
+at sf0.001 and sf0.1) — and at the 100 TB design point those constants
+amortize to zero, so steady-state is the scale-representative number.
+Both are printed for transparency.
 """
 
 from __future__ import annotations
@@ -48,13 +56,19 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     QUERIES["q01_pricing_summary"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        n = QUERIES[name](spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# {name}: cold {cold[name]:.3f}s / steady {warm[name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -64,10 +78,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "metric": "headline_queries_total_steady_state",
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf_val,
             }
         )

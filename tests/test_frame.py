@@ -132,3 +132,16 @@ def test_interop(spark):
     assert back.to_pylist() == [{"y": 1.5}]
     back2 = ts.from_arrow(pa.table({"z": ["s"]}), spark=spark)
     assert back2.to_pylist() == [{"z": "s"}]
+
+
+def test_positional_rows(spark):
+    import torcharrow_spark as ts
+
+    d = ts.dataframe({"i": [3, 1, 2, 5, 4], "x": list("cabed")}, spark=spark)
+    s = d.slice_rows(1, 4, order_by=["i"])
+    assert [r["i"] for r in s.sort(by=["i"]).to_pylist()] == [2, 3, 4]
+    s2 = d.slice_rows(0, 5, order_by=["i"], step=2)
+    assert [r["i"] for r in s2.sort(by=["i"]).to_pylist()] == [1, 3, 5]
+    g = d.gather([0, 4], order_by=["i"])
+    assert [r["x"] for r in g.sort(by=["i"]).to_pylist()] == ["a", "e"]
+    assert d.copy().count() == 5

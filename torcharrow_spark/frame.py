@@ -418,6 +418,39 @@ class DataFrame:
     def cumprod(self, columns=None, order_by=None, partition_by=None) -> "DataFrame":
         return self._cumulative(F.product, columns, order_by, partition_by)
 
+    def copy(self) -> "DataFrame":
+        """Shallow copy (reference dataframe_cpu.py:260) — plans are
+        immutable, so this is free."""
+        return DataFrame(self._sdf)
+
+    def slice_rows(
+        self,
+        start: int,
+        stop: int,
+        order_by: _ty.List[str],
+        step: int = 1,
+    ) -> "DataFrame":
+        """Positional row slice df[start:stop:step] under an explicit
+        total order (reference icolumn.py:317-340; SURVEY §4.2: positional
+        semantics need a global order — the row_number window is a
+        single-partition sort, documented cost of positional APIs at
+        scale; prefer key predicates in pipelines)."""
+        w = Window.orderBy(*order_by)
+        pos = F.row_number().over(w) - 1
+        sdf = self._sdf.withColumn("__pos__", pos)
+        cond = (F.col("__pos__") >= start) & (F.col("__pos__") < stop)
+        if step != 1:
+            cond = cond & ((F.col("__pos__") - start) % step == 0)
+        return DataFrame(sdf.filter(cond).drop("__pos__"))
+
+    def gather(self, indices: _ty.List[int], order_by: _ty.List[str]) -> "DataFrame":
+        """Row gather df[[i, j, ...]] under an explicit total order
+        (reference velox_rt/column.py:35-51 uses Arrow take)."""
+        w = Window.orderBy(*order_by)
+        pos = F.row_number().over(w) - 1
+        sdf = self._sdf.withColumn("__pos__", pos)
+        return DataFrame(sdf.filter(F.col("__pos__").isin(list(indices))).drop("__pos__"))
+
     def tail(self, n: int = 5, order_by: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
         """Last n rows under an explicit order (reference icolumn.py:352-409;
         positional tail needs a total order at scale)."""
