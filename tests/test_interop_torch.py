@@ -84,3 +84,19 @@ def test_cumulatives_and_tail(spark):
     assert d.is_unique(["i"]) and not d.is_unique(["g"])
     assert d.is_monotonic_increasing("i", order_by=["i"])
     assert not d.is_monotonic_increasing("x", order_by=["i"])
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.joins import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(o.withColumnRenamed("o_custkey", "c_custkey"), c, ["c_custkey"], salt=8)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

@@ -16,6 +16,7 @@ from .dedup import (
     simhash,
     simhash_groups,
 )
+from .joins import asof_join, salted_join
 from .multimodal import attach_media, decode_features, frame_sample_plan
 from .similarity import brute_force_topk, cosine_pairs, lsh_topk
 from .textstats import (
@@ -27,7 +28,9 @@ from .textstats import (
 )
 
 __all__ = [
+    "asof_join",
     "attach_media",
+    "salted_join",
     "brute_force_topk",
     "decode_features",
     "frame_sample_plan",

@@ -70,3 +70,31 @@ def asof_join(
             f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
         )
     return out.filter(F.col("__is_left__") == 1).drop("__is_left__")
+
+
+def salted_join(
+    left: SDF,
+    right: SDF,
+    on: _ty.List[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> SDF:
+    """Skew-mitigating equi-join: append a uniform random salt in
+    [0, salt) to each LEFT row and replicate each RIGHT row across all
+    salt values, then join on (keys + salt) — a hot key's rows spread
+    over `salt` reducers instead of one. Semantically identical to
+    left.join(right, on, how) for inner/left joins (each left row still
+    meets every matching right row exactly once).
+
+    AQE's skew-join splitting (enabled in our sessions) handles most
+    skew after a shuffle boundary; use this when a known-degenerate key
+    distribution (e.g. 30% null-bucket or one mega-customer) must be
+    spread deterministically, at the documented cost of a `salt`-times
+    replication of the right side — so keep the smaller side right."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how}")
+    l2 = left.withColumn("__salt__", (F.rand() * salt).cast("int"))
+    r2 = right.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l2.join(r2, list(on) + ["__salt__"], how).drop("__salt__")

@@ -37,7 +37,9 @@ def plan_stats(sdf: SDF) -> _ty.Dict[str, _ty.Any]:
         "exchanges": len(re.findall(r"\bExchange\b", text)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", text)),
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", text)),
-        "codegen_spans": len(re.findall(r"WholeStageCodegen", text)),
+        # formatted mode annotates operators with "[codegen id : N]";
+        # distinct ids == whole-stage codegen spans
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", text))),
         "pushed_filters": "PushedFilters: \\[\\]" not in text
         and "PushedFilters" in text,
         "scans": len(re.findall(r"Scan parquet", text)),
