@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis): the exact-semantics layer must
+agree with an independent pure-Python model on randomized inputs — the
+reference's test strategy (hand-computed goldens) extended with fuzzing
+the reference never had. One Spark job per property (all examples are
+batched into a single frame) to keep runtime bounded."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import torcharrow_spark as ts
+from torcharrow_spark import me
+from torcharrow_spark import functional as fn
+
+I64 = st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)
+SMALL = st.integers(min_value=-10 ** 6, max_value=10 ** 6)
+
+
+# pure-Python model of the reference sigrid_hash (validated against the
+# reference's golden values in test_operators.py)
+_M = (1 << 64) - 1
+
+
+def _twang(k):
+    k &= _M
+    k = (~k + (k << 21)) & _M
+    k ^= k >> 24
+    k = (k + (k << 3) + (k << 8)) & _M
+    k ^= k >> 14
+    k = (k + (k << 2) + (k << 4)) & _M
+    k ^= k >> 28
+    return (k + (k << 31)) & _M
+
+
+def _h128(u, l):
+    km = 0x9DDFEA08EB382D69
+    a = ((l ^ u) * km) & _M
+    a ^= a >> 47
+    b = ((u ^ a) * km) & _M
+    b ^= b >> 47
+    return (b * km) & _M
+
+
+def _sigrid(v, salt, mx):
+    if mx == 1:
+        return 0
+    h = _h128(salt & _M, _twang(v & _M))
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h % mx
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(I64, min_size=30, max_size=30))
+def test_sigrid_hash_matches_python_model(spark, values):
+    d = ts.dataframe({"i": list(range(len(values))), "a": values}, spark=spark)
+    got = {
+        r["i"]: (r["h1"], r["h2"])
+        for r in d.select(
+            "i",
+            h1=fn.sigrid_hash(me["a"], 0, 1000),
+            h2=fn.sigrid_hash(me["a"], 123456789, 7),
+        ).to_pylist()
+    }
+    for i, v in enumerate(values):
+        assert got[i] == (_sigrid(v, 0, 1000), _sigrid(v, 123456789, 7)), (i, v)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(st.tuples(SMALL, SMALL.filter(lambda x: x != 0)), min_size=40, max_size=40)
+)
+def test_floordiv_floormod_python_semantics(spark, pairs):
+    d = ts.dataframe(
+        {"i": list(range(len(pairs))), "a": [a for a, _ in pairs], "b": [b for _, b in pairs]},
+        spark=spark,
+    )
+    got = {
+        r["i"]: (r["q"], r["r"])
+        for r in d.select("i", q=me["a"] // me["b"], r=me["a"] % me["b"]).to_pylist()
+    }
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == (a // b, a % b), (a, b, got[i])
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=30, max_size=30
+    )
+)
+def test_round_half_even_matches_python(spark, values):
+    d = ts.dataframe({"i": list(range(len(values))), "x": values}, spark=spark)
+    got = {r["i"]: r["r"] for r in d.select("i", r=me["x"].round()).to_pylist()}
+    for i, v in enumerate(values):
+        want = float(round(v))  # Python round is banker's rounding
+        assert got[i] == want or (math.isnan(want) and math.isnan(got[i])), (v, got[i], want)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=20), min_size=20, max_size=20))
+def test_str_predicates_match_python_ascii(spark, values):
+    # regex approximations are exact for ASCII (documented); restrict
+    values = ["".join(ch for ch in v if ord(ch) < 128) for v in values]
+    d = ts.dataframe(
+        {"i": list(range(len(values))), "s": values},
+        dtype=ts.dt.Struct(
+            (ts.dt.Field("i", ts.dt.int64), ts.dt.Field("s", ts.dt.string))
+        ),
+        spark=spark,
+    )
+    got = {
+        r["i"]: r
+        for r in d.select(
+            "i",
+            alpha=me["s"].str.isalpha(),
+            digit=me["s"].str.isdecimal(),
+            lower=me["s"].str.islower(),
+            upper=me["s"].str.isupper(),
+            space=me["s"].str.isspace(),
+            title=me["s"].str.istitle(),
+        ).to_pylist()
+    }
+    for i, v in enumerate(values):
+        r = got[i]
+        assert r["alpha"] == v.isalpha(), (v, "alpha")
+        assert r["digit"] == v.isdecimal(), (v, "digit")
+        assert r["lower"] == v.islower(), (v, "lower")
+        assert r["upper"] == v.isupper(), (v, "upper")
+        assert r["space"] == v.isspace(), (v, "space")
+        assert r["title"] == v.istitle(), (v, "title")
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii"), max_size=40), min_size=15, max_size=15))
+def test_bpe_udf_matches_local_encode(spark, texts):
+    from torcharrow_spark.functions import BPETokenizer
+
+    tok = BPETokenizer.toy()
+    d = ts.dataframe(
+        {"i": list(range(len(texts))), "t": texts},
+        dtype=ts.dt.Struct(
+            (ts.dt.Field("i", ts.dt.int64), ts.dt.Field("t", ts.dt.string))
+        ),
+        spark=spark,
+    )
+    got = {
+        r["i"]: r["tok"]
+        for r in d.select("i", tok=fn.bpe_tokenize(tok, me["t"])).to_pylist()
+    }
+    fresh = BPETokenizer.toy()  # no shared cache with the executor copy
+    for i, t in enumerate(texts):
+        assert got[i] == fresh.encode(t), (t,)

@@ -142,6 +142,21 @@ class Dense:
     def __call__(self, arr):
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            # uniform-length list column -> reshape flat values (the
+            # array_constructor-packed form of the same dense features)
+            offsets = np.asarray(arr.offsets)
+            lens = np.diff(offsets)
+            if len(lens) == 0:
+                return _maybe_tensor(np.empty((0, 0), dtype=self.dtype))
+            width = int(lens[0])
+            if not (lens == width).all():
+                raise ValueError("Dense requires equal-length lists; use PackedList")
+            values = arr.values.to_numpy(zero_copy_only=False).astype(self.dtype)
+            mat = values.reshape(-1, width)
+            if not self.batch_first:
+                mat = mat.T
+            return _maybe_tensor(mat)
         assert pa.types.is_struct(arr.type)
         cols = [
             arr.field(i).to_numpy(zero_copy_only=False).astype(self.dtype)
