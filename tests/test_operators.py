@@ -166,3 +166,23 @@ def test_bpe_tokenize(spark):
     }
     assert rows[1] == tok.encode("the cat")
     assert rows[2] == tok.encode(" the")
+
+
+def test_prefix_jaccard_equals_direct(spark, sf_dir):
+    """PPJoin-style prefix filtering must produce EXACTLY the pairs of
+    the direct join-first algorithm (no false negatives by construction)."""
+    from torcharrow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    direct = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    prefix = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs_prefix(docs, threshold=0.3).collect()
+    }
+    assert direct == prefix and len(direct) > 0

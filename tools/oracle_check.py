@@ -9,7 +9,10 @@ Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region",

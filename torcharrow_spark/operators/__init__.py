@@ -13,6 +13,7 @@ from .dedup import (
     minhash_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash,
     simhash_groups,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "minhash_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "quality_score",
     "simhash_groups",
     "text_stats",

@@ -274,3 +274,99 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> SDF:
+    """Prefix-filtered exact Jaccard join (PPJoin-family, public
+    algorithm): identical output to `ngram_jaccard_pairs`, asymptotically
+    fewer candidates.
+
+    Principle: order all shingles globally by (document frequency,
+    shingle) ascending. If jaccard(A, B) >= t then |A ∩ B| >=
+    ceil(t/(1+t) * (|A|+|B|)) >= t*|A| (for |B| >= |A|), so A and B MUST
+    share at least one shingle among the first |A| - ceil(t*|A|) + 1 of
+    each doc's globally-ordered shingles. Candidates are generated only
+    from these prefixes — rare shingles first, so hot boilerplate
+    shingles almost never enter a prefix — then verified with an exact
+    intersection on the docs' full (sorted) shingle-hash arrays.
+
+    Cost model: two extra shuffles (global df count, per-doc arrays)
+    buy a candidate set that scales with the number of true near-dups
+    instead of with sum-over-shingles C(df, 2). Use this form when the
+    corpus has heavy shingle reuse; the direct form wins on small or
+    low-duplication corpora."""
+    sh = _shingles(df, text_col, id_col, shingle_k)
+    # 48-bit hash of each shingle: arrays of longs intersect much faster
+    # than arrays of strings, and 2^48 makes collisions negligible
+    shh = sh.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    dfreq = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = shh.join(dfreq, "h")
+    # per-doc: full sorted-hash array + the global (df, h) ordering rank
+    per_doc = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "h"))).alias("by_rarity"),
+            F.sort_array(F.collect_list("h")).alias("all_h"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .withColumn(
+            "prefix",
+            F.slice(
+                F.transform(F.col("by_rarity"), lambda s: s["h"]),
+                1,
+                (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+            ),
+        )
+        .drop("by_rarity")
+    )
+    pref = per_doc.select(id_col, "all_h", "sz", F.explode("prefix").alias("h"))
+    buckets = (
+        pref.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "all_h", "sz"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col(f"p.a.{id_col}").alias("id_a"),
+            F.col("p.a.all_h").alias("ha"),
+            F.col("p.a.sz").alias("sz_a"),
+            F.col(f"p.b.{id_col}").alias("id_b"),
+            F.col("p.b.all_h").alias("hb"),
+            F.col("p.b.sz").alias("sz_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    return (
+        cand.withColumn("inter", inter)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
