@@ -186,3 +186,31 @@ def test_prefix_jaccard_equals_direct(spark, sf_dir):
         for r in ngram_jaccard_pairs_prefix(docs, threshold=0.3).collect()
     }
     assert direct == prefix and len(direct) > 0
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """Probing every cell makes IVF exact: results must equal brute-force
+    top-k (same tie-breaking, same cosine doubles)."""
+    from torcharrow_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 8")
+    exact = {(r["query_id"], r["rank"]): (r["match_id"], round(r["cosine"], 9))
+             for r in brute_force_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): (r["match_id"], round(r["cosine"], 9))
+            for r in ivf_topk(emb, q, k=3, n_cells=8, n_probe=8).collect()}
+    assert exact == full and len(exact) == 24
+
+    # partial probe returns ranked rows for every query (recall plumbing)
+    part = ivf_topk(emb, q, k=3, n_cells=8, n_probe=2)
+    assert part.groupBy("query_id").count().count() == 8
+
+
+def test_resize_media_plumbing(spark):
+    d = spark.createDataFrame(
+        [(1, b"\xff" * 500), (2, None)], "doc_id long, img binary"
+    )
+    out = {r["doc_id"]: r for r in ops.resize_media(d, "img", "doc_id", 32, 32, fake=True).collect()}
+    assert out[1]["meta"]["width"] == 32 and out[1]["meta"]["n_bytes"] == 32 * 32 * 3 // 256
+    assert len(out[1]["resized"]) == 32 * 32 * 3 // 256
+    assert out[2]["resized"] is None and out[2]["meta"]["n_bytes"] == 0

@@ -18,8 +18,8 @@ from .dedup import (
     simhash_groups,
 )
 from .joins import asof_join, salted_join
-from .multimodal import attach_media, decode_features, frame_sample_plan
-from .similarity import brute_force_topk, cosine_pairs, lsh_topk
+from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
+from .similarity import brute_force_topk, cosine_pairs, ivf_topk, lsh_topk
 from .textstats import (
     doc_fingerprint,
     language_id,
@@ -41,12 +41,14 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_ids",
     "language_id",
+    "ivf_topk",
     "lsh_topk",
     "minhash_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "quality_score",
+    "resize_media",
     "simhash_groups",
     "text_stats",
     "token_count",

@@ -120,3 +120,60 @@ def frame_sample_plan(
             "frame_index"
         ),
     )
+
+
+def resize_media(
+    df: SDF,
+    bytes_col: str,
+    id_col: str,
+    target_w: int = 224,
+    target_h: int = 224,
+    fake: bool = False,
+) -> SDF:
+    """Resize media to (target_w, target_h) -> (id, resized: binary,
+    meta struct) via mapInPandas — binary in, binary out, metadata updated,
+    one Arrow-batched Python pass, no shuffle.
+
+    The resample kernel itself is STUBBED (no imaging library in this
+    container): fake=True produces deterministic bytes whose length is
+    target_w*target_h*3//256 so batch shapes and downstream schemas are
+    exercised for real; fake=False raises NotImplementedError at executor
+    time — swap in PIL/torchvision there."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("meta", MEDIA_META_SCHEMA, False),
+        ]
+    )
+    src = df.select(id_col, bytes_col)
+
+    def resize_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, outs, metas = [], [], []
+            for i, data in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(i)
+                if data is None:
+                    outs.append(None)
+                    metas.append(
+                        {"media_type": "image", "width": None, "height": None,
+                         "n_bytes": 0, "format": None}
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "media resize requires an imaging library not in this "
+                        "container; pass fake=True for the deterministic stub"
+                    )
+                n = target_w * target_h * 3 // 256
+                seed = (len(data) * 2654435761) % 256
+                outs.append(bytes((seed + j) % 256 for j in range(n)))
+                metas.append(
+                    {"media_type": "image", "width": target_w, "height": target_h,
+                     "n_bytes": n, "format": "raw"}
+                )
+            yield pd.DataFrame({id_col: ids, "resized": outs, "meta": metas})
+
+    return src.mapInPandas(resize_iter, out_schema)

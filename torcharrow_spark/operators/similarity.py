@@ -20,6 +20,7 @@ Two measured rules shape this module (sf0.1, local[32]):
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import Window
@@ -219,4 +220,89 @@ def cosine_pairs(
             cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def _centroids(corpus: SDF, n_cells: int, id_col: str, vec_col: str):
+    """Deterministic centroid pick: the n_cells corpus vectors with the
+    smallest md5(id) — reproducible without k-means iterations (swap in
+    trained centroids for a production index; the operator only needs
+    SOME fixed partition of the space). Collects n_cells x dim floats —
+    bytes, not data."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [(r["cid"], [float(x) for x in r["cv"]]) for r in rows]
+
+
+def _cell_sims(vec, cents):
+    """Array of (cosine-to-centroid, cell-index) structs, one per cell."""
+    out = []
+    for idx, (_cid, cv) in enumerate(cents):
+        w = F.lit(cv)
+        d = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nw = math.sqrt(sum(x * x for x in cv)) or 1.0
+        out.append(F.struct((d / F.lit(nw)).alias("s"), F.lit(idx).alias("c")))
+    return F.array(*out)
+
+
+def ivf_topk(
+    corpus: SDF,
+    queries: SDF,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SDF:
+    """IVF (inverted-file) approximate top-k — the second scale path next
+    to LSH: partition the corpus into `n_cells` Voronoi cells around
+    deterministic centroids; each query probes its `n_probe` nearest
+    cells and scores exactly within them. n_probe == n_cells degrades to
+    exact brute force (tested), n_probe << n_cells reads ~n_probe/n_cells
+    of the corpus per query. Assignment is a per-row argmax over centroid
+    literals (no shuffle); the probe join is a hash equi-join on cell id."""
+    cents = _centroids(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        F.array_max(_cell_sims(F.col(vec_col), cents))["c"].alias("cell"),
+    )
+    probes = F.slice(
+        F.reverse(F.array_sort(_cell_sims(F.col(vec_col), cents))), 1, n_probe
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+            F.explode(F.transform(probes, lambda p: p["c"])).alias("cell"),
+        )
+    )
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            _cosine_from(
+                _dot(F.col("q_vec"), F.col("c_vec")), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
     )

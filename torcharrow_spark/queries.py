@@ -1491,3 +1491,37 @@ def q42_cosine_dedup(spark: SparkSession, sf_dir: str) -> SDF:
 
     emb = _load(spark, sf_dir, "embeddings").to_spark()
     return cosine_pairs(emb, threshold=0.2, n_planes=4)
+
+
+@query(
+    "q43_jaccard_prefix",
+    oracle=ORACLES["q21_ngram_jaccard"],  # identical output by construction
+)
+def q43_jaccard_prefix(spark: SparkSession, sf_dir: str) -> SDF:
+    """PPJoin-style prefix-filtered exact Jaccard join
+    (operators/dedup.py:ngram_jaccard_pairs_prefix): same pairs as q21,
+    candidate generation bounded by rarest-prefix co-occurrence instead
+    of all shared shingles — the 100 TB path for high-duplication
+    corpora."""
+    from torcharrow_spark.operators import ngram_jaccard_pairs_prefix
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return ngram_jaccard_pairs_prefix(docs, shingle_k=3, threshold=0.3)
+
+
+@query(
+    "q44_ann_ivf",
+    oracle=ORACLES["q22_ann_brute_force"],  # full probe == exact brute force
+)
+def q44_ann_ivf(spark: SparkSession, sf_dir: str) -> SDF:
+    """IVF-partitioned ANN (operators/similarity.py:ivf_topk) run with
+    n_probe == n_cells, which provably degrades to exact brute force —
+    the oracle is therefore q22's. Production uses n_probe << n_cells to
+    read ~n_probe/n_cells of the corpus per query (recall/latency knob);
+    the cell-assignment and probe-join machinery is identical."""
+    from torcharrow_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, q, k=3, n_cells=8, n_probe=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
