@@ -78,3 +78,49 @@ def test_hint_inference():
     assert dt.dtype_from_hint(typing.Optional[str]).nullable
     assert dt.is_list(dt.dtype_from_hint(typing.List[int]))
     assert dt.is_map(dt.dtype_from_hint(typing.Dict[str, float]))
+
+
+def test_dtype_from_hint_structs():
+    import dataclasses
+    import typing
+
+    from torcharrow_spark import dtypes as dt
+
+    class Point(typing.NamedTuple):
+        x: float
+        y: int
+
+    d = dt.dtype_from_hint(Point)
+    assert dt.is_struct(d)
+    assert [f.name for f in d.fields] == ["x", "y"]
+    assert d.fields[0].dtype == dt.float32 and d.fields[1].dtype == dt.int64
+
+    @dataclasses.dataclass
+    class Doc:
+        ident: int
+        tags: typing.List[str]
+        score: typing.Optional[float]
+
+    d2 = dt.dtype_from_hint(Doc)
+    assert [f.name for f in d2.fields] == ["ident", "tags", "score"]
+    assert dt.is_list(d2.fields[1].dtype)
+    assert d2.fields[2].dtype.nullable
+
+
+def test_infer_dtype_from_callable():
+    import typing
+
+    from torcharrow_spark import dtypes as dt
+
+    def f(x) -> typing.Optional[int]:
+        return x
+
+    assert dt.infer_dtype_from_callable(f) == dt.int64.with_null(True)
+
+    def g(x):
+        return x
+
+    import pytest
+
+    with pytest.raises(TypeError):
+        dt.infer_dtype_from_callable(g)

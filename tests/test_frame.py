@@ -145,3 +145,15 @@ def test_positional_rows(spark):
     g = d.gather([0, 4], order_by=["i"])
     assert [r["x"] for r in g.sort(by=["i"]).to_pylist()] == ["a", "e"]
     assert d.copy().count() == 5
+
+
+def test_map_callable_infers_dtype_from_annotation(spark):
+    import torcharrow_spark as ts
+
+    d = ts.dataframe({"a": [1, 2, 3]}, spark=spark)
+
+    def double(x) -> int:
+        return None if x is None else x * 2
+
+    out = d.select("a", b=d.map(double, columns=["a"])).sort(by=["a"]).to_pylist()
+    assert [r["b"] for r in out] == [2, 4, 6]

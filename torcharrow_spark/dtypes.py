@@ -397,4 +397,34 @@ def dtype_from_hint(hint) -> DType:
     mapping = {bool: boolean, int: int64, float: float32, str: string, bytes: binary}
     if hint in mapping:
         return mapping[hint]
+    # NamedTuple classes (reference dtypes.py:599-648 handles these)
+    if isinstance(hint, type) and issubclass(hint, tuple) and hasattr(hint, "_fields"):
+        anns = _ty.get_type_hints(hint)
+        return Struct(
+            tuple(Field(n, dtype_from_hint(anns[n])) for n in hint._fields)
+        )
+    # dataclasses
+    import dataclasses
+
+    if dataclasses.is_dataclass(hint):
+        return Struct(
+            tuple(
+                Field(f.name, dtype_from_hint(f.type if not isinstance(f.type, str) else _ty.get_type_hints(hint)[f.name]))
+                for f in dataclasses.fields(hint)
+            )
+        )
     raise TypeError(f"cannot map type hint {hint}")
+
+
+def infer_dtype_from_callable(fn) -> DType:
+    """Result dtype from a UDF's return annotation (reference
+    infer_dype_from_callable_hint, dtypes.py:329-350). Raises if the
+    callable is unannotated — mirroring the reference's 'dtype required
+    if it cannot be inferred' contract (icolumn.py:597-610)."""
+    hints = _ty.get_type_hints(fn)
+    if "return" not in hints:
+        raise TypeError(
+            f"{getattr(fn, '__name__', fn)!r} has no return annotation; "
+            "pass dtype= explicitly"
+        )
+    return dtype_from_hint(hints["return"])

@@ -253,7 +253,16 @@ class DataFrame:
         if not callable(arg):
             raise TypeError("map() needs a dict or callable")
         if dtype is None:
-            raise ValueError("map(callable) requires dtype= (reference icolumn.py:597-610)")
+            # reference contract: infer from the callable's return
+            # annotation, else require dtype= (dtypes.py:329-350,
+            # icolumn.py:597-610)
+            try:
+                dtype = dt.infer_dtype_from_callable(arg)
+            except TypeError:
+                raise ValueError(
+                    "map(callable) requires dtype= or a return annotation "
+                    "(reference icolumn.py:597-610)"
+                )
         spark_t = dt.to_spark(dtype)
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
