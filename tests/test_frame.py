@@ -157,3 +157,13 @@ def test_map_callable_infers_dtype_from_annotation(spark):
 
     out = d.select("a", b=d.map(double, columns=["a"])).sort(by=["a"]).to_pylist()
     assert [r["b"] for r in out] == [2, 4, 6]
+
+
+def test_grouped_iteration_and_column(spark):
+    import torcharrow_spark as ts
+
+    d = ts.dataframe({"g": [1, 1, 2], "x": [10, 20, 30]}, spark=spark)
+    groups = {k: sorted(r["x"] for r in sub.to_pylist()) for k, sub in d.groupby("g")}
+    assert groups == {1: [10, 20], 2: [30]}
+    gx = d.groupby("g")["x"].agg("sum").sort(by=["g"]).to_pylist()
+    assert [r["x.sum"] for r in gx] == [30, 30]

@@ -567,6 +567,28 @@ class GroupedDataFrame:
     def size(self) -> DataFrame:
         return DataFrame(self._gd.agg(F.count(F.lit(1)).alias("size")))
 
+    def __getitem__(self, col: str) -> "GroupedDataFrame":
+        """Grouped single column (reference dataframe_cpu.py:2227-2245):
+        a grouped frame restricted to the key + one value column."""
+        return GroupedDataFrame(
+            DataFrame(self._base.select(*self._by, col)), self._by, drop_null=False
+        )
+
+    def __iter__(self):
+        """Iterate (key_tuple, DataFrame) per group (reference
+        dataframe_cpu.py:2304-2321). Driver-bound by the number of GROUPS
+        (one collect for the key set, one lazy filtered frame per key) —
+        fine for pandas-style exploration over few groups; use
+        apply_in_pandas for distributed per-group logic."""
+        keys = self._base.select(*self._by).distinct().orderBy(*self._by).collect()
+        for row in keys:
+            key = tuple(row[c] for c in self._by)
+            cond = None
+            for c, v in zip(self._by, key):
+                p = F.col(c) == F.lit(v)
+                cond = p if cond is None else (cond & p)
+            yield (key if len(key) > 1 else key[0]), DataFrame(self._base.filter(cond))
+
     # ops that only make sense on numeric/boolean inputs; applying a
     # blanket gd.agg('sum') skips other columns (pandas-style) instead of
     # failing analysis on e.g. a timestamp column.
