@@ -195,9 +195,14 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> SDF:
-    """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join, then
-    exact cosine filter. The quadratic step is confined to each bucket;
-    norms and bucket ids are per-vector, computed once before the join."""
+    """Embedding-cosine near-duplicate pairs: LSH bucketing, then exact
+    cosine within each bucket. Group-and-pair rather than a self-join: a
+    self-join of the derived (bucket, norm) table recomputes the bucket
+    and norm pipeline for both sides; one groupBy(bucket) computes it
+    once and shuffles each vector once. Norms and bucket ids are
+    per-vector, computed before the shuffle. A bucket with m vectors
+    still costs O(m^2) dot products — that is the quadratic step the
+    2^n_planes-way partition confines."""
     dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col),
@@ -205,20 +210,37 @@ def cosine_pairs(
         _norm(F.col(vec_col)).alias("__norm__"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
-    a, b = c.alias("a"), c.alias("b")
+    buckets = (
+        c.groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"), F.col("__norm__").alias("n")))
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    exploded = buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a.i").alias("id_a"),
+        F.col("p.b.i").alias("id_b"),
+        F.col("p.a.v").alias("__va__"),
+        F.col("p.b.v").alias("__vb__"),
+        F.col("p.a.n").alias("__na__"),
+        F.col("p.b.n").alias("__nb__"),
+    )
     cos = _cosine_from(
-        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
-        F.col("a.__norm__"),
-        F.col("b.__norm__"),
+        _dot(F.col("__va__"), F.col("__vb__")), F.col("__na__"), F.col("__nb__")
     )
     return (
-        a.join(b, "bucket")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
-        )
+        exploded.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
