@@ -76,3 +76,81 @@ def test_stateful_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(batch)
     mismatches = {k: (v, batch.get(k)) for k, v in got.items() if batch.get(k) != v}
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_watermark_drops_late_data_append_mode(spark, tmp_path):
+    """Append-mode + watermark semantics across micro-batches: a window
+    is emitted once its end falls behind the watermark, and events
+    arriving later than the watermark allows are dropped from state."""
+    import datetime as dtm
+
+    from torcharrow_spark.streaming import windowed_counts_stream
+
+    base = dtm.datetime(2024, 1, 1, 10, 0)
+    d = str(tmp_path / "wm")
+    schema = "user_id long, event_type string, ts timestamp_ntz, value double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/{name}"
+        )
+
+    # batch 1: two events in the 10:00 window
+    write("f1", [(1, "view", base, 1.0), (2, "view", base + dtm.timedelta(minutes=5), 1.0)])
+    # batch 2: an event far ahead (13:00) -> watermark advances to 12:30
+    # after this batch
+    write("f2", [(3, "view", base + dtm.timedelta(hours=3), 1.0)])
+    # batch 3: runs WITH watermark 12:30 -> at its end the 10:00 window
+    # (end 11:00 <= 12:30) is emitted and its state evicted
+    write("f3", [(5, "view", base + dtm.timedelta(hours=3, minutes=5), 1.0)])
+    # batch 4: a LATE event back in the 10:00 window, after eviction ->
+    # dropped by the watermark (Spark guarantees drops only once the
+    # window's state is gone; a late row in the eviction batch itself may
+    # still be merged — the documented best-effort bound)
+    write("f4", [(4, "view", base + dtm.timedelta(minutes=10), 1.0)])
+
+    # one directory, one file per micro-batch (glob over subdirs)
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(flat, exist_ok=True)
+    import time as _time
+
+    now = _time.time()
+    for i, name in enumerate(["f1", "f2", "f3", "f4"]):
+        src = glob.glob(f"{d}/{name}/part-*.parquet")[0]
+        dst = f"{flat}/{i:02d}.parquet"
+        shutil.copy(src, dst)
+        # FileStreamSource orders by modification time; make it unambiguous
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    q = windowed_counts_stream(
+        spark,
+        flat,
+        spark.read.parquet(flat).schema,
+        window="1 hour",
+        watermark="30 minutes",
+        query_name="t_wm",
+        output_mode="append",
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_wm").collect()
+    }
+    # the 10:00 window was finalized with ONLY the two on-time events
+    assert rows.get((base, "view")) == 2, rows
+    # and the post-eviction late row was counted as dropped by the operator
+    dropped = sum(
+        o.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for o in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, [p.get("stateOperators") for p in q.recentProgress]

@@ -39,13 +39,25 @@ def windowed_counts_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "windowed_counts",
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
 ):
     """Same aggregation as a streaming query over a parquet directory.
     Watermark bounds state: rows later than `watermark` behind the max
     event time are dropped and their windows finalized. Returns the
     started StreamingQuery writing to an in-memory sink (tests) —
-    production would swap the sink for Kafka/Delta via writeStream."""
-    stream = spark.readStream.schema(schema).parquet(path)
+    production would swap the sink for Kafka/Delta via writeStream.
+
+    output_mode='append' emits each window exactly once, when the
+    watermark passes its end (the production mode for an append-only
+    sink); 'complete' re-emits the full result every batch.
+    max_files_per_trigger splits a static directory into multiple
+    micro-batches so tests can exercise cross-batch watermark
+    advancement."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
     # watermarks require an instant (ltz) timestamp; session tz is pinned
     # to UTC so the wall-clock round-trips exactly
     if dict(stream.dtypes).get("ts") == "timestamp_ntz":
@@ -65,7 +77,7 @@ def windowed_counts_stream(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)
