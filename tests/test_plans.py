@@ -73,3 +73,32 @@ def test_whole_stage_codegen_present(spark, sf_dir):
             assert m and int(m.group(1)) >= 1, (q, text[:200])
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts ->
+    the sort-merge join consumes bucket layout directly: zero Exchange
+    in the plan (the write-once/join-many pattern for 100 TB facts)."""
+    import torcharrow_spark as ts
+
+    o = ts.read_parquet(f"{sf_dir}/orders.parquet", spark)
+    c = ts.read_parquet(f"{sf_dir}/customer.parquet", spark)
+    ts.write_bucketed(o, "t_orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    ts.write_bucketed(c, "t_customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"])
+    try:
+        ob = ts.read_table("t_orders_b", spark).to_spark()
+        cb = ts.read_table("t_customer_b", spark).to_spark()
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ob.join(cb, ob.o_custkey == cb.c_custkey).select("o_orderkey", "c_name")
+            stats = plan_stats(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert stats["exchanges"] == 0, stats
+        # formatted plans name the operator in the tree and the detail
+        # section, so the count is per-mention, not per-join
+        assert stats["sort_merge_joins"] >= 1, stats
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")

@@ -29,6 +29,8 @@ from .sources import (
     read_json,
     read_orc,
     read_parquet,
+    read_table,
+    write_bucketed,
     write_parquet,
 )
 
@@ -52,7 +54,9 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_parquet",
+    "read_table",
     "tune",
+    "write_bucketed",
     "write_parquet",
 ]
 

@@ -121,3 +121,30 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: _ty.List[str],
+    n_buckets: int = 32,
+    sort_cols: _ty.Optional[_ty.List[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table: rows are hash-partitioned into
+    `n_buckets` files per partition on `bucket_cols` at write time, so a
+    join or aggregation on those columns later reads co-located data and
+    plans with NO Exchange — the write-once/join-many pattern for big
+    fact tables at 100 TB (bucket both sides with the same count).
+    `sort_cols` additionally sorts within buckets (sort-merge joins skip
+    their sort too)."""
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    w = sdf.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def read_table(table_name: str, spark: SparkSession | None = None) -> DataFrame:
+    """Read a saved (possibly bucketed) table back as an engine frame."""
+    return DataFrame(_spark(spark).table(table_name))
