@@ -167,3 +167,23 @@ def test_grouped_iteration_and_column(spark):
     assert groups == {1: [10, 20], 2: [30]}
     gx = d.groupby("g")["x"].agg("sum").sort(by=["g"]).to_pylist()
     assert [r["x.sum"] for r in gx] == [30, 30]
+
+
+def test_transform_formats(spark):
+    import torcharrow_spark as ts
+    from torcharrow_spark import dt
+
+    d = ts.dataframe({"a": [1.0, 2.0, 3.0]}, spark=spark)
+    py = d.transform(
+        lambda b: {"a": [x * 2 for x in b["a"]]},
+        dtype=dt.Struct((dt.Field("a", dt.float64),)),
+        format="python",
+    )
+    assert sorted(r["a"] for r in py.to_pylist()) == [2.0, 4.0, 6.0]
+
+    tc = d.transform(
+        lambda b: {"a": b["a"] * 3},  # numpy (or torch) batch math
+        dtype=dt.Struct((dt.Field("a", dt.float64),)),
+        format="torch",
+    )
+    assert sorted(r["a"] for r in tc.to_pylist()) == [3.0, 6.0, 9.0]

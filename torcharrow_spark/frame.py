@@ -303,26 +303,67 @@ class DataFrame:
         e, _ = col._resolve(self)
         return DataFrame(self._sdf.filter(e))
 
-    def transform(self, fn, dtype: _ty.Optional[dt.DType] = None, format: str = "python",
+    def transform(self, fn, dtype: _ty.Optional[dt.DType] = None, format: str = "column",
                   columns: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
-        """Batch UDF over whole column batches (reference icolumn.py:613-644)
-        via mapInArrow — zero-copy Arrow batches, the Spark analog of the
-        reference's `format='column'` path."""
+        """Batch UDF over whole column batches (reference icolumn.py:613-644,
+        format contract idataframe.py:458-496) via mapInArrow — zero-copy
+        Arrow batches. `format` controls what `fn` receives and returns
+        per batch, mirroring the reference:
+          'column' — an Arrow RecordBatch (the vectorized path; return a
+                     RecordBatch/Table);
+          'python' — a dict of column-name -> list (return the same shape);
+          'torch'  — a dict of column-name -> torch tensor / numpy array
+                     for numeric columns (Arrow -> tensor without copies
+                     where dtypes allow; return the same shape)."""
         import pyarrow as pa
 
         columns = columns or self.columns
         src = self._sdf.select(*columns)
         out_schema = dt.to_spark(dtype) if dtype is not None else src.schema
 
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            pa_schema = to_arrow_schema(out_schema)
+        except Exception:  # pragma: no cover - pyspark-internal API
+            pa_schema = None
+
+        def _to_batch(res, like: pa.RecordBatch):
+            if isinstance(res, pa.RecordBatch):
+                return [res]
+            if isinstance(res, pa.Table):
+                return list(res.to_batches())
+            if isinstance(res, dict):
+                cols = {}
+                for k, v in res.items():
+                    if hasattr(v, "numpy"):  # torch tensor
+                        v = v.numpy()
+                    t = pa_schema.field(k).type if pa_schema is not None else None
+                    cols[k] = pa.array(
+                        list(v) if not hasattr(v, "dtype") else v, type=t
+                    )
+                return [pa.RecordBatch.from_pydict(cols)]
+            raise TypeError("transform fn must return RecordBatch/Table/dict")
+
         def _iter(batches: _ty.Iterable[pa.RecordBatch]) -> _ty.Iterable[pa.RecordBatch]:
             for b in batches:
-                res = fn(b)
-                if isinstance(res, pa.RecordBatch):
-                    yield res
-                elif isinstance(res, pa.Table):
-                    yield from res.to_batches()
+                if format == "column":
+                    arg = b
+                elif format == "python":
+                    arg = {name: b.column(i).to_pylist() for i, name in enumerate(b.schema.names)}
+                elif format == "torch":
+                    arg = {}
+                    for i, name in enumerate(b.schema.names):
+                        arr = b.column(i).to_numpy(zero_copy_only=False)
+                        try:  # torch optional in this container
+                            import torch
+
+                            arg[name] = torch.from_numpy(arr)
+                        except Exception:
+                            arg[name] = arr
                 else:
-                    raise TypeError("transform fn must return a RecordBatch/Table")
+                    raise ValueError(f"unknown format {format!r}")
+                yield from _to_batch(fn(arg), b)
 
         return DataFrame(src.mapInArrow(_iter, out_schema))
 
