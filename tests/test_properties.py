@@ -7,6 +7,11 @@ batched into a single frame) to keep runtime bounded."""
 import math
 
 from hypothesis import given, settings
+
+# deterministic examples: the driver runs this suite as a gate, so a
+# fresh random counterexample should surface in development, not there
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
 from hypothesis import strategies as st
 
 import torcharrow_spark as ts
@@ -51,7 +56,7 @@ def _sigrid(v, salt, mx):
     return h % mx
 
 
-@settings(max_examples=1, deadline=None)
+@settings(max_examples=2, deadline=None, derandomize=True)
 @given(st.lists(I64, min_size=30, max_size=30))
 def test_sigrid_hash_matches_python_model(spark, values):
     d = ts.dataframe({"i": list(range(len(values))), "a": values}, spark=spark)
@@ -67,7 +72,7 @@ def test_sigrid_hash_matches_python_model(spark, values):
         assert got[i] == (_sigrid(v, 0, 1000), _sigrid(v, 123456789, 7)), (i, v)
 
 
-@settings(max_examples=1, deadline=None)
+@settings(max_examples=2, deadline=None, derandomize=True)
 @given(
     st.lists(st.tuples(SMALL, SMALL.filter(lambda x: x != 0)), min_size=40, max_size=40)
 )
@@ -84,7 +89,7 @@ def test_floordiv_floormod_python_semantics(spark, pairs):
         assert got[i] == (a // b, a % b), (a, b, got[i])
 
 
-@settings(max_examples=1, deadline=None)
+@settings(max_examples=2, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=30, max_size=30
@@ -98,7 +103,7 @@ def test_round_half_even_matches_python(spark, values):
         assert got[i] == want or (math.isnan(want) and math.isnan(got[i])), (v, got[i], want)
 
 
-@settings(max_examples=1, deadline=None)
+@settings(max_examples=2, deadline=None, derandomize=True)
 @given(st.lists(st.text(min_size=0, max_size=20), min_size=20, max_size=20))
 def test_str_predicates_match_python_ascii(spark, values):
     # regex approximations are exact for ASCII (documented); restrict
@@ -132,7 +137,7 @@ def test_str_predicates_match_python_ascii(spark, values):
         assert r["title"] == v.istitle(), (v, "title")
 
 
-@settings(max_examples=1, deadline=None)
+@settings(max_examples=2, deadline=None, derandomize=True)
 @given(st.lists(st.text(alphabet=st.characters(codec="ascii"), max_size=40), min_size=15, max_size=15))
 def test_bpe_udf_matches_local_encode(spark, texts):
     from torcharrow_spark.functions import BPETokenizer
