@@ -49,10 +49,7 @@ def test_narrow_ops_have_no_shuffle(spark, sf_dir):
     zero exchanges."""
     for q in ("q24_text_stats", "q25_fingerprint"):
         stats = plan_stats(QUERIES[q](spark, sf_dir))
-        # q24 joins three projections of the same scan on doc_id; allow its
-        # documented exchanges, q25 must be shuffle-free
-        if q == "q25_fingerprint":
-            assert stats["exchanges"] == 0, (q, stats)
+        assert stats["exchanges"] == 0, (q, stats)
 
 
 def test_whole_stage_codegen_present(spark, sf_dir):
@@ -102,3 +99,9 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_text_stats_is_single_projection(spark, sf_dir):
+    """Fused text_stats must plan with zero exchanges (was: two joins)."""
+    stats = plan_stats(QUERIES["q24_text_stats"](spark, sf_dir))
+    assert stats["exchanges"] == 0, stats

@@ -4,9 +4,14 @@ document fingerprinting.
 Everything is a narrow projection over built-in string/regex functions —
 no shuffle at all, so these scale linearly with input bytes and pipeline
 with any downstream op. All formulas are SQL-reproducible for the oracle.
+Each op family exposes an expression-builder (`_*_exprs`) so `text_stats`
+can fuse all of them into ONE projection over one scan instead of joining
+per-op frames (which would shuffle the corpus per op).
 """
 
 from __future__ import annotations
+
+import typing as _ty
 
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
@@ -34,7 +39,7 @@ def _round4(col):
     return F.floor(col * 10000.0 + 0.5) / 10000.0
 
 
-def token_count(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+def _token_count_exprs(text_col: str) -> _ty.List[F.Column]:
     """Whitespace tokens + a BPE-ish subword estimate: words plus one
     extra unit per 4 chars beyond the first 4 of each word (a stand-in
     for byte-pair merges; deterministic, no tokenizer asset needed)."""
@@ -45,15 +50,14 @@ def token_count(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
         F.lit(0).cast("long"),
         lambda acc, w: acc + F.greatest(F.floor((F.length(w) + 3) / 4), F.lit(1).cast("long")),
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n_words.alias("n_tokens"),
         bpe_units.alias("n_bpe_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
-    )
+    ]
 
 
-def quality_score(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+def _quality_exprs(text_col: str) -> _ty.List[F.Column]:
     """Heuristic document quality in [0,1]: mean word length sanity,
     punctuation density, stopword (English) hit rate, length band."""
     text = F.col(text_col)
@@ -75,19 +79,17 @@ def quality_score(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SD
         + F.lit(0.2) * punct_ok
         + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
     )
-    return df.select(
-        F.col(id_col),
+    return [
         _round4(mean_wlen).alias("mean_word_len"),
         _round4(punct_ratio).alias("punct_ratio"),
         _round4(stop_ratio).alias("stopword_ratio"),
         _round4(score).alias("quality"),
-    )
+    ]
 
 
-def language_id(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+def _language_exprs(text_col: str) -> _ty.List[F.Column]:
     """Stopword-vote language ID: the language whose stopword list hits
-    the most tokens wins (ties broken by language code order). One
-    projection, no shuffle."""
+    the most tokens wins (ties broken by language code order)."""
     words = _words(F.col(text_col))
     hits = {}
     for lang in sorted(STOPWORDS):
@@ -99,11 +101,19 @@ def language_id(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
     pred = F.lit(None).cast("string")
     for lang in sorted(STOPWORDS, reverse=True):
         pred = F.when(hits[lang] == mx, F.lit(lang)).otherwise(pred)
-    return df.select(
-        F.col(id_col),
-        pred.alias("pred_lang"),
-        mx.alias("stopword_hits"),
-    )
+    return [pred.alias("pred_lang"), mx.alias("stopword_hits")]
+
+
+def token_count(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    return df.select(F.col(id_col), *_token_count_exprs(text_col))
+
+
+def quality_score(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    return df.select(F.col(id_col), *_quality_exprs(text_col))
+
+
+def language_id(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    return df.select(F.col(id_col), *_language_exprs(text_col))
 
 
 def doc_fingerprint(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
@@ -128,8 +138,13 @@ def doc_fingerprint(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def text_stats(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
-    """One-pass combined stats (token counts + quality + language)."""
-    tc = token_count(df, text_col, id_col)
-    qs = quality_score(df, text_col, id_col)
-    li = language_id(df, text_col, id_col)
-    return tc.join(qs, id_col).join(li, id_col)
+    """One-pass combined stats: a SINGLE projection over one scan —
+    joining the three per-op frames on doc_id would shuffle the corpus
+    twice for columns that are all computable side by side in the same
+    codegen stage."""
+    return df.select(
+        F.col(id_col),
+        *_token_count_exprs(text_col),
+        *_quality_exprs(text_col),
+        *_language_exprs(text_col),
+    )
