@@ -1525,3 +1525,61 @@ def q44_ann_ivf(spark: SparkSession, sf_dir: str) -> SDF:
     q = emb.filter(F.col("vec_id") < 5)
     out = ivf_topk(emb, q, k=3, n_cells=8, n_probe=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "q45_llm_pipeline",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY nt
+    ),
+    kept AS (
+      SELECT n.doc_id, n.lang, n.nt FROM norm n JOIN survivors s USING (doc_id)
+    ),
+    stats AS (
+      SELECT doc_id, lang,
+             len(string_split(nt, ' '))::BIGINT AS n_tokens,
+             list_sum([greatest((length(w) + 3) // 4, 1)
+                       for w in string_split(nt, ' ')])::BIGINT AS n_bpe,
+             -- mirror the engine's _round4 half-up rounding exactly
+             floor((CASE WHEN len(string_split(nt, ' ')) > 0
+                  THEN len(list_filter(string_split(nt, ' '),
+                           w -> list_contains(['the','a','and','of','to','in','is','it'], w)))
+                       / len(string_split(nt, ' '))::DOUBLE
+                  ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS stop_ratio
+      FROM kept
+    )
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           SUM(n_bpe)::BIGINT AS total_bpe_tokens
+    FROM stats
+    WHERE stop_ratio >= 0.05
+    GROUP BY lang
+    """,
+)
+def q45_llm_pipeline(spark: SparkSession, sf_dir: str) -> SDF:
+    """Composite training-data pipeline: exact dedup (keep-min-id) ->
+    quality gate (stopword ratio) -> per-language corpus token budget.
+    Exercises operator COMPOSITION: dedup semi-join + fused text_stats
+    projection + hash aggregate, three shuffles total for the whole
+    pipeline (dedup group, semi-join, final group)."""
+    from torcharrow_spark.operators import exact_dedup, text_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    kept = exact_dedup(docs)
+    stats = text_stats(kept).join(kept.select("doc_id", "lang"), "doc_id")
+    return (
+        stats.where(F.col("stopword_ratio") >= 0.05)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+    )
