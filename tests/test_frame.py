@@ -187,3 +187,36 @@ def test_transform_formats(spark):
         format="torch",
     )
     assert sorted(r["a"] for r in tc.to_pylist()) == [3.0, 6.0, 9.0]
+
+
+def test_fill_null_descends_into_structs(spark):
+    """fill_null rebuilds struct children recursively; a NULL struct ROW
+    stays null (row-null vs field-null are distinct — reference
+    dataframe_cpu.py:240-254)."""
+    import torcharrow_spark as ts
+
+    sdf = spark.createDataFrame(
+        [
+            (1, {"x": None, "y": 2.0, "inner": {"z": None}}),
+            (2, {"x": 5.0, "y": None, "inner": None}),
+            (3, None),
+        ],
+        "id long, s struct<x double, y double, inner struct<z double>>",
+    )
+    out = {r["id"]: r for r in ts.DataFrame(sdf).fill_null(0.0).to_pylist()}
+    assert out[1]["s"] == {"x": 0.0, "y": 2.0, "inner": {"z": 0.0}}
+    assert out[2]["s"]["x"] == 5.0 and out[2]["s"]["y"] == 0.0
+    assert out[2]["s"]["inner"] is None  # null inner struct row stays null
+    assert out[3]["s"] is None  # null outer struct row stays null
+
+
+def test_validate_fixed_size(spark):
+    import pytest
+
+    import torcharrow_spark as ts
+
+    ok = ts.dataframe({"v": [[1, 2], [3, 4]]}, spark=spark).validate_fixed_size("v", 2)
+    assert ok.count() == 2
+    bad = ts.dataframe({"v": [[1, 2], [3]]}, spark=spark).validate_fixed_size("v", 2)
+    with pytest.raises(Exception, match="fixed_size violation"):
+        bad.to_pylist()

@@ -188,13 +188,78 @@ class DataFrame:
 
     # -- null handling / dedup (reference §2.11) ----------------------------
 
+    @staticmethod
+    def _fill_matches(dtype, value) -> bool:
+        """fillna's type-matching contract: numbers fill numeric columns,
+        strings fill strings, bools fill bools."""
+        import pyspark.sql.types as T
+
+        if isinstance(value, bool):
+            return isinstance(dtype, T.BooleanType)
+        if isinstance(value, (int, float)):
+            return isinstance(dtype, T.NumericType)
+        if isinstance(value, str):
+            return isinstance(dtype, T.StringType)
+        return False
+
+    @classmethod
+    def _fill_struct_expr(cls, col_expr, struct_type, value):
+        """Rebuild a struct with nulls filled recursively (reference
+        fills per-child: dataframe_cpu.py:1535-1557). A NULL struct ROW
+        stays null — row-level and field-level nullness are distinct
+        (reference dataframe_cpu.py:240-254)."""
+        import pyspark.sql.types as T
+
+        parts = []
+        for f in struct_type.fields:
+            child = col_expr[f.name]
+            if isinstance(f.dataType, T.StructType):
+                e = cls._fill_struct_expr(child, f.dataType, value)
+            elif cls._fill_matches(f.dataType, value):
+                e = F.coalesce(child, F.lit(value).cast(f.dataType))
+            else:
+                e = child
+            parts.append(e.alias(f.name))
+        return F.when(col_expr.isNotNull(), F.struct(*parts)).otherwise(
+            F.lit(None).cast(struct_type)
+        )
+
     def fill_null(self, value) -> "DataFrame":
+        """fillna that also descends into struct columns (Spark's fillna
+        does not — SURVEY §7.4 risk 1)."""
+        import pyspark.sql.types as T
+
         if isinstance(value, dict):
             return DataFrame(self._sdf.fillna(value))
-        return DataFrame(self._sdf.fillna(value))
+        sdf = self._sdf.fillna(value)
+        for f in sdf.schema.fields:
+            if isinstance(f.dataType, T.StructType):
+                sdf = sdf.withColumn(
+                    f.name, self._fill_struct_expr(F.col(f.name), f.dataType, value)
+                )
+        return DataFrame(sdf)
 
     def drop_null(self, how: str = "any") -> "DataFrame":
         return DataFrame(self._sdf.dropna(how=how))
+
+    def validate_fixed_size(self, column: str, size: int) -> "DataFrame":
+        """CHECK-style enforcement of dt.List(fixed_size=n): Spark has no
+        type-level fixed-size arrays (SURVEY §1.2), so — like the
+        reference, which validates only on append
+        (list_column_cpu.py:98-101) — we validate at a chosen pipeline
+        point with a raise_error expression. Zero cost when data is
+        valid; fails the job with a clear message otherwise."""
+        c = F.col(column)
+        checked = F.when(
+            c.isNotNull() & (F.size(c) != F.lit(size)),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"fixed_size violation in '{column}': expected {size}, got "),
+                    F.size(c).cast("string"),
+                )
+            ).cast(self._sdf.schema[column].dataType),
+        ).otherwise(c)
+        return DataFrame(self._sdf.withColumn(column, checked))
 
     def drop_duplicates(
         self,
