@@ -214,3 +214,23 @@ def test_resize_media_plumbing(spark):
     assert out[1]["meta"]["width"] == 32 and out[1]["meta"]["n_bytes"] == 32 * 32 * 3 // 256
     assert len(out[1]["resized"]) == 32 * 32 * 3 // 256
     assert out[2]["resized"] is None and out[2]["meta"]["n_bytes"] == 0
+
+
+def test_simhash_pairs_hamming(spark, sf_dir):
+    """Block-permutation candidate generation finds EXACTLY the pairs a
+    brute-force Hamming scan finds (pigeonhole guarantees no false
+    negatives within max_hamming)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ops.simhash_pairs(docs, bits=16, max_hamming=2).collect()
+    }
+    hashes = {r["doc_id"]: r["simhash"] for r in ops.simhash(docs, bits=16).collect()}
+    ids = sorted(hashes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(hashes[a] ^ hashes[b]).count("1")
+            if h <= 2:
+                want[(a, b)] = h
+    assert got == want and len(want) > 0

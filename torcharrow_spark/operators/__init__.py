@@ -16,6 +16,7 @@ from .dedup import (
     ngram_jaccard_pairs_prefix,
     simhash,
     simhash_groups,
+    simhash_pairs,
 )
 from .joins import asof_join, salted_join
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
@@ -50,6 +51,7 @@ __all__ = [
     "quality_score",
     "resize_media",
     "simhash_groups",
+    "simhash_pairs",
     "text_stats",
     "token_count",
 ]

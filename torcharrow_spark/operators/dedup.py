@@ -370,3 +370,70 @@ def ngram_jaccard_pairs_prefix(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_pairs(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> SDF:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming,
+    via the block-permutation trick (Charikar/Manku et al., public): split
+    the b-bit hash into (max_hamming + 1) blocks — two hashes within
+    Hamming distance k MUST agree exactly on at least one block
+    (pigeonhole), so candidates are generated per (block index, block
+    value) with one groupBy, then verified exactly with
+    bit_count(xor(h_a, h_b)). No self-join, no quadratic corpus scan;
+    the block values are near-uniform, so the shuffle is even."""
+    n_blocks = max_hamming + 1
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    s = simhash(df, text_col, id_col, bits)
+
+    offset = 0
+    block_exprs = []
+    for i, w in enumerate(widths):
+        block_exprs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), offset).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                ).alias("val"),
+            )
+        )
+        offset += w
+    banded = s.select(
+        id_col, "simhash", F.explode(F.array(*block_exprs)).alias("b")
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+
+    buckets = (
+        banded.groupBy("blk", "val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h")))
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.i").alias("id_a"),
+            F.col("p.b.i").alias("id_b"),
+            F.bit_count(
+                F.col("p.a.h").bitwiseXOR(F.col("p.b.h"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

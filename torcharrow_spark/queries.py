@@ -1583,3 +1583,45 @@ def q45_llm_pipeline(spark: SparkSession, sf_dir: str) -> SDF:
             F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
         )
     )
+
+
+def _simhash_cte(bits: int = 16) -> str:
+    votes = ",\n".join(
+        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)::BIGINT" for j in range(bits)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, md5(unnest(string_split(
+        regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))) AS h
+      FROM documents
+    ),
+    bits AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+    sh AS (SELECT doc_id, {recombine} AS simhash FROM bits)
+    """
+
+
+@query(
+    "q46_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_cte(16)}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q46_simhash_pairs(spark: SparkSession, sf_dir: str) -> SDF:
+    """SimHash near-dup pairs with Hamming <= 3 via block-permutation
+    candidate generation (operators/dedup.py:simhash_pairs) — provably
+    the same pairs as the oracle's brute-force O(n^2) scan, found with
+    one groupBy instead."""
+    from torcharrow_spark.operators import simhash_pairs
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    out = simhash_pairs(docs, bits=16, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
