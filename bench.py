@@ -42,6 +42,7 @@ HEADLINE = [
     "q37_asof_join",
     "q41_bpe_tokenize",
     "q42_cosine_dedup",
+    "q45_llm_pipeline",
 ]
 
 
