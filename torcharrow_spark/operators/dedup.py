@@ -239,6 +239,11 @@ def ngram_jaccard_pairs(
     m docs still costs O(m²) pairs — cap with an upstream frequency
     filter if a corpus has mega-duplicated lines."""
     sh = _shingles(df, text_col, id_col, shingle_k)
+    # shuffle on a 64-bit hash of the shingle, not the 20-30 byte text:
+    # ~3x smaller shuffle keys; a cross-shingle collision (~n^2/2^65)
+    # could only perturb results if both collided shingles also shared a
+    # doc pair — negligible against the corpus sizes this targets
+    sh = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ids_per_shingle = (
         sh.groupBy("shingle")
