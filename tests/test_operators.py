@@ -234,3 +234,49 @@ def test_simhash_pairs_hamming(spark, sf_dir):
             if h <= 2:
                 want[(a, b)] = h
     assert got == want and len(want) > 0
+
+
+def test_bpe_matches_reference_gpt2_goldens(spark):
+    """Byte-level BPE parity with the reference's own GPT-2 test
+    (reference test/transformation/test_text_ops.py golden token ids),
+    using the PUBLIC GPT-2 vocab asset shipped in the reference repo.
+    Skipped when the asset isn't mounted."""
+    import json
+    import os
+
+    import pytest
+
+    enc_path = "/root/reference/torcharrow/test/asset/gpt2_bpe_encoder.json"
+    bpe_path = "/root/reference/torcharrow/test/asset/gpt2_bpe_vocab.bpe"
+    if not (os.path.exists(enc_path) and os.path.exists(bpe_path)):
+        pytest.skip("reference GPT-2 vocab asset not available")
+
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark.functions import BPETokenizer
+
+    with open(enc_path, encoding="utf-8") as f:
+        encoder = json.load(f)
+    with open(bpe_path, encoding="utf-8") as f:
+        merges = [tuple(l.split()) for l in f.read().split("\n")[1:-1]]
+    tok = BPETokenizer(encoder, merges)
+
+    goldens = {
+        "Hello World!, how are you?": [15496, 2159, 28265, 703, 389, 345, 30],
+        "Respublica superiorem": [4965, 11377, 64, 2208, 72, 29625],
+    }
+    for text, want in goldens.items():
+        assert tok.encode(text) == want, text
+
+    # distributed path: same ids through the pandas UDF
+    d = ts.dataframe(
+        {"doc_id": [0, 1], "text": list(goldens)},
+        spark=spark,
+    )
+    rows = {
+        r["doc_id"]: r["tokens"]
+        for r in d.select("doc_id", tokens=fn.bpe_tokenize(tok, me["text"])).to_pylist()
+    }
+    assert rows[0] == goldens[list(goldens)[0]]
+    assert rows[1] == goldens[list(goldens)[1]]
