@@ -83,17 +83,6 @@ def bucketize(value: Column, borders: _ty.Sequence[float]) -> Column:
     return _wrap(resolve, value)
 
 
-def md5_int64_expr(e: SC, bits: int = 48) -> SC:
-    """Deterministic 48-bit integer hash of a string expression via md5.
-
-    Chosen (rather than xxhash/murmur) because an external SQL oracle can
-    reproduce it exactly: both Spark and DuckDB expose md5(text)->hex.
-    12 hex digits = 48 bits < 2^53, exact in double for oracle engines
-    without a hex->int builtin."""
-    digits = bits // 4
-    return F.conv(F.substring(F.md5(e), 1, digits), 16, 10).cast("long")
-
-
 _HASH128_KMUL = 0x9DDFEA08EB382D69 - (1 << 64)  # as signed two's-complement
 
 
