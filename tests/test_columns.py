@@ -114,3 +114,28 @@ def test_generic_dispatch(spark):
     assert col(spark, d, fn.lpad(me["s"], 3, "_")) == ["__a", "_bb"]
     # unknown in F but valid SQL function
     assert col(spark, d, fn.repeat(me["s"], 2)) == ["aa", "bbbb"]
+
+
+def test_column_level_map_flatmap_filter(spark):
+    """Reference defines map/flatmap/filter on Column (icolumn.py:420-727);
+    ours delegate to the owning frame."""
+    import typing
+
+    import pytest
+
+    d = ts.dataframe({"a": [1, 2, 3]}, spark=spark)
+    mapped = d.select(b=d["a"].map({1: "one", 2: "two"}))
+    assert [r["b"] for r in mapped.to_pylist()] == ["one", "two", None]
+
+    def explode_n(x) -> typing.List[int]:
+        return list(range(x))
+
+    flat = d["a"].flatmap(explode_n)
+    assert sorted(r["value"] for r in flat.to_pylist()) == [0, 0, 0, 1, 1, 2]
+
+    kept = d["a"].filter(lambda x: x > 1)
+    assert sorted(r["a"] for r in kept.to_pylist()) == [2, 3]
+
+    derived = d["a"] + 1
+    with pytest.raises(ValueError, match="NAMED column"):
+        derived.map({1: "x"})

@@ -393,6 +393,35 @@ class Column:
     def quantile(self, q: float):
         return self._agg(lambda e: F.percentile(e, F.lit(q)), dt.float64.with_null(True))
 
+    # -- row-level functional ops on a single named column (reference
+    #    icolumn.py:420-727 defines map/flatmap/filter on Column) --------
+
+    def _named_owner(self, op: str):
+        if self._owner is None or self._name is None:
+            raise ValueError(
+                f"Column.{op} needs a frame-owned NAMED column "
+                "(use DataFrame.map/flatmap/filter with columns=[...] for "
+                "derived expressions)"
+            )
+        return self._owner, self._name
+
+    def map(self, arg, na_action=None, dtype=None) -> "Column":
+        """Per-element dict lookup or UDF (reference icolumn.py:420-611),
+        delegated to the owning frame's Arrow-batched map."""
+        owner, name = self._named_owner("map")
+        return owner.map(arg, na_action=na_action, dtype=dtype, columns=[name])
+
+    def flatmap(self, fn, dtype=None):
+        """Element -> list of rows (reference icolumn.py:646-675)."""
+        owner, name = self._named_owner("flatmap")
+        return owner.flatmap(fn, dtype=dtype, columns=[name])
+
+    def filter(self, predicate):
+        """Keep rows where predicate(element) (reference icolumn.py:677-727
+        — this filters ROWS, not list elements; see .list.filter)."""
+        owner, name = self._named_owner("filter")
+        return owner.filter(predicate, columns=[name])
+
     # -- accessors ----------------------------------------------------------
 
     @property

@@ -352,9 +352,15 @@ class DataFrame:
         expr = _udf(*[F.col(c) for c in columns])
         return Column(lambda df: (expr, dtype.with_null(True)), owner=self)
 
-    def flatmap(self, fn, dtype: dt.DType, columns: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
+    def flatmap(self, fn, dtype: _ty.Optional[dt.DType] = None,
+                columns: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
         """Row -> list of rows (reference icolumn.py:646-675): UDF returning
-        an array + explode."""
+        an array + explode. `dtype` is the ELEMENT dtype; when omitted it
+        is inferred from the callable's return annotation (a List hint's
+        item type)."""
+        if dtype is None:
+            inferred = dt.infer_dtype_from_callable(fn)
+            dtype = inferred.item_dtype if dt.is_list(inferred) else inferred
         col = self.map(fn, dtype=dt.List(dtype), columns=columns)
         e, _ = col._resolve(self)
         return DataFrame(self._sdf.select(F.explode(e).alias("value")))
