@@ -220,3 +220,19 @@ def test_validate_fixed_size(spark):
     bad = ts.dataframe({"v": [[1, 2], [3]]}, spark=spark).validate_fixed_size("v", 2)
     with pytest.raises(Exception, match="fixed_size violation"):
         bad.to_pylist()
+
+
+def test_rolling_window(spark):
+    import torcharrow_spark as ts
+
+    d = ts.dataframe(
+        {"g": [1, 1, 1, 2], "i": [1, 2, 3, 1], "x": [1.0, 2.0, 3.0, 10.0]}, spark=spark
+    )
+    out = (
+        d.rolling(2, order_by=["i"], partition_by=["g"])
+        .agg({"x": ["sum", "max"]})
+        .sort(by=["g", "i"])
+        .to_pylist()
+    )
+    assert [r["x.rolling_sum"] for r in out] == [1.0, 3.0, 5.0, 10.0]
+    assert [r["x.rolling_max"] for r in out] == [1.0, 2.0, 3.0, 10.0]

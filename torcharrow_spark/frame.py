@@ -572,6 +572,18 @@ class DataFrame:
         sdf = self._sdf.withColumn("__pos__", pos)
         return DataFrame(sdf.filter(F.col("__pos__").isin(list(indices))).drop("__pos__"))
 
+    def rolling(
+        self,
+        window: int,
+        order_by: _ty.List[str],
+        partition_by: _ty.Optional[_ty.List[str]] = None,
+    ) -> "RollingWindow":
+        """Trailing row-count window (the reference stubs `rolling` out:
+        velox_rt/dataframe_cpu.py:2472-2482 — free on Spark windows).
+        `partition_by` keeps the window distributed; a global rolling
+        aggregate is a single-partition sort."""
+        return RollingWindow(self, window, order_by, partition_by or [])
+
     def tail(self, n: int = 5, order_by: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
         """Last n rows under an explicit order (reference icolumn.py:352-409;
         positional tail needs a total order at scale)."""
@@ -765,3 +777,27 @@ class GroupedDataFrame:
         reference's `for (key, df) in gd` iteration,
         dataframe_cpu.py:2304-2321)."""
         return DataFrame(self._gd.applyInPandas(fn, schema=schema))
+
+
+class RollingWindow:
+    """Handle for DataFrame.rolling: trailing-`window`-rows aggregates."""
+
+    _FNS = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max, "count": F.count}
+
+    def __init__(self, df: DataFrame, window: int, order_by, partition_by):
+        self._df = df
+        self._w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(*order_by)
+            .rowsBetween(-(window - 1), Window.currentRow)
+        )
+
+    def agg(self, spec: _ty.Dict[str, _ty.List[str]]) -> DataFrame:
+        """spec: {column: [ops]} -> adds `{col}.rolling_{op}` columns."""
+        sdf = self._df.to_spark()
+        for col, ops in spec.items():
+            for op in ops:
+                sdf = sdf.withColumn(
+                    f"{col}.rolling_{op}", self._FNS[op](F.col(col)).over(self._w)
+                )
+        return DataFrame(sdf)

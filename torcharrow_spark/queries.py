@@ -1625,3 +1625,45 @@ def q46_simhash_pairs(spark: SparkSession, sf_dir: str) -> SDF:
     docs = _load(spark, sf_dir, "documents").to_spark()
     out = simhash_pairs(docs, bits=16, max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@query(
+    "q47_rolling",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS "o_totalprice.rolling_sum",
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS "o_totalprice.rolling_mean"
+    FROM orders
+    """,
+)
+def q47_rolling(spark: SparkSession, sf_dir: str) -> SDF:
+    """Trailing 3-row rolling sum/mean per customer over order time
+    (frame.rolling — the reference's stubbed `rolling`, distributed via
+    partitioned windows). Sum goes through decimal for an
+    order-independent exact total, then back to double."""
+    import torcharrow_spark as ts
+
+    o = _load(spark, sf_dir, "orders")
+    base = o.keep(["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    dec = base.to_spark().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = ts.DataFrame(dec).rolling(
+        3, order_by=["o_orderdate", "o_orderkey"], partition_by=["o_custkey"]
+    ).agg({"o_totalprice": ["sum", "count"]})
+    rsum = F.col("`o_totalprice.rolling_sum`").cast("double")
+    return out.to_spark().select(
+        "o_custkey",
+        "o_orderkey",
+        rsum.alias("o_totalprice.rolling_sum"),
+        (rsum / F.col("`o_totalprice.rolling_count`")).alias("o_totalprice.rolling_mean"),
+    )
