@@ -51,6 +51,22 @@ def _dsum(col) -> F.Column:
     return F.sum(col.cast("decimal(18,2)")).cast("double")
 
 
+def _json_arrays(sdf: SDF) -> SDF:
+    """Serialize complex-typed (array/map/struct) output columns to JSON
+    strings so the driver's canonicalizer (pandas sort_values + hash) can
+    handle them; the paired oracle mirrors with DuckDB ``to_json(..)``.
+    Plain columns pass through untouched."""
+    from pyspark.sql import types as T
+
+    cols = [
+        F.to_json(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        else F.col(f.name)
+        for f in sdf.schema.fields
+    ]
+    return sdf.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Relational core (reference §2.2, §2.6: select/where/groupby/agg/sort)
 
@@ -307,10 +323,10 @@ def q08_string_ops(spark: SparkSession, sf_dir: str) -> SDF:
     oracle="""
     SELECT p_partkey,
            len(words) AS n_words,
-           list_transform(words, w -> upper(w)) AS upper_words,
+           to_json(list_transform(words, w -> upper(w)))::VARCHAR AS upper_words,
            array_to_string(words, '_') AS joined,
-           words[1:2] AS first2,
-           list_transform(words, w -> length(w)) AS word_lens,
+           to_json(words[1:2])::VARCHAR AS first2,
+           to_json(list_transform(words, w -> length(w)))::VARCHAR AS word_lens,
            CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_len
     FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
     """,
@@ -323,7 +339,7 @@ def q09_list_ops(spark: SparkSession, sf_dir: str) -> SDF:
     p = _load(spark, sf_dir, "part")
     p["words"] = me["p_name"].str.split(" ")
     w = p["words"]
-    return p.select(
+    out = p.select(
         "p_partkey",
         n_words=w.list.length(),
         upper_words=w.list.map(lambda x: x.str.upper()),
@@ -334,6 +350,7 @@ def q09_list_ops(spark: SparkSession, sf_dir: str) -> SDF:
             lambda a, b: a + b, 0
         ),
     ).to_spark()
+    return _json_arrays(out)
 
 
 @query(
@@ -579,9 +596,9 @@ def q16_event_windows(spark: SparkSession, sf_dir: str) -> SDF:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       FROM t
     )
-    SELECT user_id, session_seq,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, session_seq
@@ -594,9 +611,13 @@ def q17_sessionize(spark: SparkSession, sf_dir: str) -> SDF:
 
     ev = _load(spark, sf_dir, "events").to_spark()
     with_id = with_session_ids(ev, 30)
+    # session bounds as epoch-second longs: timestamp_ntz renders
+    # differently in the driver's pandas canonicalizer than DuckDB's
+    # timestamps even when the instants are identical (r1 hash_match
+    # false with rows/schema green) — longs are representation-proof
     return with_id.groupBy("user_id", "session_seq").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min("ts").cast("timestamp").cast("long").alias("session_start"),
+        F.max("ts").cast("timestamp").cast("long").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
@@ -1019,8 +1040,8 @@ def q27_rec_ops(spark: SparkSession, sf_dir: str) -> SDF:
                  THEN len(list_distinct(list_filter(a, x -> list_contains(b, x))))::DOUBLE
                       / len(list_distinct(list_concat(a, b)))::DOUBLE
                  ELSE 0.0 END)::REAL AS jaccard,
-           list_slice(a, 1, 2) AS first2,
-           list_transform(a, x -> CASE WHEN x < 'm' THEN 'm' ELSE x END) AS clamped
+           to_json(list_slice(a, 1, 2))::VARCHAR AS first2,
+           to_json(list_transform(a, x -> CASE WHEN x < 'm' THEN 'm' ELSE x END))::VARCHAR AS clamped
     FROM t
     """,
 )
@@ -1041,7 +1062,7 @@ def q28_list_scores(spark: SparkSession, sf_dir: str) -> SDF:
         )
     )
     a = p["a"]
-    return p.select(
+    out = p.select(
         "p_partkey",
         overlap=fn.has_id_overlap(a, ref),
         overlap_count=fn.id_overlap_count(a, ref),
@@ -1050,6 +1071,7 @@ def q28_list_scores(spark: SparkSession, sf_dir: str) -> SDF:
         first2=fn.firstx(a, 2),
         clamped=fn.clamp_list(a, "m", "zzzz"),
     ).to_spark()
+    return _json_arrays(out)
 
 
 @query(
@@ -1063,11 +1085,11 @@ def q28_list_scores(spark: SparkSession, sf_dir: str) -> SDF:
       FROM documents
     )
     SELECT doc_id,
-           list_transform(toks, w -> CASE w
+           to_json(list_transform(toks, w -> CASE w
                WHEN '<s>' THEN 0 WHEN '</s>' THEN 1
                WHEN 'the' THEN 2 WHEN 'data' THEN 3 WHEN 'spark' THEN 4
                WHEN 'row' THEN 5 WHEN 'key' THEN 6 WHEN 'join' THEN 7
-               ELSE -1 END) AS token_ids
+               ELSE -1 END))::VARCHAR AS token_ids
     FROM t
     """,
 )
@@ -1092,7 +1114,8 @@ def q29_vocab_tokens(spark: SparkSession, sf_dir: str) -> SDF:
         ["<s>"],
         begin=True,
     )
-    return docs.select("doc_id", token_ids=fn.lookup_indices(vocab, toks)).to_spark()
+    out = docs.select("doc_id", token_ids=fn.lookup_indices(vocab, toks)).to_spark()
+    return _json_arrays(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1398,7 +1421,7 @@ def q39_score_ops(spark: SparkSession, sf_dir: str) -> SDF:
     "q40_tensor_prep",
     oracle="""
     SELECT c_custkey,
-           [c_acctbal, c_nationkey::DOUBLE, length(c_name)::DOUBLE] AS dense,
+           to_json([c_acctbal, c_nationkey::DOUBLE, length(c_name)::DOUBLE])::VARCHAR AS dense,
            floor(ln(greatest(c_acctbal, 0.0) + 3.0) * 1e9 + 0.5) / 1e9 AS log_bal,
            greatest(least(c_acctbal, 9000.0), 1000.0) AS clamped_bal
     FROM customer
@@ -1416,7 +1439,7 @@ def q40_tensor_prep(spark: SparkSession, sf_dir: str) -> SDF:
     # fix 9 decimals with an engine-independent floor round
     log_bal = ((if_else(me["c_acctbal"] > 0, me["c_acctbal"], 0.0) + 3.0)
                .cast(dt.float64).log() * 1e9 + 0.5).floor() / 1e9
-    return c.select(
+    out = c.select(
         "c_custkey",
         dense=fn.array(
             me["c_acctbal"],
@@ -1430,6 +1453,7 @@ def q40_tensor_prep(spark: SparkSession, sf_dir: str) -> SDF:
             if_else(me["c_acctbal"] < 1000.0, 1000.0, me["c_acctbal"]),
         ),
     ).to_spark()
+    return _json_arrays(out)
 
 
 @query("q41_bpe_tokenize")  # no oracle: BPE's merge loop is not SQL-expressible
@@ -1443,11 +1467,12 @@ def q41_bpe_tokenize(spark: SparkSession, sf_dir: str) -> SDF:
 
     tok = BPETokenizer.toy()
     docs = _load(spark, sf_dir, "documents")
-    return docs.select(
+    out = docs.select(
         "doc_id",
         tokens=fn.bpe_tokenize(tok, me["text"]),
         n_tokens=fn.bpe_tokenize(tok, me["text"]).list.length(),
     ).to_spark()
+    return _json_arrays(out)
 
 
 def _lsh_bucket_sql(n_planes: int) -> str:
