@@ -236,3 +236,31 @@ def test_rolling_window(spark):
     )
     assert [r["x.rolling_sum"] for r in out] == [1.0, 3.0, 5.0, 10.0]
     assert [r["x.rolling_max"] for r in out] == [1.0, 2.0, 3.0, 10.0]
+
+
+def test_is_unique_null_semantics(spark):
+    """Nulls compare as values (reference icolumn.py is_unique is
+    set-based): duplicate nulls break uniqueness; a single row with
+    nulls in several columns is still unique."""
+    import torcharrow_spark as ts
+
+    d = ts.dataframe({"x": [1, None, None]}, dtype=dt.Struct([dt.Field("x", dt.Int64(True))]), spark=spark)
+    assert not d.is_unique(["x"])
+    d2 = ts.dataframe({"x": [1, None, 2]}, dtype=dt.Struct([dt.Field("x", dt.Int64(True))]), spark=spark)
+    assert d2.is_unique(["x"])
+    # one row, nulls in two checked columns: trivially unique
+    d3 = ts.dataframe(
+        {"a": [None], "b": [None]},
+        dtype=dt.Struct([dt.Field("a", dt.Int64(True)), dt.Field("b", dt.Int64(True))]),
+        spark=spark,
+    )
+    assert d3.is_unique(["a", "b"])
+    # same null-tuple twice: not unique
+    d4 = ts.dataframe(
+        {"a": [None, None], "b": [None, None]},
+        dtype=dt.Struct([dt.Field("a", dt.Int64(True)), dt.Field("b", dt.Int64(True))]),
+        spark=spark,
+    )
+    assert not d4.is_unique(["a", "b"])
+    # empty frame is unique
+    assert d.where(me["x"] > 99).is_unique(["x"])

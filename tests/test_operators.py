@@ -280,3 +280,30 @@ def test_bpe_matches_reference_gpt2_goldens(spark):
     }
     assert rows[0] == goldens[list(goldens)[0]]
     assert rows[1] == goldens[list(goldens)[1]]
+
+
+def test_scale_functions_no_whole_frame_window(spark):
+    """scale_to_0_1 / scale_to_z_score: values match a pandas oracle and
+    the main data path has no single-partition window Exchange — frame
+    stats ride a scalar subquery (partial agg + 1-row broadcast)."""
+    import math
+
+    import torcharrow_spark as ts
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark import me
+    from torcharrow_spark.plans import formatted_plan
+
+    vals = [1.0, 5.0, 3.0, -2.0, 10.0, 7.5]
+    d = ts.dataframe({"x": vals}, spark=spark)
+    out = d.select("x", z=fn.scale_to_z_score(me["x"]), m=fn.scale_to_0_1(me["x"]))
+    rows = {r["x"]: r for r in out.to_pylist()}
+    n = len(vals)
+    mu = sum(vals) / n
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / n)
+    mn, mx = min(vals), max(vals)
+    for v in vals:
+        assert abs(rows[v]["z"] - (v - mu) / sd) < 1e-6
+        assert abs(rows[v]["m"] - (v - mn) / (mx - mn)) < 1e-6
+    # plan: no whole-frame Window (the old partitionBy(lit(1)) shape)
+    plan = formatted_plan(out.to_spark())
+    assert "Window" not in plan

@@ -593,16 +593,18 @@ class DataFrame:
         return DataFrame(rev.orderBy(*order_by))
 
     def is_unique(self, columns: _ty.Optional[_ty.List[str]] = None) -> bool:
-        """True iff no two rows agree on `columns` (reference
-        icolumn.py:171-206) — one aggregate, no collect of data."""
+        """True iff no two rows agree on `columns`, nulls compared as
+        values like the reference's set-based check (icolumn.py:171-206):
+        [1, null, null] is NOT unique. Null-safe distinct via groupBy —
+        one shuffle on `columns`, no data collected."""
         columns = columns or self.columns
-        row = self._sdf.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*[F.col(c) for c in columns]).alias("d"),
-            *[F.count_if(F.col(c).isNull()).alias(f"nn{i}") for i, c in enumerate(columns)],
-        ).collect()[0]
-        nulls = sum(row[f"nn{i}"] for i in range(len(columns)))
-        return bool(row["n"] == row["d"] + (1 if nulls == 1 else nulls))
+        row = (
+            self._sdf.groupBy(*[F.col(c) for c in columns])
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]
+        )
+        return bool(row["m"] is None or row["m"] <= 1)
 
     def _is_monotonic(self, column: str, order_by: _ty.List[str], op) -> bool:
         w = Window.orderBy(*order_by)

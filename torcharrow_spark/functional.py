@@ -289,25 +289,28 @@ def lookup_indices(vocab: _ty.Dict[str, int], col: Column, default: int = -1) ->
     return _wrap(resolve, col)
 
 
-# scaling (reference functional.py:568-596). Column-level versions use a
-# whole-frame window (fine on one node / small frames); `scaled_frame` in
-# operators/preprocess.py is the agg+broadcast-join variant for cluster
-# scale.
+# scaling (reference functional.py:568-596). Frame statistics come from a
+# lazy scalar subquery (DataFrame.scalar): Catalyst plans it as a separate
+# partial-agg job whose 1-row result feeds the main plan as a literal —
+# the data path stays embarrassingly parallel, no whole-frame window, no
+# single-partition Exchange of the rows. `scaled_frame` in
+# operators/preprocess.py is the multi-column agg+broadcast-join variant
+# with exact-decimal determinism.
 
 
-def _whole_frame_window():
-    from pyspark.sql import Window
-
-    return Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+def _frame_stats_scalar(sdf, aggs: _ty.Dict[str, _ty.Any]):
+    """One scalar subquery carrying all requested whole-frame aggregates
+    as a struct; returns {name: scalar-subquery Column}."""
+    stats = sdf.agg(*[v.alias(k) for k, v in aggs.items()])
+    s = stats.select(F.struct(*aggs.keys()).alias("s")).scalar()
+    return {k: s.getField(k) for k in aggs}
 
 
 def scale_to_0_1(col: Column) -> Column:
     def resolve(df):
         e, d = col._resolve(df)
-        w = _whole_frame_window()
-        mn, mx = F.min(e).over(w), F.max(e).over(w)
+        st = _frame_stats_scalar(df.to_spark(), {"mn": F.min(e), "mx": F.max(e)})
+        mn, mx = st["mn"], st["mx"]
         x = e.cast("double")
         out = F.when(mx > mn, (x - mn) / (mx - mn)).otherwise(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
@@ -321,8 +324,10 @@ def scale_to_z_score(col: Column) -> Column:
     # biased (population) std, matching reference functional.py:582-596
     def resolve(df):
         e, d = col._resolve(df)
-        w = _whole_frame_window()
-        mu, sd = F.avg(e).over(w), F.stddev_pop(e).over(w)
+        st = _frame_stats_scalar(
+            df.to_spark(), {"mu": F.avg(e), "sd": F.stddev_pop(e)}
+        )
+        mu, sd = st["mu"], st["sd"]
         out = F.when(sd > 0, (e.cast("double") - mu) / sd).otherwise(F.lit(0.0))
         return out.cast("float"), dt.float32.with_null(d.nullable)
 

@@ -227,17 +227,34 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    mode: str = "auto",
+    auto_doc_threshold: int = 50_000,
 ) -> SDF:
-    """Exact Jaccard similarity over distinct k-shingles, computed
-    group-first: shuffle (doc, shingle) ONCE on shingle, collect the
-    (sorted) doc list per shingle, and emit the C(n,2) ordered pairs from
-    each list with a nested array transform — |A ∩ B| is then a pair
-    count. A self-join formulation shuffles the shingle table twice;
-    this shuffles it once, and only shingles shared by ≥2 docs survive
-    to the pair stage. |A ∪ B| = |A| + |B| − |A ∩ B|. The shingle key is
-    high-cardinality text → even shuffle; a boilerplate shingle shared by
-    m docs still costs O(m²) pairs — cap with an upstream frequency
-    filter if a corpus has mega-duplicated lines."""
+    """Exact Jaccard similarity over distinct k-shingles.
+
+    mode='direct' computes group-first: shuffle (doc, shingle) ONCE on
+    shingle, collect the (sorted) doc list per shingle, and emit the
+    C(n,2) ordered pairs from each list with a nested array transform —
+    |A ∩ B| is then a pair count. A self-join formulation shuffles the
+    shingle table twice; this shuffles it once, and only shingles shared
+    by ≥2 docs survive to the pair stage. |A ∪ B| = |A| + |B| − |A ∩ B|.
+    The shingle key is high-cardinality text → even shuffle; BUT a
+    boilerplate shingle shared by m docs costs O(m²) pairs, which is the
+    scale-killer on large/duplicated corpora.
+
+    mode='prefix' delegates to `ngram_jaccard_pairs_prefix` (PPJoin-style
+    prefix filter — identical output, candidates scale with true
+    near-dups instead of Σ C(df, 2)).
+
+    mode='auto' (default) picks 'prefix' when the corpus exceeds
+    `auto_doc_threshold` documents (one cheap count job): measured on the
+    synthetic corpus, direct wins below ~50k docs (fewer shuffles),
+    prefix wins above (candidate blowup dominates). Force 'prefix' for
+    any corpus with heavy boilerplate regardless of size."""
+    if mode == "auto":
+        mode = "prefix" if df.count() > auto_doc_threshold else "direct"
+    if mode == "prefix":
+        return ngram_jaccard_pairs_prefix(df, text_col, id_col, shingle_k, threshold)
     sh = _shingles(df, text_col, id_col, shingle_k)
     # shuffle on a 64-bit hash of the shingle, not the 20-30 byte text:
     # ~3x smaller shuffle keys; a cross-shingle collision (~n^2/2^65)
@@ -307,14 +324,11 @@ def ngram_jaccard_pairs_prefix(
     corpus has heavy shingle reuse; the direct form wins on small or
     low-duplication corpora."""
     sh = _shingles(df, text_col, id_col, shingle_k)
-    # 48-bit hash of each shingle: arrays of longs intersect much faster
-    # than arrays of strings, and 2^48 makes collisions negligible
-    shh = sh.select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    # 64-bit hash of each shingle: arrays of longs intersect much faster
+    # than arrays of strings, and 2^64 makes collisions negligible; the
+    # hash only orders/buckets candidates — final pairs come from an
+    # exact intersection, so the hash choice never changes the output
+    shh = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("h"))
     dfreq = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = shh.join(dfreq, "h")
     # per-doc: full sorted-hash array + the global (df, h) ordering rank
