@@ -124,3 +124,19 @@ def test_infer_dtype_from_callable():
 
     with pytest.raises(TypeError):
         dt.infer_dtype_from_callable(g)
+
+
+def test_dtype_from_hint_pep604_union():
+    from torcharrow_spark import dt
+    from torcharrow_spark.dtypes import dtype_from_hint
+
+    assert dtype_from_hint(int | None) == dt.int64.with_null(True)
+    assert dtype_from_hint(list[str | None]) == dt.List(dt.string.with_null(True))
+
+
+def test_column_is_hashable(spark):
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+
+    c = me["x"]
+    assert len({c, c}) == 1  # identity hash, no TypeError

@@ -307,3 +307,26 @@ def test_scale_functions_no_whole_frame_window(spark):
     # plan: no whole-frame Window (the old partitionBy(lit(1)) shape)
     plan = formatted_plan(out.to_spark())
     assert "Window" not in plan
+
+
+def test_exact_dedup_key_is_hash_not_text(spark):
+    """The dedup shuffle key is two 60-bit md5 halves, not the text:
+    distinct 48-bit-prefix-colliding texts must still separate (the full
+    120-bit key distinguishes them), and equal-after-normalization texts
+    with wildly different raw bytes must merge."""
+    from pyspark.sql import functions as F
+
+    data = [(i, f"unique text number {i}") for i in range(50)] + [
+        (100, "SAME   text\t here"),
+        (101, "same text here"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = ops.exact_dedup_ids(df)
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[100] == 2 and 101 not in rows
+    assert sum(rows.values()) == 52 and len(rows) == 51
+    # group key carries no string column into the shuffle
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    import re
+    m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m and "__h_hi__" in m.group(1) and "__norm__" not in plan

@@ -180,6 +180,11 @@ class Column:
     def __ne__(self, other):  # type: ignore[override]
         return self._compare(other, lambda a, b: a != b)
 
+    # __eq__ returns a lazy Column, which would otherwise set __hash__ to
+    # None and make Column unhashable (breaking set/dict membership);
+    # identity hashing is the pandas/pyspark convention here
+    __hash__ = object.__hash__
+
     def __lt__(self, other):
         return self._compare(other, lambda a, b: a < b)
 

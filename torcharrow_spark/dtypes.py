@@ -389,7 +389,10 @@ def dtype_from_hint(hint) -> DType:
     if origin in (dict, _ty.Dict):
         k, v = _ty.get_args(hint)
         return Map(dtype_from_hint(k), dtype_from_hint(v))
-    if origin is _ty.Union:
+    # typing.Optional[X] and PEP 604 `X | None` (types.UnionType) alike
+    import types as _types
+
+    if origin in (_ty.Union, _types.UnionType):
         args = [a for a in _ty.get_args(hint) if a is not type(None)]
         if len(args) == 1 and type(None) in _ty.get_args(hint):
             return dtype_from_hint(args[0]).with_null(True)

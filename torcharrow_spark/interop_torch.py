@@ -203,12 +203,38 @@ def from_tensor(data: _ty.Dict[str, _ty.Any], spark=None):
 
 def batched_tensors(df, batch_size: int = 65536):
     """Iterator of per-batch tensor dicts — the distributed-scale export
-    path: Arrow record batches stream from executors without a single
-    driver-side materialization (reference batch/unbatch,
-    icolumn.py:1170-1193)."""
+    path (reference batch/unbatch, icolumn.py:1170-1193).
+
+    Streams without a whole-dataset driver materialization: each executor
+    serializes its Arrow record batches to IPC payloads (mapInArrow, one
+    output row per batch), and the driver walks them with toLocalIterator
+    — holding one partition's payloads plus at most ~2x batch_size
+    buffered rows at a time, never the full dataset. Batches are
+    re-chunked driver-side so every yielded batch has exactly
+    `batch_size` rows (except the last)."""
     sdf = df.to_spark() if hasattr(df, "to_spark") else df
-    # combine first: Spark emits one record batch per partition, which would
-    # otherwise cap every yielded batch at the partition size
-    for batch in sdf.toArrow().combine_chunks().to_batches(max_chunksize=batch_size):
-        tbl = pa.Table.from_batches([batch])
-        yield {n: _convert_array(tbl.column(n)) for n in tbl.column_names}
+
+    def _to_ipc(batches):
+        for b in batches:
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, b.schema) as w:
+                w.write_batch(b)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([sink.getvalue().to_pybytes()], type=pa.binary())],
+                names=["payload"],
+            )
+
+    payloads = sdf.mapInArrow(_to_ipc, "payload binary")
+    buf: _ty.List[pa.Table] = []
+    buffered = 0
+    for row in payloads.toLocalIterator():
+        buf.append(pa.ipc.open_stream(row.payload).read_all())
+        buffered += buf[-1].num_rows
+        while buffered >= batch_size:
+            merged = pa.concat_tables(buf).combine_chunks()
+            head, rest = merged.slice(0, batch_size), merged.slice(batch_size)
+            yield {n: _convert_array(head.column(n)) for n in head.column_names}
+            buf, buffered = [rest], rest.num_rows
+    if buffered:
+        merged = pa.concat_tables(buf).combine_chunks()
+        yield {n: _convert_array(merged.column(n)) for n in merged.column_names}

@@ -5,8 +5,12 @@ Design for 100 TB:
     uniformly-distributed hash key — no skew, no driver round-trips;
   * candidate generation (LSH bands / shared shingles) bounds the pair
     space so the quadratic step only touches near-duplicates;
-  * all hashing is md5-based (JVM built-in, whole-stage codegen) so an
-    external SQL oracle can reproduce results bit-for-bit.
+  * result-determining hashes (exact-dedup content hash, minhash,
+    simhash) are md5-based (JVM built-in, whole-stage codegen) so an
+    external SQL oracle can reproduce them bit-for-bit; hashes that
+    only shuffle/bucket intermediates (the Jaccard operators' shingle
+    keys) use the cheaper Spark-native xxhash64 — final Jaccard values
+    come from exact verification and are hash-independent.
 
 All functions take and return plain pyspark DataFrames, so they compose
 with the facade (`DataFrame.to_spark()`) and raw Spark pipelines alike.
@@ -28,15 +32,36 @@ def _norm_text(col):
 
 
 def exact_dedup_ids(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
-    """One surviving id per distinct (normalized) text: group on a 48-bit
-    content hash + the text itself (hash alone could collide), keep min id.
-    Single shuffle; map-side partial aggregation applies."""
+    """One surviving id per distinct (normalized) text, keep min id.
+
+    The group key is 120 bits of the md5 digest as two longs (60+60
+    bits) — NOT the text itself: at corpus scale the normalized text is
+    hundreds of bytes per row and would dominate the shuffle, while two
+    longs cost 16 bytes and a 120-bit key makes a cross-text collision
+    (~n²/2^121) negligible against any real corpus. Single shuffle;
+    map-side partial aggregation applies. The reported `content_hash`
+    stays the 48-bit prefix (a pure function of the key) so an external
+    SQL oracle can reproduce it."""
     norm = _norm_text(F.col(text_col))
-    h = F.conv(F.substring(F.md5(norm), 1, 12), 16, 10).cast("long")
+    hex_ = F.md5(norm)
+    # 15 hex digits = 60 bits per half: fits a signed long via conv
+    # (16 digits can exceed 2^63-1 and null out on the cast)
+    hi = F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex_, 16, 15), 16, 10).cast("long")
+    h48 = F.conv(F.substring(hex_, 1, 12), 16, 10).cast("long")
     return (
-        df.select(F.col(id_col), norm.alias("__norm__"), h.alias("content_hash"))
-        .groupBy("content_hash", "__norm__")
-        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        df.select(
+            F.col(id_col),
+            hi.alias("__h_hi__"),
+            lo.alias("__h_lo__"),
+            h48.alias("content_hash"),
+        )
+        .groupBy("__h_hi__", "__h_lo__")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min("content_hash").alias("content_hash"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
         .select(id_col, "content_hash", "dup_count")
     )
 
