@@ -139,3 +139,52 @@ def test_column_level_map_flatmap_filter(spark):
     derived = d["a"] + 1
     with pytest.raises(ValueError, match="NAMED column"):
         derived.map({1: "x"})
+
+
+def test_quantile_interpolations_match_pandas(spark):
+    """All four non-linear interpolations + linear, scalar and list q,
+    against the pandas oracle the reference itself delegates to
+    (inumerical_column.py:355-413)."""
+    import pandas as pd
+    import pytest as _pt
+
+    import torcharrow_spark as ts
+
+    from torcharrow_spark import dt
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0]
+    s = pd.Series(vals)
+    d = ts.dataframe(
+        {"x": vals}, dtype=dt.Struct([dt.Field("x", dt.float64)]), spark=spark
+    )
+    for interp in ["linear", "lower", "higher", "nearest", "midpoint"]:
+        for q in [0.0, 0.1, 0.25, 0.375, 0.5, 0.625, 0.9, 1.0]:
+            got = d["x"].quantile(q, interpolation=interp)
+            want = s.quantile(q, interpolation=interp)
+            assert got == _pt.approx(want, abs=1e-9), (interp, q, got, want)
+    got = d["x"].quantile([0.25, 0.5, 0.75], interpolation="midpoint")
+    want = list(s.quantile([0.25, 0.5, 0.75], interpolation="midpoint"))
+    assert got == _pt.approx(want)
+    # percentile: percent-addressed
+    assert d["x"].percentile(50, "lower") == s.quantile(0.5, interpolation="lower")
+    with _pt.raises(ValueError):
+        d["x"].quantile(1.5)
+    with _pt.raises(ValueError):
+        d["x"].quantile(0.5, interpolation="cubic")
+
+
+def test_quantile_interpolation_grouped(spark):
+    """Non-linear interpolation stays a lazy per-group aggregate."""
+    import pandas as pd
+    import pytest as _pt
+
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+
+    data = {"g": ["a"] * 4 + ["b"] * 5, "x": [1.0, 2.0, 3.0, 10.0, 5.0, 6.0, 7.0, 8.0, 100.0]}
+    d = ts.dataframe(data, spark=spark)
+    out = d.groupby(["g"]).select(q=me["x"].quantile(0.5, interpolation="midpoint"))
+    got = {r["g"]: r["q"] for r in out.to_pylist()}
+    pdf = pd.DataFrame(data)
+    for g, grp in pdf.groupby("g"):
+        assert got[g] == _pt.approx(grp["x"].quantile(0.5, interpolation="midpoint"))

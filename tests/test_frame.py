@@ -264,3 +264,58 @@ def test_is_unique_null_semantics(spark):
     assert not d4.is_unique(["a", "b"])
     # empty frame is unique
     assert d.where(me["x"] > 99).is_unique(["x"])
+
+
+def test_describe_include_exclude_percent(spark):
+    """Reference describe parity (dataframe_cpu.py:1784-1838): percent
+    percentiles with midpoint interpolation, dtype-list include/exclude,
+    non-numeric columns get count/min/max."""
+    import pytest as _pt
+
+    d = ts.dataframe(
+        {"i": [1, 2, 999, 4], "s": ["b", "a", "c", "a"]},
+        spark=spark,
+    )
+    desc = {r["metric"]: r["i"] for r in d.describe().to_pylist()}
+    assert desc["count"] == 4.0 and desc["mean"] == 251.5
+    assert desc["25%"] == 1.5 and desc["50%"] == 3.0 and desc["75%"] == 501.5
+    # include a string dtype -> string stats column
+    sd = d.dtype.fields
+    s_dtype = [f.dtype for f in sd if f.name == "s"][0]
+    rows = {r["metric"]: r["s"] for r in d.describe(include=[s_dtype]).to_pylist()}
+    assert rows["count"] == "4" and rows["min"] == "a" and rows["max"] == "c"
+    assert rows["mean"] is None
+    # exclude the numeric column -> empty selection is an error-free no-op frame
+    i_dtype = [f.dtype for f in sd if f.name == "i"][0]
+    both = d.describe(include=[s_dtype, i_dtype], exclude=[s_dtype])
+    assert "s" not in both.columns and "i" in both.columns
+    with _pt.raises(ValueError):
+        d.describe(percentiles=[150])
+    with _pt.raises(TypeError):
+        d.describe(include="all")
+
+
+def test_positional_literal_indexing(spark):
+    """Reference icolumn.py:317-346 literal semantics: df[i] row tuple,
+    python slices, literal boolean masks, int-list gather — all over the
+    hidden construction-order index, renumbering after filters."""
+    import pytest as _pt
+
+    d = ts.dataframe({"i": [10, 11, 12, 13, 14], "x": list("abcde")}, spark=spark)
+    assert d[0] == (10, "a") and d[3] == (13, "d") and d[-1] == (14, "e")
+    with _pt.raises(IndexError):
+        d[99]
+    assert [r["x"] for r in d[1:3].to_pylist()] == ["b", "c"]
+    assert [r["x"] for r in d[::2].to_pylist()] == ["a", "c", "e"]
+    assert [r["x"] for r in d[-2:].to_pylist()] == ["d", "e"]
+    assert [r["x"] for r in d[[True, False, True, False, True]].to_pylist()] == ["a", "c", "e"]
+    assert [r["x"] for r in d[[0, 4]].to_pylist()] == ["a", "e"]
+    empty = d[[]]
+    assert empty.count() == 0 and empty.columns == []
+    # positions renumber after a filter: surviving rows are 0..n-1
+    f = d.where(d["i"] > 11)
+    assert f[0] == (12, "c")
+    assert [r["x"] for r in f[[True, False, True]].to_pylist()] == ["c", "e"]
+    # from_pylist frames carry the index too
+    p = ts.from_pylist([{"a": 1}, {"a": 2}, {"a": 3}], spark=spark)
+    assert p[1] == (2,)

@@ -395,8 +395,68 @@ class Column:
     def approx_nunique(self):
         return self._agg(F.approx_count_distinct, dt.int64)
 
-    def quantile(self, q: float):
-        return self._agg(lambda e: F.percentile(e, F.lit(q)), dt.float64.with_null(True))
+    _INTERPOLATIONS = ("linear", "lower", "higher", "nearest", "midpoint")
+
+    def quantile(self, q, interpolation: str = "linear"):
+        """Exact quantile(s) with pandas interpolation semantics
+        (reference inumerical_column.py:355-413). q: float or list of
+        floats in [0, 1]; list in → list out.
+
+        'linear' uses Spark's built-in exact percentile. The other modes
+        pick/blend the two bracketing order statistics from the group's
+        sorted value buffer (array_sort∘collect_list) — the same per-group
+        memory profile as Spark's own exact percentile aggregate, which
+        also buffers every value of the group. For 100 TB pipelines
+        prefer approx_percentile upstream; exact quantile is a per-group
+        sort either way."""
+        if interpolation not in self._INTERPOLATIONS:
+            raise ValueError(
+                f"interpolation must be one of {self._INTERPOLATIONS}, got {interpolation!r}"
+            )
+        qs = list(q) if isinstance(q, (list, tuple)) else None
+        for p in qs if qs is not None else [q]:
+            if not 0 <= p <= 1:
+                raise ValueError(f"quantile {p} outside [0, 1]")
+        scalar_dt = dt.float64.with_null(True)
+        list_dt = dt.List(dt.float64.with_null(True), True)
+        if interpolation == "linear":
+            if qs is None:
+                return self._agg(lambda e: F.percentile(e, F.lit(q)), scalar_dt)
+            return self._agg(
+                lambda e: F.percentile(e, F.array(*[F.lit(p) for p in qs])), list_dt
+            )
+
+        def one(arr, n, p):
+            h = (n - 1).cast("double") * F.lit(float(p))
+            fl = F.floor(h).cast("int")
+            lo = F.element_at(arr, fl + 1).cast("double")
+            if interpolation == "lower":
+                return lo
+            hi = F.element_at(arr, F.ceil(h).cast("int") + 1).cast("double")
+            if interpolation == "higher":
+                return hi
+            if interpolation == "midpoint":
+                return (lo + hi) / 2
+            # 'nearest': pandas/numpy round the fractional index half-to-EVEN
+            return F.element_at(arr, F.bround(h).cast("int") + 1).cast("double")
+
+        def fn(e):
+            arr = F.array_sort(F.collect_list(e))  # collect_list drops nulls
+            n = F.size(arr)
+            body = (
+                one(arr, n, q)
+                if qs is None
+                else F.array(*[one(arr, n, p) for p in qs])
+            )
+            return F.when(n > 0, body)
+
+        return self._agg(fn, scalar_dt if qs is None else list_dt)
+
+    def percentile(self, q, interpolation: str = "linear"):
+        """Quantiles addressed in percent (reference
+        inumerical_column.py:396-413): q in [0, 100]."""
+        qs = [p / 100 for p in q] if isinstance(q, (list, tuple)) else q / 100
+        return self.quantile(qs, interpolation)
 
     # -- row-level functional ops on a single named column (reference
     #    icolumn.py:420-727 defines map/flatmap/filter on Column) --------

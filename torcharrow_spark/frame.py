@@ -93,11 +93,53 @@ class DataFrame:
             f = schema[key]
             d = dt.from_spark(f.dataType, f.nullable)
             return Column(lambda df: (F.col(key), d), owner=self, name=key)
-        if isinstance(key, list) and all(isinstance(k, str) for k in key):
-            return DataFrame(self._sdf.select(*key))
+        if isinstance(key, bool):
+            raise TypeError(f"unsupported key {key!r}")
+        if isinstance(key, int):
+            # df[i] -> tuple of the i-th row (reference icolumn.py:317-318)
+            n = self._positional_order()
+            i = key if key >= 0 else self.count() + key
+            row = self.gather([i], order_by=n).to_pylist()
+            if not row:
+                raise IndexError(key)
+            return tuple(row[0][c] for c in self.columns)
+        if isinstance(key, slice):
+            n = self._positional_order()
+            start, stop, step = key.start, key.stop, key.step
+            if step is not None and step < 1:
+                raise ValueError("positional slice requires step >= 1")
+            if (start is not None and start < 0) or (stop is None or stop < 0):
+                start, stop, step = slice(start, stop, step).indices(self.count())
+            return self.slice_rows(start or 0, stop, order_by=n, step=step or 1)
+        if isinstance(key, list):
+            if not key:
+                return DataFrame(self._sdf.select().limit(0))
+            if all(isinstance(k, bool) for k in key):
+                # literal boolean mask (reference icolumn.py:337-338)
+                n = self._positional_order()
+                idx = [i for i, b in enumerate(key) if b]
+                return self.gather(idx, order_by=n)
+            if all(isinstance(k, int) and not isinstance(k, bool) for k in key):
+                return self.gather(list(key), order_by=self._positional_order())
+            if all(isinstance(k, str) for k in key):
+                return DataFrame(self._sdf.select(*key))
+            raise TypeError("index should be list of bool, int, or str")
         if isinstance(key, Column):
             return self.where(key)
         raise TypeError(f"unsupported key {key!r}")
+
+    def _positional_order(self) -> _ty.List[str]:
+        """Order backing positional indexing: the hidden construction
+        index if the frame still carries one (row_number over it
+        renumbers correctly after filters); otherwise the caller must use
+        slice_rows/gather with an explicit order_by."""
+        if INDEX_COL in self._sdf.columns:
+            return [INDEX_COL]
+        raise TypeError(
+            "positional indexing needs the construction-order index "
+            "(frames built via ta.dataframe/from_pylist); for derived "
+            "frames use slice_rows/gather with an explicit order_by"
+        )
 
     def __setitem__(self, name: str, value):
         if isinstance(value, Column):
@@ -240,7 +282,9 @@ class DataFrame:
         return DataFrame(sdf)
 
     def drop_null(self, how: str = "any") -> "DataFrame":
-        return DataFrame(self._sdf.dropna(how=how))
+        # subset excludes the hidden never-null index: it must not make
+        # an all-null data row survive how='all'
+        return DataFrame(self._sdf.dropna(how=how, subset=self.columns))
 
     def validate_fixed_size(self, column: str, size: int) -> "DataFrame":
         """CHECK-style enforcement of dt.List(fixed_size=n): Spark has no
@@ -487,26 +531,82 @@ class DataFrame:
     def count(self) -> int:
         return self._sdf.count()
 
-    def describe(self, percentiles=(0.25, 0.5, 0.75)) -> "DataFrame":
-        """Per-column count/mean/std/min/quantiles/max (reference
-        inumerical_column.py:137-198) — one aggregate job, unpivoted."""
-        cols = self._numeric_columns()
+    def describe(
+        self,
+        percentiles=None,
+        include: _ty.Optional[_ty.List] = None,
+        exclude: _ty.Optional[_ty.List] = None,
+    ) -> "DataFrame":
+        """Per-column count/mean/std/min/percentiles/max (reference
+        dataframe_cpu.py:1784-1838) — one aggregate job, unpivoted.
+
+        `percentiles` are PERCENT values in [0, 100] (default [25, 50,
+        75]) and are computed with midpoint interpolation, both matching
+        the reference. `include`/`exclude` are lists of dtypes selecting
+        columns by exact dtype (reference `f.dtype in include`); default
+        selects the numeric columns. Non-numeric columns selected via
+        `include` get count/min/max with null mean/std/percentiles (the
+        stats column for them is string-typed); the reference crashes on
+        those — a documented extension, not a behavior change."""
+        from . import dtypes as dtt
+
+        if percentiles is None:
+            percentiles = [25, 50, 75]
+        percentiles = sorted(set(percentiles))
+        if percentiles and (percentiles[0] < 0 or percentiles[-1] > 100):
+            raise ValueError("percentiles must be between 0 and 100")
+        if include is not None and not isinstance(include, list):
+            raise TypeError(f"describe with include of type {type(include).__name__} is not supported")
+        if exclude is not None and not isinstance(exclude, list):
+            raise TypeError(f"describe with exclude of type {type(exclude).__name__} is not supported")
+        fields = {f.name: f.dtype for f in self.dtype.fields}
+        if include is None:
+            includes = self._numeric_columns()
+        else:
+            includes = [n for n, d in fields.items() if d in include]
+        excludes = [] if exclude is None else [n for n, d in fields.items() if d in exclude]
+        cols = [c for c in includes if c not in excludes]
+
+        def _mid(col, p):
+            # midpoint of the two bracketing order stats (reference uses
+            # interpolation="midpoint" for describe percentiles)
+            arr = F.array_sort(F.collect_list(col))
+            n = F.size(arr)
+            h = (n - 1).cast("double") * F.lit(p / 100.0)
+            lo = F.element_at(arr, F.floor(h).cast("int") + 1).cast("double")
+            hi = F.element_at(arr, F.ceil(h).cast("int") + 1).cast("double")
+            return F.when(n > 0, (lo + hi) / 2)
+
+        numeric = set(self._numeric_columns())
         aggs = []
         for c in cols:
             col = F.col(c)
-            aggs += [
-                F.count(col).cast("double").alias(f"{c}:count"),
-                F.avg(col).alias(f"{c}:mean"),
-                F.stddev_samp(col).alias(f"{c}:std"),
-                F.min(col).cast("double").alias(f"{c}:min"),
-                F.max(col).cast("double").alias(f"{c}:max"),
-                *[F.percentile(col, F.lit(p)).alias(f"{c}:{int(p*100)}%") for p in percentiles],
-            ]
+            if c in numeric:
+                aggs += [
+                    F.count(col).cast("double").alias(f"{c}:count"),
+                    F.avg(col).alias(f"{c}:mean"),
+                    F.stddev_samp(col).alias(f"{c}:std"),
+                    F.min(col).cast("double").alias(f"{c}:min"),
+                    F.max(col).cast("double").alias(f"{c}:max"),
+                    *[_mid(col, p).alias(f"{c}:{p:g}%") for p in percentiles],
+                ]
+            else:
+                null = F.lit(None).cast("string")
+                aggs += [
+                    F.count(col).cast("string").alias(f"{c}:count"),
+                    null.alias(f"{c}:mean"),
+                    null.alias(f"{c}:std"),
+                    F.min(col).cast("string").alias(f"{c}:min"),
+                    F.max(col).cast("string").alias(f"{c}:max"),
+                    *[null.alias(f"{c}:{p:g}%") for p in percentiles],
+                ]
         row = self._sdf.agg(*aggs)
-        stats = ["count", "mean", "std", "min", *[f"{int(p*100)}%" for p in percentiles], "max"]
+        stats = ["count", "mean", "std", "min", *[f"{p:g}%" for p in percentiles], "max"]
         n = len(stats)
+        typ = {c: ("double" if c in numeric else "string") for c in cols}
         exprs = ", ".join(
-            "'" + s + "', " + ", ".join(f"cast(`{c}:{s}` as double)" for c in cols) for s in stats
+            "'" + s + "', " + ", ".join(f"cast(`{c}:{s}` as {typ[c]})" for c in cols)
+            for s in stats
         )
         out = row.selectExpr(f"stack({n}, {exprs}) as (metric, {', '.join('`'+c+'`' for c in cols)})")
         return DataFrame(out)

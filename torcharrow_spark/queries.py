@@ -1181,24 +1181,41 @@ def q31_map_udf(spark: SparkSession, sf_dir: str) -> SDF:
 @query(
     "q32_order_stats",
     oracle="""
-    SELECT l_returnflag,
-           median(l_quantity) AS med_qty,
-           quantile_cont(l_quantity, 0.9) AS p90_qty,
-           COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps
-    FROM lineitem GROUP BY l_returnflag
+    WITH g AS (
+      SELECT l_returnflag,
+             median(l_quantity) AS med_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             list_sort(list(l_quantity) FILTER (WHERE l_quantity IS NOT NULL)) AS sl,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, med_qty, p90_qty,
+           (sl[CAST(floor((len(sl)-1)*0.5) AS BIGINT) + 1]
+            + sl[CAST(ceil((len(sl)-1)*0.5) AS BIGINT) + 1]) / 2.0 AS mid_qty,
+           n_parts, n_supps
+    FROM g
     """,
 )
 def q32_order_stats(spark: SparkSession, sf_dir: str) -> SDF:
-    """median / exact quantile / count_distinct per group (reference
-    inumerical_column.py:346-413, icolumn.py:1423-1430). Exact percentile
-    is a sort-based aggregate; at 100 TB swap in approx_percentile."""
-    li = _load(spark, sf_dir, "lineitem").to_spark()
-    return li.groupBy("l_returnflag").agg(
-        F.median("l_quantity").alias("med_qty"),
-        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
-        F.count_distinct("l_partkey").alias("n_parts"),
-        F.count_distinct("l_suppkey").alias("n_supps"),
+    """median / exact quantile / interpolated quantile / count_distinct
+    per group (reference inumerical_column.py:346-413,
+    icolumn.py:1423-1430). Exact percentile is a sort-based aggregate;
+    at 100 TB swap in approx_percentile. mid_qty exercises
+    quantile(0.5, 'midpoint') — the bracketing-order-stat path."""
+    from torcharrow_spark import me
+
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupby(["l_returnflag"])
+        .select(
+            med_qty=me["l_quantity"].median(),
+            p90_qty=me["l_quantity"].quantile(0.9),
+            mid_qty=me["l_quantity"].quantile(0.5, interpolation="midpoint"),
+            n_parts=me["l_partkey"].nunique(),
+            n_supps=me["l_suppkey"].nunique(),
+        )
+        .to_spark()
     )
 
 

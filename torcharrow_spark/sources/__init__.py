@@ -91,8 +91,18 @@ def from_arrow(table, spark: SparkSession | None = None) -> DataFrame:
 
 def from_pylist(data: _ty.List[dict], dtype: dt.Struct | None = None,
                 spark: SparkSession | None = None) -> DataFrame:
+    from ..frame import INDEX_COL
+
     schema = dt.spark_schema(dtype) if dtype is not None else None
-    return DataFrame(_spark(spark).createDataFrame(data, schema=schema))
+    sdf = _spark(spark).createDataFrame(data, schema=schema)
+    if data and isinstance(data[0], dict):
+        # carry a hidden construction-order index so positional APIs
+        # (df[i], slices, literal masks) have reference semantics; it is
+        # dropped by to_spark()/select and hidden from .columns
+        indexed = [dict(r, **{INDEX_COL: i}) for i, r in enumerate(data)]
+        ssch = sdf.schema.add(INDEX_COL, "long", False)
+        sdf = _spark(spark).createDataFrame(indexed, schema=ssch)
+    return DataFrame(sdf)
 
 
 def dataframe(data, dtype: dt.Struct | None = None, columns: _ty.List[str] | None = None,
@@ -112,7 +122,13 @@ def dataframe(data, dtype: dt.Struct | None = None, columns: _ty.List[str] | Non
             vals = [r[i] for r in rows]
             fields.append(dt.Field(n, dt.infer_dtype_from_prefix(vals)))
         dtype = dt.Struct(tuple(fields))
-    return DataFrame(s.createDataFrame(rows, schema=dt.spark_schema(dtype)))
+    from ..frame import INDEX_COL
+
+    # hidden construction-order index: gives df[i]/slice/mask reference
+    # semantics on locally-built frames (dropped by to_spark())
+    schema = dt.spark_schema(dtype).add(INDEX_COL, "long", False)
+    rows = [tuple(r) + (i,) for i, r in enumerate(rows)]
+    return DataFrame(s.createDataFrame(rows, schema=schema))
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
