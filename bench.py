@@ -45,6 +45,32 @@ HEADLINE = [
     "q45_llm_pipeline",
 ]
 
+# Round-1 steady-state seconds at sf0.1 on local[32] (BENCH_r01.json) —
+# the regression anchor. A query >25% slower than its anchor (after one
+# damping re-run) is reported under "regressions"; set
+# SPARK_GRAFT_BENCH_STRICT=1 to also fail the script on regressions.
+ANCHOR_SF = 0.1
+ANCHOR = {
+    "q01_pricing_summary": 0.582,
+    "q03_join_topk": 1.578,
+    "q05_dedup_keep_first": 1.072,
+    "q11_window_rank": 0.58,
+    "q12_cumsum": 0.221,
+    "q16_event_windows": 0.407,
+    "q17_sessionize": 0.604,
+    "q18_exact_dedup": 0.495,
+    "q19_minhash_pairs": 2.48,
+    "q21_ngram_jaccard": 3.022,
+    "q22_ann_brute_force": 0.724,
+    "q23_ann_lsh": 1.412,
+    "q24_text_stats": 0.497,
+    "q27_rec_ops": 0.604,
+    "q37_asof_join": 0.315,
+    "q41_bpe_tokenize": 0.186,
+    "q42_cosine_dedup": 1.701,
+    "q45_llm_pipeline": 1.312,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,6 +102,27 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+
+    delta_vs_r1: dict[str, float] = {}
+    regressions: dict[str, float] = {}
+    if sf_val == ANCHOR_SF:
+        for name, anchor in ANCHOR.items():
+            if name not in warm:
+                continue
+            if warm[name] > anchor * 1.25:
+                # damp one-off noise (GC pause, compilation) with a re-run
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
+            delta_vs_r1[name] = round(warm[name] - anchor, 3)
+            if warm[name] > anchor * 1.25:
+                regressions[name] = round(warm[name] / anchor, 2)
+                print(
+                    f"# REGRESSION {name}: {warm[name]:.3f}s vs r1 {anchor:.3f}s "
+                    f"({regressions[name]}x)",
+                    file=sys.stderr,
+                )
+
     print(
         json.dumps(
             {
@@ -85,10 +132,14 @@ def main() -> None:
                 "queries": warm,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "delta_vs_r1": delta_vs_r1,
+                "regressions": regressions,
                 "sf": sf_val,
             }
         )
     )
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
