@@ -188,3 +188,39 @@ def test_quantile_interpolation_grouped(spark):
     pdf = pd.DataFrame(data)
     for g, grp in pdf.groupby("g"):
         assert got[g] == _pt.approx(grp["x"].quantile(0.5, interpolation="midpoint"))
+
+
+def test_reduce_generic_fold(spark):
+    """reference icolumn.py:729-770: sequential fold with arbitrary fn,
+    optional initializer/finalizer; empty-no-initializer raises."""
+    import operator
+
+    import pytest as _pt
+
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+
+    d = ts.dataframe({"x": [1, 2, 3, 4]}, spark=spark)
+    assert d["x"].reduce(operator.mul) == 24
+    assert d["x"].reduce(operator.add, initializer=100) == 110
+    assert d["x"].reduce(operator.add, finalizer=lambda v: v * 2) == 20
+    empty = ts.dataframe({"x": [1]}, spark=spark).where(me["x"] > 9)
+    assert empty["x"].reduce(operator.add, initializer=7) == 7
+    with _pt.raises(TypeError):
+        empty["x"].reduce(operator.add)
+    # order-dependence respected: subtraction folds in construction order
+    d2 = ts.dataframe({"x": [10, 1, 2, 3]}, spark=spark)
+    assert d2["x"].reduce(operator.sub) == 4
+
+
+def test_batch_unbatch_roundtrip(spark):
+    import torcharrow_spark as ts
+
+    d = ts.dataframe({"x": [1, 2, 3, 4, 5], "y": list("abcde")}, spark=spark)
+    chunks = list(d.batch(2))
+    assert [c.count() for c in chunks] == [2, 2, 1]
+    rt = ts.DataFrame.unbatch(chunks)
+    assert sorted(r["x"] for r in rt.to_pylist()) == [1, 2, 3, 4, 5]
+    col_chunks = list(d["x"].batch(3))
+    assert [c.count() for c in col_chunks] == [3, 2]
+    assert col_chunks[0].columns == ["x"]

@@ -487,6 +487,47 @@ class Column:
         owner, name = self._named_owner("filter")
         return owner.filter(predicate, columns=[name])
 
+    def reduce(self, fun, initializer=None, finalizer=None):
+        """Sequential binary fold to one scalar with an arbitrary Python
+        fn (reference icolumn.py:729-770). Inherently order-dependent and
+        driver-bound: values stream one partition at a time via
+        toLocalIterator (bounded memory, never a full collect), folded in
+        construction order when the owning frame carries its index. Not a
+        distributed aggregate — use the built-in aggs (sum/min/...) in
+        hot paths; this exists for API parity with arbitrary folds."""
+        owner, name = self._named_owner("reduce")
+        from .frame import INDEX_COL
+
+        sdf = owner._sdf
+        e, _ = self._resolve(owner)
+        sel = sdf.select(e.alias("__v__"), *(
+            [F.col(INDEX_COL)] if INDEX_COL in sdf.columns else []
+        ))
+        if INDEX_COL in sdf.columns:
+            sel = sel.orderBy(INDEX_COL)
+        value, started = initializer, initializer is not None
+        for r in sel.toLocalIterator():
+            v = r["__v__"]
+            value = v if not started else fun(value, v)
+            started = True
+        if not started:
+            raise TypeError("reduce of empty sequence with no initial value")
+        return finalizer(value) if finalizer is not None else value
+
+    def batch(self, n: int, order_by=None):
+        """EXPERIMENTAL (reference icolumn.py:1171-1183): yield the
+        column in chunks of n rows as single-column frames — lazy slices,
+        each evaluated independently. Driver-paced by construction; for
+        bulk tensor export use interop_torch.batched_tensors (streamed
+        Arrow)."""
+        owner, name = self._named_owner("batch")
+        from .frame import INDEX_COL
+
+        sdf = owner._sdf
+        cols = [name] + ([INDEX_COL] if INDEX_COL in sdf.columns else [])
+        sub = owner.__class__(sdf.select(*cols))
+        yield from sub.batch(n, order_by=order_by)
+
     # -- accessors ----------------------------------------------------------
 
     @property

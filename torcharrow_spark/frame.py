@@ -379,17 +379,24 @@ class DataFrame:
         ignore_null = na_action == "ignore"
 
         def _fn(*series):
-            n = len(series[0])
-            out = []
             def _null(v):
                 return v is None or (isinstance(v, float) and v != v)
 
-            for i in range(n):
-                vals = tuple(None if _null(s.iloc[i]) else s.iloc[i] for s in series)
-                if ignore_null and any(v is None for v in vals):
-                    out.append(None)
-                    continue
-                out.append(arg(*vals) if len(vals) > 1 else arg(vals[0]))
+            # tolist() once per batch, then a plain zip loop: ~2-5x faster
+            # per batch than per-row .iloc indexing (same semantics)
+            lists = [s.tolist() for s in series]
+            out = []
+            if len(lists) == 1:
+                for v in lists[0]:
+                    v = None if _null(v) else v
+                    out.append(None if (ignore_null and v is None) else arg(v))
+            else:
+                for row in zip(*lists):
+                    vals = tuple(None if _null(v) else v for v in row)
+                    if ignore_null and any(v is None for v in vals):
+                        out.append(None)
+                        continue
+                    out.append(arg(*vals))
             return pd.Series(out, dtype=object)
 
         _udf = pandas_udf(_fn, spark_t)
@@ -683,6 +690,32 @@ class DataFrame:
         `partition_by` keeps the window distributed; a global rolling
         aggregate is a single-partition sort."""
         return RollingWindow(self, window, order_by, partition_by or [])
+
+    def batch(self, n: int, order_by: _ty.Optional[_ty.List[str]] = None):
+        """EXPERIMENTAL (reference icolumn.py:1171-1183): yield the frame
+        in chunks of `n` rows under a total order (the hidden
+        construction index by default). Each chunk is a lazy slice —
+        evaluating all of them re-ranks per chunk, so this is a
+        driver-paced convenience, not the bulk export path
+        (interop_torch.batched_tensors streams Arrow instead)."""
+        if n <= 0:
+            raise ValueError("batch size must be positive")
+        order = order_by or self._positional_order()
+        total = self.count()
+        for start in range(0, total, n):
+            yield self.slice_rows(start, min(start + n, total), order_by=order)
+
+    @staticmethod
+    def unbatch(frames: _ty.Iterable["DataFrame"]) -> "DataFrame":
+        """Concatenate batches back into one frame (reference
+        icolumn.py:1184-1193)."""
+        frames = list(frames)
+        if not frames:
+            raise ValueError("can't determine column type")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.append(f)
+        return out
 
     def tail(self, n: int = 5, order_by: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
         """Last n rows under an explicit order (reference icolumn.py:352-409;
