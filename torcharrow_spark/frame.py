@@ -787,7 +787,11 @@ class DataFrame:
 
         return to_tensor(self, conversion)
 
-    def append(self, rows: _ty.List[tuple]) -> "DataFrame":
+    def append(self, rows) -> "DataFrame":
+        """Append literal rows (reference icolumn append) or another
+        frame (plan-level unionByName — no data movement)."""
+        if isinstance(rows, DataFrame):
+            return DataFrame(self.to_spark().unionByName(rows.to_spark()))
         spark = self._sdf.sparkSession
         new = spark.createDataFrame(rows, self.to_spark().schema)
         return DataFrame(self.to_spark().unionByName(new))

@@ -1713,3 +1713,281 @@ def q47_rolling(spark: SparkSession, sf_dir: str) -> SDF:
         rsum.alias("o_totalprice.rolling_sum"),
         (rsum / F.col("`o_totalprice.rolling_count`")).alias("o_totalprice.rolling_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 driver-coverage widening: operator families that were
+# pytest-only get oracle-checked queries (§2.2 surgery, §2.2 positional,
+# §2.3 filter/transform, §2.6 describe/bool-aggs, §2.1 interop
+# roundtrips + concat/append, §2.7 sigmoid family, §2.13 scalers).
+
+
+@query(
+    "q48_column_surgery",
+    oracle="""
+    SELECT c_custkey AS id, c_acctbal AS balance, upper(c_name) AS uname
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
+def q48_column_surgery(spark: SparkSession, sf_dir: str) -> SDF:
+    """rename / drop / reorder / with_column / pipe chained (reference
+    idataframe.py rename/drop/reorder; §2.2)."""
+    from torcharrow_spark import me
+
+    c = _load(spark, sf_dir, "customer")
+    out = (
+        c.where(me["c_acctbal"] > 0)
+        .with_column("uname", me["c_name"].str.upper())
+        .drop(["c_nationkey", "c_mktsegment", "c_name"])
+        .rename({"c_custkey": "id", "c_acctbal": "balance"})
+        .pipe(lambda d: d.reorder(["id", "balance", "uname"]))
+    )
+    return out.to_spark()
+
+
+@query(
+    "q49_positional_slice",
+    oracle="""
+    WITH r AS (
+      SELECT n_nationkey, n_name,
+             ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS pos
+      FROM nation
+    )
+    SELECT n_nationkey, n_name FROM r
+    WHERE (pos BETWEEN 5 AND 14 AND (pos - 5) % 3 = 0) OR pos IN (0, 20)
+    """,
+)
+def q49_positional_slice(spark: SparkSession, sf_dir: str) -> SDF:
+    """slice_rows(step) + gather under an explicit order (reference
+    icolumn.py:317-346 positional semantics; documented single-partition
+    window cost — keep positional ops off hot paths)."""
+    n = _load(spark, sf_dir, "nation").keep(["n_nationkey", "n_name"])
+    sliced = n.slice_rows(5, 15, order_by=["n_nationkey"], step=3)
+    gathered = n.gather([0, 20], order_by=["n_nationkey"])
+    return sliced.append(gathered).to_spark()
+
+
+@query(
+    "q50_filter_udf",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST(floor(o_totalprice) AS BIGINT) % 7 = 0 AND o_orderstatus = 'F'
+    """,
+)
+def q50_filter_udf(spark: SparkSession, sf_dir: str) -> SDF:
+    """filter(callable, columns) — Arrow-batched predicate UDF (reference
+    icolumn.py:677-727)."""
+    docs = _load(spark, sf_dir, "orders")
+    flt = docs.filter(
+        lambda p, s: int(p) % 7 == 0 and s == "F",
+        columns=["o_totalprice", "o_orderstatus"],
+    )
+    return flt.keep(["o_orderkey", "o_totalprice"]).to_spark()
+
+
+@query(
+    "q51_transform_batch",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           (p_retailprice - min(p_retailprice) OVER ()) AS price_rebased
+    FROM part
+    """,
+)
+def q51_transform_batch(spark: SparkSession, sf_dir: str) -> SDF:
+    """transform(format='column') — whole-batch Arrow UDF (reference
+    icolumn.py:613-644). The batch fn rebases prices against a
+    pre-computed scalar (broadcast via closure), so the UDF itself is a
+    pure vectorized array op."""
+    import pyarrow as pa
+
+    from torcharrow_spark import dt
+
+    p = _load(spark, sf_dir, "part").keep(["p_partkey", "p_retailprice"])
+    floor_price = p["p_retailprice"].min()
+
+    def rebase(batch):
+        prices = batch.column(1)
+        rebased = pa.compute.subtract(prices, pa.scalar(floor_price, prices.type))
+        return pa.RecordBatch.from_arrays(
+            [batch.column(0), prices, rebased],
+            names=["p_partkey", "p_retailprice", "price_rebased"],
+        )
+
+    out_dtype = dt.Struct(
+        (
+            dt.Field("p_partkey", dt.int64.with_null(True)),
+            dt.Field("p_retailprice", dt.float64.with_null(True)),
+            dt.Field("price_rebased", dt.float64.with_null(True)),
+        )
+    )
+    return p.transform(rebase, dtype=out_dtype, format="column").to_spark()
+
+
+@query(
+    "q52_describe",
+    oracle="""
+    WITH s AS (
+      SELECT list_sort(list(l_quantity) FILTER (WHERE l_quantity IS NOT NULL)) AS sl,
+             COUNT(l_quantity)::DOUBLE AS cnt,
+             AVG(l_quantity) AS mean,
+             STDDEV_SAMP(l_quantity) AS std,
+             MIN(l_quantity)::DOUBLE AS mn,
+             MAX(l_quantity)::DOUBLE AS mx
+      FROM lineitem
+    ),
+    m AS (
+      SELECT cnt, mean, std, mn, mx,
+             [(sl[CAST(floor((len(sl)-1)*p) AS BIGINT) + 1]
+               + sl[CAST(ceil((len(sl)-1)*p) AS BIGINT) + 1]) / 2.0
+              for p in [0.25, 0.5, 0.75]] AS q
+      FROM s
+    )
+    SELECT 'count' AS metric, cnt AS l_quantity FROM m
+    UNION ALL SELECT 'mean', mean FROM m
+    UNION ALL SELECT 'std', std FROM m
+    UNION ALL SELECT 'min', mn FROM m
+    UNION ALL SELECT '25%', q[1] FROM m
+    UNION ALL SELECT '50%', q[2] FROM m
+    UNION ALL SELECT '75%', q[3] FROM m
+    UNION ALL SELECT 'max', mx FROM m
+    """,
+)
+def q52_describe(spark: SparkSession, sf_dir: str) -> SDF:
+    """describe() — count/mean/std/min/midpoint-percentiles/max unpivoted
+    (reference dataframe_cpu.py:1784-1838)."""
+    li = _load(spark, sf_dir, "lineitem").keep(["l_quantity"])
+    return li.describe().to_spark()
+
+
+@query(
+    "q53_bool_aggs",
+    oracle="""
+    SELECT bool_or(l_discount > 0.05) AS any_disc,
+           bool_and(l_quantity >= 1) AS all_qty,
+           (COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber))) AS key_unique,
+           (COUNT(*) > COUNT(DISTINCT l_suppkey)) AS supp_dups
+    FROM lineitem
+    """,
+)
+def q53_bool_aggs(spark: SparkSession, sf_dir: str) -> SDF:
+    """any/all eager bool aggregates + null-safe is_unique (reference
+    icolumn.py:171-206, inumerical_column bool aggs). The python-scalar
+    results are re-emitted as a 1-row frame so the driver can hash them
+    against the SQL oracle."""
+    from torcharrow_spark import me
+
+    li = _load(spark, sf_dir, "lineitem")
+    flags = li.select(d=me["l_discount"] > 0.05, q=me["l_quantity"] >= 1)
+    any_disc = bool(flags["d"].any())
+    all_qty = bool(flags["q"].all())
+    key_unique = li.is_unique(["l_orderkey", "l_linenumber"])
+    supp_dups = not li.is_unique(["l_suppkey"])
+    return spark.createDataFrame(
+        [(any_disc, all_qty, key_unique, supp_dups)],
+        "any_disc boolean, all_qty boolean, key_unique boolean, supp_dups boolean",
+    )
+
+
+@query(
+    "q54_interop_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q54_interop_roundtrip(spark: SparkSession, sf_dir: str) -> SDF:
+    """to_arrow -> from_arrow and to_pandas -> from_pandas roundtrips
+    (reference interop.py:17-41), then a grouped agg over the roundtripped
+    frame — proves the interop path preserves values/schema. Small dim
+    table only: to_arrow/to_pandas are driver-bounded by design."""
+    import torcharrow_spark as ts
+
+    n = _load(spark, sf_dir, "nation")
+    via_arrow = ts.from_arrow(n.to_arrow(), spark=spark)
+    via_pandas = ts.from_pandas(via_arrow.to_pandas(), spark=spark)
+    return (
+        via_pandas.to_spark()
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+    )
+
+
+@query(
+    "q55_concat_append",
+    oracle="""
+    SELECT s_suppkey, s_acctbal FROM supplier WHERE s_acctbal > 5000
+    UNION ALL
+    SELECT s_suppkey, s_acctbal FROM supplier WHERE s_acctbal < 0
+    UNION ALL
+    SELECT s_suppkey, s_acctbal FROM supplier WHERE s_nationkey = 3
+    """,
+)
+def q55_concat_append(spark: SparkSession, sf_dir: str) -> SDF:
+    """concat + append (reference icolumn concat/append, §2.1)."""
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+
+    s = _load(spark, sf_dir, "supplier")
+    hi = s.where(me["s_acctbal"] > 5000).keep(["s_suppkey", "s_acctbal"])
+    neg = s.where(me["s_acctbal"] < 0).keep(["s_suppkey", "s_acctbal"])
+    nat = s.where(me["s_nationkey"] == 3).keep(["s_suppkey", "s_acctbal"])
+    return ts.concat([hi, neg]).append(nat).to_spark()
+
+
+@query(
+    "q56_math_family",
+    oracle="""
+    SELECT o_orderkey,
+           floor((1.0 / (1.0 + exp(-(o_totalprice / 100000.0)))) * 1e9 + 0.5) / 1e9 AS sig,
+           floor(exp(o_totalprice / 400000.0) * 1e9 + 0.5) / 1e9 AS grown,
+           sqrt(o_totalprice) AS root
+    FROM orders
+    """,
+)
+def q56_math_family(spark: SparkSession, sf_dir: str) -> SDF:
+    """sigmoid / exp / sqrt (reference numerical ops §2.7). exp/sigmoid
+    rounded to 9 decimals on both engines: libm vs JVM differ by 1 ulp
+    on some inputs."""
+    from torcharrow_spark import dt, me
+
+    o = _load(spark, sf_dir, "orders")
+    sig = ((me["o_totalprice"] / 100000.0).sigmoid() * 1e9 + 0.5).floor() / 1e9
+    grown = ((me["o_totalprice"] / 400000.0).exp() * 1e9 + 0.5).floor() / 1e9
+    return o.select(
+        "o_orderkey",
+        sig=sig.cast(dt.float64),
+        grown=grown.cast(dt.float64),
+        root=me["o_totalprice"].sqrt(),
+    ).to_spark()
+
+
+@query(
+    "q57_scale_columns",
+    oracle="""
+    WITH s AS (
+      SELECT MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx,
+             AVG(p_retailprice) AS mu, STDDEV_POP(p_retailprice) AS sd
+      FROM part
+    )
+    SELECT p_partkey,
+           CASE WHEN mx > mn THEN ((p_retailprice - mn) / (mx - mn))::REAL
+                ELSE (1.0 / (1.0 + exp(-p_retailprice)))::REAL END AS unit,
+           CASE WHEN sd > 0 THEN ((p_retailprice - mu) / sd)::REAL
+                ELSE 0.0::REAL END AS z
+    FROM part, s
+    """,
+)
+def q57_scale_columns(spark: SparkSession, sf_dir: str) -> SDF:
+    """Column-level scale_to_0_1 / scale_to_z_score (reference
+    functional.py:568-596) — now scalar-subquery backed: the frame stats
+    ride a partial-agg subquery, the data path has no whole-frame
+    window."""
+    from torcharrow_spark import functional as fn
+    from torcharrow_spark import me
+
+    p = _load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        unit=fn.scale_to_0_1(me["p_retailprice"]),
+        z=fn.scale_to_z_score(me["p_retailprice"]),
+    ).to_spark()
