@@ -202,7 +202,16 @@ def cosine_pairs(
     once and shuffles each vector once. Norms and bucket ids are
     per-vector, computed before the shuffle. A bucket with m vectors
     still costs O(m^2) dot products — that is the quadratic step the
-    2^n_planes-way partition confines."""
+    2^n_planes-way partition confines.
+
+    Sizing rule: expected bucket size is corpus_size / 2^n_planes, so
+    pick n_planes ≈ log2(corpus_size / target_bucket_size) with
+    target_bucket_size a few thousand (executor-local m² stays cheap
+    and recall stays high). n_planes MUST grow with the corpus — the
+    default 6 (64 buckets) suits ~10^5 vectors; a 10^9-vector corpus
+    wants ~18-20 planes. Each extra plane halves per-bucket work but
+    splits some true near-dup pairs across buckets (recall/cost
+    trade-off inherent to single-table hyperplane LSH)."""
     dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col),
