@@ -348,31 +348,38 @@ def ngram_jaccard_pairs_prefix(
     instead of with sum-over-shingles C(df, 2). Use this form when the
     corpus has heavy shingle reuse; the direct form wins on small or
     low-duplication corpora."""
+    from pyspark.sql import Window
+
     sh = _shingles(df, text_col, id_col, shingle_k)
     # 64-bit hash of each shingle: arrays of longs intersect much faster
     # than arrays of strings, and 2^64 makes collisions negligible; the
     # hash only orders/buckets candidates — final pairs come from an
     # exact intersection, so the hash choice never changes the output
     shh = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("h"))
-    dfreq = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = shh.join(dfreq, "h")
-    # per-doc: full sorted-hash array + the global (df, h) ordering rank
+    # document frequency as a windowed count: ONE shuffle of the shingle
+    # table on h (vs groupBy + shuffle-join = two); hot shingles land in
+    # one partition but a windowed count is O(group), no buffering blowup
+    ranked = shh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    # per-doc: one sorted (df, h) buffer; the full sorted-hash array for
+    # the exact-verify step derives from it with narrow array ops
     per_doc = (
         ranked.groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list(F.struct("df", "h"))).alias("by_rarity"),
-            F.sort_array(F.collect_list("h")).alias("all_h"),
             F.count(F.lit(1)).alias("sz"),
         )
-        .withColumn(
-            "prefix",
+        .select(
+            id_col,
+            F.array_sort(
+                F.transform(F.col("by_rarity"), lambda s: s["h"])
+            ).alias("all_h"),
+            "sz",
             F.slice(
                 F.transform(F.col("by_rarity"), lambda s: s["h"]),
                 1,
                 (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
-            ),
+            ).alias("prefix"),
         )
-        .drop("by_rarity")
     )
     pref = per_doc.select(id_col, "all_h", "sz", F.explode("prefix").alias("h"))
     buckets = (
