@@ -330,3 +330,26 @@ def test_exact_dedup_key_is_hash_not_text(spark):
     import re
     m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
     assert m and "__h_hi__" in m.group(1) and "__norm__" not in plan
+
+
+def test_connected_components(spark):
+    """Chain, triangle, singleton-by-absence: canonical min labels; a
+    long chain exercises the pointer-jumping path (O(log n) rounds)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+        + [(i, i + 1) for i in range(100, 140)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in ops.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert all(comp[i] == 100 for i in range(100, 141))
+
+
+def test_near_dedup_keeps_one_per_cluster(spark, docs):
+    surv = ops.near_dedup(docs, shingle_k=2)
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    # 0/1/4 share normalized text; 2 (one-word delta) joins the same
+    # cluster through a shared minhash band (deterministic md5 hashing);
+    # only 3 is genuinely distinct -> min-id representatives are [0, 3]
+    assert ids == [0, 3]

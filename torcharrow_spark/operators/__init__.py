@@ -8,10 +8,13 @@ sides, every grouping keyed on a hash-distributed column.
 """
 
 from .dedup import (
+    connected_components,
     exact_dedup,
     exact_dedup_ids,
     minhash_pairs,
     minhash_signatures,
+    near_dedup,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
     simhash,
@@ -44,8 +47,11 @@ __all__ = [
     "language_id",
     "ivf_topk",
     "lsh_topk",
+    "connected_components",
     "minhash_pairs",
     "minhash_signatures",
+    "near_dedup",
+    "near_dup_clusters",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "quality_score",

@@ -488,3 +488,118 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs -> connected components -> one
+# representative per cluster (the standard last mile of a dedup pipeline)
+
+
+def connected_components(
+    edges: SDF,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> SDF:
+    """Distributed connected components over an undirected edge list;
+    returns (id, component) where component is the minimum node id
+    reachable from id (the usual canonical label).
+
+    Min-label propagation with pointer jumping: each round (1) every
+    node takes the min label among itself and its neighbors (one
+    shuffle), then (2) labels chase their parent's current label
+    (pointer doubling, one self-join) so label chains collapse in
+    O(log n) rounds instead of O(diameter). Convergence = zero labels
+    changed. Lineage is truncated every round with localCheckpoint —
+    iterative plans otherwise grow exponentially; swap for
+    checkpoint(dir) on a real cluster. Near-duplicate graphs are
+    near-cliques with tiny diameters, so this typically converges in
+    2-4 rounds; max_iter is a safety bound, not a tuning knob."""
+    sym = edges.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nmin, labels["id"] == nmin["src"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        parents = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            stepped.join(parents, stepped["label"] == parents["pid"], "left")
+            .select(
+                stepped["id"],
+                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def near_dup_clusters(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: SDF | None = None,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> SDF:
+    """(id, cluster) for EVERY document: MinHash-LSH candidate pairs
+    (or any caller-supplied (id_a, id_b) pair frame — e.g. the exact
+    ngram_jaccard_pairs for verified edges) -> connected components;
+    documents in no pair are their own singleton cluster."""
+    if pairs is None:
+        pairs = minhash_pairs(df, text_col, id_col, shingle_k, num_hashes, bands)
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+        )
+    )
+
+
+def near_dedup(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **cluster_kwargs,
+) -> SDF:
+    """Surviving rows after near-duplicate removal: keep the min-id
+    document of each cluster (one semi-join, same keep-min-id contract
+    as exact_dedup)."""
+    clusters = near_dup_clusters(df, text_col, id_col, **cluster_kwargs)
+    keep = (
+        clusters.groupBy("cluster")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

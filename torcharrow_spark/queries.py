@@ -1991,3 +1991,54 @@ def q57_scale_columns(spark: SparkSession, sf_dir: str) -> SDF:
         unit=fn.scale_to_0_1(me["p_retailprice"]),
         z=fn.scale_to_z_score(me["p_retailprice"]),
     ).to_spark()
+
+
+@query(
+    "q58_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5((seed // 4)::VARCHAR || '|' || sh),
+                                 (seed % 4) * 8 + 1, 8))::UBIGINT::BIGINT) AS minh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(minh::VARCHAR, '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def q58_near_dup_clusters(spark: SparkSession, sf_dir: str) -> SDF:
+    """Near-duplicate clustering: MinHash-LSH candidate pairs ->
+    distributed connected components (min-label propagation + pointer
+    jumping, operators/dedup.py:connected_components) -> canonical
+    min-id cluster per document, singletons included. The oracle
+    computes the same clusters with a recursive-CTE transitive closure
+    — fine at oracle scale, quadratic at real scale, which is exactly
+    why the engine side iterates instead."""
+    from torcharrow_spark.operators import near_dup_clusters
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return near_dup_clusters(docs, shingle_k=3, num_hashes=8, bands=4)
