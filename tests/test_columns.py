@@ -224,3 +224,16 @@ def test_batch_unbatch_roundtrip(spark):
     col_chunks = list(d["x"].batch(3))
     assert [c.count() for c in col_chunks] == [3, 2]
     assert col_chunks[0].columns == ["x"]
+
+
+def test_approx_quantile_near_exact(spark, sf_dir):
+    import pytest as _pt
+
+    import torcharrow_spark as ts
+
+    li = ts.read_parquet(f"{sf_dir}/lineitem.parquet", spark)
+    exact = li["l_quantity"].quantile(0.9)
+    approx = li["l_quantity"].approx_quantile(0.9)
+    assert approx == _pt.approx(exact, rel=0.05)
+    lst = li["l_quantity"].approx_quantile([0.25, 0.5, 0.75])
+    assert len(lst) == 3 and lst[0] <= lst[1] <= lst[2]

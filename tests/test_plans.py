@@ -105,3 +105,33 @@ def test_text_stats_is_single_projection(spark, sf_dir):
     """Fused text_stats must plan with zero exchanges (was: two joins)."""
     stats = plan_stats(QUERIES["q24_text_stats"](spark, sf_dir))
     assert stats["exchanges"] == 0, stats
+
+
+def test_surgery_filter_pushdown_through_rename(spark, sf_dir):
+    """q48's where must reach the parquet scan THROUGH the
+    rename/drop/reorder chain, with the read schema pruned to the three
+    surviving source columns."""
+    from torcharrow_spark.plans import formatted_plan
+
+    import re
+
+    p = formatted_plan(QUERIES["q48_column_surgery"](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "GreaterThan(c_acctbal,0.0)" in m.group(1)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert rs and sorted(c.split(":")[0] for c in rs.group(1).split(",")) == [
+        "c_acctbal", "c_custkey", "c_name",
+    ]
+
+
+def test_column_scalers_reuse_subqueries_no_window(spark, sf_dir):
+    """q57: frame stats ride scalar subqueries — after execution the
+    duplicate references must collapse to ReusedSubquery (each distinct
+    aggregate runs once) and the data path must contain no Window."""
+    from torcharrow_spark.plans import formatted_plan
+
+    df = QUERIES["q57_scale_columns"](spark, sf_dir)
+    df.collect()  # AQE finalizes THIS plan instance (count() would plan anew)
+    p = formatted_plan(df)
+    assert "Window" not in p
+    assert p.count("ReusedSubquery") >= 1

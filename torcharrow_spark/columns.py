@@ -458,6 +458,28 @@ class Column:
         qs = [p / 100 for p in q] if isinstance(q, (list, tuple)) else q / 100
         return self.quantile(qs, interpolation)
 
+    def approx_quantile(self, q, accuracy: int = 10000):
+        """Approximate quantile(s) via Spark's mergeable percentile
+        sketch (beyond reference parity — the 100 TB path): bounded
+        memory per group instead of the exact quantile's full value
+        buffer; rank error ~ 1/accuracy. Use this in hot pipelines and
+        keep `quantile()` for oracle-exact checks."""
+        qs = list(q) if isinstance(q, (list, tuple)) else None
+        for p in qs if qs is not None else [q]:
+            if not 0 <= p <= 1:
+                raise ValueError(f"quantile {p} outside [0, 1]")
+        if qs is None:
+            return self._agg(
+                lambda e: F.percentile_approx(e, F.lit(q), F.lit(accuracy)),
+                dt.float64.with_null(True),
+            )
+        return self._agg(
+            lambda e: F.percentile_approx(
+                e, F.array(*[F.lit(p) for p in qs]), F.lit(accuracy)
+            ),
+            dt.List(dt.float64.with_null(True), True),
+        )
+
     # -- row-level functional ops on a single named column (reference
     #    icolumn.py:420-727 defines map/flatmap/filter on Column) --------
 
