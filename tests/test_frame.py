@@ -319,3 +319,14 @@ def test_positional_literal_indexing(spark):
     # from_pylist frames carry the index too
     p = ts.from_pylist([{"a": 1}, {"a": 2}, {"a": 3}], spark=spark)
     assert p[1] == (2,)
+
+
+def test_drop_duplicates_keep_false(spark):
+    """keep=False drops every row whose key occurs more than once
+    (declared-but-unimplemented in the reference, icolumn.py:1068-1079)."""
+    d = ts.dataframe({"k": [1, 1, 2, 3, 3, 3], "v": list("abcdef")}, spark=spark)
+    out = d.drop_duplicates(subset=["k"], keep=False)
+    assert sorted(r["v"] for r in out.to_pylist()) == ["c"]
+    # whole-row variant ignores the hidden index
+    d2 = ts.dataframe({"k": [5, 5, 6]}, spark=spark)
+    assert [r["k"] for r in d2.drop_duplicates(keep=False).to_pylist()] == [6]

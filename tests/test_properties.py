@@ -157,3 +157,40 @@ def test_bpe_udf_matches_local_encode(spark, texts):
     fresh = BPETokenizer.toy()  # no shared cache with the executor copy
     for i, t in enumerate(texts):
         assert got[i] == fresh.encode(t), (t,)
+
+
+FLOATS = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=st.lists(FLOATS, min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None)
+def test_quantile_interpolations_property(spark, data):
+    """Every interpolation mode matches pandas on randomized groups —
+    one Spark job for all groups per mode (reference delegates quantile
+    to pandas: inumerical_column.py:355-413)."""
+    import pandas as pd
+    import pytest as _pt
+
+    rows = [(gi, v) for gi, vals in enumerate(data) for v in vals]
+    d = ts.dataframe(
+        {"g": [r[0] for r in rows], "x": [r[1] for r in rows]},
+        dtype=ts.dt.Struct(
+            (ts.dt.Field("g", ts.dt.int64), ts.dt.Field("x", ts.dt.float64))
+        ),
+        spark=spark,
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    for interp in ["linear", "lower", "higher", "nearest", "midpoint"]:
+        got = {
+            r["g"]: r["q"]
+            for r in d.groupby(["g"])
+            .select(q=me["x"].quantile(0.37, interpolation=interp))
+            .to_pylist()
+        }
+        for gi, grp in pdf.groupby("g"):
+            want = grp["x"].quantile(0.37, interpolation=interp)
+            assert got[gi] == _pt.approx(want, rel=1e-12, abs=1e-12), (interp, gi)

@@ -315,7 +315,19 @@ class DataFrame:
         order (reference relies on single-node insertion order:
         dataframe_cpu.py:1578-1606); distributed, pass ``order_by``. This
         lowers to one hash-shuffle on ``subset`` + min_by per group — no
-        window sort over the full table."""
+        window sort over the full table. ``keep=False`` (declared but
+        unimplemented in the reference, icolumn.py:1068-1079) drops every
+        row whose key occurs more than once — one windowed count, no
+        order needed."""
+        if keep is False:
+            cols = subset or self.columns
+            w = Window.partitionBy(*cols)
+            out = (
+                self._sdf.withColumn("__n__", F.count(F.lit(1)).over(w))
+                .filter(F.col("__n__") == 1)
+                .drop("__n__")
+            )
+            return DataFrame(out)
         if subset is None:
             return DataFrame(self._sdf.dropDuplicates())
         if keep not in ("first", "last"):
