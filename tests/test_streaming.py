@@ -154,3 +154,19 @@ def test_watermark_drops_late_data_append_mode(spark, tmp_path):
         for o in p.get("stateOperators", [])
     )
     assert dropped >= 1, [p.get("stateOperators") for p in q.recentProgress]
+
+
+def test_sliding_windows_double_count(spark, sf_dir):
+    """With slide = window/2 every event lands in exactly two windows:
+    total event-count across sliding windows = 2x the tumbling total."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.sources import read_parquet_ns
+    from torcharrow_spark.streaming import windowed_counts_batch
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+    tumbling = windowed_counts_batch(ev, "1 hour")
+    sliding = windowed_counts_batch(ev, "1 hour", slide="30 minutes")
+    t = tumbling.agg(F.sum("n_events").alias("n")).collect()[0]["n"]
+    s = sliding.agg(F.sum("n_events").alias("n")).collect()[0]["n"]
+    assert s == 2 * t

@@ -2042,3 +2042,48 @@ def q58_near_dup_clusters(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     return near_dup_clusters(docs, shingle_k=3, num_hashes=8, bands=4)
+
+
+@query(
+    "q59_sliding_windows",
+    oracle="""
+    WITH e AS (
+      SELECT ts, event_type, value,
+             to_timestamp(floor(epoch(ts)/1800)*1800) AS s0
+      FROM events
+    ),
+    x AS (
+      SELECT ts, event_type, value,
+             unnest([s0, s0 - INTERVAL 30 MINUTE]) AS ws
+      FROM e
+    )
+    SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM x
+    WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def q59_sliding_windows(spark: SparkSession, sf_dir: str) -> SDF:
+    """Sliding event-time windows (1h window, 30m slide): each event
+    lands in window/slide = 2 overlapping windows — Spark explodes the
+    window copies before the hash aggregate, the oracle unnests the two
+    candidate starts. Beyond-parity §2.14 (streaming/windowed_counts
+    slide param). Window starts emitted as epoch longs (representation-
+    proof), totals as exact decimal sums."""
+    ev = _load(spark, sf_dir, "events").to_spark()
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -15,10 +15,16 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def windowed_counts_batch(events: SDF, window: str = "1 hour") -> SDF:
-    """Tumbling event-time window aggregation (batch plan)."""
+def windowed_counts_batch(
+    events: SDF, window: str = "1 hour", slide: str | None = None
+) -> SDF:
+    """Tumbling (default) or sliding (`slide` < `window`) event-time
+    window aggregation (batch plan). A sliding window emits one row per
+    window the event falls in — window/slide overlapping copies — which
+    is how Spark plans it too (explode before the hash aggregate)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        events.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        events.groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
