@@ -237,3 +237,24 @@ def test_approx_quantile_near_exact(spark, sf_dir):
     assert approx == _pt.approx(exact, rel=0.05)
     lst = li["l_quantity"].approx_quantile([0.25, 0.5, 0.75])
     assert len(lst) == 3 and lst[0] <= lst[1] <= lst[2]
+
+
+def test_column_metadata_props(spark):
+    """is_nullable / length / null_count / is_valid_at (reference
+    icolumn.py:151-167, 293-297)."""
+    import pytest as _pt
+
+    import torcharrow_spark as ts
+
+    d = ts.dataframe(
+        {"x": [1, None, 3]},
+        dtype=ts.dt.Struct([ts.dt.Field("x", ts.dt.int64.with_null(True))]),
+        spark=spark,
+    )
+    c = d["x"]
+    assert c.is_nullable is True
+    assert c.length == 3
+    assert c.null_count == 1
+    assert c.is_valid_at(0) and not c.is_valid_at(1) and c.is_valid_at(2)
+    with _pt.raises(ValueError):
+        ts.me["x"].null_count

@@ -55,6 +55,33 @@ class Column:
     def dtype(self) -> dt.DType:
         return self._resolve(None)[1]
 
+    @property
+    def is_nullable(self) -> bool:
+        """Whether the column can hold nulls (reference icolumn.py:151)."""
+        return self.dtype.nullable
+
+    @property
+    def length(self) -> int:
+        """Row count including nulls (reference icolumn.py:161) — eager,
+        owner-bound."""
+        owner, _ = self._named_owner("length")
+        return owner.count()
+
+    @property
+    def null_count(self) -> int:
+        """Number of nulls (reference icolumn.py:167) — eager one-agg."""
+        if self._owner is None:
+            raise ValueError("null_count needs a frame-bound column")
+        return int(self._agg(lambda e: F.count_if(e.isNull()), dt.int64))
+
+    def is_valid_at(self, index: int) -> bool:
+        """Non-null at position `index` (reference icolumn.py:293-297);
+        positional, so the owning frame must carry its construction
+        index (local frames) — one single-row job."""
+        owner, name = self._named_owner("is_valid_at")
+        row = owner[index]
+        return row[owner.columns.index(name)] is not None
+
     def alias(self, name: str) -> "Column":
         def resolve(df):
             e, d = self._resolve(df)
