@@ -2087,3 +2087,33 @@ def q59_sliding_windows(spark: SparkSession, sf_dir: str) -> SDF:
             "total_value",
         )
     )
+
+
+@query(
+    "q60_multimodal_decode_plan",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           (16 + n % 64) AS width,
+           (16 + (n // 64) % 64) AS height,
+           unnest(range(0, greatest((n // 1000) - 1, 0) + 1, 7)) AS frame_index
+    FROM m
+    """,
+)
+def q60_multimodal_decode_plan(spark: SparkSession, sf_dir: str) -> SDF:
+    """Multimodal plumbing end-to-end in the driver gate: text bytes as
+    an opaque binary media column -> attach_media metadata ->
+    decode_features (deterministic fake decoder, real mapInPandas
+    distribution) -> frame_sample_plan indices, joined per document.
+    The oracle reproduces the fake decoder's length-derived geometry
+    and the sampling arithmetic (operators/multimodal.py)."""
+    from torcharrow_spark.operators import attach_media, decode_features, frame_sample_plan
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
+    media = attach_media(media, "media", media_type="video", fmt="fake")
+    dec = decode_features(media, "media", "doc_id", fake=True).select(
+        "doc_id", "width", "height"
+    )
+    frames = frame_sample_plan(media, "media", "doc_id", every_n=7)
+    return dec.join(frames, "doc_id").select("doc_id", "width", "height", "frame_index")
