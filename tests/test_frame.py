@@ -330,3 +330,19 @@ def test_drop_duplicates_keep_false(spark):
     # whole-row variant ignores the hidden index
     d2 = ts.dataframe({"k": [5, 5, 6]}, spark=spark)
     assert [r["k"] for r in d2.drop_duplicates(keep=False).to_pylist()] == [6]
+
+
+def test_review_regressions_positional_and_dedup(spark):
+    """Round-2 review findings: whole-row dedup must ignore the hidden
+    index; masks validate length; negative gather indices normalize;
+    empty describe selection yields metric rows, not a crash."""
+    import pytest as _pt
+
+    d = ts.dataframe({"k": [5, 5, 6]}, spark=spark)
+    assert sorted(r["k"] for r in d.drop_duplicates().to_pylist()) == [5, 6]
+    d2 = ts.dataframe({"x": [1, 2, 3, 4, 5]}, spark=spark)
+    with _pt.raises(ValueError, match="mask length"):
+        d2[[True, False, True]]
+    assert [r["x"] for r in d2[[0, -1]].to_pylist()] == [1, 5]
+    out = d2.describe(include=[])
+    assert out.columns == ["metric"] and out.count() == 8

@@ -353,3 +353,16 @@ def test_near_dedup_keeps_one_per_cluster(spark, docs):
     # cluster through a shared minhash band (deterministic md5 hashing);
     # only 3 is genuinely distinct -> min-id representatives are [0, 3]
     assert ids == [0, 3]
+
+
+def test_connected_components_string_ids(spark):
+    """String/UUID ids must cluster (a long cast would null them out and
+    silently produce all-singletons — round-2 review finding)."""
+    docs = spark.createDataFrame(
+        [("a", "same text here"), ("b", "same  TEXT here"), ("c", "different entirely words")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["cluster"] for r in ops.near_dup_clusters(docs, shingle_k=2).collect()}
+    assert out["a"] == out["b"] == "a" and out["c"] == "c"
+    surv = sorted(r["doc_id"] for r in ops.near_dedup(docs, shingle_k=2).collect())
+    assert surv == ["a", "c"]

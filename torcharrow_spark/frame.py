@@ -115,12 +115,24 @@ class DataFrame:
             if not key:
                 return DataFrame(self._sdf.select().limit(0))
             if all(isinstance(k, bool) for k in key):
-                # literal boolean mask (reference icolumn.py:337-338)
+                # literal boolean mask (reference icolumn.py:337-338);
+                # length must match the frame exactly — a short mask
+                # would silently drop trailing rows
                 n = self._positional_order()
+                total = self.count()
+                if len(key) != total:
+                    raise ValueError(
+                        f"boolean mask length {len(key)} != frame length {total}"
+                    )
                 idx = [i for i, b in enumerate(key) if b]
                 return self.gather(idx, order_by=n)
             if all(isinstance(k, int) and not isinstance(k, bool) for k in key):
-                return self.gather(list(key), order_by=self._positional_order())
+                n = self._positional_order()
+                idx = list(key)
+                if any(i < 0 for i in idx):
+                    total = self.count()
+                    idx = [i if i >= 0 else total + i for i in idx]
+                return self.gather(idx, order_by=n)
             if all(isinstance(k, str) for k in key):
                 return DataFrame(self._sdf.select(*key))
             raise TypeError("index should be list of bool, int, or str")
@@ -329,7 +341,9 @@ class DataFrame:
             )
             return DataFrame(out)
         if subset is None:
-            return DataFrame(self._sdf.dropDuplicates())
+            # dedup over the DATA columns — the hidden construction index
+            # is unique per row and would make this a silent no-op
+            return DataFrame(self._sdf.dropDuplicates(self.columns))
         if keep not in ("first", "last"):
             raise ValueError(keep)
         order_by = order_by or ([INDEX_COL] if INDEX_COL in self._sdf.columns else None)
@@ -585,6 +599,14 @@ class DataFrame:
             includes = [n for n, d in fields.items() if d in include]
         excludes = [] if exclude is None else [n for n, d in fields.items() if d in exclude]
         cols = [c for c in includes if c not in excludes]
+        stats_names = ["count", "mean", "std", "min", *[f"{p:g}%" for p in percentiles], "max"]
+        if not cols:
+            # empty selection: the reference still emits the metric rows
+            return DataFrame(
+                self._sdf.sparkSession.createDataFrame(
+                    [(s,) for s in stats_names], "metric string"
+                )
+            )
 
         def _mid(col, p):
             # midpoint of the two bracketing order stats (reference uses
@@ -620,7 +642,7 @@ class DataFrame:
                     *[null.alias(f"{c}:{p:g}%") for p in percentiles],
                 ]
         row = self._sdf.agg(*aggs)
-        stats = ["count", "mean", "std", "min", *[f"{p:g}%" for p in percentiles], "max"]
+        stats = stats_names
         n = len(stats)
         typ = {c: ("double" if c in numeric else "string") for c in cols}
         exprs = ", ".join(

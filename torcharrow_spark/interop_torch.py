@@ -10,9 +10,11 @@ PackedList, PackedMap) are identical either way.
 
 Distributed note: `to_tensor` is a DRIVER-side sink for model hand-off
 (bounded by what fits on the driver, like the reference's single-node
-semantics). For training-scale export, `batched_tensors` streams Arrow
-record batches through `toLocalIterator`-free partition iteration
-(mapInArrow) so each executor materializes only its own shard.
+semantics). For training-scale export, `batched_tensors` streams:
+executors serialize their Arrow batches to IPC payloads (mapInArrow)
+and the driver walks them one partition at a time via toLocalIterator —
+peak driver memory is one partition's payloads plus ~2x batch_size
+rows, never the dataset.
 """
 
 from __future__ import annotations

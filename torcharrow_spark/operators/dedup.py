@@ -515,9 +515,9 @@ def connected_components(
     checkpoint(dir) on a real cluster. Near-duplicate graphs are
     near-cliques with tiny diameters, so this typically converges in
     2-4 rounds; max_iter is a safety bound, not a tuning knob."""
-    sym = edges.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    # ids keep their native type: a cast to long would null out string /
+    # UUID ids (ANSI off) and silently produce all-singleton components
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -597,9 +597,7 @@ def near_dedup(
     document of each cluster (one semi-join, same keep-min-id contract
     as exact_dedup)."""
     clusters = near_dup_clusters(df, text_col, id_col, **cluster_kwargs)
-    keep = (
-        clusters.groupBy("cluster")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
+    # the component label IS the minimum member id (and singletons label
+    # themselves), so the distinct labels are exactly the keeper set
+    keep = clusters.select(F.col("cluster").alias(id_col)).distinct()
     return df.join(keep, id_col, "left_semi")

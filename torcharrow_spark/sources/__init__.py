@@ -93,16 +93,19 @@ def from_pylist(data: _ty.List[dict], dtype: dt.Struct | None = None,
                 spark: SparkSession | None = None) -> DataFrame:
     from ..frame import INDEX_COL
 
-    schema = dt.spark_schema(dtype) if dtype is not None else None
-    sdf = _spark(spark).createDataFrame(data, schema=schema)
-    if data and isinstance(data[0], dict):
-        # carry a hidden construction-order index so positional APIs
-        # (df[i], slices, literal masks) have reference semantics; it is
-        # dropped by to_spark()/select and hidden from .columns
-        indexed = [dict(r, **{INDEX_COL: i}) for i, r in enumerate(data)]
-        ssch = sdf.schema.add(INDEX_COL, "long", False)
-        sdf = _spark(spark).createDataFrame(indexed, schema=ssch)
-    return DataFrame(sdf)
+    s = _spark(spark)
+    if not (data and isinstance(data[0], dict)):
+        schema = dt.spark_schema(dtype) if dtype is not None else None
+        return DataFrame(s.createDataFrame(data, schema=schema))
+    # carry a hidden construction-order index so positional APIs
+    # (df[i], slices, literal masks) have reference semantics; it is
+    # dropped by to_spark()/select and hidden from .columns
+    if dtype is not None:
+        base = dt.spark_schema(dtype)  # no inference pass needed
+    else:
+        base = s.createDataFrame(data).schema
+    indexed = [dict(r, **{INDEX_COL: i}) for i, r in enumerate(data)]
+    return DataFrame(s.createDataFrame(indexed, schema=base.add(INDEX_COL, "long", False)))
 
 
 def dataframe(data, dtype: dt.Struct | None = None, columns: _ty.List[str] | None = None,
