@@ -2117,3 +2117,32 @@ def q60_multimodal_decode_plan(spark: SparkSession, sf_dir: str) -> SDF:
     )
     frames = frame_sample_plan(media, "media", "doc_id", every_n=7)
     return dec.join(frames, "doc_id").select("doc_id", "width", "height", "frame_index")
+
+
+@query(
+    "q61_literal_frame_join",
+    oracle="""
+    WITH seg(seg_code, seg_label) AS (
+      VALUES ('AUTOMOBILE', 'auto'), ('BUILDING', 'bld'), ('FURNITURE', 'furn'),
+             ('HOUSEHOLD', 'house'), ('MACHINERY', 'mach')
+    )
+    SELECT c.c_custkey, s.seg_label
+    FROM customer c JOIN seg s ON c.c_mktsegment = s.seg_code
+    """,
+)
+def q61_literal_frame_join(spark: SparkSession, sf_dir: str) -> SDF:
+    """Locally-constructed literal frame (ta.dataframe — §2.1
+    construction path, with its hidden positional index dropped at the
+    join boundary) broadcast-joined against a parquet fact table."""
+    import torcharrow_spark as ts
+
+    seg = ts.dataframe(
+        {
+            "seg_code": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+            "seg_label": ["auto", "bld", "furn", "house", "mach"],
+        },
+        spark=spark,
+    )
+    c = _load(spark, sf_dir, "customer")
+    joined = c.join(seg, on=F.col("c_mktsegment") == F.col("seg_code"), broadcast=True)
+    return joined.keep(["c_custkey", "seg_label"]).to_spark()
