@@ -346,3 +346,12 @@ def test_review_regressions_positional_and_dedup(spark):
     assert [r["x"] for r in d2[[0, -1]].to_pylist()] == [1, 5]
     out = d2.describe(include=[])
     assert out.columns == ["metric"] and out.count() == 8
+
+
+def test_column_range_slice(spark):
+    """df['b':'d'] selects the column range, stop-exclusive (reference
+    dataframe_cpu.py:426-439)."""
+    d = ts.dataframe({"a": [1], "b": [2], "c": [3], "d": [4]}, spark=spark)
+    assert d["b":"d"].columns == ["b", "c"]
+    assert d[:"b"].columns == ["a"]
+    assert d["c":].columns == ["c", "d"]

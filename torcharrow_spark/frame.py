@@ -103,6 +103,15 @@ class DataFrame:
             if not row:
                 raise IndexError(key)
             return tuple(row[0][c] for c in self.columns)
+        if isinstance(key, slice) and (
+            isinstance(key.start, str) or isinstance(key.stop, str)
+        ):
+            # column-RANGE slice df['a':'c'] — stop exclusive (reference
+            # dataframe_cpu.py:426-439)
+            cols = self.columns
+            lo = 0 if key.start is None else cols.index(key.start)
+            hi = len(cols) if key.stop is None else cols.index(key.stop)
+            return DataFrame(self._sdf.select(*cols[lo:hi]))
         if isinstance(key, slice):
             n = self._positional_order()
             start, stop, step = key.start, key.stop, key.step
