@@ -258,3 +258,18 @@ def test_column_metadata_props(spark):
     assert c.is_valid_at(0) and not c.is_valid_at(1) and c.is_valid_at(2)
     with _pt.raises(ValueError):
         ts.me["x"].null_count
+
+
+def test_column_describe(spark):
+    """Reference docstring example (inumerical_column.py): column
+    describe emits (statistic, value) rows."""
+    import pytest as _pt
+
+    import torcharrow_spark as ts
+
+    d = ts.dataframe({"t": [1, 2, 999, 4]}, spark=spark)
+    rows = {r["statistic"]: r["value"] for r in d["t"].describe().to_pylist()}
+    assert rows["count"] == 4.0 and rows["mean"] == 251.5
+    assert rows["std"] == _pt.approx(498.33489408897174)
+    assert rows["25%"] == 1.5 and rows["50%"] == 3.0 and rows["75%"] == 501.5
+    assert rows["min"] == 1.0 and rows["max"] == 999.0

@@ -485,6 +485,15 @@ class Column:
         qs = [p / 100 for p in q] if isinstance(q, (list, tuple)) else q / 100
         return self.quantile(qs, interpolation)
 
+    def describe(self, percentiles=None):
+        """Column-level describe (reference inumerical_column.py:137-198):
+        a (statistic, value) frame — count/mean/std/min/percentiles/max,
+        percent-valued percentiles with midpoint interpolation like the
+        frame-level describe."""
+        owner, name = self._named_owner("describe")
+        out = owner.keep([name]).describe(percentiles=percentiles)
+        return out.rename({"metric": "statistic", name: "value"})
+
     def approx_quantile(self, q, accuracy: int = 10000):
         """Approximate quantile(s) via Spark's mergeable percentile
         sketch (beyond reference parity — the 100 TB path): bounded
