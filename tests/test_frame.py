@@ -355,3 +355,14 @@ def test_column_range_slice(spark):
     assert d["b":"d"].columns == ["b", "c"]
     assert d[:"b"].columns == ["a"]
     assert d["c":].columns == ["c", "d"]
+
+
+def test_pivot_melt_roundtrip(spark):
+    d = ts.dataframe(
+        {"k": ["a", "a", "b"], "g": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]}, spark=spark
+    )
+    wide = d.pivot("k", "g", "v", agg="sum", col_values=["x", "y"])
+    rows = {r["k"]: (r["x"], r["y"]) for r in wide.to_pylist()}
+    assert rows["a"] == (1.0, 2.0) and rows["b"] == (3.0, None)
+    tall = wide.melt(["k"], ["x", "y"]).to_spark()
+    assert tall.count() == 4 and set(tall.columns) == {"k", "variable", "value"}

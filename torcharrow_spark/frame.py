@@ -661,6 +661,35 @@ class DataFrame:
         out = row.selectExpr(f"stack({n}, {exprs}) as (metric, {', '.join('`'+c+'`' for c in cols)})")
         return DataFrame(out)
 
+    def pivot(
+        self,
+        index: _ty.Union[str, _ty.List[str]],
+        columns: str,
+        values: str,
+        agg: str = "sum",
+        col_values: _ty.Optional[_ty.List] = None,
+    ) -> "DataFrame":
+        """Wide pivot: one output column per distinct value of `columns`
+        (beyond reference parity; free on Spark's hash aggregate). Pass
+        `col_values` at scale — without it Spark runs an extra distinct
+        job over `columns` to discover the output schema."""
+        index = [index] if isinstance(index, str) else list(index)
+        gd = self._sdf.groupBy(*index)
+        p = gd.pivot(columns, col_values) if col_values is not None else gd.pivot(columns)
+        fn = self._DF_AGGS[agg]
+        return DataFrame(p.agg(fn(F.col(values))))
+
+    def melt(
+        self,
+        ids: _ty.List[str],
+        values: _ty.List[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "DataFrame":
+        """Long unpivot (pandas melt; Spark-native unpivot — a
+        generate/explode, no shuffle)."""
+        return DataFrame(self._sdf.unpivot(ids, values, var_name, value_name))
+
     def _cumulative(self, fn, columns, order_by, partition_by=None) -> "DataFrame":
         order_by = order_by or ([INDEX_COL] if INDEX_COL in self._sdf.columns else None)
         if order_by is None:

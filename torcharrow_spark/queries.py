@@ -2146,3 +2146,52 @@ def q61_literal_frame_join(spark: SparkSession, sf_dir: str) -> SDF:
     c = _load(spark, sf_dir, "customer")
     joined = c.join(seg, on=F.col("c_mktsegment") == F.col("seg_code"), broadcast=True)
     return joined.keep(["c_custkey", "seg_label"]).to_spark()
+
+
+@query(
+    "q62_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q62_pivot(spark: SparkSession, sf_dir: str) -> SDF:
+    """Wide pivot over explicit column values (no discovery job);
+    decimal-exact sums cast back to double on both engines."""
+    import torcharrow_spark as ts
+
+    li = _load(spark, sf_dir, "lineitem")
+    dec = li.to_spark().withColumn("q", F.col("l_quantity").cast("decimal(18,2)"))
+    out = ts.DataFrame(dec).pivot(
+        "l_returnflag", "l_linestatus", "q", agg="sum", col_values=["F", "O"]
+    )
+    return out.to_spark().select(
+        "l_returnflag",
+        F.col("F").cast("double").alias("F"),
+        F.col("O").cast("double").alias("O"),
+    )
+
+
+@query(
+    "q63_melt",
+    oracle="""
+    SELECT c_custkey, 'c_acctbal' AS variable, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'c_nationkey', c_nationkey::DOUBLE FROM customer
+    """,
+)
+def q63_melt(spark: SparkSession, sf_dir: str) -> SDF:
+    """Long unpivot (melt) — generate/explode, zero shuffles."""
+    import torcharrow_spark as ts
+
+    c = _load(spark, sf_dir, "customer")
+    wide = c.to_spark().select(
+        "c_custkey", "c_acctbal", F.col("c_nationkey").cast("double").alias("c_nationkey")
+    )
+    return ts.DataFrame(wide).melt(
+        ["c_custkey"], ["c_acctbal", "c_nationkey"]
+    ).to_spark()
