@@ -366,3 +366,19 @@ def test_connected_components_string_ids(spark):
     assert out["a"] == out["b"] == "a" and out["c"] == "c"
     surv = sorted(r["doc_id"] for r in ops.near_dedup(docs, shingle_k=2).collect())
     assert surv == ["a", "c"]
+
+
+def test_hash_split_deterministic_partition(spark):
+    """hash_split: same rows land in the same split regardless of
+    partitioning; fractions approximately honored; frames disjoint and
+    exhaustive."""
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    tr, va = ops.hash_split(df, "k", (0.8, 0.2), seed=3)
+    tr2, va2 = ops.hash_split(df.repartition(13), "k", (0.8, 0.2), seed=3)
+    a, b = {r["k"] for r in tr.collect()}, {r["k"] for r in va.collect()}
+    assert a == {r["k"] for r in tr2.collect()} and b == {r["k"] for r in va2.collect()}
+    assert not (a & b) and len(a | b) == 2000
+    assert 0.75 < len(a) / 2000 < 0.85
+    lab = ops.split_column(df, "k", (0.8, 0.2), seed=3)
+    by_label = {r["k"]: r["split"] for r in lab.collect()}
+    assert all(by_label[k] == 0 for k in a) and all(by_label[k] == 1 for k in b)

@@ -22,6 +22,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .joins import asof_join, salted_join
+from .preprocess import hash_split, scaled_frame, split_column
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
 from .similarity import brute_force_topk, cosine_pairs, ivf_topk, lsh_topk
 from .textstats import (
@@ -54,8 +55,11 @@ __all__ = [
     "near_dup_clusters",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
+    "hash_split",
     "quality_score",
     "resize_media",
+    "scaled_frame",
+    "split_column",
     "simhash_groups",
     "simhash_pairs",
     "text_stats",

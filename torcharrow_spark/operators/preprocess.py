@@ -57,3 +57,66 @@ def scaled_frame(
     drop = [col for c in columns for col in
             (f"__n_{c}", f"__s_{c}", f"__q_{c}", f"__mn_{c}", f"__mx_{c}")]
     return out.drop(*drop)
+
+
+def hash_split(
+    df: SDF,
+    key_col: str,
+    fractions: _ty.Sequence[float] = (0.9, 0.1),
+    seed: int = 0,
+) -> _ty.List[SDF]:
+    """Deterministic train/val/test split: a row's bucket is a pure
+    function of (seed, key) — the first 48 bits of md5(f"{seed}|{key}")
+    as a fraction of 2^48 — so the same row lands in the same split
+    under ANY partitioning, cluster size, or engine (df.sample does
+    not guarantee that), and an external SQL oracle can reproduce the
+    assignment bit-for-bit. Narrow projection + filter per split: no
+    shuffle, each output is independently usable. Fractions must sum
+    to <= 1; the tail fraction absorbs rounding."""
+    if sum(fractions) > 1 + 1e-9:
+        raise ValueError("fractions must sum to <= 1")
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(2 ** 48)
+    )
+    outs, lo = [], 0.0
+    for i, f_i in enumerate(fractions):
+        hi = 1.0 if i == len(fractions) - 1 and abs(lo + f_i - 1) < 1e-9 else lo + f_i
+        outs.append(df.where((frac >= lo) & (frac < hi)))
+        lo = hi
+    return outs
+
+
+def split_column(
+    df: SDF,
+    key_col: str,
+    fractions: _ty.Sequence[float] = (0.9, 0.1),
+    seed: int = 0,
+    name: str = "split",
+) -> SDF:
+    """Split label (0..n-1) as a column instead of separate frames —
+    same deterministic assignment as hash_split."""
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(2 ** 48)
+    )
+    label = F.lit(len(fractions) - 1)
+    bounds, lo = [], 0.0
+    for f_i in fractions[:-1]:
+        lo += f_i
+        bounds.append(lo)
+    for i in reversed(range(len(bounds))):
+        label = F.when(frac < bounds[i], i).otherwise(label)
+    return df.withColumn(name, label)

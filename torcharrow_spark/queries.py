@@ -2195,3 +2195,30 @@ def q63_melt(spark: SparkSession, sf_dir: str) -> SDF:
     return ts.DataFrame(wide).melt(
         ["c_custkey"], ["c_acctbal", "c_nationkey"]
     ).to_spark()
+
+
+@query(
+    "q64_hash_split",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN frac < 0.8 THEN 0 ELSE 1 END AS split
+    FROM (
+      SELECT c_custkey,
+             list_sum([(strpos('0123456789abcdef',
+                               substr(md5('7|' || c_custkey::VARCHAR), i, 1)) - 1)
+                       * 16.0 ** (12 - i)
+                       for i in range(1, 13)]) / (16.0 ** 12) AS frac
+      FROM customer
+    )
+    """,
+)
+def q64_hash_split(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deterministic 80/20 train-val split label per customer
+    (operators/preprocess.split_column): assignment is a pure function
+    of (seed, key) via md5, so any partitioning, engine, or cluster
+    size produces the identical split — df.sample cannot promise that.
+    The oracle reproduces the 48-bit bucket arithmetic digit by digit."""
+    from torcharrow_spark.operators import split_column
+
+    c = _load(spark, sf_dir, "customer").to_spark()
+    return split_column(c, "c_custkey", (0.8, 0.2), seed=7).select("c_custkey", "split")
