@@ -2222,3 +2222,83 @@ def q64_hash_split(spark: SparkSession, sf_dir: str) -> SDF:
 
     c = _load(spark, sf_dir, "customer").to_spark()
     return split_column(c, "c_custkey", (0.8, 0.2), seed=7).select("c_custkey", "split")
+
+
+@query(
+    "q65_pandas_arrow_sources",
+    oracle="""
+    WITH reg(r_key, r_tag) AS (
+      VALUES (0, 'afr'), (1, 'ame'), (2, 'asi'), (3, 'eur'), (4, 'mea')
+    ),
+    par(mod5, parity) AS (
+      VALUES (0, 'zero'), (1, 'one'), (2, 'two'), (3, 'three'), (4, 'four')
+    )
+    SELECT n.n_nationkey, n.n_name, r.r_tag, p.parity
+    FROM nation n
+    JOIN reg r ON n.n_regionkey = r.r_key
+    JOIN par p ON n.n_nationkey % 5 = p.mod5
+    """,
+)
+def q65_pandas_arrow_sources(spark: SparkSession, sf_dir: str) -> SDF:
+    """Literal-source constructors in the driver gate: a pandas frame via
+    ``from_pandas`` and an Arrow table via ``from_arrow`` (reference
+    interop.py:17-41), both broadcast-joined to a parquet fact table."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import torcharrow_spark as ts
+    from torcharrow_spark.sources import from_arrow, from_pandas
+
+    reg = from_pandas(
+        pd.DataFrame(
+            {"r_key": [0, 1, 2, 3, 4], "r_tag": ["afr", "ame", "asi", "eur", "mea"]}
+        ),
+        spark=spark,
+    )
+    par = from_arrow(
+        pa.table(
+            {
+                "mod5": pa.array([0, 1, 2, 3, 4], type=pa.int32()),
+                "parity": ["zero", "one", "two", "three", "four"],
+            }
+        ),
+        spark=spark,
+    )
+    n = _load(spark, sf_dir, "nation")
+    out = n.join(reg, on=F.col("n_regionkey") == F.col("r_key"), broadcast=True)
+    out = out.join(par, on=F.col("n_nationkey") % 5 == F.col("mod5"), broadcast=True)
+    return out.keep(["n_nationkey", "n_name", "r_tag", "parity"]).to_spark()
+
+
+@query(
+    "q66_head_tail_reduce",
+    oracle="""
+    WITH s AS (SELECT CAST(SUM(c_nationkey) AS BIGINT) AS nk_total FROM customer),
+    h AS (SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 5),
+    t AS (SELECT c_custkey, c_name FROM customer ORDER BY c_custkey DESC LIMIT 5)
+    SELECT h.c_custkey, h.c_name, 'head' AS part, s.nk_total FROM h, s
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, 'tail' AS part, s.nk_total FROM t, s
+    """,
+)
+def q66_head_tail_reduce(spark: SparkSession, sf_dir: str) -> SDF:
+    """Positional head/tail under an explicit total order (reference
+    icolumn.py:352-409) plus the generic ``Column.reduce`` fold
+    (icolumn.py:729-770): the driver-side integer fold result is stamped
+    onto every row so the oracle can verify it exactly."""
+    import torcharrow_spark as ts
+
+    c = _load(spark, sf_dir, "customer")
+    nk_total = int(c["c_nationkey"].reduce(lambda a, b: a + b, initializer=0))
+    keep = ["c_custkey", "c_name"]
+    head = c.sort(["c_custkey"]).head(5).keep(keep)
+    tail = c.tail(5, order_by=["c_custkey"]).keep(keep)
+
+    def stamp(df, part):
+        return df.to_spark().select(
+            "*",
+            F.lit(part).alias("part"),
+            F.lit(nk_total).cast("bigint").alias("nk_total"),
+        )
+
+    return stamp(head, "head").unionByName(stamp(tail, "tail"))
