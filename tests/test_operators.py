@@ -382,3 +382,38 @@ def test_hash_split_deterministic_partition(spark):
     lab = ops.split_column(df, "k", (0.8, 0.2), seed=3)
     by_label = {r["k"]: r["split"] for r in lab.collect()}
     assert all(by_label[k] == 0 for k in a) and all(by_label[k] == 1 for k in b)
+
+
+def test_kmeans_partition_invariant_and_sane(spark):
+    """kmeans: decimal-exact centroid updates make the fit bit-identical
+    under any partitioning (the 100 TB determinism claim); clusters
+    separate an obviously separable dataset; empty clusters keep their
+    previous centroid without crashing."""
+    from torcharrow_spark.operators.clustering import kmeans
+
+    pts = [(i, [float(i % 2 * 100), float((i * 7) % 5)]) for i in range(200)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    asg1, c1 = kmeans(df, k=2, max_iter=3)
+    asg2, c2 = kmeans(df.repartition(13), k=2, max_iter=3)
+    assert c1 == c2
+    m1 = {r["vec_id"]: r["cluster"] for r in asg1.collect()}
+    m2 = {r["vec_id"]: r["cluster"] for r in asg2.collect()}
+    assert m1 == m2
+    # separable: evens (x=0) and odds (x=100) never share a cluster
+    even = {m1[i] for i in range(0, 200, 2)}
+    odd = {m1[i] for i in range(1, 200, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+    # k > distinct points: surplus clusters stay on their init centroid
+    tiny = spark.createDataFrame(
+        [(1, [0.0]), (2, [0.0]), (3, [9.0])], "vec_id long, embedding array<double>"
+    )
+    _asg, cents = kmeans(tiny, k=3, max_iter=2)
+    assert len(cents) == 3
+
+
+def test_kmeans_assign_ties_to_lower_cluster(spark):
+    from torcharrow_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame([(1, [5.0])], "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, [[0.0], [10.0]]).collect()
+    assert out[0]["cluster"] == 0

@@ -21,6 +21,7 @@ from .dedup import (
     simhash_groups,
     simhash_pairs,
 )
+from .clustering import kmeans, kmeans_assign
 from .joins import asof_join, salted_join
 from .preprocess import hash_split, scaled_frame, split_column
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
@@ -47,6 +48,8 @@ __all__ = [
     "exact_dedup_ids",
     "language_id",
     "ivf_topk",
+    "kmeans",
+    "kmeans_assign",
     "lsh_topk",
     "connected_components",
     "minhash_pairs",

@@ -1,0 +1,119 @@
+"""Distributed k-means (Lloyd's algorithm) over an array-typed feature
+column — the centroid trainer behind IVF-style ANN partitioning and a
+building block for embedding-space corpus curation (topic balancing,
+cluster-stratified sampling) in training-data pipelines.
+
+100 TB design:
+- Assignment is a per-row argmin against k broadcast centroid LITERALS —
+  zero shuffle, whole-stage codegen, no UDF.
+- The centroid update is ONE HashAggregate of k groups x dim columns with
+  map-side partial aggregation: each executor contributes k x dim partial
+  sums (bytes), so shuffle volume is independent of row count.
+- Per-iteration cost is one scan; `cache=True` persists the projected
+  (id, vector) frame so iterations 2..n read executor-local blocks.
+- Centroid sums use DECIMAL(38,12): exact and order-independent, so the
+  fitted centroids are bit-deterministic regardless of partitioning,
+  cluster size, or AQE decisions — the same property the exact-money
+  aggregates rely on (queries.py float-determinism policy). A float sum
+  would make the fit depend on reduce order.
+- Initialization takes the k rows with the smallest md5(id) — a
+  deterministic, engine-independent pseudo-random sample (same device as
+  operators/preprocess.split_column), collected as k x dim floats.
+
+Empty clusters keep their previous centroid (standard Lloyd's fallback).
+"""
+
+from __future__ import annotations
+
+import typing as _ty
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import functions as F
+
+from .similarity import _infer_dim
+
+__all__ = ["kmeans", "kmeans_assign"]
+
+
+def _sq_dists(vec, cents: _ty.List[_ty.List[float]]):
+    """Array of (squared-L2-distance, cluster-index) structs, one per
+    centroid; array_min picks nearest with index tie-break."""
+    out = []
+    for idx, c in enumerate(cents):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.lit([float(x) for x in c]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
+    return F.array(*out)
+
+
+def kmeans_assign(
+    df: SDF,
+    centroids: _ty.List[_ty.List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SDF:
+    """Nearest-centroid assignment (argmin squared L2, ties to the lower
+    cluster index). Zero-shuffle narrow projection."""
+    return df.select(
+        F.col(id_col),
+        F.array_min(_sq_dists(F.col(vec_col), centroids))["c"].alias("cluster"),
+    )
+
+
+def _init_centroids(df: SDF, k: int, id_col: str, vec_col: str):
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def kmeans(
+    df: SDF,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache: bool = True,
+) -> _ty.Tuple[SDF, _ty.List[_ty.List[float]]]:
+    """Fit k-means and return ``(assignments, centroids)`` where
+    assignments is a DataFrame ``[id_col, cluster:int]`` under the FINAL
+    centroids. ``max_iter`` update steps are performed; each is one scan
+    plus a k x dim aggregate. Centroids are plain Python floats (k x dim
+    — bytes on the driver, never data)."""
+    dim = _infer_dim(df, vec_col)
+    feat = df.select(F.col(id_col), F.col(vec_col))
+    if cache:
+        feat = feat.persist()
+    try:
+        cents = _init_centroids(feat, k, id_col, vec_col)
+        for _ in range(max_iter):
+            asg = feat.select(
+                F.col(vec_col),
+                F.array_min(_sq_dists(F.col(vec_col), cents))["c"].alias("cluster"),
+            )
+            upd = asg.groupBy("cluster").agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.col(vec_col)[i].cast("decimal(38,12)")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            cents = list(cents)
+            for r in upd.collect():
+                cents[r["cluster"]] = [
+                    float(r[f"s{i}"]) / r["n"] for i in range(dim)
+                ]
+        return kmeans_assign(feat, cents, id_col, vec_col), cents
+    finally:
+        if cache:
+            feat.unpersist()

@@ -2302,3 +2302,75 @@ def q66_head_tail_reduce(spark: SparkSession, sf_dir: str) -> SDF:
         )
 
     return stamp(head, "head").unionByName(stamp(tail, "tail"))
+
+
+@query(
+    "q67_kmeans",
+    oracle="""
+    WITH emb AS (
+      SELECT c_custkey AS id,
+             CAST(c_nationkey AS DOUBLE) AS e1,
+             CAST(c_custkey % 7 AS DOUBLE) AS e2,
+             CAST(c_custkey % 97 AS DOUBLE) AS e3
+      FROM customer
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cl,
+             e1 AS c1, e2 AS c2, e3 AS c3
+      FROM (SELECT * FROM emb ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 4)
+    ),
+    a1 AS (
+      SELECT id, cl FROM (
+        SELECT emb.id, c0.cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY emb.id
+                 ORDER BY (e1-c1)*(e1-c1) + (e2-c2)*(e2-c2) + (e3-c3)*(e3-c3),
+                          c0.cl
+               ) AS rn
+        FROM emb CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT cl,
+             CAST(SUM(CAST(e1 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c1,
+             CAST(SUM(CAST(e2 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c2,
+             CAST(SUM(CAST(e3 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c3
+      FROM a1 JOIN emb USING (id) GROUP BY cl
+    ),
+    cfin AS (
+      SELECT c0.cl,
+             COALESCE(upd.c1, c0.c1) AS c1,
+             COALESCE(upd.c2, c0.c2) AS c2,
+             COALESCE(upd.c3, c0.c3) AS c3
+      FROM c0 LEFT JOIN upd ON c0.cl = upd.cl
+    )
+    SELECT id AS c_custkey, CAST(cl AS INT) AS cluster FROM (
+      SELECT emb.id, cfin.cl,
+             ROW_NUMBER() OVER (
+               PARTITION BY emb.id
+               ORDER BY (e1-c1)*(e1-c1) + (e2-c2)*(e2-c2) + (e3-c3)*(e3-c3),
+                        cfin.cl
+             ) AS rn
+      FROM emb CROSS JOIN cfin
+    ) WHERE rn = 1
+    """,
+)
+def q67_kmeans(spark: SparkSession, sf_dir: str) -> SDF:
+    """Distributed k-means (operators/clustering.kmeans): one Lloyd's
+    update step over integer-derived features, then the final nearest-
+    centroid assignment. DECIMAL(38,12) centroid sums make the fit
+    bit-deterministic across partitionings, so the DuckDB oracle can
+    replay init -> assign -> update -> assign exactly in SQL."""
+    from torcharrow_spark.operators.clustering import kmeans
+
+    c = _load(spark, sf_dir, "customer").to_spark()
+    feat = c.select(
+        F.col("c_custkey"),
+        F.array(
+            F.col("c_nationkey").cast("double"),
+            (F.col("c_custkey") % 7).cast("double"),
+            (F.col("c_custkey") % 97).cast("double"),
+        ).alias("e"),
+    )
+    asg, _cents = kmeans(feat, k=4, max_iter=1, id_col="c_custkey", vec_col="e")
+    return asg
