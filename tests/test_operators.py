@@ -417,3 +417,58 @@ def test_kmeans_assign_ties_to_lower_cluster(spark):
     df = spark.createDataFrame([(1, [5.0])], "vec_id long, embedding array<double>")
     out = kmeans_assign(df, [[0.0], [10.0]]).collect()
     assert out[0]["cluster"] == 0
+
+
+def test_tf_idf_matches_hand_computation(spark):
+    """tf_idf on a 3-doc corpus vs values computed by hand with the
+    sklearn smooth_idf formula; bm25 ranks the doc with more query-term
+    hits first and skips docs with none."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "durian durian")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r
+        for r in ops.tf_idf(docs).collect()
+    }
+    assert rows[(1, "apple")]["tf"] == 2 and rows[(1, "apple")]["df"] == 2
+    idf_apple = math.log((1 + 3) / (1 + 2)) + 1
+    assert abs(rows[(1, "apple")]["idf"] - idf_apple) < 1e-7
+    assert abs(rows[(1, "apple")]["tfidf"] - 2 * idf_apple) < 1e-7
+    # durian appears in one doc: higher idf than apple
+    assert rows[(3, "durian")]["idf"] > rows[(1, "apple")]["idf"]
+
+    scored = {r["doc_id"]: r for r in ops.bm25_scores(docs, ["apple", "banana"]).collect()}
+    assert set(scored) == {1, 2}  # doc 3 has no query term
+    assert scored[1]["n_hit_terms"] == 2 and scored[2]["n_hit_terms"] == 1
+    assert scored[1]["score"] > scored[2]["score"]
+
+
+def test_top_terms_rank_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x y z"), (2, "y z z")], "doc_id long, text string"
+    )
+    out = ops.top_terms(docs, k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    assert sorted(per_doc[1])[0][1] == "x"  # x dominates doc 1
+    assert all(len(v) == 2 for v in per_doc.values())
+
+
+def test_relevance_plan_shape(spark, sf_dir):
+    """BM25/TF-IDF plans: vocabulary df side broadcast, and the corpus
+    scalars (N, avgdl) plan as scalar subqueries — no whole-frame Window
+    node anywhere (the single-partition exchange inside a scalar
+    subquery's final 1-row aggregate carries partial-agg rows, not
+    data)."""
+    from torcharrow_spark.plans import formatted_plan, plan_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = plan_stats(ops.tf_idf(docs))
+    assert stats["broadcast_joins"] >= 1, stats
+    bm25_text = formatted_plan(ops.bm25_scores(docs, ["spark"]))
+    assert "Subquery" in bm25_text
+    assert "Window" not in bm25_text

@@ -25,6 +25,7 @@ from .clustering import kmeans, kmeans_assign
 from .joins import asof_join, salted_join
 from .preprocess import hash_split, scaled_frame, split_column
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
+from .relevance import bm25_scores, term_frequencies, tf_idf, top_terms
 from .similarity import brute_force_topk, cosine_pairs, ivf_topk, lsh_topk
 from .textstats import (
     doc_fingerprint,
@@ -67,4 +68,8 @@ __all__ = [
     "simhash_pairs",
     "text_stats",
     "token_count",
+    "bm25_scores",
+    "term_frequencies",
+    "tf_idf",
+    "top_terms",
 ]

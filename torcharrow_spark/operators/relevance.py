@@ -1,0 +1,179 @@
+"""Text relevance scoring: TF-IDF term weights and BM25 ranking.
+
+These are the classic retrieval primitives a training-data pipeline uses
+for corpus exploration (top terms per document) and query-driven
+filtering (keep documents relevant to a seed query).  They complement the
+quality/dedup family in ``operators/textstats.py`` / ``operators/dedup.py``.
+
+Scale design (100 TB):
+- ``term_frequencies`` is one explode + one hash-shuffle on
+  ``(doc_id, term)`` with map-side combine; document length rides the
+  aggregate as ``max`` (constant per doc) so no second pass over the text.
+- document frequencies aggregate the *already reduced* per-doc term table
+  (vocabulary-sized output, tiny), and corpus-level scalars (N, avgdl)
+  are lazy scalar subqueries — no collect, no single-partition exchange.
+- the df side of the TF-IDF join is vocabulary-sized, so it is
+  broadcast; nothing quadratic anywhere, and BM25 filters the term table
+  to the query's terms *before* any join (predicate pushdown to the
+  scan's child).
+
+Float determinism (mirrors the query-inventory policy in queries.py):
+``ln`` may differ by 1 ulp across engines, so every log-derived weight is
+rounded half-up to 8 decimals at the per-term level; cross-term sums
+(the BM25 score) accumulate those rounded values as exact DECIMAL so the
+result is independent of Spark's aggregation order.
+"""
+
+from __future__ import annotations
+
+import typing as _ty
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import functions as F
+
+__all__ = ["term_frequencies", "tf_idf", "top_terms", "bm25_scores"]
+
+
+def _words(col: F.Column) -> F.Column:
+    # Same whitespace-token convention as operators/textstats.py, so one
+    # DuckDB normalization expression serves every text operator.
+    return F.split(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
+
+
+def _round8(col: F.Column) -> F.Column:
+    """Engine-independent half-up rounding to 8 decimals (floor trick —
+    builtin round() disagrees across engines on double half-way points)."""
+    return F.floor(col * 100000000.0 + 0.5) / 100000000.0
+
+
+def _round6(col: F.Column) -> F.Column:
+    return F.floor(col * 1000000.0 + 0.5) / 1000000.0
+
+
+def term_frequencies(
+    docs: SDF, text_col: str = "text", id_col: str = "doc_id"
+) -> SDF:
+    """Per-document term counts: ``(doc_id, term, tf, dl)`` where ``dl``
+    is the document length in tokens.
+
+    One explode + one shuffle on ``(doc_id, term)``; ``dl`` is computed
+    before the explode and reduced with ``max`` (constant per document),
+    so the text is scanned exactly once.
+    """
+    words = _words(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words).cast("long").alias("dl"),
+            F.explode(words).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def _corpus_scalars(
+    docs: SDF, text_col: str, id_col: str
+) -> _ty.Tuple[F.Column, F.Column]:
+    """(N, avgdl) as lazy scalar subqueries over a single narrow
+    projection of the corpus — one ``size(split(...))`` per document, no
+    explode, no shuffle beyond the final 1-row aggregate.  Exact integer
+    arithmetic until the final division keeps avgdl bit-stable."""
+    per_doc = docs.select(
+        F.size(_words(F.col(text_col))).cast("long").alias("dl")
+    )
+    n_docs = per_doc.agg(F.count(F.lit(1)).cast("double").alias("v")).scalar()
+    avgdl = per_doc.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("v")
+    ).scalar()
+    return n_docs, avgdl
+
+
+def tf_idf(docs: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    """Smoothed TF-IDF weights per ``(doc_id, term)``.
+
+    ``idf = ln((1 + N) / (1 + df)) + 1`` (the sklearn ``smooth_idf``
+    formulation — never negative, never divides by zero) and
+    ``tfidf = tf * idf``.  Output: ``doc_id, term, tf, df, idf, tfidf``
+    with the log-derived columns rounded to 8 decimals (see module note).
+
+    The document-frequency table is vocabulary-sized and broadcast into
+    the join against the per-doc term table.
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs, _ = _corpus_scalars(docs, text_col, id_col)
+    idf = F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            _round8(idf).alias("idf"),
+            _round8(F.col("tf").cast("double") * idf).alias("tfidf"),
+        )
+    )
+
+
+def top_terms(
+    docs: SDF, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> SDF:
+    """Top-``k`` TF-IDF terms per document (rank ties broken by term, so
+    the result is deterministic).  Adds one window shuffle on ``doc_id``
+    over the already-reduced term table — never over raw text."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf_idf(docs, text_col, id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_scores(
+    docs: SDF,
+    query_terms: _ty.Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> SDF:
+    """Okapi BM25 score of every document against ``query_terms``.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` and the per-term
+    contribution is ``idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl /
+    avgdl))``.  Documents containing none of the query terms are absent
+    from the result (score would be 0).
+
+    Scale: the term table is filtered to ``query_terms`` *first* — the
+    per-doc rows surviving are at most ``|query| × N_docs`` — and the
+    (tiny) per-term df/idf side is broadcast.  Contributions are rounded
+    to 8 decimals then summed as exact DECIMAL(28,8) so the score is
+    independent of aggregation order; the final score is rounded to 6.
+
+    Output: ``doc_id, n_hit_terms, score``.
+    """
+    terms = [t.lower() for t in query_terms]
+    tf = term_frequencies(docs, text_col, id_col).where(F.col("term").isin(terms))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs, avgdl = _corpus_scalars(docs, text_col, id_col)
+    idf = F.log(
+        F.lit(1.0) + (n_docs - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    contrib = _round8(idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom)
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .select("doc_id", contrib.cast("decimal(28,8)").alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            _round6(F.sum("contrib").cast("double")).alias("score"),
+        )
+    )

@@ -2374,3 +2374,95 @@ def q67_kmeans(spark: SparkSession, sf_dir: str) -> SDF:
     )
     asg, _cents = kmeans(feat, k=4, max_iter=1, id_col="c_custkey", vec_col="e")
     return asg
+
+
+@query(
+    "q68_tfidf_top_terms",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM w WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    weighted AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             floor((ln((1.0 + n.n) / (1.0 + dfq.df)) + 1.0) * 100000000.0 + 0.5)
+               / 100000000.0 AS idf,
+             floor(tf.tf * (ln((1.0 + n.n) / (1.0 + dfq.df)) + 1.0)
+               * 100000000.0 + 0.5) / 100000000.0 AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, idf, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+      )::INT AS rank
+      FROM weighted
+    ) WHERE rank <= 5
+    """,
+)
+def q68_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> SDF:
+    """Top-5 smoothed TF-IDF terms per document
+    (operators/relevance.top_terms): explode -> per-doc term reduce ->
+    broadcast vocabulary-sized df join -> per-doc window. Log-derived
+    weights rounded half-up to 8 decimals on both engines."""
+    from torcharrow_spark.operators import top_terms
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return top_terms(docs, k=5)
+
+
+@query(
+    "q69_bm25",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    tfq AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM w WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split({_NORM}, ' '))::BIGINT AS dl
+      FROM documents
+    ),
+    dfq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfq GROUP BY 1),
+    sc AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             SUM(dl)::DOUBLE / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    contribs AS (
+      SELECT tfq.doc_id,
+             CAST(floor(
+               ln(1.0 + (sc.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * tfq.tf * 2.2
+                 / (tfq.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / sc.avgdl))
+               * 100000000.0 + 0.5) / 100000000.0
+             AS DECIMAL(28,8)) AS contrib
+      FROM tfq
+      JOIN dl USING (doc_id)
+      JOIN dfq USING (term)
+      CROSS JOIN sc
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_hit_terms,
+           floor(CAST(SUM(contrib) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS score
+    FROM contribs GROUP BY doc_id
+    """,
+)
+def q69_bm25(spark: SparkSession, sf_dir: str) -> SDF:
+    """Okapi BM25 of every document against the query
+    ['spark', 'query', 'join'] (operators/relevance.bm25_scores). Term
+    table filtered to the query's terms before any join; corpus scalars
+    (N, avgdl) are lazy scalar subqueries; per-term contributions rounded
+    to 8 decimals then summed as exact DECIMAL so the score is
+    independent of Spark's aggregation order."""
+    from torcharrow_spark.operators import bm25_scores
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return bm25_scores(docs, ["spark", "query", "join"])
