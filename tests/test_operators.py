@@ -472,3 +472,22 @@ def test_relevance_plan_shape(spark, sf_dir):
     bm25_text = formatted_plan(ops.bm25_scores(docs, ["spark"]))
     assert "Subquery" in bm25_text
     assert "Window" not in bm25_text
+
+
+def test_repetition_stats_hand_values(spark):
+    """repetition_stats vs hand computation: 'a a a a' is maximally
+    repetitive; an all-distinct doc scores zero everywhere; docs shorter
+    than the n-gram order don't crash (Spark sequence(1,0) descends —
+    the guard must short-circuit)."""
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b c d e"), (3, "x"), (4, "p q p q p q")],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in ops.repetition_stats(docs).collect()}
+    assert abs(r[1]["dup_word_frac"] - 0.75) < 1e-12  # 1 distinct of 4
+    assert r[1]["top2_frac"] == 1.0 and r[1]["is_repetitive"]
+    assert r[2]["dup_word_frac"] == 0.0 and not r[2]["is_repetitive"]
+    assert r[2]["top2_frac"] == 0.0  # no bigram repeats -> no coverage
+    assert r[3]["top2_frac"] == 0.0 and r[3]["dup5_frac"] == 0.0
+    # 'p q' occurs 3x in 6 tokens -> 3*2/6 = 1.0
+    assert r[4]["top2_frac"] == 1.0

@@ -29,6 +29,7 @@ from .relevance import bm25_scores, term_frequencies, tf_idf, top_terms
 from .similarity import brute_force_topk, cosine_pairs, ivf_topk, lsh_topk
 from .textstats import (
     doc_fingerprint,
+    repetition_stats,
     language_id,
     quality_score,
     text_stats,
@@ -66,6 +67,7 @@ __all__ = [
     "split_column",
     "simhash_groups",
     "simhash_pairs",
+    "repetition_stats",
     "text_stats",
     "token_count",
     "bm25_scores",

@@ -137,6 +137,113 @@ def doc_fingerprint(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def _ngrams(words: F.Column, n: int) -> F.Column:
+    """Space-joined token n-grams.  Guarded sequence: Spark's
+    ``sequence(1, 0)`` DESCENDS, so docs shorter than ``n`` tokens must
+    short-circuit to an empty array."""
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+    )
+
+
+def repetition_stats(
+    df: SDF, text_col: str = "text", id_col: str = "doc_id"
+) -> SDF:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the repetition family of
+    quality filters, re-expressed over whitespace tokens):
+
+    - ``dup_word_frac``   1 - distinct/total tokens (zero-shuffle HOF)
+    - ``top2_frac``/``top3_frac``  fraction of tokens covered by the most
+      frequent 2-/3-gram, ``min(1, max_count * n / n_tokens)``
+    - ``dup5_frac``       fraction of 5-grams that are repeats,
+      1 - distinct/total (zero-shuffle HOF)
+    - ``is_repetitive``   any signal above its threshold
+
+    Every value is a ratio of exact integer counts (single IEEE division,
+    no rounding needed for engine parity).
+
+    Scale: the top-n-gram counts need a per-(doc, gram) reduce, done with
+    ONE tagged explode for both n — two hash exchanges on (doc_id, gram)
+    then doc_id, map-side combined — joined back to the zero-shuffle
+    per-doc projection.  Nothing is quadratic; gram cardinality per doc
+    is bounded by doc length.
+    """
+    words = _words(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("long").alias("nw"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        ).alias("dup_word_frac"),
+        (
+            F.when(
+                F.size(_ngrams(words, 5)) > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(_ngrams(words, 5))).cast("double")
+                / F.size(_ngrams(words, 5)).cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("dup5_frac"),
+        _ngrams(words, 2).alias("g2"),
+        _ngrams(words, 3).alias("g3"),
+    )
+    tagged = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(F.col("g2"), lambda g: F.concat(F.lit("2\x01"), g)),
+                F.transform(F.col("g3"), lambda g: F.concat(F.lit("3\x01"), g)),
+            )
+        ).alias("g"),
+    )
+    mx = (
+        tagged.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.substring("g", 1, 1) == "2", F.col("c"))).alias("mx2"),
+            F.max(F.when(F.substring("g", 1, 1) == "3", F.col("c"))).alias("mx3"),
+        )
+    )
+    out = base.drop("g2", "g3").join(mx, "doc_id", "left")
+    # a gram occurring once is not repetition: coverage counts only when
+    # the most frequent gram actually repeats (otherwise every short doc
+    # would trip the 0.2 threshold at 2/n_tokens)
+    top2 = F.coalesce(
+        F.when(
+            F.col("mx2") >= 2,
+            F.least(F.lit(1.0), F.col("mx2").cast("double") * 2 / F.col("nw")),
+        ),
+        F.lit(0.0),
+    )
+    top3 = F.coalesce(
+        F.when(
+            F.col("mx3") >= 2,
+            F.least(F.lit(1.0), F.col("mx3").cast("double") * 3 / F.col("nw")),
+        ),
+        F.lit(0.0),
+    )
+    return out.select(
+        "doc_id",
+        "dup_word_frac",
+        top2.alias("top2_frac"),
+        top3.alias("top3_frac"),
+        "dup5_frac",
+        (
+            (F.col("dup_word_frac") > 0.95)
+            | (top2 > 0.20)
+            | (top3 > 0.18)
+            | (F.col("dup5_frac") > 0.15)
+        ).alias("is_repetitive"),
+    )
+
+
 def text_stats(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
     """One-pass combined stats: a SINGLE projection over one scan —
     joining the three per-op frames on doc_id would shuffle the corpus

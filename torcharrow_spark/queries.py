@@ -2466,3 +2466,69 @@ def q69_bm25(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     return bm25_scores(docs, ["spark", "query", "join"])
+
+
+@query(
+    "q70_repetition_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split({_NORM}, ' ') AS w,
+             len(string_split({_NORM}, ' '))::BIGINT AS nw
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, nw,
+             list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i+1]) AS g2,
+             list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3,
+             list_transform(range(1, len(w) - 3),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 || ' ' || w[i+3] || ' ' || w[i+4]) AS g5
+      FROM s
+    ),
+    base AS (
+      SELECT doc_id, nw,
+             1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS dup_word_frac,
+             CASE WHEN len(g5) > 0
+                  THEN 1.0 - len(list_distinct(g5))::DOUBLE / len(g5)::DOUBLE
+                  ELSE 0.0 END AS dup5_frac
+      FROM g
+    ),
+    m2 AS (
+      SELECT doc_id, MAX(c) AS mx2 FROM (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    m3 AS (
+      SELECT doc_id, MAX(c) AS mx3 FROM (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    j AS (
+      SELECT base.doc_id, dup_word_frac, dup5_frac,
+             COALESCE(CASE WHEN mx2 >= 2
+                           THEN least(1.0, mx2::DOUBLE * 2 / nw) END, 0.0) AS top2_frac,
+             COALESCE(CASE WHEN mx3 >= 2
+                           THEN least(1.0, mx3::DOUBLE * 3 / nw) END, 0.0) AS top3_frac
+      FROM base LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+    )
+    SELECT doc_id, dup_word_frac, top2_frac, top3_frac, dup5_frac,
+           (dup_word_frac > 0.95 OR top2_frac > 0.20
+            OR top3_frac > 0.18 OR dup5_frac > 0.15) AS is_repetitive
+    FROM j
+    """,
+)
+def q70_repetition_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    """Gopher-style repetition quality signals
+    (operators/textstats.repetition_stats): zero-shuffle HOF duplicate
+    fractions + one tagged explode for the top-2/3-gram coverage. Every
+    value is a ratio of exact integer counts, so no rounding is needed
+    for cross-engine parity."""
+    from torcharrow_spark.operators import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return repetition_stats(docs)
