@@ -491,3 +491,61 @@ def test_repetition_stats_hand_values(spark):
     assert r[3]["top2_frac"] == 0.0 and r[3]["dup5_frac"] == 0.0
     # 'p q' occurs 3x in 6 tokens -> 3*2/6 = 1.0
     assert r[4]["top2_frac"] == 1.0
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from torcharrow_spark.operators import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, 0.3, "k", seed=1).collect()}
+    b = {r.k for r in hash_sample(df.repartition(7), 0.3, "k", seed=1).collect()}
+    assert a == b                       # pure function of (seed, key)
+    assert 0.2 < len(a) / 2000 < 0.4    # roughly the requested fraction
+    c = {r.k for r in hash_sample(df, 0.3, "k", seed=2).collect()}
+    assert c != a                       # seed actually changes the sample
+    # nested property: fraction 0.1 with the same seed is a subset of 0.3
+    d = {r.k for r in hash_sample(df, 0.1, "k", seed=1).collect()}
+    assert d <= a
+    with pytest.raises(ValueError):
+        hash_sample(df, 1.5, "k")
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    from torcharrow_spark.operators import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(4000)], ["k", "lang"]
+    )
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.05}, "k", seed=9)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < counts["en"] / 2000 < 0.6
+    assert counts.get("de", 0) / 2000 < 0.15
+    # absent stratum uses default_fraction=0.0 -> dropped entirely
+    df2 = df.withColumn("lang", F.lit("zz"))
+    assert stratified_sample(df2, "lang", {"en": 0.5}, "k").count() == 0
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 2.0}, "k")
+
+
+def test_redact_pii_literals(spark):
+    from torcharrow_spark.operators import redact_pii
+
+    rows = [
+        (1, "write to bob.smith+x@corp.example.org today"),
+        (2, "see https://ex.org/a?b=1 and http://t.co/xyz"),
+        (3, "call 070-123-4567 0 or 12-345-678-9012 now"),
+        (4, "ssn-ish 123456789 short 12345678"),
+        (5, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in redact_pii(df, "text").collect()}
+    assert got[1].text == "write to <EMAIL> today"
+    assert got[1].n_email == 1 and got[1].n_url == 0
+    assert got[2].text == "see <URL> and <URL>" and got[2].n_url == 2
+    assert got[3].text == "call 070-123-4567 0 or <PHONE> now"
+    assert got[3].n_phone == 1
+    assert got[4].text == "ssn-ish <ID> short 12345678" and got[4].n_long_id == 1
+    assert got[5].text == rows[4][1]
+    assert all(got[5][c] == 0 for c in ("n_url", "n_email", "n_phone", "n_long_id"))
+    # counts=False keeps the schema untouched
+    assert redact_pii(df, "text", counts=False).columns == ["doc_id", "text"]

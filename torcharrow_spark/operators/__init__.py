@@ -23,12 +23,19 @@ from .dedup import (
 )
 from .clustering import kmeans, kmeans_assign
 from .joins import asof_join, salted_join
-from .preprocess import hash_split, scaled_frame, split_column
+from .preprocess import (
+    hash_sample,
+    hash_split,
+    scaled_frame,
+    split_column,
+    stratified_sample,
+)
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
 from .relevance import bm25_scores, term_frequencies, tf_idf, top_terms
 from .similarity import brute_force_topk, cosine_pairs, ivf_topk, lsh_topk
 from .textstats import (
     doc_fingerprint,
+    redact_pii,
     repetition_stats,
     language_id,
     quality_score,
@@ -60,13 +67,16 @@ __all__ = [
     "near_dup_clusters",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
+    "hash_sample",
     "hash_split",
+    "stratified_sample",
     "quality_score",
     "resize_media",
     "scaled_frame",
     "split_column",
     "simhash_groups",
     "simhash_pairs",
+    "redact_pii",
     "repetition_stats",
     "text_stats",
     "token_count",

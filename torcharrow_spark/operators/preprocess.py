@@ -120,3 +120,53 @@ def split_column(
     for i in reversed(range(len(bounds))):
         label = F.when(frac < bounds[i], i).otherwise(label)
     return df.withColumn(name, label)
+
+
+def _key_frac(key_col: str, namespace: str) -> F.Column:
+    """Uniform [0,1) value that is a pure function of (namespace, key):
+    first 48 bits of md5 over 2^48 — the same engine-independent
+    arithmetic as hash_split, but namespaced so sampling decisions are
+    independent of split assignments for the same key."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(namespace), F.col(key_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(2 ** 48)
+    )
+
+
+def hash_sample(df: SDF, fraction: float, key_col: str, seed: int = 0) -> SDF:
+    """Deterministic Bernoulli sample: keep a row iff its key hashes
+    below ``fraction``.  Unlike ``df.sample`` the decision is a pure
+    function of (seed, key) — stable under repartitioning, cluster
+    resizing, reruns, and reproducible by an external SQL engine — and
+    it is a narrow zero-shuffle filter, so it composes with pushdown
+    and costs one projection at any scale."""
+    if not 0 <= fraction <= 1:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(_key_frac(key_col, f"sample:{seed}|") < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: SDF,
+    strata_col: str,
+    fractions: _ty.Mapping[_ty.Any, float],
+    key_col: str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> SDF:
+    """Per-stratum deterministic sampling (the scalable form of
+    ``df.sampleBy``): each stratum value gets its own keep-fraction;
+    strata absent from ``fractions`` use ``default_fraction``.  The
+    threshold is a broadcast-free CASE ladder over the (small) strata
+    map — still a zero-shuffle narrow filter."""
+    thr = F.lit(float(default_fraction))
+    for value, f_i in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        if not 0 <= f_i <= 1:
+            raise ValueError(f"fraction for stratum {value!r} must be in [0, 1]")
+        thr = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f_i))).otherwise(thr)
+    return df.where(_key_frac(key_col, f"sample:{seed}|") < thr)

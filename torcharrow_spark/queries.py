@@ -2532,3 +2532,94 @@ def q70_repetition_stats(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     return repetition_stats(docs)
+
+
+_MD5_FRAC = (
+    "list_sum([(strpos('0123456789abcdef', substr(md5({arg}), i, 1)) - 1)"
+    " * 16.0 ** (12 - i) for i in range(1, 13)]) / (16.0 ** 12)"
+)
+
+
+@query(
+    "q71_deterministic_sampling",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang, source,
+             {_MD5_FRAC.format(arg="'sample:5|' || doc_id::VARCHAR")} AS f5,
+             {_MD5_FRAC.format(arg="'sample:3|' || doc_id::VARCHAR")} AS f3
+      FROM documents
+    )
+    SELECT doc_id, lang, source
+    FROM f
+    WHERE f5 < 0.6
+      AND f3 < CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5 ELSE 0.1 END
+    """,
+)
+def q71_deterministic_sampling(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deterministic Bernoulli + stratified sampling
+    (operators/preprocess.hash_sample / stratified_sample): keep
+    decisions are pure functions of (seed, key) via the same 48-bit md5
+    arithmetic as hash_split, so the sample is stable under
+    repartitioning and reproducible by an external engine.  Both filters
+    are zero-shuffle narrow projections; the oracle replays the bucket
+    arithmetic digit by digit."""
+    from torcharrow_spark.operators import hash_sample, stratified_sample
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    s = hash_sample(docs, 0.6, "doc_id", seed=5)
+    s = stratified_sample(
+        s, "lang", {"en": 0.5, "de": 0.25}, "doc_id", seed=3, default_fraction=0.1
+    )
+    return s.select("doc_id", "lang", "source")
+
+
+@query(
+    "q72_redact_pii",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' mail user' || doc_id::VARCHAR
+                  || '@example.com via https://ex.org/p?id=' || doc_id::VARCHAR
+                  || ' call 12-345-678-9012 ref 9876543210' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, 'https?://[^\s]+'))::BIGINT AS n_url,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(t,
+               '\b[0-9]{2,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\b'))::BIGINT
+               AS n_phone,
+           len(regexp_extract_all(t, '\b[0-9]{9,}\b'))::BIGINT AS n_long_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{2,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\b',
+               '<PHONE>', 'g'),
+               '\b[0-9]{9,}\b', '<ID>', 'g') AS text
+    FROM p
+    """,
+)
+def q72_redact_pii(spark: SparkSession, sf_dir: str) -> SDF:
+    """PII scrubbing (operators/textstats.redact_pii): URL / email /
+    phone / long-number spans replaced by placeholder tokens, with
+    per-pattern pre-redaction counts.  The synthetic corpus contains no
+    PII, so both engines append identical deterministic spans first; the
+    redaction itself is one chained-``regexp_replace`` zero-shuffle JVM
+    projection.  The regex subset (char classes, bounded repeats, ASCII
+    \b) behaves identically under Java regex and RE2."""
+    from torcharrow_spark.operators import redact_pii
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.org/p?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" call 12-345-678-9012 ref 9876543210"),
+        ).alias("text"),
+    )
+    return redact_pii(pii, "text")
