@@ -549,3 +549,38 @@ def test_redact_pii_literals(spark):
     assert all(got[5][c] == 0 for c in ("n_url", "n_email", "n_phone", "n_long_id"))
     # counts=False keeps the schema untouched
     assert redact_pii(df, "text", counts=False).columns == ["doc_id", "text"]
+
+
+def test_interval_join_matches_naive_and_left_outer(spark):
+    from torcharrow_spark.operators import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, i % 3, float(i * 10)) for i in range(40)], ["pid", "grp", "t"]
+    )
+    ivs = spark.createDataFrame(
+        [(100, 0, 5.0, 65.0), (101, 0, 60.0, 70.0), (102, 1, 0.0, 400.0),
+         (103, 2, 390.0, 395.0), (104, 0, 120.0, 120.0)],  # empty interval
+        ["iid", "grp", "lo", "hi"],
+    )
+    got = interval_join(pts, ivs, "t", "lo", "hi", by=["grp"])
+    naive = pts.join(ivs, "grp").where(
+        (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi"))
+    )
+    assert sorted((r.pid, r.iid) for r in got.collect()) == sorted(
+        (r.pid, r.iid) for r in naive.collect()
+    )
+    # explicit bucket width produces the identical result
+    got2 = interval_join(pts, ivs, "t", "lo", "hi", by=["grp"], bucket_seconds=7.0)
+    assert sorted((r.pid, r.iid) for r in got2.collect()) == sorted(
+        (r.pid, r.iid) for r in got.collect()
+    )
+    # left outer keeps every point exactly once when unmatched
+    left = interval_join(pts, ivs, "t", "lo", "hi", by=["grp"], how="left")
+    n_inner = got.count()
+    n_matched_pts = got.select("pid").distinct().count()
+    assert left.count() == n_inner + pts.count() - n_matched_pts
+    assert left.where(F.col("iid").isNull()).count() == pts.count() - n_matched_pts
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs, "t", "lo", "hi", how="full")
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs, "t", "lo", "hi", bucket_seconds=0)

@@ -22,7 +22,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .clustering import kmeans, kmeans_assign
-from .joins import asof_join, salted_join
+from .joins import asof_join, interval_join, salted_join
 from .preprocess import (
     hash_sample,
     hash_split,
@@ -68,6 +68,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "hash_sample",
+    "interval_join",
     "hash_split",
     "stratified_sample",
     "quality_score",

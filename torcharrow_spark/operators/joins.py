@@ -98,3 +98,96 @@ def salted_join(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l2.join(r2, list(on) + ["__salt__"], how).drop("__salt__")
+
+
+def interval_join(
+    left: SDF,
+    right: SDF,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: _ty.Optional[_ty.List[str]] = None,
+    bucket_seconds: _ty.Optional[float] = None,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> SDF:
+    """Join each left row to every right interval that contains it:
+    ``right_start <= left_ts < right_end`` (plus optional ``by``
+    equality keys).
+
+    The naive formulation — an inequality join — degenerates in Spark
+    to BroadcastNestedLoopJoin / cartesian + filter, O(|L|*|R|) at any
+    scale.  This operator is the bucketized form every streaming engine
+    uses for interval joins: time is cut into fixed buckets of
+    ``bucket_seconds``; each interval is exploded to the buckets it
+    overlaps, each left row lands in exactly ONE bucket, and the join
+    becomes a hash equi-join on (by..., bucket) followed by the exact
+    containment filter.  Because the left side joins on a single
+    bucket, each qualifying (left, right) pair is produced exactly once
+    — no dedup pass.  With the default bucket width (the max interval
+    length, one tiny agg job) every interval spans <= 2 buckets, so the
+    exploded right side is <= 2x its input and the whole join is one
+    shuffle, no quadratic step.  Pass ``bucket_seconds`` explicitly to
+    skip the sizing job (and for streaming parity).
+
+    ``how='left'`` keeps unmatched left rows with nulls on the right.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join supports inner/left, got {how}")
+    by = by or []
+
+    def _secs(df: SDF, c: str) -> F.Column:
+        # epoch seconds as double for any temporal or numeric time column
+        if dict(df.dtypes)[c].startswith("timestamp"):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
+    if bucket_seconds is None:
+        row = right.agg(
+            F.max(_secs(right, right_end) - _secs(right, right_start))
+        ).first()
+        bucket_seconds = float(row[0] or 1.0)
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    w = float(bucket_seconds)
+
+    l_cols = list(left.columns)
+    renames = {
+        c: f"{c}{suffix}" if c in l_cols else c
+        for c in right.columns
+        if c not in by
+    }
+    r = right.select(
+        *[F.col(c) for c in by],
+        *[F.col(c).alias(n) for c, n in renames.items()],
+    )
+    r_start, r_end = renames[right_start], renames[right_end]
+
+    lb = left.withColumn("__bucket__", F.floor(_secs(left, left_ts) / F.lit(w)))
+    rb = r.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.floor(_secs(r, r_start) / F.lit(w)),
+                F.floor(_secs(r, r_end) / F.lit(w)),
+            )
+        ),
+    )
+    cond = (F.col(left_ts) >= F.col(r_start)) & (F.col(left_ts) < F.col(r_end))
+    matched = lb.join(rb, by + ["__bucket__"], "inner").where(cond).drop("__bucket__")
+    if how == "inner":
+        return matched
+    # left outer: append left rows with NO containing interval (anti-join
+    # on the FULL condition — a bucket-only anti would drop rows whose
+    # candidates merely failed the containment filter)
+    full_cond = lb["__bucket__"] == rb["__bucket__"]
+    for k in by:
+        full_cond = full_cond & (lb[k] == rb[k])
+    full_cond = full_cond & (lb[left_ts] >= rb[r_start]) & (lb[left_ts] < rb[r_end])
+    r_out = [c for c in matched.columns if c not in lb.columns]
+    unmatched = (
+        lb.join(rb, full_cond, "left_anti")
+        .drop("__bucket__")
+        .select("*", *[F.lit(None).cast(dict(matched.dtypes)[c]).alias(c) for c in r_out])
+    )
+    return matched.unionByName(unmatched)

@@ -2623,3 +2623,57 @@ def q72_redact_pii(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("text"),
     )
     return redact_pii(pii, "text")
+
+
+@query(
+    "q73_interval_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+      FROM events
+    ),
+    inc AS (
+      SELECT event_id AS incident_id, user_id,
+             ts AS i_start, ts + INTERVAL 2 HOUR AS i_end
+      FROM ev WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, i.incident_id, p.user_id,
+           epoch_us(p.ts)::BIGINT AS purchase_ts_us, p.value
+    FROM pur p JOIN inc i
+      ON p.user_id = i.user_id AND p.ts >= i.i_start AND p.ts < i.i_end
+    """,
+)
+def q73_interval_join(spark: SparkSession, sf_dir: str) -> SDF:
+    """Interval (point-in-range) join (operators/joins.interval_join):
+    purchases joined to the error-incident windows [ts, ts+2h) of the
+    same user.  The naive inequality join degenerates to a nested-loop
+    cross product; this is the bucketized form — intervals explode into
+    <=2 time buckets (bucket width = max interval length), points land
+    in exactly one, and the join is a hash equi-join on
+    (user_id, bucket) + exact containment filter, one shuffle at any
+    scale.  Timestamps emitted as epoch micros (q17 lesson: engine
+    timestamp rendering differs; integers hash identically)."""
+    from torcharrow_spark.operators import interval_join
+    from torcharrow_spark.sources import read_parquet_ns
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("i_end"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = interval_join(pur, inc, "ts", "i_start", "i_end", by=["user_id"])
+    return out.select(
+        "event_id",
+        "incident_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
+        "value",
+    )
