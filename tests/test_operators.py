@@ -584,3 +584,25 @@ def test_interval_join_matches_naive_and_left_outer(spark):
         interval_join(pts, ivs, "t", "lo", "hi", how="full")
     with pytest.raises(ValueError):
         interval_join(pts, ivs, "t", "lo", "hi", bucket_seconds=0)
+
+
+def test_weighted_sample_without_replacement(spark):
+    from torcharrow_spark.operators import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 900 else 1000.0) for i in range(1000)], ["k", "w"]
+    )
+    got = weighted_sample(df, 50, "w", "k", seed=4)
+    rows = got.collect()
+    assert len(rows) == 50 and len({r.k for r in rows}) == 50  # no replacement
+    # the 100 heavy rows (1000x weight) should dominate the sample
+    heavy = sum(1 for r in rows if r.k >= 900)
+    assert heavy > 40
+    # deterministic under repartitioning
+    again = {r.k for r in weighted_sample(df.repartition(13), 50, "w", "k", seed=4).collect()}
+    assert again == {r.k for r in rows}
+    # zero/negative weights are never selected
+    df2 = spark.createDataFrame([(1, 0.0), (2, -5.0), (3, 2.0)], ["k", "w"])
+    assert [r.k for r in weighted_sample(df2, 3, "w", "k").collect()] == [3]
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w", "k")

@@ -29,6 +29,7 @@ from .preprocess import (
     scaled_frame,
     split_column,
     stratified_sample,
+    weighted_sample,
 )
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
 from .relevance import bm25_scores, term_frequencies, tf_idf, top_terms
@@ -71,6 +72,7 @@ __all__ = [
     "interval_join",
     "hash_split",
     "stratified_sample",
+    "weighted_sample",
     "quality_score",
     "resize_media",
     "scaled_frame",

@@ -170,3 +170,33 @@ def stratified_sample(
             raise ValueError(f"fraction for stratum {value!r} must be in [0, 1]")
         thr = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f_i))).otherwise(thr)
     return df.where(_key_frac(key_col, f"sample:{seed}|") < thr)
+
+
+def weighted_sample(
+    df: SDF, n: int, weight_col: str, key_col: str, seed: int = 0
+) -> SDF:
+    """Weighted sampling WITHOUT replacement of ``n`` rows — the
+    Efraimidis–Spirakis A-ES scheme: each row draws u ~ U(0,1) and the
+    ``n`` largest priorities u^(1/w) win, which yields exactly the
+    sequential weighted-without-replacement distribution (Efraimidis &
+    Spirakis, IPL 2006, public).
+
+    u is the deterministic md5 fraction of (seed, key) — reruns,
+    repartitioning, and external engines reproduce the identical
+    sample.  The top-n is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject: each partition keeps its local n, only
+    n*partitions tiny rows reach the driver-side merge — no global
+    sort, no full shuffle, scale-safe for the n this API is for
+    (n << corpus).  Rows with weight <= 0 are excluded (their
+    selection probability is 0)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(_key_frac(key_col, f"sample:{seed}|"), F.lit(1.0) / w)
+    return (
+        df.where(w > 0)
+        .withColumn("__pri__", pri)
+        .orderBy(F.col("__pri__").desc())
+        .limit(n)
+        .drop("__pri__")
+    )

@@ -2677,3 +2677,34 @@ def q73_interval_join(spark: SparkSession, sf_dir: str) -> SDF:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
         "value",
     )
+
+
+@query(
+    "q74_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ({_MD5_FRAC.format(arg="'sample:11|' || doc_id::VARCHAR")})
+                 ** (1.0 / n_chars::DOUBLE) AS pri
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY pri DESC, doc_id
+    LIMIT 40
+    """,
+)
+def q74_weighted_sample(spark: SparkSession, sf_dir: str) -> SDF:
+    """Weighted sampling without replacement
+    (operators/preprocess.weighted_sample, Efraimidis–Spirakis A-ES):
+    40 documents drawn with probability proportional to length.  The
+    priority u^(1/w) uses the deterministic md5 fraction, so the oracle
+    replays the same selection; only exact input columns are emitted
+    (the float priority stays internal — last-ulp pow() differences
+    between libm implementations cannot corrupt the hash, and the
+    top-40 boundary gap is astronomically wider than 1 ulp)."""
+    from torcharrow_spark.operators import weighted_sample
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return weighted_sample(docs, 40, "n_chars", "doc_id", seed=11).select(
+        "doc_id", "lang", "n_chars"
+    )
