@@ -170,3 +170,45 @@ def test_sliding_windows_double_count(spark, sf_dir):
     t = tumbling.agg(F.sum("n_events").alias("n")).collect()[0]["n"]
     s = sliding.agg(F.sum("n_events").alias("n")).collect()[0]["n"]
     assert s == 2 * t
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    from torcharrow_spark.streaming import dedup_batch, dedup_stream
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+    keys = ["user_id", "event_type"]
+    batch = {
+        (r.user_id, r.event_type): r.ts for r in dedup_batch(ev, keys).collect()
+    }
+
+    # land a single file in event-time order so streaming arrival order ==
+    # event order and "first arrival" is well-defined
+    stream_dir = str(tmp_path / "events_sorted")
+    ev.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    q = dedup_stream(
+        spark, stream_dir, ev.schema, keys, query_name="t_dedup_stream"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {
+        (r.user_id, r.event_type): r.ts
+        for r in spark.sql("SELECT * FROM t_dedup_stream").collect()
+    }
+    assert set(stream) == set(batch)          # same surviving key set
+    assert stream == batch                    # and same surviving (first) row
+    # unbounded-state variant yields the same key set on a finite input
+    q2 = dedup_stream(
+        spark, stream_dir, ev.schema, keys,
+        within_watermark=False, query_name="t_dedup_stream2",
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert {
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT * FROM t_dedup_stream2").collect()
+    } == set(batch)

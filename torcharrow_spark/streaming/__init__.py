@@ -10,7 +10,10 @@ oracle-checkable; the streaming wrappers run the identical plan with
 
 from __future__ import annotations
 
+import typing as _ty
+
 from pyspark.sql import DataFrame as SDF
+from pyspark.sql import Window
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -175,6 +178,62 @@ def sessionize_stream(
     )
     return (
         result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_batch(df: SDF, keys: _ty.List[str]) -> SDF:
+    """Batch reference semantics for dedup_stream: one surviving row per
+    key tuple — the one with the smallest (ts, event_id), so the result
+    is deterministic regardless of partitioning (streaming keeps the
+    first ARRIVAL; arrival order is only well-defined when the source
+    feeds micro-batches in event order, which the paired test does)."""
+    order = [c for c in ("ts", "event_id") if c in df.columns]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    keys: _ty.List[str],
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+    query_name: str = "dedup_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming exact deduplication over a parquet directory: emit the
+    first row seen for each key tuple, holding per-key state only until
+    the watermark passes (``dropDuplicatesWithinWatermark``) so state
+    is bounded by the watermark horizon instead of growing forever —
+    the property that makes streaming dedup viable on an unbounded
+    100 TB/day feed.  ``within_watermark=False`` uses plain
+    ``dropDuplicates`` (unbounded state; only for finite backfills).
+
+    Returns the started StreamingQuery on an in-memory sink (tests);
+    production swaps the sink."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = stream.withWatermark("ts", watermark)
+    out = (
+        stream.dropDuplicatesWithinWatermark(keys)
+        if within_watermark
+        else stream.dropDuplicates(keys)
+    )
+    return (
+        out.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)
