@@ -606,3 +606,20 @@ def test_weighted_sample_without_replacement(spark):
     assert [r.k for r in weighted_sample(df2, 3, "w", "k").collect()] == [3]
     with pytest.raises(ValueError):
         weighted_sample(df, 0, "w", "k")
+
+
+def test_build_vocab_order_specials_and_caps(spark):
+    from torcharrow_spark.operators import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b z <unk>")], ["doc_id", "text"]
+    )
+    v = {r.token: (r.freq, r.token_id) for r in build_vocab(
+        docs, specials=["<pad>", "<unk>"]).collect()}
+    assert v["<pad>"] == (None, 0) and v["<unk>"][1] == 1  # specials first, excluded from counts
+    assert v["b"] == (4, 2) and v["a"] == (3, 3)           # freq desc
+    assert v["c"][1] < v["z"][1]                            # tie broken by token asc
+    # min_freq and max_size prune the tail but never the specials
+    v2 = {r.token: r.token_id for r in build_vocab(
+        docs, min_freq=3, max_size=3, specials=["<pad>"]).collect()}
+    assert set(v2) == {"<pad>", "b", "a"}

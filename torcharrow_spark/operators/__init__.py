@@ -32,7 +32,7 @@ from .preprocess import (
     weighted_sample,
 )
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
-from .relevance import bm25_scores, term_frequencies, tf_idf, top_terms
+from .relevance import bm25_scores, build_vocab, term_frequencies, tf_idf, top_terms
 from .similarity import brute_force_topk, cosine_pairs, ivf_topk, lsh_topk
 from .textstats import (
     doc_fingerprint,
@@ -84,6 +84,7 @@ __all__ = [
     "text_stats",
     "token_count",
     "bm25_scores",
+    "build_vocab",
     "term_frequencies",
     "tf_idf",
     "top_terms",

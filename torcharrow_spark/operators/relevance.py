@@ -177,3 +177,47 @@ def bm25_scores(
             _round6(F.sum("contrib").cast("double")).alias("score"),
         )
     )
+
+
+def build_vocab(
+    docs: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 1,
+    max_size: int | None = None,
+    specials: _ty.Sequence[str] = (),
+) -> SDF:
+    """Corpus vocabulary: (token, freq, token_id) with ids assigned in
+    (freq DESC, token ASC) order after any ``specials`` (which take ids
+    0..len-1 regardless of frequency, torchtext-style).
+
+    The counting pass is fully distributed (explode + HashAggregate,
+    map-side partial combine).  The id-assignment window is a total
+    order, so it runs on ONE partition — of the aggregated table, whose
+    size is the vocabulary (bounded by min_freq/max_size, ~100k rows),
+    not the corpus; that stays cheap at any corpus scale.  Feed the
+    result straight to ``functional.lookup_indices`` or broadcast-join
+    it onto a token table."""
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(_words(F.col(text_col))).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    specials = list(specials)
+    if specials:
+        counts = counts.where(~F.col("token").isin(specials))
+    counts = counts.where(F.col("freq") >= F.lit(int(min_freq)))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = counts.withColumn(
+        "token_id", F.row_number().over(w) - 1 + len(specials)
+    )
+    if max_size is not None:
+        ranked = ranked.where(F.col("token_id") < int(max_size))
+    if specials:
+        sp = docs.sparkSession.createDataFrame(
+            [(t, None, i) for i, t in enumerate(specials)],
+            "token string, freq long, token_id int",
+        )
+        ranked = sp.unionByName(ranked.select("token", "freq", "token_id"))
+    return ranked.select("token", "freq", F.col("token_id").cast("int").alias("token_id"))

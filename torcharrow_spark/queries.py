@@ -2708,3 +2708,40 @@ def q74_weighted_sample(spark: SparkSession, sf_dir: str) -> SDF:
     return weighted_sample(docs, 40, "n_chars", "doc_id", seed=11).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "q75_build_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*)::BIGINT AS freq FROM tok
+      WHERE token <> '' AND token NOT IN ('<pad>', '<unk>')
+      GROUP BY token HAVING COUNT(*) >= 5
+    ),
+    ranked AS (
+      SELECT token, freq,
+             (ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) + 1)::INTEGER
+                 AS token_id
+      FROM counts
+    )
+    SELECT token, freq, token_id FROM ranked WHERE token_id < 50
+    UNION ALL
+    SELECT '<pad>', NULL::BIGINT, 0
+    UNION ALL
+    SELECT '<unk>', NULL::BIGINT, 1
+    """,
+)
+def q75_build_vocab(spark: SparkSession, sf_dir: str) -> SDF:
+    """Vocabulary construction (operators/relevance.build_vocab):
+    frequency-ordered token ids with torchtext-style specials.  The
+    distributed part is the explode+HashAggregate count; the total-order
+    id window runs on the aggregated (vocab-sized) table only."""
+    from torcharrow_spark.operators import build_vocab
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return build_vocab(
+        docs, min_freq=5, max_size=50, specials=["<pad>", "<unk>"]
+    )
