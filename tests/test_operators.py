@@ -623,3 +623,25 @@ def test_build_vocab_order_specials_and_caps(spark):
     v2 = {r.token: r.token_id for r in build_vocab(
         docs, min_freq=3, max_size=3, specials=["<pad>"]).collect()}
     assert set(v2) == {"<pad>", "b", "a"}
+
+
+def test_chunk_documents_windows(spark):
+    from torcharrow_spark.operators import chunk_documents
+
+    words = " ".join(str(i) for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "x"), (3, "")], ["doc_id", "text"])
+    got = {(r.doc_id, r.chunk_id): (r.text, r.n_tokens)
+           for r in chunk_documents(df, 8, overlap=4).collect()}
+    # doc 1: 10 tokens, stride 4 -> chunks [0..7], [4..9]
+    assert got[(1, 0)] == (" ".join(str(i) for i in range(8)), 8)
+    assert got[(1, 1)] == (" ".join(str(i) for i in range(4, 10)), 6)
+    assert (1, 2) not in got
+    assert got[(2, 0)] == ("x", 1)      # short doc -> single short chunk
+    assert got[(3, 0)][1] == 1          # empty text -> [""] single token
+    # overlap tokens really are shared
+    a, b = got[(1, 0)][0].split(), got[(1, 1)][0].split()
+    assert a[-4:] == b[:4]
+    with pytest.raises(ValueError):
+        chunk_documents(df, 8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(df, 0)

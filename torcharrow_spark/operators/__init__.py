@@ -35,6 +35,7 @@ from .multimodal import attach_media, decode_features, frame_sample_plan, resize
 from .relevance import bm25_scores, build_vocab, term_frequencies, tf_idf, top_terms
 from .similarity import brute_force_topk, cosine_pairs, ivf_topk, lsh_topk
 from .textstats import (
+    chunk_documents,
     doc_fingerprint,
     redact_pii,
     repetition_stats,
@@ -53,6 +54,7 @@ __all__ = [
     "frame_sample_plan",
     "simhash",
     "cosine_pairs",
+    "chunk_documents",
     "doc_fingerprint",
     "exact_dedup",
     "exact_dedup_ids",

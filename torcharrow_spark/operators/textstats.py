@@ -296,3 +296,46 @@ def redact_pii(
     for _name, regex, repl in pats:
         red = F.regexp_replace(red, regex, repl)
     return df.select(*out_cols, red.alias(text_col))
+
+
+def chunk_documents(
+    df: SDF,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> SDF:
+    """Split each document into fixed-size token windows with
+    ``overlap`` tokens shared between consecutive chunks — the context-
+    window packing step before tokenization in a training pipeline.
+
+    Chunk k covers tokens [k*stride, k*stride + chunk_size) with
+    stride = chunk_size - overlap; the last chunk may be shorter, and an
+    empty/short document still yields one chunk.  Pure Spark HOFs
+    (split -> explode(sequence) -> slice -> array_join): one narrow
+    explode whose fan-out is ceil(n_tokens/stride) per doc — output
+    rows are proportional to corpus tokens, never quadratic, and no
+    shuffle is introduced at all."""
+    if chunk_size <= 0 or overlap < 0 or overlap >= chunk_size:
+        raise ValueError("need chunk_size > 0 and 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+    )
+    n = F.size(words)
+    # integer ceil((n - overlap) / stride), at least one chunk
+    n_chunks = F.greatest(
+        F.lit(1), F.expr(f"(size({'__w__'}) - {overlap} + {stride - 1}) div {stride}")
+    )
+    out_cols = [c for c in df.columns if c not in (text_col,)]
+    chunk_tokens = F.slice(F.col("__w__"), F.col("__k__") * stride + 1, chunk_size)
+    return (
+        df.withColumn("__w__", words)
+        .withColumn("__k__", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            *out_cols,
+            F.col("__k__").cast("int").alias("chunk_id"),
+            F.array_join(chunk_tokens, " ").alias(text_col),
+            F.size(chunk_tokens).cast("long").alias("n_tokens"),
+        )
+    )

@@ -2745,3 +2745,33 @@ def q75_build_vocab(spark: SparkSession, sf_dir: str) -> SDF:
     return build_vocab(
         docs, min_freq=5, max_size=50, specials=["<pad>", "<unk>"]
     )
+
+
+@query(
+    "q76_chunk_documents",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, w,
+             greatest(1, (len(w) - 16 + 47) // 48) AS nc
+      FROM s
+    ),
+    e AS (
+      SELECT doc_id, lang, w, unnest(range(0, nc)) AS k FROM c
+    )
+    SELECT doc_id, lang, k::INTEGER AS chunk_id,
+           array_to_string(list_slice(w, k*48 + 1, k*48 + 64), ' ') AS text,
+           len(list_slice(w, k*48 + 1, k*48 + 64))::BIGINT AS n_tokens
+    FROM e
+    """,
+)
+def q76_chunk_documents(spark: SparkSession, sf_dir: str) -> SDF:
+    """Context-window packing (operators/textstats.chunk_documents):
+    64-token chunks with 16-token overlap (stride 48).  One narrow
+    explode, fan-out proportional to corpus tokens, zero shuffles."""
+    from torcharrow_spark.operators import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id", "lang", "text")
+    return chunk_documents(docs, 64, overlap=16)
