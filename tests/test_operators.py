@@ -645,3 +645,24 @@ def test_chunk_documents_windows(spark):
         chunk_documents(df, 8, overlap=8)
     with pytest.raises(ValueError):
         chunk_documents(df, 0)
+
+
+def test_mix_proportions_rebalances(spark):
+    from torcharrow_spark.operators import mix_proportions
+
+    rows = [(i, "a") for i in range(4000)] + [(i + 10000, "b") for i in range(1000)] \
+        + [(i + 20000, "c") for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    out = mix_proportions(df, "src", {"a": 0.5, "b": 0.5}, "k", seed=2)
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "c" not in got                      # groups outside props dropped
+    # b is the limiting group: T=2000 -> expect ~1000 of each
+    assert 0.8 < got["a"] / 1000 < 1.2 and 0.8 < got["b"] / 1000 < 1.2
+    # deterministic under repartitioning
+    again = {r.k for r in mix_proportions(df.repartition(11), "src",
+             {"a": 0.5, "b": 0.5}, "k", seed=2).collect()}
+    assert again == {r.k for r in out.collect()}
+    with pytest.raises(ValueError):
+        mix_proportions(df, "src", {"a": 0.5, "zz": 0.5}, "k")
+    with pytest.raises(ValueError):
+        mix_proportions(df, "src", {"a": -1.0}, "k")

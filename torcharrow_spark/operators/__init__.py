@@ -26,6 +26,7 @@ from .joins import asof_join, interval_join, salted_join
 from .preprocess import (
     hash_sample,
     hash_split,
+    mix_proportions,
     scaled_frame,
     split_column,
     stratified_sample,
@@ -73,6 +74,7 @@ __all__ = [
     "hash_sample",
     "interval_join",
     "hash_split",
+    "mix_proportions",
     "stratified_sample",
     "weighted_sample",
     "quality_score",

@@ -200,3 +200,44 @@ def weighted_sample(
         .limit(n)
         .drop("__pri__")
     )
+
+
+def mix_proportions(
+    df: SDF,
+    group_col: str,
+    props: _ty.Mapping[_ty.Any, float],
+    key_col: str,
+    seed: int = 0,
+) -> SDF:
+    """Rebalance a multi-source corpus to target mixture proportions —
+    the "dataset mixing" step of a training pipeline (e.g. 50% web,
+    30% books, 20% code).  Downsamples only: the output is the LARGEST
+    corpus with exactly the requested proportions, total
+    T = min_g(n_g / p_g); each group keeps T*p_g/n_g of its rows via
+    the deterministic per-key hash filter (stable under reruns and
+    repartitioning).  Groups absent from ``props`` are dropped.
+
+    The only non-distributed work is one groupBy-count whose result
+    (one row per SOURCE, not per data row) is collected to compute the
+    per-group keep fractions — bounded by the number of corpora."""
+    if not props:
+        raise ValueError("props must be non-empty")
+    for g, p in props.items():
+        if p <= 0:
+            raise ValueError(f"proportion for {g!r} must be > 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(group_col).isin(list(props)))
+        .groupBy(group_col)
+        .count()
+        .collect()
+    }
+    missing = [g for g in props if not counts.get(g)]
+    if missing:
+        raise ValueError(f"groups with no rows: {missing}")
+    total = min(counts[g] / p for g, p in props.items())
+    keep = {g: total * p / counts[g] for g, p in props.items()}
+    thr = F.lit(-1.0)  # groups outside props never pass
+    for g in sorted(keep, key=str):
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(keep[g])).otherwise(thr)
+    return df.where(_key_frac(key_col, f"sample:{seed}|") < thr)

@@ -2775,3 +2775,46 @@ def q76_chunk_documents(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id", "lang", "text")
     return chunk_documents(docs, 64, overlap=16)
+
+
+@query(
+    "q77_mix_proportions",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, COUNT(*) AS ng FROM documents
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+    ),
+    t AS (
+      SELECT MIN(ng / CASE source WHEN 'src0' THEN 0.5::DOUBLE
+                                  WHEN 'src1' THEN 0.3::DOUBLE
+                                  ELSE 0.2::DOUBLE END) AS total
+      FROM n
+    ),
+    f AS (
+      SELECT source,
+             (SELECT total FROM t)
+               * CASE source WHEN 'src0' THEN 0.5::DOUBLE
+                             WHEN 'src1' THEN 0.3::DOUBLE
+                             ELSE 0.2::DOUBLE END / ng AS keep
+      FROM n
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f USING (source)
+    WHERE {_MD5_FRAC.format(arg="'sample:21|' || doc_id::VARCHAR")} < f.keep
+    """,
+)
+def q77_mix_proportions(spark: SparkSession, sf_dir: str) -> SDF:
+    """Dataset mixing (operators/preprocess.mix_proportions): rebalance
+    three sources to a 50/30/20 mixture, downsampling via the
+    deterministic per-key hash so the result is rerun- and
+    partitioning-stable.  Keep fractions are T*p_g/n_g with
+    T = min(n_g/p_g) (the largest exactly-proportioned corpus); both
+    engines compute them with identical double arithmetic, and the md5
+    keep-decision replays bit-for-bit."""
+    from torcharrow_spark.operators import mix_proportions
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    out = mix_proportions(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id", seed=21
+    )
+    return out.select("doc_id", "source")
