@@ -666,3 +666,26 @@ def test_mix_proportions_rebalances(spark):
         mix_proportions(df, "src", {"a": 0.5, "zz": 0.5}, "k")
     with pytest.raises(ValueError):
         mix_proportions(df, "src", {"a": -1.0}, "k")
+
+
+def test_group_centroids_and_normalize(spark):
+    from torcharrow_spark.operators import group_centroids, normalize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "a", [3.0, 6.0]), (3, "b", [0.0, 0.0])],
+        ["vec_id", "grp", "embedding"],
+    )
+    cents = {r.grp: (r.centroid, r.n_vectors)
+             for r in group_centroids(df, "grp").collect()}
+    assert cents["a"][0] == [2.0, 4.0] and cents["a"][1] == 2
+    assert cents["b"][0] == [0.0, 0.0] and cents["b"][1] == 1
+    # partition invariance (exact integer sums)
+    again = {r.grp: r.centroid
+             for r in group_centroids(df.repartition(5), "grp").collect()}
+    assert again == {g: c for g, (c, _) in cents.items()}
+
+    normed = {r.vec_id: r.embedding for r in normalize_embeddings(df).collect()}
+    import math
+    assert math.isclose(sum(v * v for v in normed[1]), 1.0, rel_tol=1e-12)
+    assert math.isclose(normed[2][1] / normed[2][0], 2.0, rel_tol=1e-12)
+    assert normed[3] == [0.0, 0.0]  # zero vector unchanged, no div-by-zero

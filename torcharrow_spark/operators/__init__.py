@@ -34,7 +34,14 @@ from .preprocess import (
 )
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
 from .relevance import bm25_scores, build_vocab, term_frequencies, tf_idf, top_terms
-from .similarity import brute_force_topk, cosine_pairs, ivf_topk, lsh_topk
+from .similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    group_centroids,
+    ivf_topk,
+    lsh_topk,
+    normalize_embeddings,
+)
 from .textstats import (
     chunk_documents,
     doc_fingerprint,
@@ -51,6 +58,8 @@ __all__ = [
     "attach_media",
     "salted_join",
     "brute_force_topk",
+    "group_centroids",
+    "normalize_embeddings",
     "decode_features",
     "frame_sample_plan",
     "simhash",

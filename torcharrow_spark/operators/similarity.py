@@ -337,3 +337,59 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def normalize_embeddings(df: SDF, vec_col: str = "embedding") -> SDF:
+    """L2-normalize a vector column in place: v / ||v||.  Pure HOF
+    projection (aggregate for the sum of squares, transform for the
+    scale) — zero shuffles, whole-stage codegen, linear at any scale.
+    The fold is left-to-right over the array, so the accumulation order
+    (and thus the float result) is identical on every engine that folds
+    sequentially.  Zero vectors are left unchanged (norm 0 -> scale 1)."""
+    v = F.col(vec_col)
+    ss = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(ss)
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return df.withColumn(
+        vec_col, F.transform(v, lambda x: x.cast("double") / safe)
+    )
+
+
+def group_centroids(
+    df: SDF, group_col: str, vec_col: str = "embedding", scale_bits: int = 24
+) -> SDF:
+    """Per-group mean vector (average pooling) — the building block for
+    class prototypes, IVF seeding, and embedding-space curation.
+
+    Components are quantized to integers with floor(x * 2^scale_bits
+    + 1/2) — pure IEEE double arithmetic (a power-of-two multiply is
+    exact), so unlike a float->DECIMAL cast the quantized values are
+    bit-identical on every engine, and the integer sums are exact and
+    aggregation-order independent.  2^-24 ~ 6e-8 is below float32
+    epsilon at unit scale, so for float32 embeddings the quantization
+    is lossless in effect.  Plan: posexplode -> one HashAggregate on
+    (group, dim) -> reassemble ordered arrays; one shuffle total, and
+    the aggregated table is |groups| x dim rows — tiny at any corpus
+    size."""
+    scale = float(1 << scale_bits)
+    q = F.floor(F.col("__x__").cast("double") * F.lit(scale) + F.lit(0.5)).cast(
+        "long"
+    )
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("__pos__", "__x__")
+    )
+    agg = ex.withColumn("__q__", q).groupBy(group_col, "__pos__").agg(
+        (F.sum("__q__").cast("double") / F.count(F.lit(1)) / F.lit(scale)).alias(
+            "__m__"
+        ),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    return agg.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos__", "__m__"))),
+            lambda s: s["__m__"],
+        ).alias("centroid"),
+        F.first("__n__").alias("n_vectors"),
+    )

@@ -2818,3 +2818,39 @@ def q77_mix_proportions(spark: SparkSession, sf_dir: str) -> SDF:
         docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id", seed=21
     )
     return out.select("doc_id", "source")
+
+
+@query(
+    "q78_group_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, UNNEST(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label, pos,
+             floor(x::DOUBLE * 16777216.0 + 0.5)::BIGINT AS qx
+      FROM ex
+    )
+    SELECT label, pos::INTEGER AS pos,
+           SUM(qx)::DOUBLE / COUNT(*) / 16777216.0 AS m,
+           COUNT(*)::BIGINT AS n_vectors
+    FROM q GROUP BY label, pos
+    """,
+)
+def q78_group_centroids(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-label mean embedding (operators/similarity.group_centroids):
+    average pooling over 2^24-quantized components — pure IEEE integer
+    arithmetic, so the sums are exact, aggregation-order independent,
+    and bit-identical across engines (a float->DECIMAL cast is NOT:
+    Spark rounds the shortest decimal repr, DuckDB the exact binary
+    expansion).  Emitted per-dimension (label, pos, m) so the doubles
+    hash raw — no to_json E-notation divergence."""
+    from torcharrow_spark.operators import group_centroids
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    out = group_centroids(emb, "label")
+    return out.select(
+        "label", F.posexplode("centroid").alias("pos", "m"), "n_vectors"
+    )
