@@ -689,3 +689,25 @@ def test_group_centroids_and_normalize(spark):
     assert math.isclose(sum(v * v for v in normed[1]), 1.0, rel_tol=1e-12)
     assert math.isclose(normed[2][1] / normed[2][0], 2.0, rel_tol=1e-12)
     assert normed[3] == [0.0, 0.0]  # zero vector unchanged, no div-by-zero
+
+
+def test_dedup_lines_removes_boilerplate_in_order(spark):
+    from torcharrow_spark.operators import dedup_lines
+
+    bp = "all rights reserved"
+    df = spark.createDataFrame(
+        [(1, f"alpha\n{bp}\nbeta"), (2, f"{bp}\ngamma"), (3, f"delta\n{bp}"),
+         (4, bp), (5, "unique\nunique")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.text for r in dedup_lines(df, max_copies=2).collect()}
+    assert got[1] == "alpha\nbeta"      # order preserved around removed line
+    assert got[2] == "gamma"
+    assert got[3] == "delta"
+    assert got[4] == ""                 # fully-boilerplate doc survives empty
+    assert got[5] == "unique\nunique"   # 2 occurrences <= max_copies
+    # max_copies=1 also kills the doubled 'unique' line
+    got1 = {r.doc_id: r.text for r in dedup_lines(df, max_copies=1).collect()}
+    assert got1[5] == ""
+    with pytest.raises(ValueError):
+        dedup_lines(df, max_copies=0)

@@ -44,6 +44,7 @@ from .similarity import (
 )
 from .textstats import (
     chunk_documents,
+    dedup_lines,
     doc_fingerprint,
     redact_pii,
     repetition_stats,
@@ -65,6 +66,7 @@ __all__ = [
     "simhash",
     "cosine_pairs",
     "chunk_documents",
+    "dedup_lines",
     "doc_fingerprint",
     "exact_dedup",
     "exact_dedup_ids",

@@ -339,3 +339,60 @@ def chunk_documents(
             F.size(chunk_tokens).cast("long").alias("n_tokens"),
         )
     )
+
+
+def dedup_lines(
+    df: SDF,
+    max_copies: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> SDF:
+    """C4/CCNet-style boilerplate removal: drop every LINE that occurs
+    more than ``max_copies`` times across the whole corpus
+    (navigation chrome, cookie banners, license headers), keeping the
+    remaining lines of each document in their original order.
+
+    Plan: posexplode lines (narrow) -> global line-frequency count
+    grouped on the two 60-bit md5 halves of the line, so only 16 bytes
+    of key ride the shuffle, never the line text (the exact-dedup
+    device) -> join the counts back on the halves -> reassemble with
+    array_sort(collect_list(struct(pos, line))).  Three linear
+    shuffles on uniformly-distributed keys; no step is quadratic and
+    no line text is ever a shuffle key.  A fully-boilerplate document
+    survives as an empty string (filter on length afterwards if
+    unwanted)."""
+    if max_copies < 1:
+        raise ValueError("max_copies must be >= 1")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__line__"),
+    )
+    h = F.md5(F.col("__line__"))
+    hashed = lines.select(
+        "*",
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("__h1__"),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("__h2__"),
+    )
+    counts = hashed.groupBy("__h1__", "__h2__").agg(
+        F.count(F.lit(1)).alias("__cnt__")
+    )
+    kept = (
+        hashed.join(counts, ["__h1__", "__h2__"], "inner")
+        .where(F.col("__cnt__") <= max_copies)
+        .select(id_col, "__pos__", "__line__")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
+                lambda s: s["__line__"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # documents whose every line was boilerplate come back as ''
+    ids = df.select(id_col).distinct()
+    return ids.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

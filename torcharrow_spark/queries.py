@@ -2854,3 +2854,51 @@ def q78_group_centroids(spark: SparkSession, sf_dir: str) -> SDF:
     return out.select(
         "label", F.posexplode("centroid").alias("pos", "m"), "n_vectors"
     )
+
+
+@query(
+    "q79_dedup_lines",
+    oracle=rf"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace({_NORM}, '((\S+ ){{9}}\S+) ', '\1' || chr(10), 'g')
+                 AS text
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM lined
+    ),
+    counts AS (SELECT line, COUNT(*) AS cnt FROM ex GROUP BY line),
+    kept AS (
+      SELECT ex.doc_id, ex.pos, ex.line
+      FROM ex JOIN counts USING (line) WHERE counts.cnt <= 2
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def q79_dedup_lines(spark: SparkSession, sf_dir: str) -> SDF:
+    """Corpus-frequency line dedup (operators/textstats.dedup_lines,
+    the C4/CCNet boilerplate-removal pass).  The word-soup corpus has
+    no newlines, so both engines first deterministically insert one
+    after every 10th word (same regex, Java and RE2 agree on this
+    subset), then lines occurring more than twice corpus-wide are
+    dropped and documents reassembled in order via md5-half keyed
+    counting (line text never rides a shuffle key)."""
+    from torcharrow_spark.operators import dedup_lines
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+            r"((\S+ ){9}\S+) ",
+            "$1\n",
+        ).alias("text"),
+    )
+    return dedup_lines(lined, max_copies=2)
