@@ -711,3 +711,36 @@ def test_dedup_lines_removes_boilerplate_in_order(spark):
     assert got1[5] == ""
     with pytest.raises(ValueError):
         dedup_lines(df, max_copies=0)
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+    from torcharrow_spark.operators import hll_distinct, hll_registers
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 2).alias("grp"), F.col("id").alias("v")
+    )
+    est = {r.grp: r.est_distinct for r in
+           hll_distinct(df, "v", ["grp"], p=8).collect()}
+    for g, true in [(0, n // 2), (1, n // 2)]:
+        assert abs(est[g] - true) / true < 0.10  # ~1.04/sqrt(256) = 6.5%
+
+    # duplicates don't move the estimate (set semantics)
+    dup = df.union(df).union(df)
+    est_dup = {r.grp: r.est_distinct for r in
+               hll_distinct(dup, "v", ["grp"], p=8).collect()}
+    assert est_dup == est
+
+    # register frames merge by max: sketch(A union B) == merge(sketch(A), sketch(B))
+    a, b = df.where("v < 7000"), df.where("v >= 7000")
+    merged = (
+        hll_registers(a, "v", ["grp"], p=8)
+        .union(hll_registers(b, "v", ["grp"], p=8))
+        .groupBy("grp", "bucket").agg(F.max("m_j").alias("m_j"))
+    )
+    whole = hll_registers(df, "v", ["grp"], p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    with pytest.raises(ValueError):
+        hll_registers(df, "v", p=2)

@@ -42,6 +42,7 @@ from .similarity import (
     lsh_topk,
     normalize_embeddings,
 )
+from .sketch import hll_distinct, hll_registers
 from .textstats import (
     chunk_documents,
     dedup_lines,
@@ -68,6 +69,8 @@ __all__ = [
     "chunk_documents",
     "dedup_lines",
     "doc_fingerprint",
+    "hll_distinct",
+    "hll_registers",
     "exact_dedup",
     "exact_dedup_ids",
     "language_id",

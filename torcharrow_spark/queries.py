@@ -2902,3 +2902,87 @@ def q79_dedup_lines(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("text"),
     )
     return dedup_lines(lined, max_copies=2)
+
+
+# numerator of the raw-HLL estimator for p=8 (alpha_m * m^2 * 2^52),
+# computed once in Python and embedded verbatim on BOTH engines so no
+# engine re-derives it with its own literal/decimal arithmetic; same
+# for the linear-counting table (JVM Math.log and libm ln disagree by
+# 1 ulp on ~7% of inputs — measured — so neither engine computes ln)
+_HLL_NUM = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 52))
+
+
+def _hll_lc_list() -> str:
+    from torcharrow_spark.operators.sketch import linear_counting_table
+
+    # each element cast: DuckDB parses bare decimal literals as DECIMAL,
+    # whose later conversion to DOUBLE can differ by 1 ulp from the
+    # direct double parse of the same repr
+    return (
+        "["
+        + ", ".join(f"{x!r}::DOUBLE" for x in linear_counting_table(8))
+        + "]"
+    )
+
+
+@query(
+    "q80_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, (h >> 52) AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                  ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1))) END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS m_j
+      FROM r GROUP BY event_type, bucket
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(1::BIGINT << (52 - m_j))::BIGINT AS present,
+             COUNT(*)::BIGINT AS registers_used
+      FROM regs GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type
+    ),
+    raw AS (
+      SELECT event_type, registers_used,
+             {_HLL_NUM}::DOUBLE
+               / CAST(present + (256 - registers_used)
+                                * 4503599627370496::BIGINT AS DOUBLE) AS raw,
+             (256 - registers_used) AS empties
+      FROM agg
+    )
+    SELECT raw.event_type,
+           CASE WHEN empties > 0 AND raw <= 640.0
+                THEN ({_hll_lc_list()})[CASE WHEN empties > 0
+                                             THEN empties ELSE 1 END]
+                ELSE raw END AS est_distinct,
+           registers_used,
+           ex.exact_distinct
+    FROM raw JOIN ex USING (event_type)
+    """,
+)
+def q80_hll_distinct(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deterministic HyperLogLog distinct-user estimate per event type
+    (operators/sketch.hll_distinct) joined against the exact count so
+    the sketch error is visible in the output.  Every register derives
+    from md5 with integer/bit arithmetic only, so DuckDB reproduces the
+    estimate bit-for-bit — unlike engine-private HLL++ buffers
+    (reference capability: functional approx_distinct)."""
+    from torcharrow_spark.operators import hll_distinct
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    est = hll_distinct(ev, "user_id", ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
