@@ -744,3 +744,41 @@ def test_hll_distinct_accuracy_and_merge(spark):
 
     with pytest.raises(ValueError):
         hll_registers(df, "v", p=2)
+
+
+def test_funnel_semantics_and_single_shuffle(spark):
+    from torcharrow_spark.operators import funnel
+    from torcharrow_spark.plans import plan_stats
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes a->b->c in order
+        (1, "a", T(1)), (1, "b", T(2)), (1, "c", T(3)),
+        # u2: b BEFORE a -> never reaches b (strictly-after semantics)
+        (2, "b", T(1)), (2, "a", T(2)), (2, "c", T(3)),
+        # u3: a only
+        (3, "a", T(5)),
+        # u4: a and b simultaneous -> b not strictly after -> stops at a
+        (4, "a", T(7)), (4, "b", T(7)),
+        # u5: no a at all -> counted nowhere
+        (5, "b", T(1)), (5, "c", T(2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r.step: (r.users_reached, r.conversion)
+           for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert out["a"] == (4, 1.0)
+    assert out["b"] == (1, 0.25)
+    assert out["c"] == (1, 1.0)
+
+    # whole funnel = one hash-shuffle on user_id (windows + per-user
+    # collapse share the partitioning); the final K-row explode adds
+    # only the single-row aggregate exchange
+    stats = plan_stats(funnel(df, ["a", "b", "c"]))
+    # formatted text lists each Exchange twice (tree + detail): 2 real
+    # exchanges — user_id hash (shared by all windows + collapse) and
+    # the single-row final aggregate
+    assert stats["exchanges"] <= 4, stats
+
+    with pytest.raises(ValueError):
+        funnel(df, [])

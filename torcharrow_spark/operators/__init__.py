@@ -42,6 +42,7 @@ from .similarity import (
     lsh_topk,
     normalize_embeddings,
 )
+from .sequence import funnel
 from .sketch import hll_distinct, hll_registers
 from .textstats import (
     chunk_documents,
@@ -69,6 +70,7 @@ __all__ = [
     "chunk_documents",
     "dedup_lines",
     "doc_fingerprint",
+    "funnel",
     "hll_distinct",
     "hll_registers",
     "exact_dedup",

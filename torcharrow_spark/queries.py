@@ -2986,3 +2986,125 @@ def q80_hll_distinct(spark: SparkSession, sf_dir: str) -> SDF:
         F.count_distinct("user_id").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+@query(
+    "q81_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q81_local_supplier_volume(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q5-shaped six-table join: revenue by nation where customer
+    and supplier share the nation, region-filtered, two-year window.
+    The scale story is the join DAG: nation JOIN region (bytes) is
+    broadcast into BOTH the customer and supplier sides, so the region
+    filter prunes customers before the orders shuffle; orders JOIN
+    customer shuffles on custkey, lineitem JOIN orders on orderkey
+    (the two unavoidable fact shuffles); supplier x nation is broadcast
+    into the final probe (supplier is the smallest fact — at a scale
+    where it outgrows the broadcast threshold AQE falls back to a
+    shuffle join on l_suppkey with no code change)."""
+    ts_lo, ts_hi = "1996-01-01 00:00:00", "1998-01-01 00:00:00"
+    c = _load(spark, sf_dir, "customer").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    n = _load(spark, sf_dir, "nation").to_spark()
+    r = _load(spark, sf_dir, "region").to_spark()
+    dims = n.join(
+        r.filter(F.col("r_name") == "ASIA"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = c.join(
+        F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    sup = s.join(
+        F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ords = o.filter(
+        (F.col("o_orderdate") >= ts_lo) & (F.col("o_orderdate") < ts_hi)
+    ).select("o_orderkey", "o_custkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        ords.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q82_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS t FROM events
+    ),
+    w1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'signup' THEN t END)
+                  OVER (PARTITION BY user_id) AS s1 FROM e
+    ),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' AND t > s1 THEN t END)
+                  OVER (PARTITION BY user_id) AS s2 FROM w1
+    ),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND t > s2 THEN t END)
+                  OVER (PARTITION BY user_id) AS s3 FROM w2
+    ),
+    w4 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t > s3 THEN t END)
+                  OVER (PARTITION BY user_id) AS s4 FROM w3
+    ),
+    pu AS (
+      SELECT user_id, MAX(s1) AS s1, MAX(s2) AS s2, MAX(s3) AS s3,
+             MAX(s4) AS s4
+      FROM w4 GROUP BY user_id
+    ),
+    c AS (
+      SELECT COUNT(s1)::BIGINT AS n1, COUNT(s2)::BIGINT AS n2,
+             COUNT(s3)::BIGINT AS n3, COUNT(s4)::BIGINT AS n4
+      FROM pu
+    )
+    SELECT i::INT AS step_index,
+           (['signup','view','click','purchase'])[i] AS step,
+           ([n1,n2,n3,n4])[i]::BIGINT AS users_reached,
+           CASE WHEN i = 1 THEN 1.0::DOUBLE
+                WHEN ([n1,n2,n3,n4])[i-1] = 0 THEN 0.0::DOUBLE
+                ELSE ([n1,n2,n3,n4])[i]::DOUBLE
+                     / ([n1,n2,n3,n4])[i-1]::DOUBLE END AS conversion
+    FROM c CROSS JOIN (SELECT unnest(range(1, 5)) AS i)
+    """,
+)
+def q82_funnel(spark: SparkSession, sf_dir: str) -> SDF:
+    """Ordered funnel signup -> view -> click -> purchase with
+    first-touch attribution (operators/sequence.funnel): one shuffle on
+    user_id carries all four step windows and the per-user collapse;
+    strict-after comparisons in exact epoch micros on both engines."""
+    from torcharrow_spark.operators import funnel
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    return funnel(ev, ["signup", "view", "click", "purchase"])
