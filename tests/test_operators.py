@@ -782,3 +782,56 @@ def test_funnel_semantics_and_single_shuffle(spark):
 
     with pytest.raises(ValueError):
         funnel(df, [])
+
+
+def test_cms_overestimates_never_under(spark):
+    from pyspark.sql import functions as F
+    from torcharrow_spark.operators import cms_lookup, cms_sketch
+
+    # zipf-ish: value v appears v times, v = 1..40 -> N = 820 over w=16
+    df = spark.range(1, 41).select(
+        F.explode(F.expr("sequence(1, id)")).alias("x"), F.col("id").alias("v")
+    ).select(F.col("v").cast("string").alias("item"))
+    sk = cms_sketch(df, "item", d=3, w=16)
+    est = {r.item: r.est_count for r in cms_lookup(sk, df, "item", d=3, w=16).collect()}
+    exact = {str(v): v for v in range(1, 41)}
+    assert all(est[k] >= exact[k] for k in exact)          # ceiling property
+    # error bound: e*N/w with prob 1-e^-d; allow the deterministic
+    # worst case observed at this tiny width
+    assert sum(est[k] - exact[k] for k in exact) / len(exact) < 2.72 * 820 / 16
+
+    # sketch cells cap at d*w rows however large the input
+    assert sk.count() <= 3 * 16
+
+    # merge: cells of (A union B) == summed cells of A and B
+    a, b = df.where("item < '3'"), df.where("item >= '3'")
+    merged = (
+        cms_sketch(a, "item", d=3, w=16)
+        .union(cms_sketch(b, "item", d=3, w=16))
+        .groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+    with pytest.raises(ValueError):
+        cms_sketch(df, "item", d=0)
+
+
+def test_retention_cohorts_semantics(spark):
+    from torcharrow_spark.operators import retention_cohorts
+    import datetime as dt
+
+    # week of 2024-01-01 is a Monday; u1 active wk0 and wk2, u2 wk0
+    # only (two events same week dedup), u3 cohorts one week later
+    rows = [
+        (1, dt.datetime(2024, 1, 2)), (1, dt.datetime(2024, 1, 16)),
+        (2, dt.datetime(2024, 1, 3)), (2, dt.datetime(2024, 1, 5)),
+        (3, dt.datetime(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r.cohort_week, r.week_offset): r.n_active
+           for r in retention_cohorts(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }

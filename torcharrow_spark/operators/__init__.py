@@ -42,8 +42,8 @@ from .similarity import (
     lsh_topk,
     normalize_embeddings,
 )
-from .sequence import funnel
-from .sketch import hll_distinct, hll_registers
+from .sequence import funnel, retention_cohorts
+from .sketch import cms_lookup, cms_sketch, hll_distinct, hll_registers
 from .textstats import (
     chunk_documents,
     dedup_lines,
@@ -70,7 +70,10 @@ __all__ = [
     "chunk_documents",
     "dedup_lines",
     "doc_fingerprint",
+    "cms_lookup",
+    "cms_sketch",
     "funnel",
+    "retention_cohorts",
     "hll_distinct",
     "hll_registers",
     "exact_dedup",

@@ -21,7 +21,46 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel"]
+__all__ = ["funnel", "retention_cohorts"]
+
+
+def retention_cohorts(
+    df: SDF,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> SDF:
+    """Weekly cohort-retention matrix: users are cohorted by the ISO
+    week (Monday-start, both engines' ``date_trunc`` convention) of
+    their first event; each cell counts the cohort's users active in
+    week ``cohort_week + week_offset``.
+
+    Plan: one shuffle on ``user_col`` for the first-event window, a
+    narrow dedup of (user, offset) pairs, then one shuffle on the
+    (cohort, offset) cell key — cells are O(weeks^2) rows regardless of
+    corpus size.  Output: ``cohort_week`` ('yyyy-MM-dd' string, engine-
+    representation-proof), ``week_offset`` (int), ``n_active`` (long
+    distinct users)."""
+    w = Window.partitionBy(user_col)
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    base = df.select(F.col(user_col), wk.alias("__wk__"))
+    with_cohort = base.withColumn("__cohort__", F.min("__wk__").over(w))
+    cells = (
+        with_cohort.select(
+            user_col,
+            "__cohort__",
+            (F.datediff(F.col("__wk__"), F.col("__cohort__")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("__cohort__", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.select(
+        F.date_format("__cohort__", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+    )
 
 
 def funnel(

@@ -32,7 +32,7 @@ import typing as _ty
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_distinct"]
+__all__ = ["hll_registers", "hll_distinct", "cms_sketch", "cms_lookup"]
 
 # 15 hex digits of md5 -> 60-bit non-negative hash (16 digits would
 # overflow a signed long through conv; see operators/dedup.py).
@@ -140,4 +140,59 @@ def hll_distinct(
         *keys,
         est.alias("est_distinct"),
         F.col("registers_used").cast("long").alias("registers_used"),
+    )
+
+
+def _cms_bucket(seed_col: F.Column, value_col: F.Column, w: int) -> F.Column:
+    """Row ``seed``'s bucket for ``value``: md5-derived 60-bit hash of
+    ``"seed|value"`` mod ``w`` — non-negative on every engine."""
+    return _hash60(F.concat(seed_col.cast("string"), F.lit("|"),
+                            value_col.cast("string"))) % w
+
+
+def cms_sketch(df: SDF, value_col: str, d: int = 4, w: int = 256) -> SDF:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public
+    algorithm): a ``d x w`` counter matrix where row *i* adds each
+    occurrence of ``value`` to bucket ``hash_i(value) mod w``.
+
+    Scale design: one explode (x``d``, narrow) then one hash-shuffle on
+    ``(seed, bucket)`` with at most ``d*w`` groups — Spark's partial
+    aggregation collapses each partition to <= d*w rows map-side, so
+    shuffle volume is bounded by the sketch size times partitions, not
+    the data.  Sketches merge by adding cell counts (union two frames,
+    re-sum) — the streaming/incremental property.  Returns
+    (``seed``, ``bucket``, ``cnt``); empty cells are implicit zeros."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 hash rows and w >= 2 buckets")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    exploded = df.select(F.col(value_col).alias("__v__")).select("__v__", seeds)
+    return (
+        exploded.select(
+            "seed", _cms_bucket(F.col("seed"), F.col("__v__"), w).alias("bucket")
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: SDF, probes: SDF, value_col: str, d: int = 4, w: int = 256
+) -> SDF:
+    """Point-query the sketch for each distinct probe value: the
+    estimate is ``min`` over the ``d`` rows' cells (always >= the true
+    count; over-estimation bounded by ``e * N / w`` with probability
+    ``1 - e^-d``).  The sketch side is tiny (<= d*w rows) so the join
+    broadcasts — probing N values is one narrow pass over the probes."""
+    pv = probes.select(F.col(value_col).alias("__v__")).distinct()
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    keyed = pv.select("__v__", seeds).select(
+        "__v__", "seed",
+        _cms_bucket(F.col("seed"), F.col("__v__"), w).alias("bucket"),
+    )
+    joined = keyed.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+    return (
+        joined.groupBy("__v__")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(F.col("__v__").alias(value_col),
+                F.col("est_count").cast("long").alias("est_count"))
     )

@@ -3108,3 +3108,136 @@ def q82_funnel(spark: SparkSession, sf_dir: str) -> SDF:
 
     ev = _load(spark, sf_dir, "events").to_spark()
     return funnel(ev, ["signup", "view", "click", "purchase"])
+
+
+@query(
+    "q83_retention_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('week', ts::TIMESTAMP)::DATE AS wk
+      FROM events
+    ),
+    c AS (
+      SELECT *, MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM e
+    ),
+    cells AS (
+      SELECT DISTINCT user_id, cohort,
+             (wk - cohort) // 7 AS week_offset
+      FROM c
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           week_offset::INT AS week_offset,
+           COUNT(*)::BIGINT AS n_active
+    FROM cells
+    GROUP BY cohort, week_offset
+    """,
+)
+def q83_retention_cohorts(spark: SparkSession, sf_dir: str) -> SDF:
+    """Weekly cohort-retention matrix (operators/sequence.
+    retention_cohorts): cohort = ISO week of first event, cells count
+    distinct active users per (cohort, offset).  Week truncation and
+    day arithmetic are exact on both engines; output weeks as strings
+    (representation-proof)."""
+    from torcharrow_spark.operators import retention_cohorts
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    return retention_cohorts(ev)
+
+
+@query(
+    "q84_count_min",
+    oracle="""
+    WITH ex AS (
+      SELECT 'u' || user_id::VARCHAR AS item FROM events
+    ),
+    sk AS (
+      SELECT seed,
+             ('0x' || substr(md5(seed::VARCHAR || '|' || item), 1, 15))
+               ::UBIGINT::BIGINT % 64 AS bucket,
+             COUNT(*)::BIGINT AS cnt
+      FROM ex CROSS JOIN (SELECT unnest(range(4)) AS seed)
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT item FROM ex),
+    keyed AS (
+      SELECT item, seed,
+             ('0x' || substr(md5(seed::VARCHAR || '|' || item), 1, 15))
+               ::UBIGINT::BIGINT % 64 AS bucket
+      FROM probes CROSS JOIN (SELECT unnest(range(4)) AS seed)
+    ),
+    est AS (
+      SELECT item, MIN(COALESCE(cnt, 0))::BIGINT AS est_count
+      FROM keyed LEFT JOIN sk USING (seed, bucket)
+      GROUP BY item
+    ),
+    exact AS (SELECT item, COUNT(*)::BIGINT AS exact_count FROM ex GROUP BY item)
+    SELECT item, est_count, exact_count
+    FROM est JOIN exact USING (item)
+    """,
+)
+def q84_count_min(spark: SparkSession, sf_dir: str) -> SDF:
+    """Count-min sketch frequency estimates vs exact counts for every
+    user (operators/sketch.cms_sketch/cms_lookup).  w=64 buckets forces
+    visible over-estimation at sf>=0.01 (more users than cells) so the
+    sketch's ceiling property est >= exact is exercised, and the md5
+    bucket derivation makes DuckDB reproduce every cell bit-for-bit."""
+    from torcharrow_spark.operators import cms_lookup, cms_sketch
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    items = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("item")
+    )
+    sketch = cms_sketch(items, "item", d=4, w=64)
+    est = cms_lookup(sketch, items, "item", d=4, w=64)
+    exact = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return est.join(exact, "item")
+
+
+@query(
+    "q85_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2))::DOUBLE AS o_totalprice,
+           total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q85_large_volume_orders(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q18-shaped query: aggregate-then-join.  The HAVING filter
+    runs on the lineitem aggregate BEFORE any join, so only the few
+    qualifying orderkeys probe orders (shuffle on orderkey reused from
+    the aggregation's partitioning) and the surviving rows broadcast
+    into customer."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    c = _load(spark, sf_dir, "customer").to_spark()
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(qty.alias("__q__"))
+        .where(F.col("__q__") > 180)
+        .select("l_orderkey", F.col("__q__").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .alias("o_totalprice"),
+            "total_qty",
+        )
+    )
