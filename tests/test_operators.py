@@ -835,3 +835,28 @@ def test_retention_cohorts_semantics(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_strip_duplicate_spans(spark):
+    from torcharrow_spark.operators import duplicate_spans, strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shares span "a b c" with doc 2
+            (2, "x a b c"),
+            (3, "unique words only here"),
+            (4, "p q r p q r p q r"),  # self-repeating: every span dup'd
+        ],
+        ["doc_id", "text"],
+    )
+    dups = {(r.doc_id, r.span_start): r.n_copies
+            for r in duplicate_spans(df, k=3).collect()}
+    assert dups[(1, 0)] == 2 and dups[(2, 1)] == 2
+    assert not any(d == 3 for d, _ in dups)
+
+    out = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
+           for r in strip_duplicate_spans(df, k=3).collect()}
+    assert out[1] == ("d", 4, 3)
+    assert out[2] == ("x", 4, 3)
+    assert out[3] == ("unique words only here", 4, 0)
+    assert out[4] == ("", 9, 9)          # fully self-duplicated doc vanishes

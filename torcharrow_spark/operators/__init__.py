@@ -9,6 +9,8 @@ sides, every grouping keyed on a hash-distributed column.
 
 from .dedup import (
     connected_components,
+    duplicate_spans,
+    strip_duplicate_spans,
     exact_dedup,
     exact_dedup_ids,
     minhash_pairs,
@@ -76,6 +78,8 @@ __all__ = [
     "retention_cohorts",
     "hll_distinct",
     "hll_registers",
+    "duplicate_spans",
+    "strip_duplicate_spans",
     "exact_dedup",
     "exact_dedup_ids",
     "language_id",

@@ -601,3 +601,85 @@ def near_dedup(
     # themselves), so the distinct labels are exactly the keeper set
     keep = clusters.select(F.col("cluster").alias(id_col)).distinct()
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (k-token span) dedup — Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" (public paper); the
+# distributed formulation here is span-hash counting rather than a
+# suffix array: identical detection semantics for fixed k.
+
+
+def duplicate_spans(
+    df: SDF, k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> SDF:
+    """Every k-token window whose exact (normalized) token sequence
+    occurs more than once across the whole corpus — including repeats
+    within one document.  Returns (id, ``span_start`` token index,
+    ``n_copies``).
+
+    Scale design: one narrow fan-out to (doc, pos, span-hash) rows —
+    span text is hashed to two 60-bit md5 halves immediately, so 16
+    bytes per span ride the single shuffle (corpus-frequency count via
+    a window over the hash halves; no join-back).  Fan-out is linear:
+    n_tokens rows per doc, same order as the corpus itself."""
+    from pyspark.sql import Window
+
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    n = F.size(F.col("__w__"))
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span = F.array_join(F.slice(F.col("__w__"), F.col("__s__") + 1, k), " ")
+    hex_ = F.md5(span)
+    spans = (
+        df.select(F.col(id_col), words.alias("__w__"))
+        .select(F.col(id_col), "__w__", F.explode(idx).alias("__s__"))
+        .select(
+            F.col(id_col),
+            F.col("__s__"),
+            F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long").alias("__h1__"),
+            F.conv(F.substring(hex_, 16, 15), 16, 10).cast("long").alias("__h2__"),
+        )
+    )
+    w = Window.partitionBy("__h1__", "__h2__")
+    return (
+        spans.withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
+        .where(F.col("n_copies") > 1)
+        .select(F.col(id_col), F.col("__s__").alias("span_start"), "n_copies")
+    )
+
+
+def strip_duplicate_spans(
+    df: SDF, k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> SDF:
+    """Remove every token covered by any corpus-duplicated k-token span
+    and reassemble the remaining (normalized) tokens in order.  All
+    occurrences are removed (the conservative C4-style variant; keeping
+    one canonical copy would need a global occurrence tie-break).
+
+    Plan: duplicate_spans' single hash-shuffle, a per-doc
+    collect_list of span starts (doc_id shuffle), then a zero-shuffle
+    per-doc mask — token i survives iff no dup span s covers it
+    (two-arg filter HOF; per-doc cost O(tokens x dup_spans), and dup
+    spans are few for any corpus worth keeping).  Output: id, cleaned
+    ``text``, ``n_tokens`` (original), ``n_removed``."""
+    dups = duplicate_spans(df, k, text_col, id_col)
+    starts = dups.groupBy(id_col).agg(
+        F.array_distinct(F.collect_list("span_start")).alias("__starts__")
+    )
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("__w__")).join(
+        starts, id_col, "left"
+    )
+    st = F.coalesce(F.col("__starts__"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__w__"),
+        lambda x, i: ~F.exists(st, lambda s: (s <= i) & (i < s + k)),
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__w__").cast("long").alias("n_tokens"),
+        (F.size("__w__") - F.size(kept)).cast("long").alias("n_removed"),
+    )

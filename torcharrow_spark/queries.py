@@ -3241,3 +3241,58 @@ def q85_large_volume_orders(spark: SparkSession, sf_dir: str) -> SDF:
             "total_qty",
         )
     )
+
+
+@query(
+    "q86_strip_duplicate_spans",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(w) AS tok,
+             generate_subscripts(w, 1) - 1 AS i, len(w) AS n
+      FROM docs
+    ),
+    sp AS (
+      SELECT doc_id, u.s AS s, u.sp AS span
+      FROM (
+        SELECT doc_id,
+               UNNEST([{{'s': s,
+                         'sp': array_to_string(w[s+1:s+10], ' ')}}
+                       for s in range(0, GREATEST(len(w) - 9, 0))]) AS u
+        FROM docs
+      )
+    ),
+    dup AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) OVER (PARTITION BY span) AS c FROM sp
+      ) WHERE c > 1
+    ),
+    removed AS (
+      SELECT DISTINCT t.doc_id, t.i
+      FROM toks t
+      JOIN dup ON dup.doc_id = t.doc_id
+              AND dup.s <= t.i AND t.i < dup.s + 10
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(CASE WHEN r.i IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.i), '') AS text,
+           ANY_VALUE(t.n)::BIGINT AS n_tokens,
+           COUNT(r.i)::BIGINT AS n_removed
+    FROM toks t
+    LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.i = t.i
+    GROUP BY t.doc_id
+    """,
+)
+def q86_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact substring-span dedup (operators/dedup.strip_duplicate_
+    spans, the Lee-et-al.-2022 pass, span-hash formulation): every
+    10-token window duplicated anywhere in the corpus is removed from
+    every document.  The oracle replays it token-level in pure SQL
+    (window count over span text; the Spark side counts over two
+    60-bit md5 halves so only 16 bytes/span ride the shuffle)."""
+    from torcharrow_spark.operators import strip_duplicate_spans
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return strip_duplicate_spans(docs, k=10)
