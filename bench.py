@@ -43,6 +43,10 @@ HEADLINE = [
     "q41_bpe_tokenize",
     "q42_cosine_dedup",
     "q45_llm_pipeline",
+    "q80_hll_distinct",
+    "q81_local_supplier_volume",
+    "q82_funnel",
+    "q86_strip_duplicate_spans",
 ]
 
 # Round-1 steady-state seconds at sf0.1 on local[32] (BENCH_r01.json) —
@@ -69,6 +73,11 @@ ANCHOR = {
     "q41_bpe_tokenize": 0.186,
     "q42_cosine_dedup": 1.701,
     "q45_llm_pipeline": 1.312,
+    # r2 additions (anchored at their first sf0.1 measurement)
+    "q80_hll_distinct": 0.447,
+    "q81_local_supplier_volume": 0.934,
+    "q82_funnel": 0.543,
+    "q86_strip_duplicate_spans": 0.253,
 }
 
 

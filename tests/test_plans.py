@@ -135,3 +135,26 @@ def test_column_scalers_reuse_subqueries_no_window(spark, sf_dir):
     p = formatted_plan(df)
     assert "Window" not in p
     assert p.count("ReusedSubquery") >= 1
+
+
+def test_q81_q85_join_shapes(spark, sf_dir):
+    """q81 (Q5 shape): dims and supplier sides broadcast, shipdate-less
+    order filter pushed to the scan. q85 (Q18 shape): the lineitem
+    aggregate is a HashAggregate and the qualifying set broadcasts into
+    customer — no full fact-fact sort-merge anywhere."""
+    s81 = plan_stats(QUERIES["q81_local_supplier_volume"](spark, sf_dir))
+    assert s81["broadcast_joins"] >= 3, s81          # nation/region x2 + supplier
+    assert s81["pushed_filters"], s81                # o_orderdate range at the scan
+
+    q85 = QUERIES["q85_large_volume_orders"](spark, sf_dir)
+    text = formatted_plan(q85)
+    assert "HashAggregate" in text
+    assert "SortAggregate" not in text
+
+
+def test_hll_partial_aggregation_bounds_shuffle(spark, sf_dir):
+    """The HLL register aggregate must plan as HashAggregate (partial
+    max map-side caps shuffle rows at 2^p per partition per group)."""
+    text = formatted_plan(QUERIES["q80_hll_distinct"](spark, sf_dir))
+    assert "HashAggregate" in text
+    assert "SortAggregate" not in text

@@ -212,3 +212,40 @@ def test_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
         (r.user_id, r.event_type)
         for r in spark.sql("SELECT * FROM t_dedup_stream2").collect()
     } == set(batch)
+
+
+def test_hll_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming sketch == batch sketch: the register state maintained
+    by the streaming aggregation must equal a one-shot batch pass, and
+    so must the resulting estimate (registers are the sufficient
+    statistic — arrival order and micro-batch boundaries cannot move
+    them)."""
+    from torcharrow_spark.operators.sketch import hll_distinct, hll_estimate
+    from torcharrow_spark.streaming import hll_stream
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+
+    stream_dir = str(tmp_path / "events_hll")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    # default (all-at-once is fine too: complete mode re-emits state)
+    ev.repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    q = hll_stream(
+        spark, stream_dir, ev.schema, "user_id", ["event_type"],
+        query_name="t_hll_stream",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed_regs = spark.sql("SELECT * FROM t_hll_stream")
+    got = {
+        (r.event_type,): (r.est_distinct, r.registers_used)
+        for r in hll_estimate(streamed_regs, ["event_type"]).collect()
+    }
+    want = {
+        (r.event_type,): (r.est_distinct, r.registers_used)
+        for r in hll_distinct(ev, "user_id", ["event_type"]).collect()
+    }
+    assert got == want and len(want) == 5

@@ -45,7 +45,13 @@ from .similarity import (
     normalize_embeddings,
 )
 from .sequence import funnel, retention_cohorts
-from .sketch import cms_lookup, cms_sketch, hll_distinct, hll_registers
+from .sketch import (
+    cms_lookup,
+    cms_sketch,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
 from .textstats import (
     chunk_documents,
     dedup_lines,
@@ -77,6 +83,7 @@ __all__ = [
     "funnel",
     "retention_cohorts",
     "hll_distinct",
+    "hll_estimate",
     "hll_registers",
     "duplicate_spans",
     "strip_duplicate_spans",

@@ -32,7 +32,8 @@ import typing as _ty
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_distinct", "cms_sketch", "cms_lookup"]
+__all__ = ["hll_registers", "hll_estimate", "hll_distinct",
+           "cms_sketch", "cms_lookup"]
 
 # 15 hex digits of md5 -> 60-bit non-negative hash (16 digits would
 # overflow a signed long through conv; see operators/dedup.py).
@@ -90,27 +91,25 @@ def linear_counting_table(p: int) -> _ty.List[float]:
     return [m * math.log(m / v) for v in range(1, m + 1)]
 
 
-def hll_distinct(
-    df: SDF,
-    value_col: str,
+def hll_estimate(
+    regs: SDF,
     group_cols: _ty.Sequence[str] = (),
     p: int = 8,
 ) -> SDF:
-    """Per-group HyperLogLog distinct-count estimate with the standard
-    small-range correction: linear counting ``m*ln(m/V)`` (via the
-    precomputed table above) when empty registers exist and the raw
-    estimate is <= 2.5m, else the raw harmonic-mean estimator.  Typical
-    relative error ~1.04/sqrt(2**p).  No large-range correction: the
-    60-bit hash space makes hash collisions negligible at any corpus
-    size (the 32-bit correction in the original paper exists only
-    because 2^32 saturates).
+    """Estimate from a register frame (``hll_registers`` output, or any
+    max-merged union of register frames — the incremental/streaming
+    path): linear counting ``m*ln(m/V)`` (precomputed table) when empty
+    registers exist and the raw estimate is <= 2.5m, else the raw
+    harmonic-mean estimator.  Typical relative error ~1.04/sqrt(2**p).
+    No large-range correction: the 60-bit hash space makes hash
+    collisions negligible at any corpus size (the 32-bit correction in
+    the original paper exists only because 2^32 saturates).
 
     Output: group_cols..., ``est_distinct`` (double), ``registers_used``
     (long, the number of non-empty registers, a free fill-rate
     diagnostic)."""
     m = 1 << p
     suffix_bits = _HASH_BITS - p
-    regs = hll_registers(df, value_col, group_cols, p)
     # exact integer harmonic sum: sum(2^-m_j) scaled by 2^suffix_bits;
     # empty registers (m - count) contribute 2^-0 = 1 -> 2^suffix_bits
     # each.  Max total = m * 2^suffix_bits = 2^60 < 2^63: no overflow.
@@ -141,6 +140,18 @@ def hll_distinct(
         est.alias("est_distinct"),
         F.col("registers_used").cast("long").alias("registers_used"),
     )
+
+
+def hll_distinct(
+    df: SDF,
+    value_col: str,
+    group_cols: _ty.Sequence[str] = (),
+    p: int = 8,
+) -> SDF:
+    """Per-group HyperLogLog distinct-count estimate over raw data:
+    ``hll_estimate(hll_registers(df))``.  See both for the design."""
+    return hll_estimate(hll_registers(df, value_col, group_cols, p),
+                        group_cols, p)
 
 
 def _cms_bucket(seed_col: F.Column, value_col: F.Column, w: int) -> F.Column:

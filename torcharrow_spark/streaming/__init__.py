@@ -239,3 +239,35 @@ def dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    value_col: str,
+    group_cols: _ty.List[str] | None = None,
+    p: int = 8,
+    query_name: str = "hll_stream",
+):
+    """Streaming HyperLogLog: maintain per-group distinct-count
+    registers over an unbounded parquet feed.  The register aggregate
+    (groupBy bucket -> max rho) is a plain streaming aggregation, so
+    Spark keeps at most ``groups x 2**p`` tiny state rows however much
+    data flows through — the sketch IS the state bound, no watermark
+    needed.  Read the running estimate at any time with
+    ``operators.sketch.hll_estimate`` over the sink table.
+
+    Returns the started StreamingQuery on an in-memory sink (tests);
+    production swaps the sink for a compacted table."""
+    from torcharrow_spark.operators.sketch import hll_registers
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    regs = hll_registers(stream, value_col, group_cols or [], p)
+    return (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
