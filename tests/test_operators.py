@@ -860,3 +860,27 @@ def test_strip_duplicate_spans(spark):
     assert out[2] == ("x", 4, 3)
     assert out[3] == ("unique words only here", 4, 0)
     assert out[4] == ("", 9, 9)          # fully self-duplicated doc vanishes
+
+
+def test_contamination_fractions(spark):
+    from torcharrow_spark.operators import contamination
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # exact copy -> frac 1.0
+            (2, "alpha beta gamma epsilon"), # shares 1 of 2 shingles
+            (3, "zeta eta theta iota"),      # disjoint -> 0.0
+            (4, "too short"),                # < k tokens -> no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.n_shingles, r.n_overlap,
+                      round(r.overlap_frac, 6), r.contaminated)
+           for r in contamination(train, test, k=3, threshold=0.5).collect()}
+    assert out[1] == (2, 2, 1.0, True)
+    assert out[2] == (2, 1, 0.5, True)       # >= threshold
+    assert out[3] == (2, 0, 0.0, False)
+    assert out[4] == (0, 0, 0.0, False)

@@ -9,6 +9,7 @@ sides, every grouping keyed on a hash-distributed column.
 
 from .dedup import (
     connected_components,
+    contamination,
     duplicate_spans,
     strip_duplicate_spans,
     exact_dedup,
@@ -85,6 +86,7 @@ __all__ = [
     "hll_distinct",
     "hll_estimate",
     "hll_registers",
+    "contamination",
     "duplicate_spans",
     "strip_duplicate_spans",
     "exact_dedup",

@@ -683,3 +683,77 @@ def strip_duplicate_spans(
         F.size("__w__").cast("long").alias("n_tokens"),
         (F.size("__w__") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination (decontamination): n-gram overlap between two
+# corpora — the eval-leakage check every training pipeline runs before
+# publishing benchmark numbers (public practice, e.g. GPT-2/3 papers'
+# 8-gram decontamination).
+
+
+def contamination(
+    train: SDF,
+    test: SDF,
+    k: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> SDF:
+    """For each test document: the fraction of its distinct k-token
+    shingles that appear ANYWHERE in the train corpus, and a
+    ``contaminated`` flag at ``threshold``.
+
+    Scale design: train shingles collapse to DISTINCT 60-bit md5 hashes
+    (8 bytes each — the train text never rides the shuffle); test
+    shingles are (id, hash) pairs.  One hash-partitioned left-semi-
+    style join (inner + distinct) counts hits; totals come from the
+    same test shingle frame.  Everything is linear in corpus shingle
+    count; no pairwise document comparison ever happens.  Documents
+    with fewer than k tokens have no shingles: fraction 0.0, never
+    flagged."""
+    tr = (
+        _shingles(train, text_col, id_col, k)
+        .select(
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("__h__")
+        )
+        .distinct()
+    )
+    te = _shingles(test, text_col, id_col, k).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h__"),
+    )
+    totals = te.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    hits = (
+        te.join(tr, "__h__", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    ids = test.select(id_col).distinct()
+    out = (
+        ids.join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") == 0, F.lit(0.0)
+    ).otherwise(
+        F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )

@@ -3296,3 +3296,54 @@ def q86_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     return strip_duplicate_spans(docs, k=10)
+
+
+@query(
+    "q87_contamination",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(u), 1, 15))::UBIGINT::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               UNNEST([array_to_string(w[s+1:s+8], ' ')
+                       for s in range(0, GREATEST(len(w) - 7, 0))]) AS u
+        FROM docs
+      )
+    ),
+    tr AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0),
+    te AS (SELECT doc_id, h FROM sh WHERE doc_id % 2 = 1),
+    totals AS (SELECT doc_id, COUNT(*)::BIGINT AS n_shingles
+               FROM te GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_overlap
+      FROM te WHERE h IN (SELECT h FROM tr) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_shingles, 0)::BIGINT AS n_shingles,
+           COALESCE(n_overlap, 0)::BIGINT AS n_overlap,
+           CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0::DOUBLE
+                ELSE COALESCE(n_overlap, 0)::DOUBLE
+                     / n_shingles::DOUBLE END AS overlap_frac,
+           CASE WHEN COALESCE(n_shingles, 0) = 0 THEN FALSE
+                ELSE COALESCE(n_overlap, 0)::DOUBLE
+                     / n_shingles::DOUBLE >= 0.5 END AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN totals USING (doc_id)
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+def q87_contamination(spark: SparkSession, sf_dir: str) -> SDF:
+    """Train/test contamination (operators/dedup.contamination): odd
+    doc_ids are the held-out set, even are training; 8-gram shingle
+    overlap fractions with a 0.5 flag threshold.  Exact duplicate
+    pairs straddling the split surface as overlap_frac 1.0."""
+    from torcharrow_spark.operators import contamination
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return contamination(train, test, k=8, threshold=0.5)
