@@ -158,3 +158,25 @@ def test_hll_partial_aggregation_bounds_shuffle(spark, sf_dir):
     text = formatted_plan(QUERIES["q80_hll_distinct"](spark, sf_dir))
     assert "HashAggregate" in text
     assert "SortAggregate" not in text
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
+    """write_parquet(partition_by=...) + a filter on the partition
+    column must plan with a PartitionFilters entry (directory pruning:
+    non-matching partitions are never opened) — the layout/scan contract
+    that makes date- or source-partitioned 100 TB tables queryable."""
+    import torcharrow_spark as ts
+    from torcharrow_spark.sources import write_parquet
+
+    docs = ts.read_parquet(f"{sf_dir}/documents.parquet", spark)
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, out, partition_by=["lang"])
+
+    back = spark.read.parquet(out).where("lang = 'en'")
+    text = formatted_plan(back)
+    assert "PartitionFilters" in text
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "lang" in m.group(1), text[:2000]
+    # and the non-partition read path still prunes columns
+    assert back.count() == spark.read.parquet(out).where("lang = 'en'").count()

@@ -3347,3 +3347,64 @@ def q87_contamination(spark: SparkSession, sf_dir: str) -> SDF:
     train = docs.where(F.col("doc_id") % 2 == 0)
     test = docs.where(F.col("doc_id") % 2 == 1)
     return contamination(train, test, k=8, threshold=0.5)
+
+
+@query(
+    "q88_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_shipments
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate)::INT AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q88_volume_shipping(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q7-shaped query: bilateral trade volume by year between
+    two nations.  The nation filter is applied INSIDE the broadcast
+    dims (supplier x nation, customer x nation shrink before touching
+    facts), the order/customer shuffle carries only qualifying custkeys,
+    and the final year grouping is a small HashAggregate."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    c = _load(spark, sf_dir, "customer").to_spark()
+    n = _load(spark, sf_dir, "nation").to_spark()
+    pair = ["NATION_1", "NATION_2"]
+    nf = n.where(F.col("n_name").isin(pair)).select("n_nationkey", "n_name")
+    sup = s.join(
+        F.broadcast(nf), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = c.join(
+        F.broadcast(nf), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        l.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(vol).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_shipments"),
+        )
+    )
