@@ -884,3 +884,69 @@ def test_contamination_fractions(spark):
     assert out[2] == (2, 1, 0.5, True)       # >= threshold
     assert out[3] == (2, 0, 0.0, False)
     assert out[4] == (0, 0, 0.0, False)
+
+
+def test_corr_matrix_values(spark):
+    from torcharrow_spark.operators import corr_matrix
+    import math
+
+    # y = 2x exactly -> corr 1; z anti-correlated with x -> corr -1;
+    # w has a null that must drop that row pairwise
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 1.0), (2.0, 4.0, 2.0, None),
+         (3.0, 6.0, 1.0, 5.0)],
+        ["x", "y", "z", "w"],
+    )
+    got = {(r.col_a, r.col_b): (r.corr, r.n)
+           for r in corr_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert math.isclose(got[("x", "y")][0], 1.0, rel_tol=1e-12)
+    assert got[("x", "y")][1] == 3
+    assert math.isclose(got[("x", "z")][0], -1.0, rel_tol=1e-12)
+    assert got[("x", "w")][1] == 2          # null row dropped pairwise
+    assert math.isclose(got[("x", "w")][0], 1.0)
+
+    # partitioning cannot move the result (decimal sums are exact)
+    rep = {(r.col_a, r.col_b): r.corr
+           for r in corr_matrix(df.repartition(7), ["x", "y", "z"]).collect()}
+    assert rep[("x", "y")] == got[("x", "y")][0]
+
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["x"])
+
+
+def test_histogram_bins_and_clamping(spark):
+    from torcharrow_spark.operators import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (0.5,), (9.9,), (25.0,), (None,)], ["v"]
+    )
+    out = {r.bin: (r.bin_lo, r.n) for r in
+           histogram(df, "v", lo=0.0, hi=10.0, n_bins=10).collect()}
+    assert len(out) == 10                       # empty bins emitted
+    assert out[0] == (0.0, 3)                   # -5 clamps in, 0.0, 0.5
+    assert out[9][1] == 2                       # 9.9 and clamped 25.0
+    assert sum(n for _, n in out.values()) == 5  # null dropped
+
+    with pytest.raises(ValueError):
+        histogram(df, "v", 1.0, 1.0)
+
+
+def test_take_per_group_exact_k_deterministic(spark):
+    from torcharrow_spark.operators import take_per_group
+
+    df = spark.range(100).selectExpr("id % 5 AS g", "id")
+    out = take_per_group(df, ["g"], k=3, id_col="id")
+    rows = out.collect()
+    assert len(rows) == 15
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r.g, set()).add(r.id)
+    assert all(len(v) == 3 for v in per_g.values())
+    # deterministic under repartitioning
+    again = {(r.g, r.id) for r in
+             take_per_group(df.repartition(13), ["g"], 3, "id").collect()}
+    assert again == {(r.g, r.id) for r in rows}
+    # different seed -> (almost surely) different sample
+    other = {(r.g, r.id) for r in
+             take_per_group(df, ["g"], 3, "id", seed=1).collect()}
+    assert other != again

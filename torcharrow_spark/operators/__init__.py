@@ -46,6 +46,7 @@ from .similarity import (
     normalize_embeddings,
 )
 from .sequence import funnel, retention_cohorts
+from .stats import corr_matrix, histogram, take_per_group
 from .sketch import (
     cms_lookup,
     cms_sketch,
@@ -79,6 +80,9 @@ __all__ = [
     "chunk_documents",
     "dedup_lines",
     "doc_fingerprint",
+    "corr_matrix",
+    "histogram",
+    "take_per_group",
     "cms_lookup",
     "cms_sketch",
     "funnel",

@@ -3408,3 +3408,114 @@ def q88_volume_shipping(spark: SparkSession, sf_dir: str) -> SDF:
             F.count(F.lit(1)).alias("n_shipments"),
         )
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    """Mirror of operators/stats.corr_matrix for the lineitem numerics:
+    identical decimal moment sums, identical double expression order."""
+    tags, aggs, rows = [], [], []
+    cols = _CORR_COLS
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            t = f"{a}__{b}"
+            tags.append((a, b, t))
+            x = f"CAST({a} AS DECIMAL(18,2))"
+            y = f"CAST({b} AS DECIMAL(18,2))"
+            aggs += [
+                f"COUNT({a})::BIGINT AS n_{t}",
+                f"SUM({x}) AS sx_{t}",
+                f"SUM({y}) AS sy_{t}",
+                f"SUM({x} * {y}) AS sxy_{t}",
+                f"SUM({x} * {x}) AS sxx_{t}",
+                f"SUM({y} * {y}) AS syy_{t}",
+            ]
+    for a, b, t in tags:
+        n = f"CAST(n_{t} AS DOUBLE)"
+        sx, sy = f"CAST(sx_{t} AS DOUBLE)", f"CAST(sy_{t} AS DOUBLE)"
+        sxy = f"CAST(sxy_{t} AS DOUBLE)"
+        sxx, syy = f"CAST(sxx_{t} AS DOUBLE)", f"CAST(syy_{t} AS DOUBLE)"
+        denom = f"(sqrt({n} * {sxx} - {sx} * {sx}) * sqrt({n} * {syy} - {sy} * {sy}))"
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"CASE WHEN {denom} = 0 THEN NULL "
+            f"ELSE ({n} * {sxy} - {sx} * {sy}) / {denom} END AS corr, "
+            f"n_{t} AS n FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@query("q89_corr_matrix", oracle=_corr_oracle())
+def q89_corr_matrix(spark: SparkSession, sf_dir: str) -> SDF:
+    """Pairwise Pearson correlations over the lineitem numerics
+    (operators/stats.corr_matrix): all six pairs' moments in ONE
+    map-side-combined HashAggregate; decimal-exact sums make the
+    result independent of partitioning and bit-equal across engines
+    (sqrt is IEEE-correctly-rounded; ln is not — which is why this is
+    exact-checkable and entropy scores would not be)."""
+    from torcharrow_spark.operators import corr_matrix
+
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    return corr_matrix(l, _CORR_COLS)
+
+
+_HIST_W = repr((500000.0 - 0.0) / 20)
+
+
+@query(
+    "q90_histogram",
+    oracle=f"""
+    WITH c AS (
+      SELECT LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                  / {_HIST_W}::DOUBLE)::INT, 0), 19) AS bin,
+             COUNT(*)::BIGINT AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT b.bin::INT AS bin,
+           0.0::DOUBLE + b.bin::DOUBLE * {_HIST_W}::DOUBLE AS bin_lo,
+           COALESCE(c.n, 0)::BIGINT AS n
+    FROM (SELECT unnest(range(20)) AS bin) b
+    LEFT JOIN c USING (bin)
+    """,
+)
+def q90_histogram(spark: SparkSession, sf_dir: str) -> SDF:
+    """Fixed-width 20-bin histogram of order totals (operators/stats.
+    histogram): one bounded HashAggregate, empty bins emitted, edge
+    clamping; the bin arithmetic is the same IEEE expression (width
+    precomputed, embedded verbatim) on both engines."""
+    from torcharrow_spark.operators import histogram
+
+    o = _load(spark, sf_dir, "orders").to_spark()
+    return histogram(o, "o_totalprice", lo=0.0, hi=500000.0, n_bins=20)
+
+
+@query(
+    "q91_take_per_group",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('0|' || doc_id::VARCHAR), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q91_take_per_group(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deterministic exact-k per-group sampling (operators/stats.
+    take_per_group): 5 documents per language ranked by md5(seed|id) —
+    a uniform order any engine reproduces (hex strings compare
+    byte-lexicographically everywhere), one group-key shuffle."""
+    from torcharrow_spark.operators import take_per_group
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return take_per_group(
+        docs.select("doc_id", "lang"), ["lang"], k=5, id_col="doc_id"
+    )
