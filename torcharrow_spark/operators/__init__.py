@@ -36,7 +36,14 @@ from .preprocess import (
     weighted_sample,
 )
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
-from .relevance import bm25_scores, build_vocab, term_frequencies, tf_idf, top_terms
+from .relevance import (
+    bm25_scores,
+    build_vocab,
+    collocations,
+    term_frequencies,
+    tf_idf,
+    top_terms,
+)
 from .similarity import (
     brute_force_topk,
     cosine_pairs,
@@ -80,6 +87,7 @@ __all__ = [
     "chunk_documents",
     "dedup_lines",
     "doc_fingerprint",
+    "collocations",
     "corr_matrix",
     "histogram",
     "take_per_group",

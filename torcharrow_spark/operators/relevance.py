@@ -31,7 +31,8 @@ import typing as _ty
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
-__all__ = ["term_frequencies", "tf_idf", "top_terms", "bm25_scores"]
+__all__ = ["term_frequencies", "tf_idf", "top_terms", "bm25_scores",
+           "collocations"]
 
 
 def _words(col: F.Column) -> F.Column:
@@ -221,3 +222,65 @@ def build_vocab(
         )
         ranked = sp.unionByName(ranked.select("token", "freq", "token_id"))
     return ranked.select("token", "freq", F.col("token_id").cast("int").alias("token_id"))
+
+
+def collocations(
+    df: SDF,
+    min_count: int = 5,
+    delta: float = 0.0,
+    k: int = 50,
+    text_col: str = "text",
+) -> SDF:
+    """Top-k collocated bigrams by the word2vec phrase score
+    (Mikolov et al. 2013, public): ``(count(ab) - delta) * N /
+    (count(a) * count(b))`` — a log-free lift, so the ranking is exact
+    IEEE division over exact integer counts on any engine (a PMI
+    formulation would inherit the 1-ulp ``ln`` divergence).
+
+    Plan: one narrow explode to adjacent-pair rows (linear in corpus
+    tokens), one hash-shuffle for bigram counts, a vocabulary-sized
+    unigram aggregate joined in twice (broadcast — the vocabulary is
+    tiny relative to the corpus at any scale), TakeOrderedAndProject
+    for the top-k (no global sort).  ``min_count`` prunes the long tail
+    BEFORE the joins.  Output: ``w1``, ``w2``, ``n_bigram``, ``score``
+    (ties broken by words for determinism)."""
+    if min_count < 1 or k < 1:
+        raise ValueError("min_count and k must be >= 1")
+    words = _words(F.col(text_col))
+    toks = df.select(words.alias("__w__"))
+    uni = (
+        toks.select(F.explode("__w__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+    )
+    pairs = F.when(
+        F.size("__w__") >= 2,
+        F.zip_with(
+            F.slice(F.col("__w__"), 1, F.size("__w__") - 1),
+            F.slice(F.col("__w__"), 2, F.size("__w__") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigram"))
+        .where(F.col("n_bigram") >= min_count)
+    )
+    n_tokens = uni.agg(F.sum("n_uni").cast("double")).toDF("t")
+    score = (
+        (F.col("n_bigram").cast("double") - F.lit(float(delta)))
+        * F.col("t")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_uni").alias("n1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_uni").alias("n2")))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .select("w1", "w2", "n_bigram", score.alias("score"))
+        .orderBy(F.col("score").desc(), "w1", "w2")
+        .limit(k)
+    )
