@@ -49,9 +49,13 @@ def read_parquet_ns(path: str, spark: SparkSession | None = None,
     finally:
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    fields = {f.name: f.dataType for f in sdf.schema.fields}
     for c in ts_cols or ["ts"]:
-        if c in sdf.columns:
+        # Only long columns need the nanos->micros conversion; files written
+        # with plain us/ms timestamps already arrive as TIMESTAMP(_NTZ).
+        if isinstance(fields.get(c), T.LongType):
             sdf = sdf.withColumn(
                 c, F.expr(f"cast(timestamp_micros(`{c}` div 1000) as timestamp_ntz)")
             )
