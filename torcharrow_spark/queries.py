@@ -3519,3 +3519,667 @@ def q91_take_per_group(spark: SparkSession, sf_dir: str) -> SDF:
     return take_per_group(
         docs.select("doc_id", "lang"), ["lang"], k=5, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational coverage, wave 2 (adapted to the testdata schema:
+# no l_commitdate/l_receiptdate -> lateness is l_shipdate vs o_orderdate;
+# no partsupp -> supply cost proxied from p_retailprice).  Float policy as
+# module header: per-row products cast to DECIMAL before any SUM whose
+# accumulation order Spark may vary.
+
+_VOL_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+def _vol() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+@query(
+    "q92_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q92_order_priority_exists(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q4-shaped query: order-priority counts for orders with at
+    least one late line (EXISTS -> left-semi hash join on l_orderkey
+    with the lateness predicate as a join residual; the date filter
+    reaches the orders scan as a pushed predicate, and the semi join
+    dedups order-side rows before the tiny priority HashAggregate)."""
+    o = _load(spark, sf_dir, "orders").to_spark()
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(l.select("l_orderkey", "l_shipdate"), cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q93_late_line_priority",
+    oracle="""
+    SELECT EXTRACT(year FROM l_shipdate)::INT AS ship_year,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q93_late_line_priority(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q12-shaped query: very-late lines split by order priority
+    per ship year.  One orderkey shuffle joins facts; the conditional
+    counts are a single HashAggregate over ~7 year groups (map-side
+    partials shrink each task's output to a handful of rows)."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q94_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN {_VOL_DEC} END) AS DOUBLE)
+                      / CAST(SUM({_VOL_DEC}) AS DOUBLE) AS DOUBLE)
+             AS promo_revenue_pct,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_VOL_DEC} END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM({_VOL_DEC}) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q94_promo_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q14-shaped query: share of promotional revenue in a
+    quarter.  The part dim is broadcast (no fact shuffle at all: scan
+    -> broadcast hash join -> one-row partial agg), and both the
+    numerator and denominator are exact DECIMAL sums so the final
+    double division is bit-identical across engines/partitionings."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    p = _load(spark, sf_dir, "part").to_spark()
+    lf = l.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _vol()))
+    total = F.sum(_vol())
+    return (
+        lf.join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * promo.cast("double")
+                / total.cast("double")
+            ).alias("promo_revenue_pct"),
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q95_supplier_cnt_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q95_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q16-shaped query: distinct supplier count per surviving
+    part group, excluding suppliers in bad standing.  The part filter
+    shrinks the broadcast side before it touches the fact table; the
+    exclusion list (negative-balance suppliers) is a broadcast
+    left-anti join (s_suppkey is never null, so NOT IN == anti join);
+    COUNT(DISTINCT) expands to the standard two-phase partial-dedup
+    aggregate underneath."""
+    p = _load(spark, sf_dir, "part").to_spark()
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    pf = p.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q96_disjunctive_join",
+    oracle=f"""
+    SELECT CAST(SUM({_VOL_DEC}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q96_disjunctive_join(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q19-shaped query: disjunctive brand/size/quantity
+    predicates over a part broadcast join.  Catalyst extracts the
+    common l_quantity bounds (1..35) as a pushed scan filter; the OR
+    of conjuncts evaluates post-join inside whole-stage codegen --
+    the equi-join on partkey stays a plain broadcast hash join rather
+    than degenerating into a nested-loop as a literal OR-of-joins
+    translation would."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    p = _load(spark, sf_dir, "part").to_spark()
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    disj = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 15))
+        | ((b == "Brand#2") & sz.between(5, 20) & q.between(10, 25))
+        | ((b == "Brand#3") & sz.between(10, 40) & q.between(20, 35))
+    )
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(disj)
+        .agg(
+            F.sum(_vol()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q97_rich_inactive_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q97_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q22-shaped query: above-average-balance customers who
+    never ordered, by market segment.  The global average is an exact
+    decimal-sum/count aggregate broadcast back as a 1-row cross join
+    (no collect, no second pass over raw doubles -> the threshold is
+    bit-identical on both engines); NOT EXISTS is a left-anti join on
+    custkey."""
+    c = _load(spark, sf_dir, "customer").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q98_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN volume END) AS DOUBLE), 0.0)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+             {_VOL_DEC} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q98_market_share(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q8-shaped query: one nation's share of ECONOMY-part
+    revenue sold into ASIA, per order year.  Every dimension (part
+    filter, supplier x nation, customer x nation x region) collapses
+    to a broadcast before touching facts, so the only shuffles are
+    the two fact-fact joins (orderkey, custkey); numerator and
+    denominator are exact DECIMAL sums, divided once at the end."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    p = _load(spark, sf_dir, "part").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    c = _load(spark, sf_dir, "customer").to_spark()
+    n = _load(spark, sf_dir, "nation").to_spark()
+    r = _load(spark, sf_dir, "region").to_spark()
+    pf = p.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sup = s.join(
+        F.broadcast(n),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    asia_nations = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_nationkey"))
+    cust = c.join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("cn_nationkey"),
+    ).select("c_custkey")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", _vol()))
+    den = F.sum(_vol())
+    return (
+        l.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.coalesce(num.cast("double"), F.lit(0.0))
+                / den.cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+_PROFIT_DEC = (
+    "CAST(l_extendedprice * (1 - l_discount)"
+    " - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))"
+)
+
+
+@query(
+    "q99_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS supp_nation,
+           EXTRACT(year FROM o_orderdate)::INT AS o_year,
+           CAST(SUM({_PROFIT_DEC}) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q99_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q9-shaped query: per-nation, per-year profit on widget
+    parts (supply cost proxied as 0.6 * p_retailprice -- the testdata
+    has no partsupp).  part (filtered by LIKE) and supplier x nation
+    broadcast into the fact scan; the single wide shuffle is the
+    lineitem-orders join; per-line profit is cast to DECIMAL before
+    the sum so accumulation order cannot perturb the double result."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    p = _load(spark, sf_dir, "part").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    n = _load(spark, sf_dir, "nation").to_spark()
+    pf = p.where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sup = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q100_returned_top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_VOL_DEC}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q100_returned_top_customers(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q10-shaped query: top-20 customers by returned-line
+    revenue in a half-year window.  Both scan filters push down;
+    nation broadcasts; orderkey then custkey are the two fact
+    shuffles; the final top-20 is TakeOrderedAndProject (revenue
+    desc, custkey tiebreak makes the cutoff deterministic), never a
+    global sort."""
+    c = _load(spark, sf_dir, "customer").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    n = _load(spark, sf_dir, "nation").to_spark()
+    of = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    lr = l.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        lr.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c.select("c_custkey", "c_name", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q101_small_quantity_revenue",
+    oracle="""
+    WITH aq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'
+    JOIN aq   ON aq.l_partkey = lineitem.l_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q101_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q17-shaped query: revenue from unusually small orders of
+    Brand#1 parts.  The correlated AVG subquery becomes a per-partkey
+    HashAggregate joined back on the same key (partial aggregation
+    map-side; no window over the raw fact); the per-part average is
+    exact-decimal/count so the 0.2x threshold is bit-identical across
+    engines."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    p = _load(spark, sf_dir, "part").to_spark()
+    aq = l.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        l.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(
+            F.broadcast(
+                p.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(aq, F.col("l_partkey") == F.col("aq_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q102_waiting_suppliers",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+               AS n_late_supp
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT lo.l_orderkey) AS numwait
+    FROM lo
+    JOIN per_order po ON po.l_orderkey = lo.l_orderkey
+    JOIN supplier ON s_suppkey = lo.l_suppkey
+    WHERE lo.late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q102_waiting_suppliers(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q21-shaped query: suppliers who were the SOLE late
+    shipper on multi-supplier orders.  The reference formulation's
+    EXISTS / NOT EXISTS self-joins collapse into one per-order
+    aggregate (distinct suppliers, distinct late suppliers) computed
+    on the same orderkey partitioning as the orders join -- one fact
+    shuffle feeds both the aggregate and the join-back (AQE reuses
+    the exchange); supplier names broadcast at the end; all counts
+    are integers, so no float policy is needed."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    lo = (
+        l.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lo.where(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "q103_order_count_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q103_order_count_distribution(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q13-shaped query: distribution of per-customer order
+    counts (excluding low-priority orders), zeros included via the
+    left join.  Two HashAggregates: the first on custkey rides the
+    join's partitioning, the second is tiny (distinct counts).
+    COUNT(o_orderkey) counts only matched rows, preserving the
+    0-orders customers exactly as the reference shape requires."""
+    c = _load(spark, sf_dir, "customer").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    of = o.where(F.col("o_orderpriority") != "5-LOW").select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        c.select("c_custkey")
+        .join(of, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q104_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_VOL_DEC}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q104_top_supplier(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q15-shaped query: supplier(s) with the maximum quarterly
+    revenue.  The scalar MAX subquery is a 1-row aggregate broadcast
+    back as a cross join (no collect); revenue stays DECIMAL through
+    the max comparison so the equality is exact (a double round-trip
+    could drop ties), and only the final output casts to double."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_vol()).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
