@@ -950,3 +950,63 @@ def test_take_per_group_exact_k_deterministic(spark):
     other = {(r.g, r.id) for r in
              take_per_group(df, ["g"], 3, "id", seed=1).collect()}
     assert other != again
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    from torcharrow_spark.operators import heavy_hitters
+
+    rows = (
+        [("a",)] * 500 + [("b",)] * 300 + [("c",)] * 10
+        + [(str(i),) for i in range(190)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    expected = {("a", 500), ("b", 300)}          # threshold 0.05 -> >= 50
+    for parts in (1, 7, 32):
+        got = {
+            (r["value"], r["cnt"])
+            for r in heavy_hitters(df.repartition(parts), "v", 0.05).collect()
+        }
+        assert got == expected
+    # boundary: exactly threshold*N qualifies (>=)
+    got = {
+        r["value"]
+        for r in heavy_hitters(df, "v", 0.01).collect()  # 0.01*1000 = 10
+    }
+    assert "c" in got
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", 0.0)
+
+
+def test_binned_quantile_error_bound_and_winsorize(spark):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import binned_quantile, winsorize
+
+    df = spark.range(10_000).selectExpr("CAST(id AS DOUBLE) AS x")
+    n_bins = 512
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    est = {r["q"]: r["value"] for r in
+           binned_quantile(df, "x", qs, n_bins=n_bins).collect()}
+    exact = df.agg(
+        F.expr(f"percentile(x, array({','.join(map(str, qs))}))")
+    ).collect()[0][0]
+    width = 9999.0 / n_bins
+    assert set(est) == set(qs)
+    for q, ex in zip(qs, exact):
+        assert abs(est[q] - ex) <= width + 1e-9, (q, est[q], ex)
+    # partition invariance (exact integer bin counts -> same estimate)
+    est7 = {r["q"]: r["value"] for r in
+            binned_quantile(df.repartition(7), "x", qs,
+                            n_bins=n_bins).collect()}
+    assert est == est7
+
+    w = winsorize(df, "x", 0.05, 0.95, n_bins=n_bins, out_col="c")
+    lo_t, hi_t = (w.agg(F.min("c"), F.max("c")).collect()[0][0:2])
+    assert 400 <= lo_t <= 600 and 9400 <= hi_t <= 9600
+    assert w.where(F.col("c") < lo_t).count() == 0
+    assert w.where(F.col("c") > hi_t).count() == 0
+    assert w.count() == 10_000
+    # nulls stay null
+    dfn = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    wn = winsorize(dfn, "x", 0.0, 1.0, out_col="c")
+    assert wn.where(F.col("c").isNull()).count() == 1

@@ -27,6 +27,7 @@ from .dedup import (
 from .clustering import kmeans, kmeans_assign
 from .joins import asof_join, interval_join, salted_join
 from .preprocess import (
+    binned_quantile,
     hash_sample,
     hash_split,
     mix_proportions,
@@ -34,6 +35,7 @@ from .preprocess import (
     split_column,
     stratified_sample,
     weighted_sample,
+    winsorize,
 )
 from .multimodal import attach_media, decode_features, frame_sample_plan, resize_media
 from .relevance import (
@@ -56,6 +58,7 @@ from .sequence import funnel, retention_cohorts
 from .stats import corr_matrix, histogram, take_per_group
 from .sketch import (
     cms_lookup,
+    heavy_hitters,
     cms_sketch,
     hll_distinct,
     hll_estimate,
@@ -75,6 +78,9 @@ from .textstats import (
 
 __all__ = [
     "asof_join",
+    "binned_quantile",
+    "heavy_hitters",
+    "winsorize",
     "attach_media",
     "salted_join",
     "brute_force_topk",

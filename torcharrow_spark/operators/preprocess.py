@@ -13,6 +13,7 @@ from __future__ import annotations
 import typing as _ty
 
 from pyspark.sql import DataFrame as SDF
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
@@ -241,3 +242,124 @@ def mix_proportions(
     for g in sorted(keep, key=str):
         thr = F.when(F.col(group_col) == F.lit(g), F.lit(keep[g])).otherwise(thr)
     return df.where(_key_frac(key_col, f"sample:{seed}|") < thr)
+
+
+def binned_quantile(
+    df: SDF,
+    col: str,
+    qs: _ty.Sequence[float],
+    lo: float | None = None,
+    hi: float | None = None,
+    n_bins: int = 1024,
+) -> SDF:
+    """Histogram-interpolated approximate quantiles — the 100 TB scale
+    path next to the exact ``Column.quantile`` (which ranks real data
+    values): one bounded HashAggregate over ``n_bins`` groups, error
+    <= one bin width, NO global sort and no shuffle proportional to
+    distinct values.
+
+    All arithmetic after the exact integer bin counts is a fixed
+    sequence of IEEE double ops (same literal operand order on any
+    engine), so results are deterministic and oracle-reproducible:
+    for target rank ``r = clamp(q * N, 1, N)`` inside the first bin
+    whose cumulative count reaches ``r``,
+    ``est = lo + width * (bin + (r - cum_before) / bin_count)``.
+
+    ``lo``/``hi`` default to the column's exact min/max (min/max are
+    order-independent, so the derived histogram is deterministic too).
+    The cumulative step is a window over n_bins rows — bounded by
+    construction, never data-sized.  Returns ``(q, value)`` rows.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    c = F.col(col).cast("double")
+    base = df.where(c.isNotNull()).select(c.alias("__v__"))
+    if lo is None or hi is None:
+        base = base.crossJoin(
+            F.broadcast(
+                base.agg(
+                    F.min("__v__").alias("__lo__"),
+                    F.max("__v__").alias("__hi__"),
+                )
+            )
+        )
+    else:
+        base = base.select(
+            "__v__",
+            F.lit(float(lo)).alias("__lo__"),
+            F.lit(float(hi)).alias("__hi__"),
+        )
+    w = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("__v__") - F.col("__lo__")) / w).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    hist = base.groupBy(
+        bin_.alias("bin"), F.col("__lo__"), F.col("__hi__")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.select(
+        "bin",
+        "__lo__",
+        "__hi__",
+        "n",
+        F.sum("n").over(win).alias("cum"),
+        (F.sum("n").over(win) - F.col("n")).alias("cum_before"),
+    ).crossJoin(
+        F.broadcast(
+            base.agg(F.count(F.lit(1)).alias("__total__"))
+        )
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    width = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
+    r = F.least(
+        F.greatest(F.col("q") * F.col("__total__"), F.lit(1.0)),
+        F.col("__total__").cast("double"),
+    )
+    est = F.col("__lo__") + width * (
+        F.col("bin")
+        + (r - F.col("cum_before")) / F.col("n")
+    )
+    return (
+        hist.select("*", qcol)
+        .where(
+            (F.col("cum") >= r) & (F.col("cum_before") < r)
+        )
+        .select(F.col("q"), est.alias("value"))
+    )
+
+
+def winsorize(
+    df: SDF,
+    col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    n_bins: int = 1024,
+    out_col: str | None = None,
+) -> SDF:
+    """Clip a numeric column to its [lo_q, hi_q] binned-quantile range
+    (outlier suppression before normalization — a standard feature
+    step).  Thresholds come from :func:`binned_quantile` (bounded agg,
+    no sort), broadcast back as a 1-row cross join; the clip itself is
+    a zero-shuffle codegen projection."""
+    out = out_col or col
+    bq = binned_quantile(df, col, [lo_q, hi_q], n_bins=n_bins)
+    thr = bq.groupBy().agg(
+        F.min(F.when(F.col("q") == lo_q, F.col("value"))).alias("__wlo__"),
+        F.max(F.when(F.col("q") == hi_q, F.col("value"))).alias("__whi__"),
+    )
+    c = F.col(col).cast("double")
+    clipped = F.least(F.greatest(c, F.col("__wlo__")), F.col("__whi__"))
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn(out, F.when(c.isNotNull(), clipped))
+        .drop("__wlo__", "__whi__")
+    )

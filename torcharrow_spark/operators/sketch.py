@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
 __all__ = ["hll_registers", "hll_estimate", "hll_distinct",
-           "cms_sketch", "cms_lookup"]
+           "cms_sketch", "cms_lookup", "heavy_hitters"]
 
 # 15 hex digits of md5 -> 60-bit non-negative hash (16 digits would
 # overflow a signed long through conv; see operators/dedup.py).
@@ -206,4 +206,74 @@ def cms_lookup(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
         .select(F.col("__v__").alias(value_col),
                 F.col("est_count").cast("long").alias("est_count"))
+    )
+
+
+def heavy_hitters(
+    df: SDF, value_col: str, threshold: float
+) -> SDF:
+    """Exact frequency-threshold heavy hitters (all values occurring in
+    at least ``threshold`` fraction of rows) in two linear passes —
+    never a full-cardinality shuffle.
+
+    Scale design: a plain ``groupBy(value).count()`` shuffles one row
+    per DISTINCT value — at 100 TB of e.g. corpus tokens that is
+    billions of groups for a result of a few hundred.  Instead:
+
+      pass 1 (candidate generation, zero shuffle): each partition
+        counts its own values in a hash map (Arrow-batched
+        ``mapInPandas``) and emits only values that are locally heavy
+        (local count >= threshold * local rows).  Pigeonhole: a value
+        with global frequency >= t*N must reach >= t*N_p in at least
+        one partition, so the union of local candidates is a SUPERSET
+        of the true answer — and it is tiny (<= 1/t per partition).
+      pass 2 (exact verify): facts semi-join the broadcast candidate
+        set, then one bounded ``groupBy().count()`` over candidates
+        only; a 1-row total-count aggregate cross-joins in and the
+        final filter ``cnt >= t * N`` is exact.
+
+    The output is therefore EXACT (candidates are only pruned, never
+    invented), deterministic under any partitioning, and the only
+    Python in the pipeline is the per-partition counter — a single
+    linear scan with bounded memory (the counter can be swept with a
+    Misra-Gries eviction if per-partition cardinality is itself huge;
+    at 1/t candidates retained the guarantee is identical).
+
+    Reference capability anchor: torcharrow's functional namespace
+    exposes approx_most_frequent (functional.pyi); this is the
+    Spark-first exact-verified equivalent.
+
+    Returns ``(value, cnt, frac)`` with ``frac = cnt / N`` (double,
+    same single division on any engine).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    vals = df.select(F.col(value_col).cast("string").alias("value"))
+
+    def _local_heavy(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        n = 0
+        for pdf in batches:
+            col = pdf["value"].dropna()
+            n += len(pdf)
+            for v, c in col.value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+        cand = [v for v, c in counts.items() if c >= threshold * n]
+        yield pd.DataFrame({"value": pd.Series(cand, dtype="object")})
+
+    candidates = vals.mapInPandas(_local_heavy, "value string").distinct()
+    total = vals.agg(F.count(F.lit(1)).alias("__total__"))
+    return (
+        vals.join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(threshold) * F.col("__total__"))
+        .select(
+            "value",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total__")).alias("frac"),
+        )
     )

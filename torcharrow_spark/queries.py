@@ -4183,3 +4183,112 @@ def q104_top_supplier(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency / distribution scale paths (wave 2)
+
+
+@query(
+    "q105_heavy_hitters",
+    oracle=f"""
+    WITH w AS (
+      SELECT UNNEST(string_split({_NORM}, ' ')) AS value FROM documents
+    ),
+    t AS (SELECT COUNT(*)::BIGINT AS total FROM w)
+    SELECT value, COUNT(*)::BIGINT AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / total AS frac
+    FROM w, t
+    GROUP BY value, total
+    HAVING COUNT(*) >= 0.003 * total
+    """,
+)
+def q105_heavy_hitters(spark: SparkSession, sf_dir: str) -> SDF:
+    """Corpus-token heavy hitters (operators/sketch.heavy_hitters):
+    every token covering >= 0.3% of the corpus, found WITHOUT a
+    distinct-cardinality shuffle — per-partition local counting emits
+    a provable candidate superset (pigeonhole), then one bounded
+    exact-verify aggregate over candidates only.  The oracle is the
+    naive full GROUP BY; results are exactly equal by construction."""
+    from torcharrow_spark.operators import heavy_hitters
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("word")
+    )
+    return heavy_hitters(words, "word", 0.003)
+
+
+@query(
+    "q106_winsorize_binned",
+    oracle="""
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
+    h AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((x - lo) / ((hi - lo) / 1024.0))
+                                 AS INT), 0), 1023) AS bin,
+             COUNT(*)::BIGINT AS n
+      FROM v, mm GROUP BY 1
+    ),
+    hc AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - n
+               AS cum_before
+      FROM h
+    ),
+    t AS (SELECT COUNT(*)::BIGINT AS total FROM v),
+    est AS (
+      SELECT q, lo + ((hi - lo) / 1024.0) * (bin + (r - cum_before) / n)
+               AS value
+      FROM (
+        SELECT q, bin, n, cum, cum_before, lo, hi,
+               LEAST(GREATEST(q * total, 1.0), CAST(total AS DOUBLE)) AS r
+        FROM hc, t, mm, (SELECT UNNEST([0.05, 0.95]) AS q) qs
+      )
+      WHERE cum >= r AND cum_before < r
+    ),
+    thr AS (SELECT MIN(CASE WHEN q = 0.05 THEN value END) AS wlo,
+                   MAX(CASE WHEN q = 0.95 THEN value END) AS whi
+            FROM est)
+    SELECT wlo, whi,
+           COUNT(CASE WHEN x < wlo THEN 1 END) AS n_low,
+           COUNT(CASE WHEN x > whi THEN 1 END) AS n_high,
+           COUNT(*) AS n_total
+    FROM v, thr
+    GROUP BY wlo, whi
+    """,
+)
+def q106_winsorize_binned(spark: SparkSession, sf_dir: str) -> SDF:
+    """Winsorization thresholds from the histogram-interpolated
+    quantile scale path (operators/preprocess.binned_quantile): one
+    bounded 1024-group HashAggregate replaces any global sort; the
+    oracle replays the identical bin/cumulative/interpolation
+    arithmetic (every double op in the same literal order), proving
+    the approximation itself is deterministic and engine-independent.
+    Output: both thresholds plus how many order totals each side
+    would clip."""
+    from torcharrow_spark.operators import binned_quantile
+
+    o = _load(spark, sf_dir, "orders").to_spark()
+    bq = binned_quantile(o, "o_totalprice", [0.05, 0.95], n_bins=1024)
+    thr = bq.groupBy().agg(
+        F.min(F.when(F.col("q") == 0.05, F.col("value"))).alias("wlo"),
+        F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("whi"),
+    )
+    x = F.col("o_totalprice").cast("double")
+    return (
+        o.where(x.isNotNull())
+        .crossJoin(F.broadcast(thr))
+        .groupBy("wlo", "whi")
+        .agg(
+            F.count(F.when(x < F.col("wlo"), 1)).alias("n_low"),
+            F.count(F.when(x > F.col("whi"), 1)).alias("n_high"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
