@@ -180,3 +180,38 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     assert m and "lang" in m.group(1), text[:2000]
     # and the non-partition read path still prunes columns
     assert back.count() == spark.read.parquet(out).where("lang = 'en'").count()
+
+
+def test_tpch_wave2_join_shapes(spark, sf_dir):
+    """q92 plans the EXISTS as a semi join (no row-multiplying inner
+    join + distinct); q94/q96 broadcast the part dim (no fact
+    shuffle beyond their single aggregate); q98's seven-table DAG
+    broadcasts every dim so only the two fact-fact joins exchange."""
+    text92 = formatted_plan(QUERIES["q92_order_priority_exists"](spark, sf_dir))
+    assert re.search(r"LeftSemi", text92), text92[:3000]
+
+    for q in ("q94_promo_revenue", "q96_disjunctive_join"):
+        stats = plan_stats(QUERIES[q](spark, sf_dir))
+        assert stats["broadcast_joins"] >= 1, (q, stats)
+        # the only shuffle is the single-partition final aggregate
+        # (formatted_plan lists each node twice: tree + detail section)
+        assert stats["exchanges"] <= 2, (q, stats)
+
+    stats98 = plan_stats(QUERIES["q98_market_share"](spark, sf_dir))
+    assert stats98["broadcast_joins"] >= 3, stats98
+
+
+def test_heavy_hitters_verify_side_broadcasts(spark, sf_dir):
+    """q105's exact-verify pass must semi-join the candidates as a
+    broadcast (the candidate set is bounded by 1/t per partition) —
+    never shuffle the exploded token table by value."""
+    text = formatted_plan(QUERIES["q105_heavy_hitters"](spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin.*LeftSemi|LeftSemi.*Broadcast",
+                     text, re.S), text[:3000]
+
+
+def test_binned_quantile_is_bounded_aggregate(spark, sf_dir):
+    """q106's histogram is a HashAggregate over <= n_bins groups; the
+    only window runs over the bin table (bounded), never the facts."""
+    text = formatted_plan(QUERIES["q106_winsorize_binned"](spark, sf_dir))
+    assert "HashAggregate" in text
