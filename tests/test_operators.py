@@ -1010,3 +1010,41 @@ def test_binned_quantile_error_bound_and_winsorize(spark):
     dfn = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
     wn = winsorize(dfn, "x", 0.0, 1.0, out_col="c")
     assert wn.where(F.col("c").isNull()).count() == 1
+
+
+def test_resample_ffill_semantics(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # key a: obs at 5s (v=1), 10s (v=2, two obs -> id tiebreak), 25s
+        ("a", at(5), 1.0, 1),
+        ("a", at(10), 2.0, 2),
+        ("a", at(10), 99.0, 3),   # same ts, higher id wins
+        ("a", at(25), 4.0, 4),
+        # key b: single obs exactly on a grid point
+        ("b", at(20), 7.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double, i long")
+    out = resample_ffill(df, "k", "ts", "v", interval_s=10, id_col="i")
+    got = {(r["k"], r["ts_s"] % 100): r["value"] for r in out.collect()}
+    ep0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # key a grid: ceil(5/10)=1 .. floor(25/10)=2 -> ts 10, 20
+    assert got[("a", (ep0 + 10) % 100)] == 99.0   # obs at 10 visible, id 3 wins
+    assert got[("a", (ep0 + 20) % 100)] == 99.0   # carried forward
+    # key b grid: single point at 20, obs exactly there
+    assert got[("b", (ep0 + 20) % 100)] == 7.0
+    assert len(got) == 3
+    # partition invariance
+    got7 = {(r["k"], r["ts_s"]): r["value"]
+            for r in resample_ffill(df.repartition(7), "k", "ts", "v",
+                                    interval_s=10, id_col="i").collect()}
+    assert len(got7) == 3 and set(got7.values()) == {99.0, 7.0}

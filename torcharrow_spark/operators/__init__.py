@@ -54,7 +54,7 @@ from .similarity import (
     lsh_topk,
     normalize_embeddings,
 )
-from .sequence import funnel, retention_cohorts
+from .sequence import funnel, resample_ffill, retention_cohorts
 from .stats import corr_matrix, histogram, take_per_group
 from .sketch import (
     cms_lookup,
@@ -100,6 +100,7 @@ __all__ = [
     "cms_lookup",
     "cms_sketch",
     "funnel",
+    "resample_ffill",
     "retention_cohorts",
     "hll_distinct",
     "hll_estimate",

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "retention_cohorts"]
+__all__ = ["funnel", "retention_cohorts", "resample_ffill"]
 
 
 def retention_cohorts(
@@ -123,4 +123,81 @@ def funnel(
         F.element_at(F.col("__lab__"), F.col("pos") + 1).alias("step"),
         F.col("users_reached").cast("long").alias("users_reached"),
         conversion.alias("conversion"),
+    )
+
+
+def resample_ffill(
+    df: SDF,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    interval_s: int,
+    id_col: str | None = None,
+) -> SDF:
+    """Resample an irregular per-key time series onto a fixed
+    ``interval_s``-second grid, forward-filling the last observed
+    value (the standard feature-engineering step before any
+    fixed-step model input).
+
+    Scale design: per-key bounds come from one HashAggregate; the
+    grid materializes as ``sequence()`` + ``explode`` (pure codegen,
+    fan-out = span/interval per key, never a cross join against a
+    global calendar); observations and grid points union and a single
+    ``last(value, ignorenulls)`` window per key carries values
+    forward — ONE shuffle on the key, sort confined to each key's
+    partition.  No driver collection anywhere.
+
+    Determinism: grid timestamps are exact integer arithmetic on
+    epoch seconds (``k * interval_s`` for ``ceil(min/i) <= k <=
+    floor(max/i)``), values pass through untouched, and ties (several
+    observations at one timestamp) break on ``id_col`` — so output is
+    identical under any partitioning and engine.
+
+    Returns ``(key, ts_s, value)`` with ``ts_s`` the grid point as an
+    epoch-seconds BIGINT (representation-proof output, the q17
+    lesson).
+    """
+    us = F.expr(f"unix_micros(cast(`{ts_col}` as timestamp))")
+    obs = df.select(
+        F.col(key_col).alias("__k__"),
+        us.alias("__us__"),
+        F.col(val_col).cast("double").alias("__v__"),
+        (F.col(id_col) if id_col else F.lit(0)).alias("__tie__"),
+        F.lit(0).alias("__grid__"),
+    )
+    i_us = int(interval_s) * 1_000_000
+    bounds = obs.groupBy("__k__").agg(
+        F.min("__us__").alias("__mn__"), F.max("__us__").alias("__mx__")
+    )
+    grid = bounds.select(
+        "__k__",
+        F.explode(
+            F.sequence(
+                # integer ceil/floor division on epoch micros — exact on
+                # any engine (epochs are positive; no double rounding)
+                F.expr(f"(__mn__ + {i_us - 1}) DIV {i_us}"),
+                F.expr(f"__mx__ DIV {i_us}"),
+            )
+        ).alias("__kidx__"),
+    ).select(
+        "__k__",
+        (F.col("__kidx__") * F.lit(i_us)).alias("__us__"),
+        F.lit(None).cast("double").alias("__v__"),
+        F.lit(None).cast("long").alias("__tie__"),
+        F.lit(1).alias("__grid__"),
+    )
+    w = (
+        Window.partitionBy("__k__")
+        .orderBy("__us__", "__grid__", "__tie__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("__ff__", F.last("__v__", ignorenulls=True).over(w))
+        .where(F.col("__grid__") == 1)
+        .select(
+            F.col("__k__").alias(key_col),
+            (F.col("__us__") / F.lit(1_000_000)).cast("long").alias("ts_s"),
+            F.col("__ff__").alias("value"),
+        )
     )

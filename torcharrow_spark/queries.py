@@ -4292,3 +4292,42 @@ def q106_winsorize_binned(spark: SparkSession, sf_dir: str) -> SDF:
             F.count(F.lit(1)).alias("n_total"),
         )
     )
+
+
+@query(
+    "q107_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS us, value, event_id FROM events
+    ),
+    b AS (
+      SELECT user_id, MIN(us) AS mn, MAX(us) AS mx
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             UNNEST(generate_series((mn + 86399999999) // 86400000000,
+                                    mx // 86400000000)) AS k
+      FROM b
+    )
+    SELECT g.user_id, g.k * 86400 AS ts_s,
+           (SELECT o.value FROM obs o
+            WHERE o.user_id = g.user_id
+              AND o.us <= g.k * 86400000000
+            ORDER BY o.us DESC, o.event_id DESC LIMIT 1) AS value
+    FROM grid g
+    """,
+)
+def q107_resample_ffill(spark: SparkSession, sf_dir: str) -> SDF:
+    """Daily-grid resample with forward fill over the events stream
+    (operators/sequence.resample_ffill): per-user integer-exact grid
+    via sequence+explode, ONE user shuffle, last-observation window.
+    Grid timestamps emit as epoch-seconds BIGINT (representation-
+    proof); the oracle is the definitional correlated last-observation
+    lookup over a generate_series grid."""
+    from torcharrow_spark.operators import resample_ffill
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    return resample_ffill(
+        ev, "user_id", "ts", "value", interval_s=86400, id_col="event_id"
+    )
