@@ -249,3 +249,78 @@ def test_hll_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in hll_distinct(ev, "user_id", ["event_type"]).collect()
     }
     assert got == want and len(want) == 5
+
+
+def test_enriched_stream_matches_batch(spark, sf_dir, tmp_path):
+    from torcharrow_spark.streaming import (
+        enriched_counts_batch,
+        enriched_counts_stream,
+    )
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+    # static reference data: user tier from the id (stand-in for a
+    # slowly-changing dimension table)
+    dim = (
+        ev.select("user_id").distinct()
+        .selectExpr("user_id", "concat('tier_', user_id % 3) AS tier")
+    )
+    batch = {
+        (r["window_start"], r["tier"]): (r["n_events"], r["total_value"])
+        for r in enriched_counts_batch(ev, dim, "user_id", "tier").collect()
+    }
+    assert len(batch) > 0
+
+    stream_dir = str(tmp_path / "events_us")
+    ev.write.mode("overwrite").parquet(stream_dir)
+    q = enriched_counts_stream(
+        spark, stream_dir, ev.schema, dim, "user_id", "tier",
+        query_name="t_enriched",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {
+        (r["window_start"], r["tier"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_enriched").collect()
+    }
+    assert stream == batch
+
+
+def test_cms_stream_matches_batch(spark, sf_dir, tmp_path):
+    from torcharrow_spark.operators.sketch import cms_lookup, cms_sketch
+    from torcharrow_spark.streaming import cms_stream
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+    batch_cells = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(ev, "event_type", d=3, w=64).collect()
+    }
+
+    stream_dir = str(tmp_path / "events_us")
+    ev.write.mode("overwrite").parquet(stream_dir)
+    q = cms_stream(spark, stream_dir, ev.schema, "event_type",
+                   d=3, w=64, query_name="t_cms")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_cells = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM t_cms").collect()
+    }
+    assert stream_cells == batch_cells          # state IS the sketch
+    assert len(stream_cells) <= 3 * 64          # bounded however much data
+
+    # lookups over the sink never underestimate the true frequency
+    sink = spark.sql("SELECT * FROM t_cms")
+    truth = {r["event_type"]: r["cnt"] for r in
+             ev.groupBy("event_type").count()
+               .withColumnRenamed("count", "cnt").collect()}
+    queries = spark.createDataFrame(
+        [(k,) for k in truth], "event_type string"
+    )
+    est = {r["event_type"]: r["est_count"] for r in
+           cms_lookup(sink, queries, "event_type", d=3, w=64).collect()}
+    for k, n in truth.items():
+        assert est[k] >= n

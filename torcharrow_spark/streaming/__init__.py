@@ -271,3 +271,108 @@ def hll_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enriched_counts_batch(
+    events: SDF,
+    dim: SDF,
+    key: str,
+    seg_col: str,
+    window: str = "1 hour",
+) -> SDF:
+    """Windowed per-segment counts after enriching each event with a
+    dimension attribute (the batch plan; semantics shared with
+    :func:`enriched_counts_stream`)."""
+    return (
+        events.join(F.broadcast(dim), key)
+        .groupBy(F.window("ts", window).alias("w"), F.col(seg_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            seg_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def enriched_counts_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    dim: SDF,
+    key: str,
+    seg_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "enriched_counts",
+):
+    """Stream-static enrichment join + windowed aggregation: the
+    canonical Structured Streaming pattern for attaching slowly-
+    changing reference data (user tier, content category, geo) to a
+    live event feed.
+
+    Scale design: the static side joins as a BROADCAST hash join
+    inside every micro-batch — no stream-side shuffle for the join,
+    no state for it either (stream-static inner joins are stateless
+    by construction); only the downstream windowed aggregation keeps
+    state, bounded by the watermark.  The dimension is re-broadcast
+    per batch, so updating the static table between batches picks up
+    new reference data without restarting the query."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), key)
+        .groupBy(F.window("ts", window).alias("w"), F.col(seg_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            seg_col,
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+    query_name: str = "cms_stream",
+):
+    """Streaming count-min sketch: maintain approximate frequencies
+    for an unbounded feed in exactly ``d x w`` state rows.  Cell
+    counts merge by SUM (associative), so the streaming aggregation's
+    state IS the sketch — like :func:`hll_stream`, no watermark is
+    needed and state never grows with cardinality.  Query the sink
+    with ``operators.sketch.cms_lookup`` for point frequency
+    estimates (overestimates only, standard CM guarantee)."""
+    from torcharrow_spark.operators.sketch import cms_sketch
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    cells = cms_sketch(stream, value_col, d=d, w=w)
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
