@@ -1048,3 +1048,25 @@ def test_resample_ffill_semantics(spark):
             for r in resample_ffill(df.repartition(7), "k", "ts", "v",
                                     interval_s=10, id_col="i").collect()}
     assert len(got7) == 3 and set(got7.values()) == {99.0, 7.0}
+
+
+def test_binned_cdf_monotone_and_accurate(spark):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import binned_cdf
+
+    df = spark.range(10_000).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+    out = binned_cdf(df, "x", n_bins=512)
+    rows = out.select("id", "x_cdf").orderBy("id").collect()
+    # accuracy: |cdf - true_rank/N| <= one bin's mass + interpolation
+    for r in rows[:: 503]:
+        true = (r["id"] + 1) / 10_000
+        assert abs(r["x_cdf"] - true) <= 1 / 512 + 1e-6, (r, true)
+    # monotone in x
+    vals = [r["x_cdf"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+    # bounds + null passthrough
+    assert 0.0 <= vals[0] and vals[-1] <= 1.0 + 1e-12
+    dfn = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    got = binned_cdf(dfn, "x").where(F.col("x").isNull()).collect()
+    assert len(got) == 1 and got[0]["x_cdf"] is None

@@ -27,6 +27,7 @@ from .dedup import (
 from .clustering import kmeans, kmeans_assign
 from .joins import asof_join, interval_join, salted_join
 from .preprocess import (
+    binned_cdf,
     binned_quantile,
     hash_sample,
     hash_split,
@@ -78,6 +79,7 @@ from .textstats import (
 
 __all__ = [
     "asof_join",
+    "binned_cdf",
     "binned_quantile",
     "heavy_hitters",
     "winsorize",

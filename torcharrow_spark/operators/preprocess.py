@@ -363,3 +363,75 @@ def winsorize(
         .withColumn(out, F.when(c.isNotNull(), clipped))
         .drop("__wlo__", "__whi__")
     )
+
+
+def binned_cdf(
+    df: SDF,
+    col: str,
+    n_bins: int = 1024,
+    out_col: str | None = None,
+) -> SDF:
+    """Approximate percentile-rank (empirical CDF) feature for every
+    row — the scale path next to ``F.percent_rank()``, whose global
+    window is a single-partition sort of the entire dataset.
+
+    Scale design: one bounded ``n_bins``-group HashAggregate builds
+    the histogram; its cumulative table (window over <= n_bins rows)
+    broadcasts back and each row's CDF is a zero-shuffle codegen
+    projection: ``cdf = (cum_before + (x - bin_lo)/width * bin_n) / N``
+    — within-bin linear interpolation, error <= one bin's mass.
+    Deterministic: exact integer counts, then a fixed double-op
+    sequence (same literal order on any engine).  Null inputs yield
+    null CDF."""
+    out = out_col or f"{col}_cdf"
+    c = F.col(col).cast("double")
+    base = df.where(c.isNotNull()).select(c.alias("__v__"))
+    mm = base.agg(
+        F.min("__v__").alias("__lo__"),
+        F.max("__v__").alias("__hi__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    b = base.crossJoin(F.broadcast(mm))
+    w = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("__v__") - F.col("__lo__")) / w).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    hist = b.groupBy(bin_.alias("__bin__")).agg(
+        F.count(F.lit(1)).alias("__bn__")
+    )
+    hw = Window.orderBy("__bin__").rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.select(
+        "__bin__",
+        "__bn__",
+        (F.sum("__bn__").over(hw) - F.col("__bn__")).alias("__cumb__"),
+    )
+    enriched = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "__bin__",
+            F.when(
+                c.isNotNull(),
+                F.least(
+                    F.greatest(
+                        F.floor((c - F.col("__lo__")) / w).cast("int"),
+                        F.lit(0),
+                    ),
+                    F.lit(n_bins - 1),
+                ),
+            ),
+        )
+        .join(F.broadcast(hist), "__bin__", "left")
+    )
+    frac = F.least(
+        F.greatest((c - (F.col("__lo__") + F.col("__bin__") * w)) / w,
+                   F.lit(0.0)),
+        F.lit(1.0),
+    )
+    cdf = (F.col("__cumb__") + frac * F.col("__bn__")) / F.col("__n__")
+    return enriched.withColumn(
+        out, F.when(c.isNotNull(), cdf)
+    ).drop("__bin__", "__bn__", "__cumb__", "__lo__", "__hi__", "__n__")

@@ -4331,3 +4331,47 @@ def q107_resample_ffill(spark: SparkSession, sf_dir: str) -> SDF:
     return resample_ffill(
         ev, "user_id", "ts", "value", interval_s=86400, id_col="event_id"
     )
+
+
+@query(
+    "q108_binned_cdf",
+    oracle="""
+    WITH v AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*)::BIGINT AS n FROM v),
+    binned AS (
+      SELECT o_orderkey, x,
+             LEAST(GREATEST(CAST(FLOOR((x - lo) / ((hi - lo) / 256.0))
+                                 AS INT), 0), 255) AS bin
+      FROM v, mm
+    ),
+    h AS (SELECT bin, COUNT(*)::BIGINT AS bn FROM binned GROUP BY bin),
+    hc AS (
+      SELECT bin, bn,
+             SUM(bn) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - bn
+               AS cumb
+      FROM h
+    )
+    SELECT b.o_orderkey,
+           (cumb + LEAST(GREATEST((x - (lo + b.bin * ((hi - lo) / 256.0)))
+                                  / ((hi - lo) / 256.0), 0.0), 1.0) * bn)
+             / n AS cdf
+    FROM binned b JOIN hc ON hc.bin = b.bin, mm
+    """,
+)
+def q108_binned_cdf(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-row empirical-CDF feature from the broadcast histogram
+    (operators/preprocess.binned_cdf): the scale path replacing
+    ``percent_rank()``'s whole-dataset single-partition sort with one
+    bounded HashAggregate + a zero-shuffle interpolation projection.
+    The oracle replays the identical bin/cumulative/interpolation
+    double arithmetic."""
+    from torcharrow_spark.operators import binned_cdf
+
+    o = _load(spark, sf_dir, "orders").to_spark()
+    out = binned_cdf(
+        o.where(F.col("o_totalprice").isNotNull()), "o_totalprice", n_bins=256
+    )
+    return out.select(
+        "o_orderkey", F.col("o_totalprice_cdf").alias("cdf")
+    )
