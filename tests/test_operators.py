@@ -1070,3 +1070,28 @@ def test_binned_cdf_monotone_and_accurate(spark):
     dfn = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
     got = binned_cdf(dfn, "x").where(F.col("x").isNull()).collect()
     assert len(got) == 1 and got[0]["x_cdf"] is None
+
+
+def test_similarity_join_cross_side_only(spark):
+    from torcharrow_spark.operators import ngram_jaccard_pairs, similarity_join
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (2, "an entirely different sentence about spark engines"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    left = df.where("doc_id % 2 = 0")
+    right = df.where("doc_id % 2 = 1")
+    out = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in similarity_join(left, right, threshold=0.3).collect()}
+    assert (0, 3) in out and out[(0, 3)] == 1.0       # identical across sides
+    assert (0, 1) in out and 0.3 <= out[(0, 1)] < 1.0  # near-dup across sides
+    assert all(l % 2 == 0 and r % 2 == 1 for l, r in out)
+    # same-side duplicates (none here) and self-pairs are impossible by
+    # construction; jaccard values match the single-corpus engine
+    allpairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    for (l, r), j in out.items():
+        assert allpairs[(min(l, r), max(l, r))] == j

@@ -757,3 +757,57 @@ def contamination(
         frac.alias("overlap_frac"),
         (frac >= threshold).alias("contaminated"),
     )
+
+
+def similarity_join(
+    left: SDF,
+    right: SDF,
+    text_col: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    mode: str = "auto",
+) -> SDF:
+    """Cross-corpus fuzzy text join: all (left, right) pairs whose
+    k-shingle Jaccard similarity reaches ``threshold`` — the
+    similarity-based decontamination / reference-dedup primitive
+    (complement of :func:`contamination`'s exact-shingle semi-join,
+    for when paraphrased overlap matters too).
+
+    Built on the SAME candidate machinery as the single-corpus pairs
+    (so mode='prefix' keeps the PPJoin scale path): both sides tag
+    into one corpus with side encoded in the id's low bit
+    (``cid = 2*id + side``), pairs are generated once, and only
+    cross-side pairs survive.  No cross join, no second pair engine
+    to maintain — q43's identity proof covers this path too.
+
+    IDs must be non-negative integers (they are doubled into the
+    combined key space).  Output: (left_id, right_id, jaccard).
+    """
+    lt = left.select(
+        (F.col(left_id).cast("long") * 2).alias("__cid__"),
+        F.col(text_col).alias("__t__"),
+    )
+    rt = right.select(
+        (F.col(right_id).cast("long") * 2 + 1).alias("__cid__"),
+        F.col(text_col).alias("__t__"),
+    )
+    pairs = ngram_jaccard_pairs(
+        lt.unionByName(rt),
+        text_col="__t__",
+        id_col="__cid__",
+        shingle_k=shingle_k,
+        threshold=threshold,
+        mode=mode,
+    )
+    a, b = F.col("id_a"), F.col("id_b")
+    cross = pairs.where(F.pmod(a, 2) != F.pmod(b, 2))
+    lid = F.when(F.pmod(a, 2) == 0, a).otherwise(b)
+    rid = F.when(F.pmod(a, 2) == 1, a).otherwise(b)
+    # integer shift, not /2: double division loses exactness above 2^53
+    return cross.select(
+        F.shiftright(lid.cast("long"), 1).alias("left_id"),
+        F.shiftright(rid.cast("long"), 1).alias("right_id"),
+        "jaccard",
+    )

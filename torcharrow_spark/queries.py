@@ -4375,3 +4375,40 @@ def q108_binned_cdf(spark: SparkSession, sf_dir: str) -> SDF:
     return out.select(
         "o_orderkey", F.col("o_totalprice_cdf").alias("cdf")
     )
+
+
+@query(
+    "q109_similarity_join",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT left_id, right_id,
+             CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = left_id
+      JOIN sizes sb ON sb.doc_id = right_id
+    ) WHERE jaccard >= 0.3
+    """,
+)
+def q109_similarity_join(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cross-corpus fuzzy join (operators/dedup.similarity_join):
+    even-id documents fuzzily joined against odd-id documents at
+    3-shingle Jaccard >= 0.3 — the similarity-based decontamination
+    primitive.  Same candidate machinery (and prefix-filter scale
+    path) as the single-corpus pairs; oracle is the definitional
+    cross-side shingle join."""
+    from torcharrow_spark.operators import similarity_join
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return similarity_join(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        threshold=0.3,
+    )
