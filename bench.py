@@ -47,6 +47,12 @@ HEADLINE = [
     "q81_local_supplier_volume",
     "q82_funnel",
     "q86_strip_duplicate_spans",
+    "q92_order_priority_exists",
+    "q98_market_share",
+    "q100_returned_top_customers",
+    "q102_waiting_suppliers",
+    "q105_heavy_hitters",
+    "q107_resample_ffill",
 ]
 
 # Round-1 steady-state seconds at sf0.1 on local[32] (BENCH_r01.json) —
@@ -78,6 +84,13 @@ ANCHOR = {
     "q81_local_supplier_volume": 0.934,
     "q82_funnel": 0.543,
     "q86_strip_duplicate_spans": 0.253,
+    # r2 wave-2 additions (anchored at their first sf0.1 measurement)
+    "q92_order_priority_exists": 1.137,
+    "q98_market_share": 1.703,
+    "q100_returned_top_customers": 0.841,
+    "q102_waiting_suppliers": 2.408,
+    "q105_heavy_hitters": 1.044,
+    "q107_resample_ffill": 0.403,
 }
 
 
