@@ -88,7 +88,7 @@ ANCHOR = {
     "q92_order_priority_exists": 1.137,
     "q98_market_share": 1.703,
     "q100_returned_top_customers": 0.841,
-    "q102_waiting_suppliers": 2.408,
+    "q102_waiting_suppliers": 1.809,
     "q105_heavy_hitters": 1.044,
     "q107_resample_ffill": 0.403,
 }

@@ -4062,6 +4062,8 @@ def q102_waiting_suppliers(spark: SparkSession, sf_dir: str) -> SDF:
     l = _load(spark, sf_dir, "lineitem").to_spark()
     o = _load(spark, sf_dir, "orders").to_spark()
     s = _load(spark, sf_dir, "supplier").to_spark()
+    from pyspark.sql import Window
+
     lo = (
         l.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(
@@ -4077,15 +4079,20 @@ def q102_waiting_suppliers(spark: SparkSession, sf_dir: str) -> SDF:
             ).alias("late"),
         )
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # per-order distinct-supplier stats as WINDOWS over the join's own
+    # orderkey partitioning — one lineitem scan + one shuffle total,
+    # where a groupBy + join-back formulation scans and shuffles the
+    # fact twice (collect_set skips nulls, so the when() filters lates)
+    w = Window.partitionBy("l_orderkey")
+    lo = lo.select(
+        "*",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
     return (
         lo.where(F.col("late"))
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(
             F.broadcast(s.select("s_suppkey", "s_name")),
