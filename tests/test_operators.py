@@ -1095,3 +1095,32 @@ def test_similarity_join_cross_side_only(spark):
                 ngram_jaccard_pairs(df, threshold=0.3).collect()}
     for (l, r), j in out.items():
         assert allpairs[(min(l, r), max(l, r))] == j
+
+
+def test_grouped_binned_quantile(spark):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import grouped_binned_quantile
+
+    df = spark.range(8_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        # group a: 0..3999 (even ids /2); group b: 10000..13999
+        "CAST(CASE WHEN id % 2 = 0 THEN id / 2 ELSE 10000 + (id - 1) / 2 END AS DOUBLE) AS x",
+    )
+    out = {(r["g"], r["q"]): r["value"] for r in
+           grouped_binned_quantile(df, "x", [0.5, 0.95], ["g"],
+                                   n_bins=512).collect()}
+    width = 3999.0 / 512
+    assert abs(out[("a", 0.5)] - 2000) <= width + 1e-9
+    assert abs(out[("a", 0.95)] - 3800) <= width + 1e-9
+    assert abs(out[("b", 0.5)] - 12000) <= width + 1e-9
+    # degenerate group: single distinct value
+    dfd = spark.createDataFrame([("c", 5.0)] * 3, "g string, x double")
+    outd = {r["q"]: r["value"] for r in
+            grouped_binned_quantile(dfd, "x", [0.0, 1.0], ["g"]).collect()}
+    assert outd == {0.0: 5.0, 1.0: 5.0}
+    # partition invariance
+    out7 = {(r["g"], r["q"]): r["value"] for r in
+            grouped_binned_quantile(df.repartition(7), "x", [0.5, 0.95],
+                                    ["g"], n_bins=512).collect()}
+    assert out == out7

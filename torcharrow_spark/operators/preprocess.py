@@ -435,3 +435,85 @@ def binned_cdf(
     return enriched.withColumn(
         out, F.when(c.isNotNull(), cdf)
     ).drop("__bin__", "__bn__", "__cumb__", "__lo__", "__hi__", "__n__")
+
+
+def grouped_binned_quantile(
+    df: SDF,
+    col: str,
+    qs: _ty.Sequence[float],
+    by: _ty.Sequence[str],
+    n_bins: int = 1024,
+) -> SDF:
+    """Per-group histogram-interpolated quantiles (e.g. per-language
+    length p95 for curation thresholds) — the grouped form of
+    :func:`binned_quantile`.
+
+    Scale design: per-group min/max/count in one HashAggregate joined
+    back on the group key (regular hash join — the group count may be
+    large, nothing assumes it fits a broadcast); then ONE
+    (group x bin)-keyed HashAggregate bounded at groups * n_bins rows;
+    the cumulative window partitions BY GROUP over <= n_bins rows each
+    (bounded per partition, never data-sized).  Same exact-integer +
+    fixed-double-op arithmetic as the ungrouped form, so results are
+    deterministic and engine-reproducible.
+
+    Returns one row per (group, q): ``by... , q, value``.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    keys = list(by)
+    c = F.col(col).cast("double")
+    base = df.where(c.isNotNull()).select(*keys, c.alias("__v__"))
+    bounds = base.groupBy(*keys).agg(
+        F.min("__v__").alias("__lo__"),
+        F.max("__v__").alias("__hi__"),
+        F.count(F.lit(1)).alias("__total__"),
+    )
+    b = base.join(bounds, keys)
+    w = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
+    # degenerate single-value groups (width 0): everything in bin 0
+    bin_ = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("__v__") - F.col("__lo__")) / w).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+    )
+    hist = b.groupBy(*keys, bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hw = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = (
+        hist.select(
+            *keys,
+            "bin",
+            "n",
+            F.sum("n").over(hw).alias("cum"),
+            (F.sum("n").over(hw) - F.col("n")).alias("cum_before"),
+        )
+        .join(bounds, keys)
+    )
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    width = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
+    r = F.least(
+        F.greatest(F.col("q") * F.col("__total__"), F.lit(1.0)),
+        F.col("__total__").cast("double"),
+    )
+    est = F.when(F.col("__hi__") == F.col("__lo__"), F.col("__lo__")).otherwise(
+        F.col("__lo__")
+        + width * (F.col("bin") + (r - F.col("cum_before")) / F.col("n"))
+    )
+    return (
+        hist.select("*", qcol)
+        .where((F.col("cum") >= r) & (F.col("cum_before") < r))
+        .select(*keys, F.col("q"), est.alias("value"))
+    )

@@ -4419,3 +4419,57 @@ def q109_similarity_join(spark: SparkSession, sf_dir: str) -> SDF:
         docs.where(F.col("doc_id") % 2 == 1),
         threshold=0.3,
     )
+
+
+@query(
+    "q110_grouped_quantiles",
+    oracle="""
+    WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x
+               FROM documents WHERE n_chars IS NOT NULL),
+    b AS (SELECT lang, MIN(x) AS lo, MAX(x) AS hi, COUNT(*)::BIGINT AS total
+          FROM v GROUP BY lang),
+    binned AS (
+      SELECT v.lang, x, lo, hi, total,
+             CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(GREATEST(CAST(FLOOR((x - lo)
+                             / ((hi - lo) / 256.0)) AS INT), 0), 255)
+             END AS bin
+      FROM v JOIN b ON b.lang = v.lang
+    ),
+    h AS (SELECT lang, bin, ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi,
+                 ANY_VALUE(total) AS total, COUNT(*)::BIGINT AS n
+          FROM binned GROUP BY lang, bin),
+    hc AS (
+      SELECT lang, bin, lo, hi, total, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY lang ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) - n AS cum_before
+      FROM h
+    )
+    SELECT lang, q,
+           CASE WHEN hi = lo THEN lo
+                ELSE lo + ((hi - lo) / 256.0)
+                     * (bin + (r - cum_before) / n)
+           END AS value
+    FROM (
+      SELECT hc.*, q,
+             LEAST(GREATEST(q * total, 1.0), CAST(total AS DOUBLE)) AS r
+      FROM hc, (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q) qs
+    )
+    WHERE cum >= r AND cum_before < r
+    """,
+)
+def q110_grouped_quantiles(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-language document-length quantiles (p50/p95) via the
+    grouped histogram scale path (operators/preprocess.
+    grouped_binned_quantile): (group x bin)-bounded HashAggregate,
+    per-group cumulative window over <= 256 rows — the curation-
+    threshold query that would need a per-group sort otherwise.
+    Oracle replays the identical arithmetic per group."""
+    from torcharrow_spark.operators import grouped_binned_quantile
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return grouped_binned_quantile(
+        docs, "n_chars", [0.5, 0.95], ["lang"], n_bins=256
+    )
