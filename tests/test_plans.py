@@ -38,7 +38,7 @@ def test_dim_join_broadcasts(spark, sf_dir):
 def test_groupby_is_hash_aggregate(spark, sf_dir):
     """q01 and the minhash signature aggregate must plan as HashAggregate
     (SortAggregate would per-partition-sort the whole input)."""
-    for q in ("q01_pricing_summary", "q19_minhash_pairs"):
+    for q in ("q01_pricing_summary", "q03_join_topk", "q19_minhash_pairs"):
         text = formatted_plan(QUERIES[q](spark, sf_dir))
         assert "HashAggregate" in text, q
         assert "SortAggregate" not in text, f"{q} fell back to SortAggregate"

@@ -142,12 +142,12 @@ def q02_select_where(spark: SparkSession, sf_dir: str) -> SDF:
     oracle="""
     SELECT o.o_orderkey,
            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           MIN(c.c_mktsegment) AS segment
+           c.c_mktsegment AS segment
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY o.o_orderkey
+    GROUP BY o.o_orderkey, c.c_mktsegment
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
     """,
@@ -163,11 +163,14 @@ def q03_join_topk(spark: SparkSession, sf_dir: str) -> SDF:
         o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
                F.col("o_custkey") == F.col("c_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey")
-        .agg(
-            F.sum(rev).cast("double").alias("revenue"),
-            F.min("c_mktsegment").alias("segment"),
-        )
+        # segment is functionally dependent on the (unique) orderkey, so
+        # it joins the GROUPING KEYS instead of being aggregated: a
+        # min(string) buffer would demote the whole aggregate to
+        # SortAggregate (strings aren't mutable-buffer types); as a key
+        # it stays on the HashAggregate fast path
+        .groupBy("o_orderkey", F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "segment")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
