@@ -370,10 +370,6 @@ def ngram_jaccard_pairs_prefix(
         )
         .select(
             id_col,
-            F.array_sort(
-                F.transform(F.col("by_rarity"), lambda s: s["h"])
-            ).alias("all_h"),
-            "sz",
             F.slice(
                 F.transform(F.col("by_rarity"), lambda s: s["h"]),
                 1,
@@ -381,36 +377,51 @@ def ngram_jaccard_pairs_prefix(
             ).alias("prefix"),
         )
     )
-    pref = per_doc.select(id_col, "all_h", "sz", F.explode("prefix").alias("h"))
+    pref = per_doc.select(id_col, F.explode("prefix").alias("h"))
     buckets = (
         pref.groupBy("h")
-        .agg(F.sort_array(F.collect_list(F.struct(id_col, "all_h", "sz"))).alias("docs"))
-        .where(F.size("docs") >= 2)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
     pairs = F.flatten(
         F.transform(
-            F.col("docs"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
     )
+    # candidate pairs dedup on BARE id pairs (HashAggregate over two
+    # longs) — carrying the docs' full hash arrays through this shuffle
+    # would both multiply shuffle bytes by each pair's shared-prefix
+    # count and demote the dedup to SortAggregate (array buffers)
     cand = (
         buckets.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col(f"p.a.{id_col}").alias("id_a"),
-            F.col("p.a.all_h").alias("ha"),
-            F.col("p.a.sz").alias("sz_a"),
-            F.col(f"p.b.{id_col}").alias("id_b"),
-            F.col("p.b.all_h").alias("hb"),
-            F.col("p.b.sz").alias("sz_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
-    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    # exact verify with NO materialized arrays: count shared shingle
+    # hashes by joining the candidates back onto the shingle table —
+    # every join/aggregate stays on hashed longs (codegen fast path)
+    a_sh = shh.select(F.col(id_col).alias("id_a"), "h")
+    b_sh = shh.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = shh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     return (
-        cand.withColumn("inter", inter)
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
