@@ -4476,3 +4476,71 @@ def q110_grouped_quantiles(spark: SparkSession, sf_dir: str) -> SDF:
     return grouped_binned_quantile(
         docs, "n_chars", [0.5, 0.95], ["lang"], n_bins=256
     )
+
+
+@query(
+    "q111_windowed_hll",
+    oracle=f"""
+    WITH base AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+    ),
+    h AS (
+      SELECT day,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+      FROM base
+    ),
+    r AS (
+      SELECT day, (h >> 52) AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                  ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1))) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT day, bucket, MAX(rho) AS m_j FROM r GROUP BY day, bucket),
+    agg AS (
+      SELECT day,
+             SUM(1::BIGINT << (52 - m_j))::BIGINT AS present,
+             COUNT(*)::BIGINT AS registers_used
+      FROM regs GROUP BY day
+    ),
+    ex AS (
+      SELECT day, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM base GROUP BY day
+    ),
+    raw AS (
+      SELECT day, registers_used,
+             {_HLL_NUM}::DOUBLE
+               / CAST(present + (256 - registers_used)
+                                * 4503599627370496::BIGINT AS DOUBLE) AS raw,
+             (256 - registers_used) AS empties
+      FROM agg
+    )
+    SELECT raw.day,
+           CASE WHEN empties > 0 AND raw <= 640.0
+                THEN ({_hll_lc_list()})[CASE WHEN empties > 0
+                                             THEN empties ELSE 1 END]
+                ELSE raw END AS est_distinct,
+           registers_used,
+           exact_distinct
+    FROM raw JOIN ex USING (day)
+    """,
+)
+def q111_windowed_hll(spark: SparkSession, sf_dir: str) -> SDF:
+    """Daily distinct-user HLL estimates (time-windowed sketching: the
+    dashboard/monitoring query shape).  The window key is an integer
+    day index from epoch micros (representation-proof, q17 lesson);
+    per (day, register) the shuffle is bounded at days x 2^p rows by
+    map-side max — the streaming variant (streaming.hll_stream) keeps
+    the same rows as its ONLY state.  Exact counts ride alongside so
+    the error is visible."""
+    from torcharrow_spark.operators import hll_distinct
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    day = F.expr("unix_micros(cast(ts as timestamp)) DIV 86400000000").alias(
+        "day"
+    )
+    base = ev.select(day, "user_id")
+    est = hll_distinct(base, "user_id", ["day"], p=8)
+    exact = base.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "day")
