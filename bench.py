@@ -83,7 +83,7 @@ ANCHOR = {
     "q80_hll_distinct": 0.447,
     "q81_local_supplier_volume": 0.934,
     "q82_funnel": 0.543,
-    "q86_strip_duplicate_spans": 0.253,
+    "q86_strip_duplicate_spans": 0.45,  # re-measured (4-run steady median); first 0.253 reading not reproducible
     # r2 wave-2 additions (anchored at their first sf0.1 measurement)
     "q92_order_priority_exists": 1.137,
     "q98_market_share": 1.703,

@@ -1124,3 +1124,22 @@ def test_grouped_binned_quantile(spark):
             grouped_binned_quantile(df.repartition(7), "x", [0.5, 0.95],
                                     ["g"], n_bins=512).collect()}
     assert out == out7
+
+
+def test_grouped_heavy_hitters(spark):
+    from torcharrow_spark.operators import grouped_heavy_hitters
+
+    rows = (
+        [("en", "the")] * 60 + [("en", "a")] * 30 + [("en", str(i)) for i in range(10)]
+        + [("de", "der")] * 5 + [("de", "x")] * 4 + [("de", "y")]
+    )
+    df = spark.createDataFrame(rows, "lang string, w string")
+    for parts in (1, 8):
+        got = {(r["lang"], r["value"]): (r["cnt"], r["frac"]) for r in
+               grouped_heavy_hitters(df.repartition(parts), "w", 0.25,
+                                     ["lang"]).collect()}
+        # en: N=100 -> threshold 25: the(60), a(30); de: N=10 -> der(5), x(4)
+        assert set(got) == {("en", "the"), ("en", "a"),
+                            ("de", "der"), ("de", "x")}, got
+        assert got[("de", "der")] == (5, 0.5)
+        assert got[("en", "the")][0] == 60

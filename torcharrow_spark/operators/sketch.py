@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
 __all__ = ["hll_registers", "hll_estimate", "hll_distinct",
-           "cms_sketch", "cms_lookup", "heavy_hitters"]
+           "cms_sketch", "cms_lookup", "heavy_hitters", "grouped_heavy_hitters"]
 
 # 15 hex digits of md5 -> 60-bit non-negative hash (16 digits would
 # overflow a signed long through conv; see operators/dedup.py).
@@ -272,6 +272,68 @@ def heavy_hitters(
         .crossJoin(F.broadcast(total))
         .where(F.col("cnt") >= F.lit(threshold) * F.col("__total__"))
         .select(
+            "value",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total__")).alias("frac"),
+        )
+    )
+
+
+def grouped_heavy_hitters(
+    df: SDF,
+    value_col: str,
+    threshold: float,
+    by: _ty.Sequence[str],
+) -> SDF:
+    """Per-group exact heavy hitters: all values covering at least
+    ``threshold`` of THEIR GROUP's rows (per-language top tokens,
+    per-source boilerplate, ...).  Same two-pass design as
+    :func:`heavy_hitters` — the pigeonhole argument holds group-wise
+    (a value with group frequency >= t*N_g must be locally heavy
+    within that group's rows of some partition), so per-partition
+    counting emits a per-group candidate superset, and one bounded
+    aggregate over candidates + a per-group total join make the final
+    filter exact.  Returns ``(*by, value, cnt, frac)``."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    keys = list(by)
+    if not keys:
+        raise ValueError("use heavy_hitters() for the ungrouped form")
+    vals = df.select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        F.col(value_col).cast("string").alias("value"),
+    )
+    out_schema = ", ".join([f"`{k}` string" for k in keys] + ["value string"])
+
+    def _local_heavy(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            gv = pdf.groupby(keys, dropna=False, sort=False)
+            for g, sub in gv:
+                gt = g if isinstance(g, tuple) else (g,)
+                totals[gt] = totals.get(gt, 0) + len(sub)
+                for v, c in sub["value"].dropna().value_counts().items():
+                    counts[(gt, v)] = counts.get((gt, v), 0) + int(c)
+        rows = [
+            (*gt, v)
+            for (gt, v), c in counts.items()
+            if c >= threshold * totals[gt]
+        ]
+        yield pd.DataFrame(rows, columns=keys + ["value"], dtype="object")
+
+    candidates = vals.mapInPandas(_local_heavy, out_schema).distinct()
+    totals = vals.groupBy(*keys).agg(F.count(F.lit(1)).alias("__total__"))
+    return (
+        vals.join(F.broadcast(candidates), keys + ["value"], "left_semi")
+        .groupBy(*keys, F.col("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(totals, keys)
+        .where(F.col("cnt") >= F.lit(threshold) * F.col("__total__"))
+        .select(
+            *keys,
             "value",
             "cnt",
             (F.col("cnt").cast("double") / F.col("__total__")).alias("frac"),

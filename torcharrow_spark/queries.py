@@ -4544,3 +4544,38 @@ def q111_windowed_hll(spark: SparkSession, sf_dir: str) -> SDF:
         F.count_distinct("user_id").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "day")
+
+
+@query(
+    "q112_grouped_heavy_hitters",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, UNNEST(string_split({_NORM}, ' ')) AS value
+      FROM documents
+    ),
+    t AS (SELECT lang, COUNT(*)::BIGINT AS total FROM w GROUP BY lang)
+    SELECT w.lang, value, COUNT(*)::BIGINT AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / total AS frac
+    FROM w JOIN t ON t.lang = w.lang
+    GROUP BY w.lang, value, total
+    HAVING COUNT(*) >= 0.008 * total
+    """,
+)
+def q112_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-language heavy tokens (>= 0.8% of that language's corpus)
+    via the group-wise two-pass candidate/verify design
+    (operators/sketch.grouped_heavy_hitters) — per-language stopword
+    discovery without a (lang, token)-cardinality shuffle.  Oracle is
+    the naive per-group GROUP BY."""
+    from torcharrow_spark.operators import grouped_heavy_hitters
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("word"),
+    )
+    return grouped_heavy_hitters(words, "word", 0.008, ["lang"])
