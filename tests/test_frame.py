@@ -366,3 +366,19 @@ def test_pivot_melt_roundtrip(spark):
     assert rows["a"] == (1.0, 2.0) and rows["b"] == (3.0, None)
     tall = wide.melt(["k"], ["x", "y"]).to_spark()
     assert tall.count() == 4 and set(tall.columns) == {"k", "variable", "value"}
+
+
+def test_csv_json_sink_roundtrip(spark, tmp_path):
+    import torcharrow_spark as ts
+
+    df = ts.from_pylist(
+        [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}], spark=spark
+    )
+    p_csv, p_json = str(tmp_path / "c"), str(tmp_path / "j")
+    ts.write_csv(df, p_csv)
+    ts.write_json(df, p_json)
+    back_csv = ts.read_csv(p_csv, spark, schema="a bigint, b string")
+    back_json = ts.read_json(p_json, spark, schema="a bigint, b string")
+    expect = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    assert sorted(back_csv.to_pylist(), key=lambda r: r["a"]) == expect
+    assert sorted(back_json.to_pylist(), key=lambda r: r["a"]) == expect

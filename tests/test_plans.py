@@ -215,3 +215,18 @@ def test_binned_quantile_is_bounded_aggregate(spark, sf_dir):
     only window runs over the bin table (bounded), never the facts."""
     text = formatted_plan(QUERIES["q106_winsorize_binned"](spark, sf_dir))
     assert "HashAggregate" in text
+
+
+def test_q113_full_pushdown(spark, sf_dir):
+    """TPC-H-Q6 shape: all three predicates in PushedFilters, read
+    schema pruned to the 4 referenced columns, zero joins."""
+    text = formatted_plan(QUERIES["q113_forecast_revenue"](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", text)
+    assert m, text[:2000]
+    pf = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, pf
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", text)
+    cols = sorted(c.split(":")[0] for c in rs.group(1).split(","))
+    assert cols == ["l_discount", "l_extendedprice", "l_quantity",
+                    "l_shipdate"], cols

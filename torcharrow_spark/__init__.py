@@ -31,6 +31,8 @@ from .sources import (
     read_parquet,
     read_table,
     write_bucketed,
+    write_csv,
+    write_json,
     write_parquet,
 )
 
@@ -57,6 +59,8 @@ __all__ = [
     "read_table",
     "tune",
     "write_bucketed",
+    "write_csv",
+    "write_json",
     "write_parquet",
 ]
 

@@ -4579,3 +4579,88 @@ def q112_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("word"),
     )
     return grouped_heavy_hitters(words, "word", 0.008, ["lang"])
+
+
+@query(
+    "q113_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q113_forecast_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q6-shaped query: the pushdown showcase — every predicate
+    (date range, discount band, quantity cap) reaches the parquet scan
+    as PushedFilters, the read schema prunes to 4 columns, and the
+    whole query is scan -> filter -> one-row partial agg with zero
+    wide dependencies."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q114_important_parts",
+    oracle=f"""
+    WITH part_value AS (
+      SELECT l_partkey,
+             SUM({_VOL_DEC}) AS val
+      FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(val) AS tv FROM part_value)
+    SELECT l_partkey AS partkey,
+           CAST(val AS DOUBLE) AS part_value,
+           CAST(CAST(val AS DOUBLE) / CAST(tv AS DOUBLE) AS DOUBLE)
+             AS share
+    FROM part_value, total
+    WHERE CAST(val AS DOUBLE) > 0.0005 * CAST(tv AS DOUBLE)
+    """,
+)
+def q114_important_parts(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q11-shaped query (no partsupp in the testdata, so value
+    comes from shipped volume): parts whose revenue exceeds a fraction
+    of the GLOBAL total — per-key HashAggregate, then the global total
+    as a 1-row broadcast cross join (scalar subquery; no collect), a
+    HAVING-style filter, exact DECIMAL sums end-to-end so both the
+    threshold and shares are bit-identical."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    pv = l.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(_vol()).alias("val")
+    )
+    total = pv.agg(F.sum("val").alias("tv"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(
+            F.col("val").cast("double")
+            > F.lit(0.0005) * F.col("tv").cast("double")
+        )
+        .select(
+            "partkey",
+            F.col("val").cast("double").alias("part_value"),
+            (F.col("val").cast("double") / F.col("tv").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

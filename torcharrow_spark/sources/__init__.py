@@ -171,3 +171,15 @@ def write_bucketed(
 def read_table(table_name: str, spark: SparkSession | None = None) -> DataFrame:
     """Read a saved (possibly bucketed) table back as an engine frame."""
     return DataFrame(_spark(spark).table(table_name))
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    """CSV sink (distributed, one file per partition — the standard
+    Spark layout; coalesce upstream if a single file is required)."""
+    df.to_spark().write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (distributed, one file per partition)."""
+    df.to_spark().write.mode(mode).json(path)
