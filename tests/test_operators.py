@@ -1143,3 +1143,25 @@ def test_grouped_heavy_hitters(spark):
                             ("de", "der"), ("de", "x")}, got
         assert got[("de", "der")] == (5, 0.5)
         assert got[("en", "the")][0] == 60
+
+
+def test_equi_depth_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import equi_depth_buckets
+
+    df = spark.range(10_000).selectExpr("CAST(id AS DOUBLE) AS x")
+    out = equi_depth_buckets(df, "x", k=4, n_bins=512)
+    sizes = {r["x_bucket"]: r["n"] for r in
+             out.groupBy("x_bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    # approximately equal populations (within histogram bin error)
+    for n in sizes.values():
+        assert abs(n - 2500) <= 10_000 / 512 + 2, sizes
+    # monotone labels, nulls stay null
+    rows = out.orderBy("x").select("x_bucket").collect()
+    lbl = [r["x_bucket"] for r in rows]
+    assert lbl == sorted(lbl)
+    dfn = spark.createDataFrame([(1.0,), (None,)], "x double")
+    got = equi_depth_buckets(dfn.unionByName(df), "x", k=2)
+    assert got.where("x IS NULL AND x_bucket IS NOT NULL").count() == 0

@@ -517,3 +517,45 @@ def grouped_binned_quantile(
         .where((F.col("cum") >= r) & (F.col("cum_before") < r))
         .select(*keys, F.col("q"), est.alias("value"))
     )
+
+
+def equi_depth_buckets(
+    df: SDF,
+    col: str,
+    k: int,
+    n_bins: int = 1024,
+    out_col: str | None = None,
+) -> SDF:
+    """Equi-depth (quantile) bucketing: label every row 0..k-1 by which
+    of the k approximately-equal-population quantile ranges its value
+    falls in — the distributed replacement for ``ntile()`` over a
+    global window (single-partition sort) when only the bucket label
+    matters, and the data-driven sibling of the fixed-border
+    ``functional.bucketize``.
+
+    Thresholds are the (1/k .. (k-1)/k) binned quantiles (bounded
+    histogram aggregate, deterministic arithmetic); the labeling pass
+    is a zero-shuffle projection against the k-1 broadcast thresholds.
+    Rows >= the last threshold get bucket k-1; nulls stay null."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    qs = [i / k for i in range(1, k)]
+    bq = binned_quantile(df, col, qs, n_bins=n_bins)
+    thr = bq.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("q"), F.col("value")))
+        ).alias("__thr__")
+    )
+    c = F.col(col).cast("double")
+    # bucket = number of thresholds <= x  (aggregate over k-1 elements)
+    label = F.aggregate(
+        F.col("__thr__"),
+        F.lit(0),
+        lambda acc, t: acc + F.when(c >= t["value"], 1).otherwise(0),
+    )
+    out = out_col or f"{col}_bucket"
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn(out, F.when(c.isNotNull(), label))
+        .drop("__thr__")
+    )

@@ -4664,3 +4664,68 @@ def q114_important_parts(spark: SparkSession, sf_dir: str) -> SDF:
             ),
         )
     )
+
+
+@query(
+    "q115_equi_depth_buckets",
+    oracle="""
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
+    h AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((x - lo) / ((hi - lo) / 1024.0))
+                                 AS INT), 0), 1023) AS bin,
+             COUNT(*)::BIGINT AS n
+      FROM v, mm GROUP BY 1
+    ),
+    hc AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - n
+               AS cum_before
+      FROM h
+    ),
+    t AS (SELECT COUNT(*)::BIGINT AS total FROM v),
+    est AS (
+      SELECT q, lo + ((hi - lo) / 1024.0) * (bin + (r - cum_before) / n)
+               AS value
+      FROM (
+        SELECT q, bin, n, cum, cum_before, lo, hi,
+               LEAST(GREATEST(q * total, 1.0), CAST(total AS DOUBLE)) AS r
+        FROM hc, t, mm,
+             (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                             CAST(0.75 AS DOUBLE)]) AS q) qs
+      )
+      WHERE cum >= r AND cum_before < r
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(x) AS lo_val, MAX(x) AS hi_val
+    FROM (
+      SELECT x,
+             (SELECT COUNT(*) FROM est WHERE x >= est.value)::INT AS bucket
+      FROM v
+    )
+    GROUP BY bucket
+    """,
+)
+def q115_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> SDF:
+    """Quantile (equi-depth) bucketing of order totals into quartile
+    labels (operators/preprocess.equi_depth_buckets) — the distributed
+    ntile replacement: bounded histogram thresholds broadcast into a
+    zero-shuffle labeling projection.  Output is per-bucket population
+    and value range; the oracle replays the identical threshold
+    arithmetic and counts thresholds <= x per row."""
+    from torcharrow_spark.operators import equi_depth_buckets
+
+    o = _load(spark, sf_dir, "orders").to_spark()
+    out = equi_depth_buckets(
+        o.where(F.col("o_totalprice").isNotNull()), "o_totalprice", k=4
+    )
+    x = F.col("o_totalprice").cast("double")
+    return out.groupBy(
+        F.col("o_totalprice_bucket").cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(x).alias("lo_val"),
+        F.max(x).alias("hi_val"),
+    )
