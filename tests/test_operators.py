@@ -1165,3 +1165,22 @@ def test_equi_depth_buckets(spark):
     dfn = spark.createDataFrame([(1.0,), (None,)], "x double")
     got = equi_depth_buckets(dfn.unionByName(df), "x", k=2)
     assert got.where("x IS NULL AND x_bucket IS NOT NULL").count() == 0
+
+
+def test_profile_frame(spark):
+    from torcharrow_spark.operators import profile_frame
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (None, "b", 4.0)],
+        "i bigint, s string, x double",
+    )
+    prof = {r["column"]: r for r in profile_frame(df).collect()}
+    assert prof["i"]["n_rows"] == 3 and prof["i"]["n_null"] == 1
+    assert prof["i"]["n_distinct"] == 2
+    assert prof["i"]["min_val"] == 1.0 and prof["i"]["max_val"] == 2.0
+    assert prof["i"]["mean_val"] == 1.5
+    assert prof["s"]["n_distinct"] == 2 and prof["s"]["min_val"] is None
+    assert prof["x"]["n_null"] == 1 and prof["x"]["mean_val"] == 3.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        profile_frame(df, ["nope"])

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "histogram", "take_per_group"]
+__all__ = ["corr_matrix", "histogram", "profile_frame", "take_per_group"]
 
 
 def corr_matrix(df: SDF, cols: _ty.Sequence[str], scale: int = 2) -> SDF:
@@ -138,4 +138,61 @@ def take_per_group(
         df.withColumn("__rn__", F.row_number().over(w))
         .where(F.col("__rn__") <= k)
         .drop("__rn__")
+    )
+
+
+def profile_frame(
+    df: SDF, cols: _ty.Sequence[str] | None = None, decimals: int = 2
+) -> SDF:
+    """One-pass per-column dataset profile ("dataset card"): row count,
+    null count, distinct count, and numeric min/max/mean — the
+    pre-training sanity sweep over a new table.
+
+    Scale design: columns MELT into long format first (one narrow
+    posexplode-style projection, n_cols x rows, zero shuffle) so ONE
+    grouped aggregate computes every column's stats — versus one job
+    per column, or a single wide aggregate whose COUNT(DISTINCT)s
+    expand the input once per column.  Distinct counting goes through
+    the string rendering of each value (injective for round-trip
+    formats, so the count is representation-independent); the mean is
+    an exact DECIMAL sum over numerics divided once.  For
+    billion-distinct columns swap the exact distinct for
+    ``sketch.hll_distinct`` — this profile is the exact form.
+
+    Returns one row per column: ``(column, n_rows, n_null,
+    n_distinct, min_val, max_val, mean_val)`` (numeric stats null for
+    non-numeric columns)."""
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(cols) if cols else list(fields)
+    num_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    dec = f"decimal(18,{decimals})"
+    melted = []
+    for c in cols:
+        if c not in fields:
+            raise ValueError(f"unknown column {c!r}")
+        is_num = isinstance(fields[c], num_types)
+        nval = F.col(c).cast("double") if is_num else F.lit(None).cast("double")
+        dval = F.col(c).cast(dec) if is_num else F.lit(None).cast(dec)
+        melted.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("sval"),
+                F.col(c).isNull().cast("int").alias("is_null"),
+                nval.alias("nval"),
+                dval.alias("dval"),
+            )
+        )
+    long_ = df.select(F.explode(F.array(*melted)).alias("m")).select("m.*")
+    return long_.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        F.count_distinct("sval").alias("n_distinct"),
+        F.min("nval").alias("min_val"),
+        F.max("nval").alias("max_val"),
+        (F.sum("dval").cast("double") / F.count("nval")).alias("mean_val"),
     )

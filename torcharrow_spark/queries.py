@@ -4729,3 +4729,37 @@ def q115_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> SDF:
         F.min(x).alias("lo_val"),
         F.max(x).alias("hi_val"),
     )
+
+
+def _profile_oracle() -> str:
+    num = {"o_orderkey": True, "o_custkey": True, "o_totalprice": True,
+           "o_orderdate": False, "o_orderstatus": False,
+           "o_orderpriority": False}
+    parts = []
+    for c, is_num in num.items():
+        if is_num:
+            mn = f"MIN(CAST({c} AS DOUBLE))"
+            mx = f"MAX(CAST({c} AS DOUBLE))"
+            mean = (f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+                    f" / COUNT({c})")
+        else:
+            mn = mx = mean = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+        SELECT '{c}' AS "column", COUNT(*)::BIGINT AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               COUNT(DISTINCT CAST({c} AS VARCHAR))::BIGINT AS n_distinct,
+               {mn} AS min_val, {mx} AS max_val, {mean} AS mean_val
+        FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q116_profile_frame", oracle=_profile_oracle())
+def q116_profile_frame(spark: SparkSession, sf_dir: str) -> SDF:
+    """One-pass dataset profile of the orders table (operators/stats.
+    profile_frame): melt-to-long + ONE grouped aggregate gives every
+    column's row/null/distinct counts and numeric min/max/mean —
+    the sanity sweep run before any pipeline touches a new table."""
+    from torcharrow_spark.operators import profile_frame
+
+    o = _load(spark, sf_dir, "orders").to_spark()
+    return profile_frame(o)
