@@ -4763,3 +4763,70 @@ def q116_profile_frame(spark: SparkSession, sf_dir: str) -> SDF:
 
     o = _load(spark, sf_dir, "orders").to_spark()
     return profile_frame(o)
+
+
+@query(
+    "q117_top_shippers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT s_name, COUNT(*) AS n_parts
+    FROM ps
+    JOIN pa ON pa.l_partkey = ps.l_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    WHERE qty > 1.5 * avg_qty
+    GROUP BY s_name
+    """,
+)
+def q117_top_shippers(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q20-shaped query (no partsupp: availability proxied by
+    shipped volume): suppliers who shipped > 1.5x the per-supplier
+    average of a widget part, with how many such parts each.  Nested
+    aggregation chain — (part, supplier) HashAggregate, then the
+    per-part average rides the SAME partkey partitioning (no second
+    fact shuffle), broadcast supplier names at the end; exact decimal
+    sums make the 1.5x threshold bit-identical."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    p = _load(spark, sf_dir, "part").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    ps = (
+        l.join(
+            F.broadcast(
+                p.where(F.col("p_name").like("%widget%")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    pa = ps.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.sum(F.col("qty").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        ps.join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .where(F.col("qty") > F.lit(1.5) * F.col("avg_qty"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
