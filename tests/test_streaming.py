@@ -324,3 +324,30 @@ def test_cms_stream_matches_batch(spark, sf_dir, tmp_path):
            cms_lookup(sink, queries, "event_type", d=3, w=64).collect()}
     for k, n in truth.items():
         assert est[k] >= n
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    from torcharrow_spark.streaming import (
+        correlate_streams,
+        correlate_streams_batch,
+    )
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+    a = ev.where("event_id % 2 = 0")
+    b = ev.where("event_id % 2 = 1")
+    batch = {(r["user_id"], r["event_a"], r["event_b"], r["lag_s"])
+             for r in correlate_streams_batch(a, b, "user_id", 600).collect()}
+    assert len(batch) > 0
+
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.mode("overwrite").parquet(da)
+    b.write.mode("overwrite").parquet(db)
+    q = correlate_streams(spark, da, db, a.schema, "user_id", 600,
+                          query_name="t_ss_join")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {(r["user_id"], r["event_a"], r["event_b"], r["lag_s"])
+              for r in spark.sql("SELECT * FROM t_ss_join").collect()}
+    assert stream == batch

@@ -376,3 +376,82 @@ def cms_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def correlate_streams_batch(
+    a: SDF, b: SDF, key: str, within_s: int
+) -> SDF:
+    """Batch semantics of :func:`correlate_streams`: pairs of events
+    from two feeds with the same key whose timestamps lie within
+    ``within_s`` seconds (b at or after a)."""
+    us_a = F.expr("unix_micros(cast(a.ts as timestamp))")
+    us_b = F.expr("unix_micros(cast(b.ts as timestamp))")
+    return (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (us_b >= us_a)
+            & (us_b <= us_a + within_s * 1_000_000),
+        )
+        .select(
+            F.col(f"a.{key}").alias(key),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            ((us_b - us_a) / F.lit(1_000_000.0)).alias("lag_s"),
+        )
+    )
+
+
+def correlate_streams(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    schema,
+    key: str = "user_id",
+    within_s: int = 3600,
+    watermark: str = "2 hours",
+    query_name: str = "correlate_streams",
+):
+    """Watermarked STREAM-STREAM inner join: correlate two live feeds
+    (impression/click, request/response, ...) on a key within a time
+    bound — the hardest Structured Streaming join shape, exercised
+    end-to-end.
+
+    Scale/state design: both sides declare watermarks and the join
+    condition bounds b's event time to [a.ts, a.ts + within_s], so
+    Spark can evict buffered rows once the watermark passes — state
+    is bounded by (watermark + within_s) worth of events per side,
+    NOT the stream history.  Without the time-range conjunct the
+    state would grow forever; this helper makes the bound part of
+    the API."""
+    ra = spark.readStream.schema(schema).parquet(path_a)
+    rb = spark.readStream.schema(schema).parquet(path_b)
+    if dict(ra.dtypes).get("ts") == "timestamp_ntz":
+        ra = ra.withColumn("ts", F.col("ts").cast("timestamp"))
+        rb = rb.withColumn("ts", F.col("ts").cast("timestamp"))
+    a = ra.withWatermark("ts", watermark).alias("a")
+    b = rb.withWatermark("ts", watermark).alias("b")
+    joined = a.join(
+        b,
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {within_s} SECONDS")),
+    ).select(
+        F.col(f"a.{key}").alias(key),
+        F.col("a.event_id").alias("event_a"),
+        F.col("b.event_id").alias("event_b"),
+        (
+            (
+                F.expr("unix_micros(b.ts)") - F.expr("unix_micros(a.ts)")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("lag_s"),
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
