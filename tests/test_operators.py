@@ -1184,3 +1184,31 @@ def test_profile_frame(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         profile_frame(df, ["nope"])
+
+
+def test_bloom_no_false_negatives_and_prefilter(spark):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import bloom_build, bloom_probe
+
+    keys = spark.range(0, 200).selectExpr("id AS k")          # members
+    probe = spark.range(0, 2000).selectExpr("id AS k")        # 10% members
+    bloom = bloom_build(keys, "k", m_bits=4096, k=3)
+    flagged = bloom_probe(probe, "k", bloom, m_bits=4096, k=3)
+    # zero false negatives: every true member flags True
+    assert flagged.where("k < 200 AND NOT might_match").count() == 0
+    # the filter actually prunes: most non-members flag False
+    fp = flagged.where("k >= 200 AND might_match").count()
+    assert fp < 1800 * 0.15, fp                # ~1% expected at this sizing
+    # null keys probe False
+    pn = spark.createDataFrame([(None,), (5,)], "k bigint")
+    got = {r["k"]: r["might_match"]
+           for r in bloom_probe(pn, "k", bloom, 4096, 3).collect()}
+    assert got[None] is False and got[5] is True
+    # chained semi-join equivalence: bloom prefilter + exact join ==
+    # plain exact join
+    exact = probe.join(keys, "k", "left_semi")
+    pre = (flagged.where("might_match").drop("might_match")
+           .join(keys, "k", "left_semi"))
+    assert sorted(r["k"] for r in pre.collect()) == \
+           sorted(r["k"] for r in exact.collect())

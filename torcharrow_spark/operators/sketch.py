@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
 __all__ = ["hll_registers", "hll_estimate", "hll_distinct",
-           "cms_sketch", "cms_lookup", "heavy_hitters", "grouped_heavy_hitters"]
+           "cms_sketch", "cms_lookup", "heavy_hitters", "grouped_heavy_hitters", "bloom_build", "bloom_probe"]
 
 # 15 hex digits of md5 -> 60-bit non-negative hash (16 digits would
 # overflow a signed long through conv; see operators/dedup.py).
@@ -338,4 +338,95 @@ def grouped_heavy_hitters(
             "cnt",
             (F.col("cnt").cast("double") / F.col("__total__")).alias("frac"),
         )
+    )
+
+
+def _bloom_pos(i: int, col: F.Column, m_bits: int) -> F.Column:
+    """Bit position i for a value: md5-derived 60-bit hash mod m_bits —
+    the same arithmetic any SQL engine reproduces."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+
+
+def bloom_build(df: SDF, col: str, m_bits: int = 8192, k: int = 3) -> SDF:
+    """Build a Bloom filter over a key column as a (word, bits) table —
+    the manual runtime-filter primitive: build on the SMALL side's
+    keys, broadcast (<= m_bits/32 rows), and pre-filter a huge fact
+    scan with :func:`bloom_probe` BEFORE any shuffle, so non-matching
+    fact rows never leave their input partition.
+
+    Determinism/portability: positions are md5-derived (mod m_bits)
+    and words hold 32 bits each in a BIGINT (masks stay positive —
+    no engine-specific signed-shift edge), aggregated with BIT_OR
+    (associative; map-side combine bounds the shuffle at m_bits/32
+    rows per partition).  An external SQL engine reproduces the
+    filter bit-for-bit.  False-positive rate ~ (1-e^{-kn/m})^k;
+    size m_bits ~ 10-15 bits per expected distinct key for ~1% FP."""
+    if m_bits % 32 != 0:
+        raise ValueError("m_bits must be a multiple of 32")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c = F.col(col)
+    rows = df.where(c.isNotNull()).select(
+        F.explode(
+            F.array(*[_bloom_pos(i, c, m_bits) for i in range(k)])
+        ).alias("pos")
+    )
+    return (
+        rows.select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            # 2^b as an exact double->long (b <= 31; F.shiftleft only
+            # takes literal shift counts)
+            F.pow(F.lit(2.0), (F.col("pos") % 32).cast("int"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: SDF, col: str, bloom: SDF, m_bits: int = 8192, k: int = 3,
+    out_col: str = "might_match",
+) -> SDF:
+    """Append a ``might_match`` flag: False means the key is DEFINITELY
+    absent from the built key set; True means probably present (FP
+    rate as sized).  The filter collapses to ONE broadcast map row and
+    the probe is a zero-shuffle projection (k map lookups + bit tests
+    per row) — chain ``.where(F.col('might_match'))`` in front of the
+    real join and the shuffle only carries surviving rows.  Null keys
+    probe False."""
+    packed = bloom.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("bits")
+        ).alias("__bloom__")
+    )
+    c = F.col(col)
+    checks = []
+    for i in range(k):
+        pos = _bloom_pos(i, c, m_bits)
+        word = (pos / 32).cast("long")
+        mask = F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
+        checks.append(
+            F.coalesce(
+                F.element_at(F.col("__bloom__"), word), F.lit(0).cast("long")
+            ).bitwiseAND(mask)
+            != 0
+        )
+    hit = checks[0]
+    for ch in checks[1:]:
+        hit = hit & ch
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn(out_col, F.when(c.isNotNull(), hit).otherwise(F.lit(False)))
+        .drop("__bloom__")
     )

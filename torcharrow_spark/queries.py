@@ -4830,3 +4830,71 @@ def q117_top_shippers(spark: SparkSession, sf_dir: str) -> SDF:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+@query(
+    "q118_bloom_prefilter",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT c_custkey AS key
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    build_pos AS (
+      SELECT (('0x' || substr(md5(i::VARCHAR || '|' || key::VARCHAR),
+                              1, 15))::UBIGINT::BIGINT % 8192) AS pos
+      FROM dim, (SELECT UNNEST([0, 1, 2]) AS i)
+    ),
+    words AS (
+      SELECT pos // 32 AS word,
+             BIT_OR(CAST(POW(2.0, pos % 32) AS BIGINT)) AS bits
+      FROM build_pos GROUP BY 1
+    ),
+    probe_pos AS (
+      SELECT o_orderkey, o_custkey,
+             (('0x' || substr(md5(i::VARCHAR || '|' || o_custkey::VARCHAR),
+                              1, 15))::UBIGINT::BIGINT % 8192) AS pos
+      FROM orders, (SELECT UNNEST([0, 1, 2]) AS i)
+    ),
+    flags AS (
+      SELECT o_orderkey,
+             BOOL_AND((COALESCE(bits, 0) & CAST(POW(2.0, pos % 32) AS BIGINT))
+                      <> 0) AS might_match
+      FROM probe_pos LEFT JOIN words ON words.word = pos // 32
+      GROUP BY o_orderkey
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_exact FROM orders
+      WHERE o_custkey IN (SELECT key FROM dim)
+    )
+    SELECT (SELECT COUNT(*) FROM orders) AS n_total,
+           (SELECT COUNT(*) FROM flags WHERE might_match) AS n_candidates,
+           n_exact
+    FROM exact
+    """,
+)
+def q118_bloom_prefilter(spark: SparkSession, sf_dir: str) -> SDF:
+    """Manual runtime filter (operators/sketch.bloom_build/probe): a
+    Bloom filter over BUILDING-segment customer keys broadcasts as
+    one map row and pre-filters the orders scan with a zero-shuffle
+    projection — the fact-side pruning that keeps non-matching rows
+    off the wire BEFORE the real join.  Output: total rows, bloom
+    survivors, and the exact semi-join count (the gap = false
+    positives; never a false negative, and the md5 bit arithmetic is
+    engine-reproducible, as the oracle proves)."""
+    from torcharrow_spark.operators import bloom_build, bloom_probe
+
+    c = _load(spark, sf_dir, "customer").to_spark()
+    o = _load(spark, sf_dir, "orders").to_spark()
+    dim = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    bloom = bloom_build(dim, "key", m_bits=8192, k=3)
+    flagged = bloom_probe(o, "o_custkey", bloom, m_bits=8192, k=3)
+    n_total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    n_cand = flagged.where("might_match").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    n_exact = o.join(dim, F.col("o_custkey") == F.col("key"), "left_semi").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return n_total.crossJoin(n_cand).crossJoin(n_exact)
