@@ -194,3 +194,57 @@ def test_quantile_interpolations_property(spark, data):
         for gi, grp in pdf.groupby("g"):
             want = grp["x"].quantile(0.37, interpolation=interp)
             assert got[gi] == _pt.approx(want, rel=1e-12, abs=1e-12), (interp, gi)
+
+
+@given(
+    data=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1, max_size=400,
+    ),
+    thr_pct=st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=8, deadline=None)
+def test_heavy_hitters_matches_brute_force(spark, data, thr_pct):
+    """heavy_hitters == full GROUP BY + HAVING on arbitrary skews and
+    thresholds (the two-pass candidate superset must never lose or
+    invent a value)."""
+    from collections import Counter
+
+    from torcharrow_spark.operators import heavy_hitters
+
+    t = thr_pct / 100.0
+    df = spark.createDataFrame([(v,) for v in data], "v string").repartition(5)
+    got = {(r["value"], r["cnt"])
+           for r in heavy_hitters(df, "v", t).collect()}
+    n = len(data)
+    want = {(v, c) for v, c in Counter(data).items() if c >= t * n}
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=300,
+    ),
+    q_pct=st.integers(min_value=0, max_value=100),
+)
+@settings(max_examples=8, deadline=None)
+def test_binned_quantile_error_bound_property(spark, vals, q_pct):
+    """binned_quantile is always within one bin width of the true
+    rank-interpolated quantile, for arbitrary distributions."""
+    from torcharrow_spark.operators import binned_quantile
+
+    q = q_pct / 100.0
+    n_bins = 128
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    est = binned_quantile(df, "x", [q], n_bins=n_bins).collect()[0]["value"]
+    s = sorted(vals)
+    lo, hi = s[0], s[-1]
+    width = (hi - lo) / n_bins if hi > lo else 0.0
+    # true quantile by the same rank definition (r = clamp(q*n, 1, n))
+    r = min(max(q * len(s), 1.0), float(len(s)))
+    true = s[min(int(math.ceil(r)) - 1, len(s) - 1)]
+    # estimate lies within the bin containing the rank-r value
+    assert est >= true - width - 1e-6 * max(1.0, abs(true))
+    assert est <= true + width + 1e-6 * max(1.0, abs(true))
