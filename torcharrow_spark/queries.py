@@ -4898,3 +4898,80 @@ def q118_bloom_prefilter(spark: SparkSession, sf_dir: str) -> SDF:
         F.count(F.lit(1)).alias("n_exact")
     )
     return n_total.crossJoin(n_cand).crossJoin(n_exact)
+
+
+@query(
+    "q119_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    ),
+    costed AS (
+      SELECT partkey, suppkey, s_acctbal, s_name, s_nationkey
+      FROM ps JOIN supplier ON s_suppkey = suppkey
+    ),
+    best AS (
+      SELECT partkey, MIN(s_acctbal) AS min_bal FROM costed GROUP BY partkey
+    )
+    SELECT c.partkey, p_name, s_name, s_acctbal AS acctbal, n_name
+    FROM costed c
+    JOIN best  ON best.partkey = c.partkey AND c.s_acctbal = best.min_bal
+    JOIN part   ON p_partkey = c.partkey AND p_size BETWEEN 10 AND 15
+    JOIN nation ON n_nationkey = c.s_nationkey
+    ORDER BY acctbal, c.partkey, s_name
+    LIMIT 25
+    """,
+)
+def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H-Q2-shaped query (partsupp proxied by observed shipping
+    relationships; cost by supplier balance): for each mid-size part,
+    the supplier(s) with the minimum account balance that ever shipped
+    it.  The correlated MIN subquery becomes a per-part HashAggregate
+    joined back on the SAME partkey partitioning; part filter and
+    nation names broadcast; doubles are compared for equality only
+    against themselves (no arithmetic), so no float policy is
+    needed."""
+    l = _load(spark, sf_dir, "lineitem").to_spark()
+    s = _load(spark, sf_dir, "supplier").to_spark()
+    p = _load(spark, sf_dir, "part").to_spark()
+    n = _load(spark, sf_dir, "nation").to_spark()
+    ps = l.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).distinct()
+    costed = ps.join(
+        F.broadcast(s.select("s_suppkey", "s_acctbal", "s_name", "s_nationkey")),
+        F.col("suppkey") == F.col("s_suppkey"),
+    )
+    best = costed.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        costed.join(
+            best,
+            (F.col("partkey") == F.col("b_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(
+            F.broadcast(
+                p.where(F.col("p_size").between(10, 15)).select(
+                    "p_partkey", "p_name"
+                )
+            ),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "partkey",
+            "p_name",
+            "s_name",
+            F.col("s_acctbal").alias("acctbal"),
+            "n_name",
+        )
+        .orderBy("acctbal", "partkey", "s_name")
+        .limit(25)
+    )
