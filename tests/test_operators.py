@@ -1212,3 +1212,49 @@ def test_bloom_no_false_negatives_and_prefilter(spark):
            .join(keys, "k", "left_semi"))
     assert sorted(r["k"] for r in pre.collect()) == \
            sorted(r["k"] for r in exact.collect())
+
+
+def test_minhash_merge_equals_union_signature(spark):
+    from torcharrow_spark.operators import minhash_merge, minhash_signatures
+
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "a completely different set of words entirely here now"),
+         (2, "only in the second shard")],
+        "doc_id long, text string",
+    )
+    union = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog "
+             "a completely different set of words entirely here now")],
+        "doc_id long, text string",
+    )
+    sa = minhash_signatures(a, shingle_k=2)
+    sb = minhash_signatures(b, shingle_k=2)
+    merged = {r["doc_id"]: r["sig"] for r in minhash_merge(sa, sb).collect()}
+    # union semantics: zip-min == signature of the concatenated shingle set
+    # (shingles of the union text are a superset containing both docs'
+    # shingles plus the seam shingle, so compare against explicit zip-min)
+    za = {r["doc_id"]: r["sig"] for r in sa.collect()}[1]
+    zb = {r["doc_id"]: r["sig"] for r in sb.collect()}[1]
+    assert merged[1] == [min(x, y) for x, y in zip(za, zb)]
+    # one-sided ids keep their signature
+    assert merged[2] == {r["doc_id"]: r["sig"] for r in sb.collect()}[2]
+
+
+def test_write_parquet_compaction(spark, tmp_path):
+    import os
+
+    import torcharrow_spark as ts
+    from torcharrow_spark.sources import write_parquet
+
+    df = ts.from_pylist([{"a": i, "g": i % 2} for i in range(100)],
+                        spark=spark)
+    p = str(tmp_path / "compact")
+    write_parquet(df, p, num_files=2)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) == 2
+    back = ts.read_parquet(p, spark)
+    assert back.to_spark().count() == 100

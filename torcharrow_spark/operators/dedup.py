@@ -822,3 +822,25 @@ def similarity_join(
         F.shiftright(rid.cast("long"), 1).alias("right_id"),
         "jaccard",
     )
+
+
+def minhash_merge(sig_a: SDF, sig_b: SDF, id_col: str = "doc_id") -> SDF:
+    """Merge two MinHash signature tables by SET UNION semantics:
+    element-wise min of the signature vectors (min is associative, so
+    sig(A ∪ B) == zip_min(sig(A), sig(B)) exactly — the incremental /
+    multi-shard property that lets per-shard signatures combine
+    without re-reading text).  Ids present in only one input keep
+    their signature.  One outer join on the id — signatures are
+    num_hashes longs, so the shuffle is bytes per doc."""
+    a = sig_a.select(id_col, F.col("sig").alias("__sa__"))
+    b = sig_b.select(id_col, F.col("sig").alias("__sb__"))
+    merged = F.when(
+        F.col("__sa__").isNull(), F.col("__sb__")
+    ).when(
+        F.col("__sb__").isNull(), F.col("__sa__")
+    ).otherwise(
+        F.zip_with("__sa__", "__sb__", lambda x, y: F.least(x, y))
+    )
+    return a.join(b, id_col, "full_outer").select(
+        id_col, merged.alias("sig")
+    )

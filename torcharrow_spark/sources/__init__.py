@@ -139,8 +139,22 @@ def dataframe(data, dtype: dt.Struct | None = None, columns: _ty.List[str] | Non
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
-                  partition_by: _ty.List[str] | None = None) -> None:
-    w = df.to_spark().write.mode(mode)
+                  partition_by: _ty.List[str] | None = None,
+                  num_files: int | None = None) -> None:
+    """Parquet sink.  ``num_files`` compacts the output to that many
+    files (per partition directory when ``partition_by`` is set) — the
+    small-files fix for downstream scans: a 100 TB table written from
+    tens of thousands of tasks otherwise lands as tens of thousands of
+    tiny files whose open/footer costs dominate re-reads.  Compaction
+    uses repartition (a shuffle) — size num_files so each file lands
+    near the 128 MB-1 GB sweet spot."""
+    sdf = df.to_spark()
+    if num_files is not None:
+        if num_files < 1:
+            raise ValueError("num_files must be >= 1")
+        sdf = (sdf.repartition(num_files, *partition_by)
+               if partition_by else sdf.repartition(num_files))
+    w = sdf.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
