@@ -230,3 +230,18 @@ def test_q113_full_pushdown(spark, sf_dir):
     cols = sorted(c.split(":")[0] for c in rs.group(1).split(","))
     assert cols == ["l_discount", "l_extendedprice", "l_quantity",
                     "l_shipdate"], cols
+
+
+def test_wave3_plan_shapes(spark, sf_dir):
+    """q114/q117/q119: nested aggregations stay HashAggregate; q119's
+    dim joins broadcast; q118's bloom probe is a broadcast (one map
+    row) with the orders scan untouched by any pre-join shuffle."""
+    for q in ("q114_important_parts", "q117_top_shippers",
+              "q119_min_cost_supplier"):
+        text = formatted_plan(QUERIES[q](spark, sf_dir))
+        assert "HashAggregate" in text, q
+        assert "SortAggregate" not in text, q
+    s119 = plan_stats(QUERIES["q119_min_cost_supplier"](spark, sf_dir))
+    assert s119["broadcast_joins"] >= 2, s119
+    s118 = plan_stats(QUERIES["q118_bloom_prefilter"](spark, sf_dir))
+    assert s118["broadcast_joins"] >= 1, s118
