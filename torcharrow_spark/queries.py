@@ -4975,3 +4975,45 @@ def q119_min_cost_supplier(spark: SparkSession, sf_dir: str) -> SDF:
         .orderBy("acctbal", "partkey", "s_name")
         .limit(25)
     )
+
+
+@query(
+    "q120_enriched_windows",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT user_id,
+             'tier_' || (user_id % 3)::VARCHAR AS tier
+      FROM events
+    )
+    SELECT (epoch_us(date_trunc('hour', e.ts)) // 1000000)::BIGINT
+             AS window_start_s,
+           tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q120_enriched_windows(spark: SparkSession, sf_dir: str) -> SDF:
+    """Batch semantics of the stream-static enrichment join
+    (streaming.enriched_counts_batch): broadcast user->tier dimension
+    into hourly windowed per-tier aggregates.  The STREAMING twin is
+    proven row-identical in tests/test_streaming.py::
+    test_enriched_stream_matches_batch, and this oracle ties the
+    shared semantics to ANSI SQL — closing stream == batch == SQL.
+    Window start emits as epoch seconds (q17 lesson); values sum as
+    exact decimals."""
+    from torcharrow_spark.streaming import enriched_counts_batch
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    dim = ev.select("user_id").distinct().selectExpr(
+        "user_id", "concat('tier_', user_id % 3) AS tier"
+    )
+    out = enriched_counts_batch(ev, dim, "user_id", "tier", window="1 hour")
+    return out.select(
+        F.expr("unix_micros(cast(window_start as timestamp)) DIV 1000000")
+        .alias("window_start_s"),
+        "tier",
+        "n_events",
+        F.col("total_value"),
+    )

@@ -288,7 +288,12 @@ def enriched_counts_batch(
         .groupBy(F.window("ts", window).alias("w"), F.col(seg_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # exact decimal sum -> the result is independent of
+            # accumulation order (and equal between batch, streaming,
+            # and an external SQL oracle)
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -331,7 +336,9 @@ def enriched_counts_stream(
         .groupBy(F.window("ts", window).alias("w"), F.col(seg_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
