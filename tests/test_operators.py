@@ -1258,3 +1258,21 @@ def test_write_parquet_compaction(spark, tmp_path):
     assert len(files) == 2
     back = ts.read_parquet(p, spark)
     assert back.to_spark().count() == 100
+
+
+def test_robust_scaled(spark):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import robust_scaled
+
+    df = spark.range(1001).selectExpr("CAST(id AS DOUBLE) AS x")
+    out = robust_scaled(df, ["x"], n_bins=500)
+    mid = out.where("x = 500").collect()[0]["x_scaled"]
+    assert abs(mid) < 0.02                     # median scales to ~0
+    hi = out.where("x = 750").collect()[0]["x_scaled"]
+    assert abs(hi - 0.5) < 0.02                # q3 scales to ~0.5
+    # constant column -> 0.0, nulls stay null
+    dfc = spark.createDataFrame([(5.0,), (5.0,), (None,)], "y double")
+    got = robust_scaled(dfc, ["y"]).collect()
+    vals = {r["y"]: r["y_scaled"] for r in got}
+    assert vals[5.0] == 0.0 and vals[None] is None

@@ -559,3 +559,38 @@ def equi_depth_buckets(
         .withColumn(out, F.when(c.isNotNull(), label))
         .drop("__thr__")
     )
+
+
+def robust_scaled(
+    df: SDF,
+    columns: _ty.Sequence[str],
+    n_bins: int = 1024,
+) -> SDF:
+    """Append ``{col}_scaled = (x - median) / IQR`` for each column —
+    the outlier-resistant scaler (sklearn RobustScaler semantics)
+    completing the z-score / min-max family in :func:`scaled_frame`.
+
+    Quantiles come from the binned-histogram scale path (bounded
+    aggregate per column, no global sort); the three thresholds
+    broadcast as one row per column and the scaling pass is a
+    zero-shuffle projection.  Zero-IQR columns (constant bulk) scale
+    to 0.0, matching scaled_frame's zero-std convention."""
+    out = df
+    for c in columns:
+        bq = binned_quantile(df, c, [0.25, 0.5, 0.75], n_bins=n_bins)
+        thr = bq.groupBy().agg(
+            F.min(F.when(F.col("q") == 0.25, F.col("value"))).alias(f"__q1_{c}"),
+            F.min(F.when(F.col("q") == 0.5, F.col("value"))).alias(f"__q2_{c}"),
+            F.min(F.when(F.col("q") == 0.75, F.col("value"))).alias(f"__q3_{c}"),
+        )
+        x = F.col(c).cast("double")
+        iqr = F.col(f"__q3_{c}") - F.col(f"__q1_{c}")
+        scaled = F.when(iqr > 0, (x - F.col(f"__q2_{c}")) / iqr).otherwise(
+            F.lit(0.0)
+        )
+        out = (
+            out.crossJoin(F.broadcast(thr))
+            .withColumn(f"{c}_scaled", F.when(x.isNotNull(), scaled))
+            .drop(f"__q1_{c}", f"__q2_{c}", f"__q3_{c}")
+        )
+    return out
