@@ -53,6 +53,10 @@ HEADLINE = [
     "q102_waiting_suppliers",
     "q105_heavy_hitters",
     "q107_resample_ffill",
+    "q110_grouped_quantiles",
+    "q112_grouped_heavy_hitters",
+    "q113_forecast_revenue",
+    "q119_min_cost_supplier",
 ]
 
 # Round-1 steady-state seconds at sf0.1 on local[32] (BENCH_r01.json) —
@@ -91,6 +95,10 @@ ANCHOR = {
     "q102_waiting_suppliers": 1.809,
     "q105_heavy_hitters": 1.044,
     "q107_resample_ffill": 0.403,
+    "q110_grouped_quantiles": 0.635,
+    "q112_grouped_heavy_hitters": 0.858,
+    "q113_forecast_revenue": 0.447,
+    "q119_min_cost_supplier": 1.704,
 }
 
 
