@@ -1276,3 +1276,33 @@ def test_robust_scaled(spark):
     got = robust_scaled(dfc, ["y"]).collect()
     vals = {r["y"]: r["y_scaled"] for r in got}
     assert vals[5.0] == 0.0 and vals[None] is None
+
+
+def test_pack_documents_next_fit_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import pack_documents
+
+    df = spark.range(500).selectExpr("id", "1 + id % 7 AS toks")
+    out = pack_documents(df, "id", "toks", budget=10, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 500
+    # every doc placed exactly once; offsets consistent within bins
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (s, b), docs in by_bin.items():
+        docs.sort(key=lambda r: r["offset"])
+        pos = docs[0]["offset"]
+        assert pos < 10                       # every bin starts within budget
+        for d in docs:
+            assert d["offset"] == pos         # contiguous packing
+            pos += d["n_tokens"]
+        # next-fit: bin ends within budget + one doc's tail
+        assert pos <= 10 + max(d["n_tokens"] for d in docs)
+    # determinism under repartitioning
+    again = {(r["id"], r["shard"], r["bin"], r["offset"])
+             for r in pack_documents(df.repartition(13), "id", "toks",
+                                     10, 4).collect()}
+    assert again == {(r["id"], r["shard"], r["bin"], r["offset"])
+                     for r in rows}

@@ -594,3 +594,67 @@ def robust_scaled(
             .drop(f"__q1_{c}", f"__q2_{c}", f"__q3_{c}")
         )
     return out
+
+
+def pack_documents(
+    df: SDF,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 256,
+    seed: int = 0,
+) -> SDF:
+    """Pack documents into fixed-token-budget training bins (sequence
+    packing for pretraining): every document gets a ``(shard, bin,
+    offset)`` placement such that each bin's documents are written
+    contiguously and a new bin starts whenever the running total
+    crosses ``budget`` (next-fit packing: a bin may overshoot by at
+    most one document's tail — the standard streaming-packing
+    trade-off; documents longer than ``budget`` occupy bins alone).
+
+    Scale design: documents scatter to ``n_shards`` hash shards (md5
+    of (seed, id) — deterministic, uniform), and packing runs PER
+    SHARD as one cumulative-sum window over that shard's documents in
+    hash order — one shuffle, per-partition sort bounded by the shard
+    size, no global sequential pass.  Placement is a pure function of
+    (seed, ids, token counts): reruns, repartitionings, and external
+    engines produce the identical packing.
+
+    Returns ``(id, n_tokens, shard, bin, offset)`` where ``offset``
+    is the document's first token position within its bin."""
+    if budget < 1:
+        raise ValueError("budget must be positive")
+    if n_shards < 1:
+        raise ValueError("n_shards must be positive")
+    key = F.md5(F.concat(F.lit(f"pack:{seed}|"), F.col(id_col).cast("string")))
+    t = F.col(token_col).cast("long")
+    base = df.select(
+        F.col(id_col),
+        t.alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(key, 1, 12), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).alias("shard"),
+        key.alias("__order__"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__order__", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    # integer DIV/%, not double division: exact on any engine at any
+    # cumulative magnitude (a double round-trip drifts past 2^53)
+    placed = base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        (cum - F.col("n_tokens")).alias("__cb__"),
+    )
+    return placed.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.expr(f"__cb__ DIV {int(budget)}").alias("bin"),
+        (F.col("__cb__") % F.lit(int(budget))).alias("offset"),
+    )

@@ -5017,3 +5017,47 @@ def q120_enriched_windows(spark: SparkSession, sf_dir: str) -> SDF:
         "n_events",
         F.col("total_value"),
     )
+
+
+@query(
+    "q121_pack_documents",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, GREATEST(n_chars // 4, 1) AS n_tokens,
+             md5('pack:0|' || doc_id::VARCHAR) AS k
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(k, 1, 12))::UBIGINT::BIGINT % 16 AS shard, k
+      FROM base
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+      FROM sharded
+    )
+    SELECT doc_id, n_tokens, shard,
+           cb // 2048 AS bin, cb % 2048 AS "offset"
+    FROM packed
+    """,
+)
+def q121_pack_documents(spark: SparkSession, sf_dir: str) -> SDF:
+    """Sequence packing for pretraining (operators/preprocess.
+    pack_documents): every document deterministically placed into a
+    (shard, 2048-token bin, offset) — md5 hash order, per-shard
+    cumulative window, pure integer arithmetic, so the oracle (and
+    any rerun at any parallelism) reproduces the exact packing.
+    Token counts proxy as n_chars/4 here; compose with
+    textstats.token_count for real counts."""
+    from torcharrow_spark.operators import pack_documents
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    sized = docs.select(
+        "doc_id",
+        F.greatest(
+            F.expr("n_chars DIV 4"), F.lit(1).cast("long")
+        ).alias("toks"),
+    )
+    return pack_documents(sized, "doc_id", "toks", budget=2048, n_shards=16)
