@@ -1306,3 +1306,30 @@ def test_pack_documents_next_fit_semantics(spark):
                                      10, 4).collect()}
     assert again == {(r["id"], r["shard"], r["bin"], r["offset"])
                      for r in rows}
+
+
+def test_weighted_sample_per_group(spark):
+    from torcharrow_spark.operators import weighted_sample_per_group
+
+    df = spark.range(300).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' "
+        "ELSE 'c' END AS g",
+        "1.0 + id % 11 AS w",
+    )
+    out = weighted_sample_per_group(df, 5, "w", "id", ["g"])
+    rows = out.collect()
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r["g"], set()).add(r["id"])
+    assert set(per_g) == {"a", "b", "c"}
+    assert all(len(v) == 5 for v in per_g.values())
+    # deterministic under repartitioning
+    again = {(r["g"], r["id"]) for r in
+             weighted_sample_per_group(df.repartition(9), 5, "w", "id",
+                                       ["g"]).collect()}
+    assert again == {(r["g"], r["id"]) for r in rows}
+    # zero-weight rows never selected
+    dfz = spark.createDataFrame([(1, "a", 0.0), (2, "a", 1.0)],
+                                "id long, g string, w double")
+    got = weighted_sample_per_group(dfz, 2, "w", "id", ["g"]).collect()
+    assert [r["id"] for r in got] == [2]

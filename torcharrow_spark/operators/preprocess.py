@@ -658,3 +658,40 @@ def pack_documents(
         F.expr(f"__cb__ DIV {int(budget)}").alias("bin"),
         (F.col("__cb__") % F.lit(int(budget))).alias("offset"),
     )
+
+
+def weighted_sample_per_group(
+    df: SDF,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    by: _ty.Sequence[str],
+    seed: int = 0,
+) -> SDF:
+    """Per-group weighted sampling WITHOUT replacement (A-ES, same
+    priority u^(1/w) as :func:`weighted_sample`): keep the top-``k``
+    priorities within each group — the stratified form (k length-
+    weighted docs per language, k spend-weighted users per cohort).
+
+    One shuffle on the group key; within each group a row_number
+    window keeps k (partition-local sort, never global).  Priorities
+    are deterministic md5 fractions, so the selection is reproducible
+    at any parallelism and by an external engine.  Rows with
+    weight <= 0 are excluded."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    keys = list(by)
+    if not keys:
+        raise ValueError("use weighted_sample() for the ungrouped form")
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(_key_frac(key_col, f"sample:{seed}|"), F.lit(1.0) / w)
+    win = Window.partitionBy(*keys).orderBy(
+        F.desc("__pri__"), F.col(key_col)
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("__pri__", pri)
+        .withColumn("__rn__", F.row_number().over(win))
+        .where(F.col("__rn__") <= k)
+        .drop("__pri__", "__rn__")
+    )

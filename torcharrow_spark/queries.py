@@ -5061,3 +5061,35 @@ def q121_pack_documents(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("toks"),
     )
     return pack_documents(sized, "doc_id", "toks", budget=2048, n_shards=16)
+
+
+@query(
+    "q122_weighted_sample_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ({_MD5_FRAC.format(arg="'sample:7|' || doc_id::VARCHAR")})
+                          ** (1.0 / n_chars::DOUBLE) DESC, doc_id
+             ) AS rn
+      FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 8
+    """,
+)
+def q122_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-language length-weighted sampling without replacement
+    (operators/preprocess.weighted_sample_per_group, A-ES stratified
+    form): 8 documents per language with probability proportional to
+    length — one group shuffle, partition-local top-k window.  The
+    oracle replays the md5-fraction priority; only exact input
+    columns are emitted (float priority stays internal — q74's ulp
+    argument)."""
+    from torcharrow_spark.operators import weighted_sample_per_group
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return weighted_sample_per_group(
+        docs.where(F.col("n_chars") > 0), 8, "n_chars", "doc_id",
+        ["lang"], seed=7,
+    ).select("doc_id", "lang", "n_chars")
