@@ -1333,3 +1333,31 @@ def test_weighted_sample_per_group(spark):
                                 "id long, g string, w double")
     got = weighted_sample_per_group(dfz, 2, "w", "id", ["g"]).collect()
     assert [r["id"] for r in got] == [2]
+
+
+def test_checked_join_contracts(spark):
+    import pytest as _pt
+    from pyspark.sql.utils import PythonException
+
+    from torcharrow_spark.operators import checked_join
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    dim_ok = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    dim_dup = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "k long, name string"
+    )
+    # clean m:1 passes and matches a plain join
+    out = checked_join(facts, dim_ok, ["k"], "m:1")
+    assert out.count() == 3
+    # duplicate dimension key -> execution-time failure, not silent fanout
+    with _pt.raises(Exception) as ei:
+        checked_join(facts, dim_dup, ["k"], "m:1").count()
+    assert "duplicate join key" in str(ei.value)
+    # 1:1 also guards the left side
+    with _pt.raises(Exception) as ei2:
+        checked_join(facts, dim_ok, ["k"], "1:1").count()
+    assert "duplicate join key" in str(ei2.value)
+    with _pt.raises(ValueError):
+        checked_join(facts, dim_ok, ["k"], "n:m")

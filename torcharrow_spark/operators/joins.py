@@ -191,3 +191,51 @@ def interval_join(
         .select("*", *[F.lit(None).cast(dict(matched.dtypes)[c]).alias(c) for c in r_out])
     )
     return matched.unionByName(unmatched)
+
+
+def checked_join(
+    left: SDF,
+    right: SDF,
+    on: _ty.List[str],
+    expect: str = "m:1",
+    how: str = "inner",
+) -> SDF:
+    """Equi-join with a cardinality CONTRACT: ``expect='m:1'`` asserts
+    the right side is unique on the join keys, ``'1:1'`` asserts both
+    sides are — the classic silent-fanout bug (a dup-keyed dimension
+    quietly multiplying fact rows and every downstream aggregate)
+    becomes a loud failure at execution time instead of a wrong number
+    in a report.
+
+    Scale design: uniqueness is checked with a count window over the
+    join key on the side(s) under contract — the same partitioning the
+    join itself needs, so the check rides the existing exchange (no
+    second pass over either input); the violation fires Spark's
+    ``raise_error`` inside the first task that meets a duplicate, at
+    any scale."""
+    if expect not in ("m:1", "1:1"):
+        raise ValueError("expect must be 'm:1' or '1:1'")
+    from pyspark.sql import Window
+
+    def _guard(side: SDF, name: str) -> SDF:
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*on))
+        msg = F.concat(
+            F.lit(f"checked_join: {name} side has duplicate join key ("),
+            F.concat_ws(
+                ", ", *[F.col(k).cast("string") for k in on]
+            ),
+            F.lit(f") under a {expect} contract"),
+        )
+        # the guard must live in a FILTER: a guard column that nothing
+        # reads is pruned by the optimizer and the check silently
+        # disappears; assert_true returns NULL when satisfied, so the
+        # filter keeps every row and cannot be optimized away
+        return (
+            side.withColumn("__ck__", cnt)
+            .where(F.assert_true(F.col("__ck__") <= 1, msg).isNull())
+            .drop("__ck__")
+        )
+
+    r = _guard(right, "right")
+    l = _guard(left, "left") if expect == "1:1" else left
+    return l.join(r, on, how)
