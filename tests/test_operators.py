@@ -1361,3 +1361,28 @@ def test_checked_join_contracts(spark):
     assert "duplicate join key" in str(ei2.value)
     with _pt.raises(ValueError):
         checked_join(facts, dim_ok, ["k"], "n:m")
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [(1, [0.0, 1.0, -1.0, 0.5]), (2, [3.0, 3.0, 3.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df, bits=8)
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert all(0 <= c <= 255 for c in got[1]["qvec"])
+    assert got[2]["qvec"] == [0, 0, 0, 0] and got[2]["v_scale"] == 0.0
+    back = {r["vec_id"]: r["embedding"]
+            for r in dequantize_embeddings(q).collect()}
+    for vid, orig in rows:
+        scale = got[vid]["v_scale"]
+        for o, b in zip(orig, back[vid]):
+            # constant vectors reconstruct min exactly; others <= scale/2
+            assert abs(o - b) <= (scale / 2 if scale > 0 else abs(o - got[vid]["v_min"]) + 1e-12)
+    with __import__("pytest").raises(ValueError):
+        quantize_embeddings(df, bits=1)

@@ -393,3 +393,57 @@ def group_centroids(
         ).alias("centroid"),
         F.first("__n__").alias("n_vectors"),
     )
+
+
+def quantize_embeddings(
+    df: SDF,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> SDF:
+    """Per-vector affine quantization of float embeddings to
+    ``bits``-bit integers (the standard 4x storage/IO compression
+    before ANN indexing): ``q = floor((x - min) / scale + 0.5)`` with
+    ``scale = (max - min) / (2^bits - 1)`` — zero-shuffle array HOFs,
+    reconstruction error <= scale/2 per element.
+
+    Determinism: elements cast to double first (float->double is
+    exact), min/max/scale/rounding are then fixed double expressions
+    (floor(x+0.5) is explicit half-up — engines disagree on bare
+    round()'s tie rule, floor does not) — so quantized codes are
+    bit-identical anywhere.  Constant vectors quantize to code 0 with
+    scale 0.  Returns (id, qvec: array<int>, v_min, v_scale)."""
+    if not (2 <= bits <= 16):
+        raise ValueError("bits must be in [2, 16]")
+    levels = (1 << bits) - 1
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df2 = df.select(F.col(id_col), dv.alias("__v__"))
+    mn = F.array_min(F.col("__v__"))
+    mx = F.array_max(F.col("__v__"))
+    scale = (mx - mn) / F.lit(float(levels))
+    q = F.transform(
+        F.col("__v__"),
+        lambda x: F.when(
+            scale > 0, F.floor((x - mn) / scale + F.lit(0.5))
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return df2.select(
+        id_col,
+        q.alias("qvec"),
+        mn.alias("v_min"),
+        scale.alias("v_scale"),
+    )
+
+
+def dequantize_embeddings(
+    df: SDF, id_col: str = "vec_id", out_col: str = "embedding"
+) -> SDF:
+    """Inverse of :func:`quantize_embeddings`:
+    ``x ~ v_min + q * v_scale`` (zero-shuffle projection)."""
+    rec = F.transform(
+        F.col("qvec"),
+        lambda q: F.col("v_min") + q.cast("double") * F.col("v_scale"),
+    )
+    return df.select(id_col, rec.alias(out_col))

@@ -5093,3 +5093,32 @@ def q122_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> SDF:
         docs.where(F.col("n_chars") > 0), 8, "n_chars", "doc_id",
         ["lang"], seed=7,
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q123_quantize_embeddings",
+    oracle="""
+    SELECT vec_id,
+           to_json([(CASE WHEN scale > 0
+                          THEN FLOOR((x - mn) / scale + 0.5)
+                          ELSE 0 END)::INT
+                    for x in v]) AS qvec,
+           mn AS v_min, scale AS v_scale
+    FROM (
+      SELECT vec_id, v, list_min(v) AS mn,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    )
+    """,
+)
+def q123_quantize_embeddings(spark: SparkSession, sf_dir: str) -> SDF:
+    """Int8 affine quantization of the embeddings table
+    (operators/similarity.quantize_embeddings): zero-shuffle HOF
+    projection, explicit half-up rounding (floor(x+0.5) — engines
+    disagree on bare round()'s tie rule), codes bit-identical on any
+    engine as the oracle proves.  Arrays emit as JSON for the
+    driver's canonicalizer."""
+    from torcharrow_spark.operators import quantize_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    return _json_arrays(quantize_embeddings(emb, bits=8))
