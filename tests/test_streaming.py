@@ -351,3 +351,33 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     stream = {(r["user_id"], r["event_a"], r["event_b"], r["lag_s"])
               for r in spark.sql("SELECT * FROM t_ss_join").collect()}
     assert stream == batch
+
+
+def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
+    from torcharrow_spark.streaming import stream_to_parquet
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    ev.write.mode("overwrite").parquet(src)
+
+    q = stream_to_parquet(spark, src, ev.schema, dest, ckpt,
+                          dedup_keys=["event_id"], query_name="t_sink")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.read.parquet(dest)
+    assert landed.count() == ev.count()
+    assert sorted(r["event_id"] for r in landed.select("event_id").collect()) \
+        == sorted(r["event_id"] for r in ev.select("event_id").collect())
+
+    # restart with the same checkpoint: no batches re-run, no dup rows
+    q2 = stream_to_parquet(spark, src, ev.schema, dest, ckpt,
+                           dedup_keys=["event_id"], query_name="t_sink2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(dest).count() == ev.count()

@@ -462,3 +462,40 @@ def correlate_streams(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_parquet(
+    spark: SparkSession,
+    src_path: str,
+    schema,
+    dest_path: str,
+    checkpoint_path: str,
+    dedup_keys: _ty.List[str] | None = None,
+    query_name: str = "stream_to_parquet",
+):
+    """Production sink pattern: land a stream into a parquet table via
+    ``foreachBatch`` — each micro-batch is a normal batch DataFrame,
+    so arbitrary batch logic (dedup against keys, compaction, merges)
+    runs inside the sink while the CHECKPOINT provides exactly-once
+    batch tracking: a restarted query re-runs only unacknowledged
+    batches (foreachBatch may re-invoke a batch id on failure — the
+    in-batch dedup keeps the landing idempotent for keyed data).
+
+    Scale notes: append-mode parquet writes are per-partition files
+    (no driver bottleneck); per-batch ``dropDuplicates`` dedups
+    WITHIN the batch (cheap, bounded by the trigger size) — cross-
+    batch exact dedup belongs to ``dedup_stream`` (watermark-bounded
+    state) or a downstream compaction over the landed table."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        out = batch_df.dropDuplicates(dedup_keys) if dedup_keys else batch_df
+        out.write.mode("append").parquet(dest_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
