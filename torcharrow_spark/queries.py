@@ -5122,3 +5122,94 @@ def q123_quantize_embeddings(spark: SparkSession, sf_dir: str) -> SDF:
 
     emb = _load(spark, sf_dir, "embeddings").to_spark()
     return _json_arrays(quantize_embeddings(emb, bits=8))
+
+
+@query(
+    "q124_source_quality_dashboard",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS x,
+             md5({_NORM}) AS h
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    counts AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs,
+             (COUNT(*) - COUNT(DISTINCT h))::BIGINT AS n_dups
+      FROM base GROUP BY source
+    ),
+    b AS (SELECT source, MIN(x) AS lo, MAX(x) AS hi, COUNT(*)::BIGINT AS total
+          FROM base GROUP BY source),
+    binned AS (
+      SELECT base.source, x, lo, hi, total,
+             CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(GREATEST(CAST(FLOOR((x - lo)
+                             / ((hi - lo) / 256.0)) AS INT), 0), 255)
+             END AS bin
+      FROM base JOIN b ON b.source = base.source
+    ),
+    h2 AS (SELECT source, bin, ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi,
+                  ANY_VALUE(total) AS total, COUNT(*)::BIGINT AS n
+           FROM binned GROUP BY source, bin),
+    hc AS (
+      SELECT source, bin, lo, hi, total, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) - n AS cum_before
+      FROM h2
+    ),
+    est AS (
+      SELECT source, q,
+             CASE WHEN hi = lo THEN lo
+                  ELSE lo + ((hi - lo) / 256.0) * (bin + (r - cum_before) / n)
+             END AS value
+      FROM (
+        SELECT hc.*, q,
+               LEAST(GREATEST(q * total, 1.0), CAST(total AS DOUBLE)) AS r
+        FROM hc, (SELECT UNNEST([CAST(0.5 AS DOUBLE),
+                                 CAST(0.95 AS DOUBLE)]) AS q) qs
+      )
+      WHERE cum >= r AND cum_before < r
+    ),
+    quant AS (
+      SELECT source,
+             MIN(CASE WHEN q = 0.5 THEN value END) AS p50_chars,
+             MAX(CASE WHEN q = 0.95 THEN value END) AS p95_chars
+      FROM est GROUP BY source
+    )
+    SELECT counts.source, n_docs, n_dups,
+           CAST(n_dups AS DOUBLE) / n_docs AS dup_frac,
+           p50_chars, p95_chars
+    FROM counts JOIN quant ON quant.source = counts.source
+    """,
+)
+def q124_source_quality_dashboard(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-source corpus health dashboard — the curation triage query:
+    document counts, exact-duplicate counts/fraction (120-bit md5
+    content keys, operators/dedup semantics), and p50/p95 length from
+    the grouped histogram quantile path.  Three bounded aggregates,
+    no data-sized windows; the oracle replays every step."""
+    from torcharrow_spark.operators import grouped_binned_quantile
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    base = docs.where(F.col("n_chars").isNotNull())
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    counts = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(norm))).alias("n_dups"),
+    )
+    gq = grouped_binned_quantile(
+        base, "n_chars", [0.5, 0.95], ["source"], n_bins=256
+    )
+    quant = gq.groupBy("source").agg(
+        F.min(F.when(F.col("q") == 0.5, F.col("value"))).alias("p50_chars"),
+        F.max(F.when(F.col("q") == 0.95, F.col("value"))).alias("p95_chars"),
+    )
+    return counts.join(quant, "source").select(
+        "source",
+        "n_docs",
+        "n_dups",
+        (F.col("n_dups").cast("double") / F.col("n_docs")).alias("dup_frac"),
+        "p50_chars",
+        "p95_chars",
+    )
