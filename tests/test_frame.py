@@ -382,3 +382,13 @@ def test_csv_json_sink_roundtrip(spark, tmp_path):
     expect = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
     assert sorted(back_csv.to_pylist(), key=lambda r: r["a"]) == expect
     assert sorted(back_json.to_pylist(), key=lambda r: r["a"]) == expect
+
+
+def test_frame_profile_method(spark):
+    import torcharrow_spark as ts
+
+    df = ts.from_pylist([{"a": 1, "b": "x"}, {"a": None, "b": "x"}],
+                        spark=spark)
+    prof = {r["column"]: r for r in df.profile().to_pylist()}
+    assert prof["a"]["n_null"] == 1 and prof["a"]["n_distinct"] == 1
+    assert prof["b"]["n_distinct"] == 1 and prof["b"]["n_rows"] == 2

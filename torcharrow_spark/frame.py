@@ -56,6 +56,14 @@ class DataFrame:
     def to_pylist(self) -> list:
         return [row.asDict(recursive=True) for row in self.to_spark().collect()]
 
+    def profile(self, cols: _ty.Optional[_ty.List[str]] = None) -> "DataFrame":
+        """One-pass per-column dataset profile (row/null/distinct counts,
+        numeric min/max/exact mean) — see operators.stats.profile_frame
+        for the melt-to-long scale design."""
+        from torcharrow_spark.operators import profile_frame
+
+        return DataFrame(profile_frame(self.to_spark(), cols))
+
     @property
     def dtype(self) -> dt.Struct:
         return dt.from_spark(self.to_spark().schema, nullable=False)
