@@ -245,3 +245,17 @@ def test_wave3_plan_shapes(spark, sf_dir):
     assert s119["broadcast_joins"] >= 2, s119
     s118 = plan_stats(QUERIES["q118_bloom_prefilter"](spark, sf_dir))
     assert s118["broadcast_joins"] >= 1, s118
+
+
+def test_packing_and_dashboard_windows_are_partitioned(spark, sf_dir):
+    """q121's cumulative-sum window must partition by shard and q124's
+    quantile windows by source — a window spec missing its partition
+    keys would silently plan a single-partition global sort."""
+    t121 = formatted_plan(QUERIES["q121_pack_documents"](spark, sf_dir))
+    m = re.search(r"Window.*partition", t121, re.I | re.S)
+    assert m, t121[:2000]
+    assert re.search(r"windowspecdefinition\(shard", t121), \
+        "packing window lost its shard partitioning"
+    t124 = formatted_plan(QUERIES["q124_source_quality_dashboard"](spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(source", t124), \
+        "dashboard quantile window lost its source partitioning"
