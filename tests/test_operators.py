@@ -1386,3 +1386,21 @@ def test_quantize_embeddings_roundtrip(spark):
             assert abs(o - b) <= (scale / 2 if scale > 0 else abs(o - got[vid]["v_min"]) + 1e-12)
     with __import__("pytest").raises(ValueError):
         quantize_embeddings(df, bits=1)
+
+
+def test_grouped_histogram(spark):
+    from torcharrow_spark.operators import grouped_histogram
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 1.5), ("a", 1.6), ("b", 9.5), ("b", None),
+         ("b", -3.0)],
+        "g string, v double",
+    )
+    out = {(r["g"], r["bin"]): (r["bin_lo"], r["n"]) for r in
+           grouped_histogram(df, "v", ["g"], lo=0.0, hi=10.0,
+                             n_bins=5).collect()}
+    assert len(out) == 10                       # 2 groups x 5 bins, empties in
+    assert out[("a", 0)] == (0.0, 3)            # 0.5, 1.5, 1.6 share bin 0
+    assert out[("b", 4)][1] == 1                # 9.5
+    assert out[("b", 0)][1] == 1                # -3.0 clamps into bin 0
+    assert sum(n for _, n in out.values()) == 5  # null dropped

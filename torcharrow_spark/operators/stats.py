@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["corr_matrix", "histogram", "profile_frame", "take_per_group"]
+__all__ = ["corr_matrix", "grouped_histogram", "histogram", "profile_frame", "take_per_group"]
 
 
 def corr_matrix(df: SDF, cols: _ty.Sequence[str], scale: int = 2) -> SDF:
@@ -195,4 +195,48 @@ def profile_frame(
         F.min("nval").alias("min_val"),
         F.max("nval").alias("max_val"),
         (F.sum("dval").cast("double") / F.count("nval")).alias("mean_val"),
+    )
+
+
+def grouped_histogram(
+    df: SDF,
+    col: str,
+    by: _ty.Sequence[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> SDF:
+    """Per-group fixed-width histogram (one distribution per group
+    value — the faceted-plot / drift-monitoring query).  Same bin
+    semantics as :func:`histogram`; ONE HashAggregate bounded at
+    groups x n_bins rows, and the empty-bin fill is a (distinct
+    groups) x n_bins cross join of two tiny frames — never a pass
+    over the data.  Returns ``(*by, bin, bin_lo, n)``."""
+    if not hi > lo or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    keys = list(by)
+    if not keys:
+        raise ValueError("use histogram() for the ungrouped form")
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col).cast("double") - lo) / width).cast("int")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*keys, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    groups = df.select(*keys).distinct()
+    return (
+        groups.crossJoin(F.broadcast(bins))
+        .join(counts, keys + ["bin"], "left")
+        .select(
+            *keys,
+            "bin",
+            (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias(
+                "bin_lo"
+            ),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
     )

@@ -5213,3 +5213,44 @@ def q124_source_quality_dashboard(spark: SparkSession, sf_dir: str) -> SDF:
         "p50_chars",
         "p95_chars",
     )
+
+
+_GH_W = repr((500000.0 - 0.0) / 10)
+
+
+@query(
+    "q125_grouped_histogram",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority,
+             LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                  / {_GH_W}::DOUBLE)::INT, 0), 9) AS bin,
+             COUNT(*)::BIGINT AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT o_orderpriority, bin
+      FROM (SELECT DISTINCT o_orderpriority FROM orders),
+           (SELECT UNNEST(range(10)) AS bin)
+    )
+    SELECT g.o_orderpriority, g.bin::INT AS bin,
+           0.0::DOUBLE + g.bin::DOUBLE * {_GH_W}::DOUBLE AS bin_lo,
+           COALESCE(c.n, 0)::BIGINT AS n
+    FROM grid g
+    LEFT JOIN c ON c.o_orderpriority = g.o_orderpriority AND c.bin = g.bin
+    """,
+)
+def q125_grouped_histogram(spark: SparkSession, sf_dir: str) -> SDF:
+    """Order-total distribution per order priority (operators/stats.
+    grouped_histogram): the faceted drift-monitoring histogram — one
+    (group x bin)-bounded HashAggregate, empty bins emitted via a
+    tiny groups x bins cross join, identical IEEE bin arithmetic on
+    both engines."""
+    from torcharrow_spark.operators import grouped_histogram
+
+    o = _load(spark, sf_dir, "orders").to_spark()
+    return grouped_histogram(
+        o, "o_totalprice", ["o_orderpriority"], lo=0.0, hi=500000.0,
+        n_bins=10,
+    )
