@@ -179,13 +179,54 @@ def test_prefix_jaccard_equals_direct(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     direct = {
         (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
-        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, mode="direct").collect()
     }
     prefix = {
         (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
         for r in ngram_jaccard_pairs_prefix(docs, threshold=0.3).collect()
     }
     assert direct == prefix and len(direct) > 0
+
+
+def test_jaccard_auto_is_prefix_and_jobfree(spark, monkeypatch):
+    """mode='auto' must (a) pick the prefix plan on a boilerplate-heavy
+    corpus — pair blowup tracks shingle document-frequency, not corpus
+    row count — and (b) trigger ZERO Spark jobs at plan-build time
+    (the r2 row-count guard ran a blocking count() per call)."""
+    from pyspark.sql import DataFrame
+
+    from torcharrow_spark.operators.dedup import (
+        estimate_jaccard_pair_cost,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    # tiny corpus, 90% boilerplate: every doc shares one hot shingle run
+    boiler = "terms of service apply to all users of this site"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i} {i * 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+
+    def _no_jobs(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("plan-time Spark job (count) in auto mode")
+
+    monkeypatch.setattr(DataFrame, "count", _no_jobs)
+    auto_plan = ngram_jaccard_pairs(docs, threshold=0.5, mode="auto")
+    monkeypatch.undo()
+
+    auto = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in auto_plan.collect()}
+    prefix = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs_prefix(docs, threshold=0.5).collect()
+    }
+    assert auto == prefix and len(auto) > 0
+
+    # the measured guard sees the boilerplate: hot shingles dominate cost
+    est = estimate_jaccard_pair_cost(docs, sample_mod=1)
+    assert est["max_df"] == 40  # every doc carries the boilerplate shingles
+    assert est["est_pairs"] >= 40 * 39 / 2  # >= one hot shingle's C(40,2)
+    assert est["sampled_shingles"] > 0
 
 
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):

@@ -253,7 +253,6 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     mode: str = "auto",
-    auto_doc_threshold: int = 50_000,
 ) -> SDF:
     """Exact Jaccard similarity over distinct k-shingles.
 
@@ -264,20 +263,24 @@ def ngram_jaccard_pairs(
     shingle table twice; this shuffles it once, and only shingles shared
     by ≥2 docs survive to the pair stage. |A ∪ B| = |A| + |B| − |A ∩ B|.
     The shingle key is high-cardinality text → even shuffle; BUT a
-    boilerplate shingle shared by m docs costs O(m²) pairs, which is the
-    scale-killer on large/duplicated corpora.
+    boilerplate shingle shared by m docs costs O(m²) pairs — pair blowup
+    is driven by shingle document-frequency, NOT corpus row count, so a
+    10k-doc corpus that is 90% boilerplate still explodes in this mode.
+    Opt in only when the corpus is known small AND low-duplication
+    (measure with `estimate_jaccard_pair_cost` first).
 
     mode='prefix' delegates to `ngram_jaccard_pairs_prefix` (PPJoin-style
     prefix filter — identical output, candidates scale with true
     near-dups instead of Σ C(df, 2)).
 
-    mode='auto' (default) picks 'prefix' when the corpus exceeds
-    `auto_doc_threshold` documents (one cheap count job): measured on the
-    synthetic corpus, direct wins below ~50k docs (fewer shuffles),
-    prefix wins above (candidate blowup dominates). Force 'prefix' for
-    any corpus with heavy boilerplate regardless of size."""
+    mode='auto' (default) is 'prefix': the only plan whose cost is
+    bounded under adversarial duplication, and choosing it requires no
+    plan-time Spark job (a row-count guard both triggers a blocking
+    count() per call and guards the wrong variable). 'direct' is a
+    measured micro-optimization for small trusted corpora, never the
+    default."""
     if mode == "auto":
-        mode = "prefix" if df.count() > auto_doc_threshold else "direct"
+        mode = "prefix"
     if mode == "prefix":
         return ngram_jaccard_pairs_prefix(df, text_col, id_col, shingle_k, threshold)
     sh = _shingles(df, text_col, id_col, shingle_k)
@@ -321,6 +324,47 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def estimate_jaccard_pair_cost(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    sample_mod: int = 64,
+) -> dict:
+    """Measured guard for opting into ``mode='direct'``: estimate the
+    direct plan's pair blowup Σ_shingles C(df, 2) from a deterministic
+    1/``sample_mod`` hash-sample of the *shingle key space* (every doc
+    contributes, so per-shingle document frequencies in the sample are
+    exact, not subsampled — the estimate is unbiased in the keys, not the
+    rows). One small aggregate job; returns
+    ``{'est_pairs': float, 'max_df': int, 'sampled_shingles': int}``.
+    Route to 'direct' only when est_pairs is comfortably small (say
+    < 10M) AND max_df is bounded; otherwise stay on the default prefix
+    plan. This is intentionally NOT wired into mode='auto' — plan
+    construction stays job-free."""
+    sh = _shingles(df, text_col, id_col, shingle_k).select(
+        F.xxhash64(F.col("shingle")).alias("h")
+    )
+    row = (
+        sh.where(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2.0), F.lit(0.0)
+            ).alias("pairs"),
+            F.coalesce(F.max("df"), F.lit(0)).alias("max_df"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    return {
+        "est_pairs": float(row["pairs"]) * sample_mod,
+        "max_df": int(row["max_df"]),
+        "sampled_shingles": int(row["n"]),
+    }
 
 
 def ngram_jaccard_pairs_prefix(

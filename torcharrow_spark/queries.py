@@ -727,16 +727,17 @@ def q20_simhash(spark: SparkSession, sf_dir: str) -> SDF:
     """,
 )
 def q21_ngram_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
-    """Exact 3-shingle Jaccard pairs >= 0.3 via mode='auto'
-    (operators/dedup.py:ngram_jaccard_pairs): the operator picks the
-    direct group-and-pair plan below 50k docs (fewer shuffles — wins at
-    this SF, measured) and the PPJoin-style prefix-filter plan above it
-    (candidate set scales with true near-dups, the 100 TB path; q43
-    oracle-proves the two plans produce identical output)."""
+    """Exact 3-shingle Jaccard pairs >= 0.3 via the direct group-and-pair
+    plan, opted into explicitly (operators/dedup.py:ngram_jaccard_pairs):
+    one shingle shuffle, fewer stages — measured faster at this SF on
+    this low-duplication corpus. mode='auto' defaults to the PPJoin-style
+    prefix-filter plan (q43), whose candidate set scales with true
+    near-dups — the 100 TB path; q43 oracle-proves the two plans produce
+    identical output."""
     from torcharrow_spark.operators import ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents").to_spark()
-    return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3, mode="auto")
+    return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3, mode="direct")
 
 
 # ---------------------------------------------------------------------------
