@@ -1481,23 +1481,72 @@ def q40_tensor_prep(spark: SparkSession, sf_dir: str) -> SDF:
     return _json_arrays(out)
 
 
-@query("q41_bpe_tokenize")  # no oracle: BPE's merge loop is not SQL-expressible
+def _bpe_oracle_sql() -> str:
+    """DuckDB mirror of the toy-BPE token count: every token is wrapped
+    in full '<tok>' delimiters (token-exact matching — a bare separator
+    lets 'Ġ|t' substring-match the PREFIX of token 'the') and the 15
+    merges are applied as rank-ordered sequential replaces
+    ('<a><b>' -> '<ab>'). For this merge list that is EXACTLY the greedy
+    min-rank loop: a pass at rank r can only miss work if some merge
+    creates a pair of rank < r, and the only such pair here is
+    ('Ġt','he') (rank 10, 'he' forms at rank 11) — which requires chars
+    Ġ,t,h,e adjacent, where ('t','h') at rank 0 always preempts in both
+    orders. Token count = number of '<'. The GPT-2 golden-id pytest
+    (tests/test_operators.py) remains the bit-exactness proof for real
+    vocabs; this oracle proves the Spark pipeline end to end on the
+    driver's own corpus."""
+    from torcharrow_spark.functions import BPETokenizer
+
+    tok = BPETokenizer.toy()
+    merges = sorted(tok.ranks, key=tok.ranks.get)
+    s = r"'<Ġ>' || regexp_replace(w, '(.)', '<\1>', 'g')"
+    for a, b in merges:
+        s = f"replace({s}, '<{a}><{b}>', '<{a}{b}>')"
+    count = f"(length({s}) - length(replace({s}, '<', '')))"
+    return f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(string_split(t, ' ')) AS n_words,
+           CAST(list_sum(list_transform(string_split(t, ' '),
+                                        w -> {count})) AS BIGINT) AS n_tokens
+    FROM norm WHERE length(t) > 0
+    """
+
+
+@query("q41_bpe_tokenize", oracle=_bpe_oracle_sql())
 def q41_bpe_tokenize(spark: SparkSession, sf_dir: str) -> SDF:
     """Byte-level BPE tokenization with a deterministic toy vocab
     (functional.bpe_tokenize / functions/bpe.py; reference
-    text/gpt2_bpe_tokenizer.cpp). Driver records the rows-only check."""
+    text/gpt2_bpe_tokenizer.cpp). The text is normalized to lowercase
+    single-spaced words and prefixed with one space, so the GPT-2
+    pretokenizer + byte map turn every word into 'Ġword' and the REAL
+    greedy merge loop runs on every piece; per-doc token counts are then
+    independently reproducible in SQL (see _bpe_oracle_sql), closing
+    r2's permanent `no_oracle` driver row."""
     from torcharrow_spark import me
     from torcharrow_spark import functional as fn
     from torcharrow_spark.functions import BPETokenizer
 
     tok = BPETokenizer.toy()
     docs = _load(spark, sf_dir, "documents")
-    out = docs.select(
+    s = me["text"].str
+    norm = (
+        s.lower()
+        .str.replace("[^a-z ]", "", regex=True)
+        .str.replace(" +", " ", regex=True)
+        .str.strip()
+    )
+    nz = docs.select("doc_id", t=norm).where(me["t"].str.length() > 0)
+    return nz.select(
         "doc_id",
-        tokens=fn.bpe_tokenize(tok, me["text"]),
-        n_tokens=fn.bpe_tokenize(tok, me["text"]).list.length(),
+        n_words=me["t"].str.split(" ").list.length(),
+        n_tokens=fn.bpe_tokenize(tok, " " + me["t"]).list.length(),
     ).to_spark()
-    return _json_arrays(out)
 
 
 def _lsh_bucket_sql(n_planes: int) -> str:
