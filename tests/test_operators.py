@@ -1113,6 +1113,35 @@ def test_binned_cdf_monotone_and_accurate(spark):
     assert len(got) == 1 and got[0]["x_cdf"] is None
 
 
+def test_binned_ops_constant_column_ansi_safe(spark):
+    """hi==lo (constant column): width 0 must never reach a division —
+    under ANSI (Spark 4 default for user sessions) 0/0 throws instead of
+    yielding the NaN the non-ANSI path silently floor-casts. Quantiles
+    of a constant are the constant; CDF is 0 (all ties, percent_rank
+    semantics)."""
+    from torcharrow_spark.operators import (
+        binned_cdf,
+        binned_quantile,
+        grouped_binned_quantile,
+    )
+
+    df = spark.createDataFrame([(7.5,)] * 40, "x double")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        bq = binned_quantile(df, "x", [0.1, 0.5, 0.9]).collect()
+        assert {r["q"] for r in bq} == {0.1, 0.5, 0.9}
+        assert all(r["value"] == 7.5 for r in bq)
+        cdf = binned_cdf(df, "x").select("x_cdf").collect()
+        assert all(r["x_cdf"] == 0.0 for r in cdf)
+        g = spark.createDataFrame([("a", 1.0)] * 5 + [("b", 2.0)] * 5,
+                                  "g string, x double")
+        gq = grouped_binned_quantile(g, "x", [0.5], by=["g"]).collect()
+        assert {(r["g"], r["value"]) for r in gq} == {("a", 1.0), ("b", 2.0)}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_similarity_join_cross_side_only(spark):
     from torcharrow_spark.operators import ngram_jaccard_pairs, similarity_join
 
@@ -1185,6 +1214,16 @@ def test_grouped_heavy_hitters(spark):
         assert got[("de", "der")] == (5, 0.5)
         assert got[("en", "the")][0] == 60
 
+    # NULL group keys form a real group (null-safe joins end to end),
+    # and non-string keys keep their original type in the output
+    rows2 = [(1, "hot")] * 8 + [(1, "z")] * 2 + [(None, "nil")] * 9 + [(None, "w")]
+    df2 = spark.createDataFrame(rows2, "g int, w string")
+    got2 = {(r["g"], r["value"]): (r["cnt"], round(r["frac"], 6)) for r in
+            grouped_heavy_hitters(df2.repartition(4), "w", 0.5, ["g"]).collect()}
+    assert got2 == {(1, "hot"): (8, 0.8), (None, "nil"): (9, 0.9)}, got2
+    out_schema = grouped_heavy_hitters(df2, "w", 0.5, ["g"]).schema
+    assert out_schema["g"].dataType.simpleString() == "int"
+
 
 def test_equi_depth_buckets(spark):
     from pyspark.sql import functions as F
@@ -1225,6 +1264,17 @@ def test_profile_frame(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         profile_frame(df, ["nope"])
+
+    # large-magnitude values: a 20-digit double fits decimal(38,2)'s
+    # exact sum (18,2 silently nulled it out of the sum while the
+    # denominator still counted it -> skewed mean)
+    big = spark.createDataFrame([(1e19,), (3e19,)], "x double")
+    prof_big = {r["column"]: r for r in profile_frame(big).collect()}
+    assert prof_big["x"]["mean_val"] == 2e19
+    # beyond even decimal(38): mean surfaces as NULL, never silently wrong
+    huge = spark.createDataFrame([(1e40,), (2.0,)], "x double")
+    prof_huge = {r["column"]: r for r in profile_frame(huge).collect()}
+    assert prof_huge["x"]["mean_val"] is None
 
 
 def test_bloom_no_false_negatives_and_prefilter(spark):
@@ -1299,6 +1349,28 @@ def test_write_parquet_compaction(spark, tmp_path):
     assert len(files) == 2
     back = ts.read_parquet(p, spark)
     assert back.to_spark().count() == 100
+
+    # partitioned compaction: a hot partition value fans out across up
+    # to num_files files (salted shuffle), it is NOT serialized into a
+    # single task/file per directory. AQE would re-coalesce these tiny
+    # test partitions (at scale that only merges SMALL dirs — hot dirs
+    # keep their fan-out); disable it to observe the salt mechanism.
+    p2 = str(tmp_path / "compact_part")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        write_parquet(df, p2, partition_by=["g"], num_files=2)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    for d in ("g=0", "g=1"):
+        fs = [f for f in os.listdir(os.path.join(p2, d))
+              if f.endswith(".parquet")]
+        assert 1 <= len(fs) <= 2, (d, fs)
+    both = [f for d in ("g=0", "g=1")
+            for f in os.listdir(os.path.join(p2, d)) if f.endswith(".parquet")]
+    assert len(both) >= 3  # at least one directory actually fanned out
+    back2 = ts.read_parquet(p2, spark)
+    assert back2.to_spark().count() == 100
 
 
 def test_robust_scaled(spark):

@@ -381,3 +381,20 @@ def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(dest).count() == ev.count()
+
+    # failure replay: foreachBatch may re-invoke a batch id after a
+    # partial write. Simulate by polluting batch 0's directory, then
+    # replaying from a FRESH checkpoint (batch 0 re-runs): the
+    # overwrite-by-batch_id landing must replace the partial state,
+    # not append to it.
+    ev.limit(7).write.mode("append").parquet(f"{dest}/batch_id=0")
+    assert spark.read.parquet(dest).count() == ev.count() + 7  # polluted
+    q3 = stream_to_parquet(spark, src, ev.schema, dest, str(tmp_path / "ckpt2"),
+                           dedup_keys=["event_id"], query_name="t_sink3")
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    landed3 = spark.read.parquet(dest)
+    assert landed3.count() == ev.count()
+    assert landed3.drop("batch_id").schema == spark.read.parquet(src).schema

@@ -293,12 +293,17 @@ def binned_quantile(
             F.lit(float(hi)).alias("__hi__"),
         )
     w = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
-    bin_ = F.least(
-        F.greatest(
-            F.floor((F.col("__v__") - F.col("__lo__")) / w).cast("int"),
-            F.lit(0),
-        ),
-        F.lit(n_bins - 1),
+    # degenerate hi==lo (single-value column): width 0 would divide by
+    # zero — NaN->int only "works" under non-ANSI; guard like the
+    # grouped form so a user-supplied ANSI session is safe too
+    bin_ = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("__v__") - F.col("__lo__")) / w).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
     )
     hist = base.groupBy(
         bin_.alias("bin"), F.col("__lo__"), F.col("__hi__")
@@ -324,9 +329,9 @@ def binned_quantile(
         F.greatest(F.col("q") * F.col("__total__"), F.lit(1.0)),
         F.col("__total__").cast("double"),
     )
-    est = F.col("__lo__") + width * (
-        F.col("bin")
-        + (r - F.col("cum_before")) / F.col("n")
+    est = F.when(F.col("__hi__") == F.col("__lo__"), F.col("__lo__")).otherwise(
+        F.col("__lo__")
+        + width * (F.col("bin") + (r - F.col("cum_before")) / F.col("n"))
     )
     return (
         hist.select("*", qcol)
@@ -393,12 +398,15 @@ def binned_cdf(
     )
     b = base.crossJoin(F.broadcast(mm))
     w = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
-    bin_ = F.least(
-        F.greatest(
-            F.floor((F.col("__v__") - F.col("__lo__")) / w).cast("int"),
-            F.lit(0),
-        ),
-        F.lit(n_bins - 1),
+    # hi==lo guard (constant column): ANSI-safe, everything in bin 0
+    bin_ = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("__v__") - F.col("__lo__")) / w).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
     )
     hist = b.groupBy(bin_.alias("__bin__")).agg(
         F.count(F.lit(1)).alias("__bn__")
@@ -415,21 +423,27 @@ def binned_cdf(
             "__bin__",
             F.when(
                 c.isNotNull(),
-                F.least(
-                    F.greatest(
-                        F.floor((c - F.col("__lo__")) / w).cast("int"),
-                        F.lit(0),
-                    ),
-                    F.lit(n_bins - 1),
+                F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
+                    F.least(
+                        F.greatest(
+                            F.floor((c - F.col("__lo__")) / w).cast("int"),
+                            F.lit(0),
+                        ),
+                        F.lit(n_bins - 1),
+                    )
                 ),
             ),
         )
         .join(F.broadcast(hist), "__bin__", "left")
     )
-    frac = F.least(
-        F.greatest((c - (F.col("__lo__") + F.col("__bin__") * w)) / w,
-                   F.lit(0.0)),
-        F.lit(1.0),
+    # constant column: frac 0 -> cdf 0 for every row, matching
+    # percent_rank's all-ties result (and no 0/0 under ANSI)
+    frac = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0.0)).otherwise(
+        F.least(
+            F.greatest((c - (F.col("__lo__") + F.col("__bin__") * w)) / w,
+                       F.lit(0.0)),
+            F.lit(1.0),
+        )
     )
     cdf = (F.col("__cumb__") + frac * F.col("__bn__")) / F.col("__n__")
     return enriched.withColumn(

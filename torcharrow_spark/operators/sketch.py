@@ -27,6 +27,7 @@ this is the Spark-first, oracle-reproducible equivalent.
 
 from __future__ import annotations
 
+import functools
 import typing as _ty
 
 from pyspark.sql import DataFrame as SDF
@@ -293,17 +294,26 @@ def grouped_heavy_hitters(
     within that group's rows of some partition), so per-partition
     counting emits a per-group candidate superset, and one bounded
     aggregate over candidates + a per-group total join make the final
-    filter exact.  Returns ``(*by, value, cnt, frac)``."""
+    filter exact.  Returns ``(*by, value, cnt, frac)`` with the group
+    keys in their ORIGINAL types; NULL group keys form a group like
+    any other (all joins are null-safe — plain equality would silently
+    drop every NULL-keyed row between the candidate and total
+    joins)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     keys = list(by)
     if not keys:
         raise ValueError("use heavy_hitters() for the ungrouped form")
+    # string shadow keys feed the pandas candidate pass (stable Arrow
+    # schema regardless of key types); original keys ride along for the
+    # exact phase and the output
+    shadows = [f"__k{i}__" for i in range(len(keys))]
     vals = df.select(
-        *[F.col(k).cast("string").alias(k) for k in keys],
+        *keys,
+        *[F.col(k).cast("string").alias(s) for k, s in zip(keys, shadows)],
         F.col(value_col).cast("string").alias("value"),
     )
-    out_schema = ", ".join([f"`{k}` string" for k in keys] + ["value string"])
+    out_schema = ", ".join([f"`{s}` string" for s in shadows] + ["value string"])
 
     def _local_heavy(batches):
         import pandas as pd
@@ -311,7 +321,7 @@ def grouped_heavy_hitters(
         counts: dict = {}
         totals: dict = {}
         for pdf in batches:
-            gv = pdf.groupby(keys, dropna=False, sort=False)
+            gv = pdf.groupby(shadows, dropna=False, sort=False)
             for g, sub in gv:
                 gt = g if isinstance(g, tuple) else (g,)
                 totals[gt] = totals.get(gt, 0) + len(sub)
@@ -322,19 +332,39 @@ def grouped_heavy_hitters(
             for (gt, v), c in counts.items()
             if c >= threshold * totals[gt]
         ]
-        yield pd.DataFrame(rows, columns=keys + ["value"], dtype="object")
+        # pandas groupby surfaces NULL keys as NaN — normalize back
+        rows = [tuple(None if x != x else x for x in r) for r in rows]
+        yield pd.DataFrame(rows, columns=shadows + ["value"], dtype="object")
 
-    candidates = vals.mapInPandas(_local_heavy, out_schema).distinct()
+    candidates = (
+        vals.select(*shadows, "value").mapInPandas(_local_heavy, out_schema)
+        .distinct()
+        .alias("c")
+    )
+    v = vals.alias("v")
+    semi_cond = [
+        F.col(f"v.{s}").eqNullSafe(F.col(f"c.{s}")) for s in shadows
+    ] + [F.col("v.value") == F.col("c.value")]
+    survivors = v.join(
+        F.broadcast(candidates),
+        functools.reduce(lambda a, b: a & b, semi_cond),
+        "left_semi",
+    )
+    counts = survivors.groupBy(*keys, F.col("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     totals = vals.groupBy(*keys).agg(F.count(F.lit(1)).alias("__total__"))
+    tot_cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"n.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys],
+    )
     return (
-        vals.join(F.broadcast(candidates), keys + ["value"], "left_semi")
-        .groupBy(*keys, F.col("value"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(totals, keys)
+        counts.alias("n")
+        .join(totals.alias("t"), tot_cond)
         .where(F.col("cnt") >= F.lit(threshold) * F.col("__total__"))
         .select(
-            *keys,
-            "value",
+            *[F.col(f"n.{k}").alias(k) for k in keys],
+            F.col("n.value").alias("value"),
             "cnt",
             (F.col("cnt").cast("double") / F.col("__total__")).alias("frac"),
         )

@@ -170,7 +170,12 @@ def profile_frame(
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType, T.DecimalType,
     )
-    dec = f"decimal(18,{decimals})"
+    # decimal(38,·): the widest Spark decimal — integer parts up to
+    # 38-decimals digits sum exactly (partition-invariant); anything
+    # wider nulls out per-value and is SURFACED as a null mean below,
+    # never silently skipped (decimal(18,·) dropped >16-digit values
+    # from the sum while the denominator still counted them)
+    dec = f"decimal(38,{decimals})"
     melted = []
     for c in cols:
         if c not in fields:
@@ -194,7 +199,10 @@ def profile_frame(
         F.count_distinct("sval").alias("n_distinct"),
         F.min("nval").alias("min_val"),
         F.max("nval").alias("max_val"),
-        (F.sum("dval").cast("double") / F.count("nval")).alias("mean_val"),
+        F.when(
+            F.count("dval") == F.count("nval"),
+            F.sum("dval").cast("double") / F.count("nval"),
+        ).alias("mean_val"),
     )
 
 

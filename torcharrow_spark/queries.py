@@ -4790,7 +4790,7 @@ def _profile_oracle() -> str:
         if is_num:
             mn = f"MIN(CAST({c} AS DOUBLE))"
             mx = f"MAX(CAST({c} AS DOUBLE))"
-            mean = (f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+            mean = (f"CAST(SUM(CAST({c} AS DECIMAL(38,2))) AS DOUBLE)"
                     f" / COUNT({c})")
         else:
             mn = mx = mean = "CAST(NULL AS DOUBLE)"

@@ -141,19 +141,42 @@ def dataframe(data, dtype: dt.Struct | None = None, columns: _ty.List[str] | Non
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: _ty.List[str] | None = None,
                   num_files: int | None = None) -> None:
-    """Parquet sink.  ``num_files`` compacts the output to that many
-    files (per partition directory when ``partition_by`` is set) — the
+    """Parquet sink.  ``num_files`` compacts the output — the
     small-files fix for downstream scans: a 100 TB table written from
     tens of thousands of tasks otherwise lands as tens of thousands of
     tiny files whose open/footer costs dominate re-reads.  Compaction
     uses repartition (a shuffle) — size num_files so each file lands
-    near the 128 MB-1 GB sweet spot."""
+    near the 128 MB-1 GB sweet spot.
+
+    Without ``partition_by``: exactly ``num_files`` output files.
+    With ``partition_by``: UP TO ``num_files`` files per partition
+    directory — rows are shuffled on (partition columns + a bounded
+    row-hash salt in [0, num_files)), so every (directory, salt) combo
+    lands in one task and a hot partition value still fans out across
+    ``num_files`` writers instead of serializing into a single skewed
+    task (repartitioning on the partition columns alone would collide
+    all of a directory's rows into one task -> one file per directory
+    and num_files-task skew)."""
+    from pyspark.sql import functions as F
+
     sdf = df.to_spark()
     if num_files is not None:
         if num_files < 1:
             raise ValueError("num_files must be >= 1")
-        sdf = (sdf.repartition(num_files, *partition_by)
-               if partition_by else sdf.repartition(num_files))
+        if partition_by:
+            rest = [c for c in sdf.columns if c not in set(partition_by)]
+            if num_files > 1 and rest:
+                salt = F.pmod(F.xxhash64(*[F.col(c) for c in rest]),
+                              F.lit(num_files))
+                sdf = (
+                    sdf.withColumn("__salt__", salt)
+                    .repartition(*partition_by, "__salt__")
+                    .drop("__salt__")
+                )
+            else:
+                sdf = sdf.repartition(*partition_by)
+        else:
+            sdf = sdf.repartition(num_files)
     w = sdf.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -476,21 +476,28 @@ def stream_to_parquet(
     """Production sink pattern: land a stream into a parquet table via
     ``foreachBatch`` — each micro-batch is a normal batch DataFrame,
     so arbitrary batch logic (dedup against keys, compaction, merges)
-    runs inside the sink while the CHECKPOINT provides exactly-once
-    batch tracking: a restarted query re-runs only unacknowledged
-    batches (foreachBatch may re-invoke a batch id on failure — the
-    in-batch dedup keeps the landing idempotent for keyed data).
+    runs inside the sink, and the landing is EXACTLY-ONCE: each batch
+    is written to its own ``batch_id=<n>`` partition directory with
+    mode('overwrite'), so a batch re-invoked after a partial/failed
+    write (foreachBatch's at-least-once contract) replaces its own
+    directory instead of appending duplicates. foreachBatch replays a
+    batch id with identical contents, so overwrite-by-batch-id makes
+    the replay a no-op — a bare ``mode('append')`` sink here would be
+    at-least-once only. Readers of ``dest_path`` see a ``batch_id``
+    partition column (standard Hive-style layout; prune or drop it).
 
-    Scale notes: append-mode parquet writes are per-partition files
-    (no driver bottleneck); per-batch ``dropDuplicates`` dedups
-    WITHIN the batch (cheap, bounded by the trigger size) — cross-
-    batch exact dedup belongs to ``dedup_stream`` (watermark-bounded
-    state) or a downstream compaction over the landed table."""
+    Scale notes: parquet writes are per-partition files (no driver
+    bottleneck); per-batch ``dropDuplicates`` dedups WITHIN the batch
+    (cheap, bounded by the trigger size) — cross-batch exact dedup
+    belongs to ``dedup_stream`` (watermark-bounded state) or a
+    downstream compaction over the landed table."""
     stream = spark.readStream.schema(schema).parquet(src_path)
 
     def _sink(batch_df, batch_id: int) -> None:
         out = batch_df.dropDuplicates(dedup_keys) if dedup_keys else batch_df
-        out.write.mode("append").parquet(dest_path)
+        # idempotent landing: overwrite is scoped to this batch's own
+        # partition directory, never the table
+        out.write.mode("overwrite").parquet(f"{dest_path}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(_sink)
