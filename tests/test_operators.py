@@ -1517,3 +1517,112 @@ def test_grouped_histogram(spark):
     assert out[("b", 4)][1] == 1                # 9.5
     assert out[("b", 0)][1] == 1                # -3.0 clamps into bin 0
     assert sum(n for _, n in out.values()) == 5  # null dropped
+
+
+# ---------------------------------------------------------------------------
+# real image codecs (imagecodec.py) + real multimodal decode paths
+
+
+def _test_image(w=13, h=7, channels=3, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, channels), dtype="uint8")
+
+
+def test_png_roundtrip_all_filters():
+    """encode with each spec filter type (None/Sub/Up/Average/Paeth) and
+    decode back bit-exactly — exercises every unfilter branch."""
+    import numpy as np
+
+    from torcharrow_spark.operators.imagecodec import decode_png, encode_png
+
+    for channels in (1, 3, 4):
+        img = _test_image(channels=channels)
+        for ft in range(5):
+            w, h, out = decode_png(encode_png(img, filter_type=ft))
+            assert (w, h) == (13, 7)
+            assert np.array_equal(out, img), (channels, ft)
+
+
+def test_bmp_ppm_roundtrip_and_dispatch():
+    import numpy as np
+
+    from torcharrow_spark.operators.imagecodec import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+        sniff_format,
+    )
+
+    img = _test_image(w=5, h=4)  # width 5 -> BMP rows need padding
+    for enc, fmt in ((encode_bmp, "bmp"), (encode_ppm, "ppm")):
+        data = enc(img)
+        assert sniff_format(data) == fmt
+        w, h, out = decode_image(data)
+        assert (w, h) == (5, 4) and np.array_equal(out, img)
+
+    # P3 ascii variant
+    from torcharrow_spark.operators.imagecodec import decode_ppm
+
+    p3 = b"P3\n# comment\n2 2\n255\n" + " ".join(
+        str(v) for v in img[:2, :2].flatten()
+    ).encode()
+    w, h, out = decode_ppm(p3)
+    assert (w, h) == (2, 2) and np.array_equal(out, img[:2, :2])
+
+    # nearest resize: exact index-gather semantics
+    rs = resize_nearest(img, 10, 2)
+    assert rs.shape == (2, 10, 3)
+    assert np.array_equal(rs[0, 0], img[0, 0])
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_image(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_decode_image_stats_and_real_resize(spark):
+    """The REAL multimodal path end to end on Spark: build PNGs in a
+    deterministic fixture column, decode with fake=False, verify exact
+    pixel sums; then resize and decode the resized PPM output."""
+    import numpy as np
+
+    from torcharrow_spark.operators import (
+        decode_features,
+        decode_image_stats,
+        resize_media,
+    )
+    from torcharrow_spark.operators.imagecodec import decode_ppm, encode_png
+
+    imgs = {i: _test_image(w=6 + i, h=5 + i, seed=i) for i in range(4)}
+    rows = [(i, bytearray(encode_png(im, filter_type=i % 5)))
+            for i, im in imgs.items()] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, img binary").repartition(3)
+
+    got = {r["doc_id"]: r for r in decode_image_stats(df, "img", "doc_id").collect()}
+    for i, im in imgs.items():
+        r = got[i]
+        assert (r["width"], r["height"], r["fmt"]) == (6 + i, 5 + i, "png")
+        assert r["px_sum"] == int(im.astype("int64").sum())
+        assert r["n_px"] == im.size
+    assert got[99]["px_sum"] is None
+
+    feats = {r["doc_id"]: r for r in
+             decode_features(df, "img", "doc_id").collect()}
+    f0 = feats[0]["features"]
+    assert f0[0] == 6.0 and f0[1] == 5.0 and f0[2] == 3.0
+    assert abs(f0[3] - imgs[0].mean()) < 1e-3  # float32 feature
+
+    rs = {r["doc_id"]: r for r in
+          resize_media(df, "img", "doc_id", 8, 8).collect()}
+    for i, im in imgs.items():
+        meta = rs[i]["meta"]
+        assert (meta["width"], meta["height"], meta["format"]) == (8, 8, "ppm")
+        w, h, out = decode_ppm(bytes(rs[i]["resized"]))
+        assert (w, h) == (8, 8)
+        ys = (np.arange(8) * im.shape[0]) // 8
+        xs = (np.arange(8) * im.shape[1]) // 8
+        assert np.array_equal(out, im[ys][:, xs])
+    assert rs[99]["resized"] is None

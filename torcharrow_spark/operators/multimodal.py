@@ -2,11 +2,11 @@
 with typed metadata, processed through Arrow-batched pandas iterators.
 
 The Spark-side design is real and tested — schemas, partitioning, UDF
-signatures, batch shapes. The actual media decode is STUBBED (the
-image/audio libraries are not in this container): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder derived from the byte content stands in, so the distributed
-plumbing can be exercised end-to-end.
+signatures, batch shapes. Image decode is REAL for png/bmp/ppm via the
+pure-stdlib codecs in :mod:`imagecodec` (fake=False is the default
+executable path); `fake=True` remains as a deterministic byte-derived
+stand-in for formats without an in-container decoder (jpeg, audio,
+video frames).
 
 At 100 TB: media bytes stay columnar in parquet; mapInPandas streams
 Arrow batches through Python once, and feature outputs are small numeric
@@ -61,6 +61,28 @@ def _fake_decode(data: bytes) -> _ty.Tuple[int, int, list]:
     return w, h, feats
 
 
+def _real_features(data: bytes):
+    """Decode via imagecodec and project an 8-dim stats vector:
+    [w, h, channels, mean, std, min, max, n_px] — small numeric outputs
+    so the heavy bytes never leave the scan."""
+    import numpy as np
+
+    from .imagecodec import decode_image
+
+    w, h, px = decode_image(data)
+    flat = px.astype(np.float64)
+    return w, h, [
+        float(w),
+        float(h),
+        float(px.shape[2]),
+        float(flat.mean()),
+        float(flat.std()),
+        float(flat.min()),
+        float(flat.max()),
+        float(w * h),
+    ]
+
+
 def decode_features(
     df: SDF,
     bytes_col: str,
@@ -71,8 +93,11 @@ def decode_features(
     """Decode media bytes -> (id, width, height, features: array<float>)
     via mapInPandas: one Python pass per partition, Arrow-batched.
 
-    With fake=False this raises NotImplementedError at executor time —
-    plug in a real decoder (PIL/torchvision/ffmpeg) in its place."""
+    fake=False (default) REALLY decodes png/bmp/ppm with the pure-stdlib
+    codecs (imagecodec.py) and emits an 8-dim stats feature vector;
+    unsupported formats raise ValueError at executor time — swap a SIMD
+    decoder (PIL/torchvision) into the same slot for jpeg etc.
+    fake=True keeps the deterministic byte-derived stand-in."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -92,16 +117,62 @@ def decode_features(
                 if data is None:
                     ids.append(i), ws.append(None), hs.append(None), fs.append(None)
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "media decode requires an image/audio library not in "
-                        "this container; pass fake=True for the deterministic stub"
-                    )
-                w, h, feats = _fake_decode(bytes(data))
+                if fake:
+                    w, h, feats = _fake_decode(bytes(data))
+                else:
+                    w, h, feats = _real_features(bytes(data))
                 ids.append(i), ws.append(w), hs.append(h), fs.append(feats)
             yield pd.DataFrame({id_col: ids, "width": ws, "height": hs, "features": fs})
 
     return src.mapInPandas(decode_iter, out_schema)
+
+
+def decode_image_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
+    """REAL image decode -> exact pixel statistics:
+    ``(id, width, height, fmt, n_px, px_sum, px_mean)``.
+
+    The integer ``px_sum`` over all decoded samples makes the decode
+    independently verifiable (a checksum an external system — or the
+    driver's SQL oracle — can reproduce arithmetically for synthetic
+    images); mapInPandas streams Arrow batches, outputs are tiny."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("fmt", T.StringType(), True),
+            T.StructField("n_px", T.LongType(), True),
+            T.StructField("px_sum", T.LongType(), True),
+            T.StructField("px_mean", T.DoubleType(), True),
+        ]
+    )
+    src = df.select(id_col, bytes_col)
+
+    def stats_iter(batches):
+        import pandas as pd
+
+        from .imagecodec import decode_image, sniff_format
+
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    rows.append((i, None, None, None, None, None, None))
+                    continue
+                b = bytes(data)
+                w, h, px = decode_image(b)
+                total = int(px.astype("int64").sum())
+                n = int(px.size)
+                rows.append(
+                    (i, w, h, sniff_format(b), n, total, total / n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "fmt", "n_px", "px_sum",
+                         "px_mean"],
+            )
+
+    return src.mapInPandas(stats_iter, out_schema)
 
 
 def frame_sample_plan(
@@ -134,11 +205,11 @@ def resize_media(
     meta struct) via mapInPandas — binary in, binary out, metadata updated,
     one Arrow-batched Python pass, no shuffle.
 
-    The resample kernel itself is STUBBED (no imaging library in this
-    container): fake=True produces deterministic bytes whose length is
-    target_w*target_h*3//256 so batch shapes and downstream schemas are
-    exercised for real; fake=False raises NotImplementedError at executor
-    time — swap in PIL/torchvision there."""
+    fake=False (default) REALLY resizes: png/bmp/ppm decode
+    (imagecodec.py), vectorized nearest-neighbor resample, re-encode as
+    P6 PPM (deterministic, bit-exact, library-free); unsupported input
+    formats raise ValueError at executor time. fake=True keeps the
+    deterministic byte-stub for formats without an in-container decoder."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -151,6 +222,8 @@ def resize_media(
     def resize_iter(batches):
         import pandas as pd
 
+        from .imagecodec import decode_image, encode_ppm, resize_nearest
+
         for pdf in batches:
             ids, outs, metas = [], [], []
             for i, data in zip(pdf[id_col], pdf[bytes_col]):
@@ -162,17 +235,19 @@ def resize_media(
                          "n_bytes": 0, "format": None}
                     )
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "media resize requires an imaging library not in this "
-                        "container; pass fake=True for the deterministic stub"
-                    )
-                n = target_w * target_h * 3 // 256
-                seed = (len(data) * 2654435761) % 256
-                outs.append(bytes((seed + j) % 256 for j in range(n)))
+                if fake:
+                    n = target_w * target_h * 3 // 256
+                    seed = (len(data) * 2654435761) % 256
+                    out = bytes((seed + j) % 256 for j in range(n))
+                    fmt = "raw"
+                else:
+                    _, _, px = decode_image(bytes(data))
+                    out = encode_ppm(resize_nearest(px, target_w, target_h))
+                    fmt = "ppm"
+                outs.append(out)
                 metas.append(
                     {"media_type": "image", "width": target_w, "height": target_h,
-                     "n_bytes": n, "format": "raw"}
+                     "n_bytes": len(out), "format": fmt}
                 )
             yield pd.DataFrame({id_col: ids, "resized": outs, "meta": metas})
 

@@ -5304,3 +5304,61 @@ def q125_grouped_histogram(spark: SparkSession, sf_dir: str) -> SDF:
         o, "o_totalprice", ["o_orderpriority"], lo=0.0, hi=500000.0,
         n_bins=10,
     )
+
+
+@query(
+    "q126_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           (4 + doc_id % 13)::INT AS width,
+           (4 + doc_id % 7)::INT AS height,
+           'png' AS fmt,
+           ((4 + doc_id % 13) * (4 + doc_id % 7) * 3)::BIGINT AS n_px,
+           CAST(list_sum(list_transform(
+                 range(0, (4 + doc_id % 13) * (4 + doc_id % 7) * 3),
+                 j -> (doc_id * 31 + j * 7) % 256)) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(
+                 range(0, (4 + doc_id % 13) * (4 + doc_id % 7) * 3),
+                 j -> (doc_id * 31 + j * 7) % 256)) AS DOUBLE)
+             / ((4 + doc_id % 13) * (4 + doc_id % 7) * 3) AS px_mean
+    FROM documents
+    """,
+)
+def q126_multimodal_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    """REAL image decode on Spark (operators/multimodal.decode_image_stats
+    + operators/imagecodec — pure-stdlib PNG decoder, all 5 filter
+    types): a deterministic PNG is synthesized per document (pixel j =
+    (doc_id*31 + j*7) % 256, filter type rotating over doc_id % 5 so
+    every unfilter branch runs), decoded fake=False through the
+    mapInPandas plumbing, and the exact pixel checksum is reproduced
+    arithmetically by the SQL oracle — closing r2's 'decode kernels are
+    stubs' gap."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import decode_image_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from torcharrow_spark.operators.imagecodec import encode_png
+
+        for pdf in batches:
+            ids, imgs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 4 + d % 7
+                flat = (d * 31 + np.arange(w * h * 3, dtype=np.int64) * 7) % 256
+                img = flat.astype(np.uint8).reshape(h, w, 3)
+                ids.append(d)
+                imgs.append(bytearray(encode_png(img, filter_type=d % 5)))
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("img", T.BinaryType(), True)]
+    )
+    with_png = docs.mapInPandas(_synth, schema)
+    return decode_image_stats(with_png, "img", "doc_id")
