@@ -1626,3 +1626,54 @@ def test_decode_image_stats_and_real_resize(spark):
         xs = (np.arange(8) * im.shape[1]) // 8
         assert np.array_equal(out, im[ys][:, xs])
     assert rs[99]["resized"] is None
+
+
+def test_lsh_bucket_occupancy_follows_sizing_rule(spark, sf_dir):
+    """The documented rule n_planes ≈ log2(corpus/target_bucket): with
+    md5-derived hyperplanes the 2^n_planes buckets must actually spread
+    the corpus — no bucket should hold more than a small multiple of the
+    expected corpus/2^n_planes occupancy (a broken hash would funnel
+    everything into one bucket and re-quadratize cosine_pairs)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.similarity import _infer_dim, lsh_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    n_planes = 4
+    dim = _infer_dim(emb, "embedding")
+    occ = (
+        emb.select(lsh_bucket(F.col("embedding"), n_planes, dim).alias("b"))
+        .groupBy("b").count().collect()
+    )
+    n_buckets = len(occ)
+    biggest = max(r["count"] for r in occ)
+    expected = n / 2 ** n_planes
+    assert n_buckets >= 2 ** n_planes // 2  # most buckets populated
+    # embeddings are clustered (synthetic near-dups), so allow a wide
+    # multiple — the failure mode being guarded is one mega-bucket
+    assert biggest <= 8 * expected, (biggest, expected)
+
+
+def test_driver_bound_guards(spark):
+    """GroupedDataFrame.__iter__ and Column.reduce must refuse silent
+    large driver pulls (opt-in via iter_groups(max_groups)/max_rows)."""
+    import pytest as _pt
+
+    import torcharrow_spark as ts
+
+    d = ts.dataframe({"g": list(range(50)), "x": list(range(50))}, spark=spark)
+    # small: plain iteration works
+    got = dict(iter(d.groupby(["g"])))
+    assert len(got) == 50
+    # tight explicit cap: raises
+    with _pt.raises(ValueError, match="distinct keys"):
+        list(d.groupby(["g"]).iter_groups(max_groups=10))
+    # opt-out works
+    assert len(list(d.groupby(["g"]).iter_groups(max_groups=None))) == 50
+
+    col = d["x"]
+    assert col.reduce(lambda a, b: a + b) == sum(range(50))
+    with _pt.raises(ValueError, match="streamed"):
+        col.reduce(lambda a, b: a + b, max_rows=10)
+    assert col.reduce(lambda a, b: a + b, max_rows=None) == sum(range(50))

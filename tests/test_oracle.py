@@ -37,3 +37,41 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_driver_window_coverage():
+    """The first 50 queries (the driver's hash window) must span every
+    SURVEY §2 section and every LLM-pipeline operator cluster — r2's
+    window stopped at q01-q50 and left all wave-2 operators without a
+    driver row."""
+    from torcharrow_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES
+
+    names = list(QUERIES)
+    assert names[:50] == DRIVER_WINDOW
+    assert all(n in ORACLES for n in DRIVER_WINDOW)
+    window = set(DRIVER_WINDOW)
+    # one representative per §2 section / LLM cluster
+    must_have = {
+        "q01_pricing_summary",    # §2.6 aggregation
+        "q02_select_where",       # §2.2 projection
+        "q31_map_udf",            # §2.3 functional
+        "q03_join_topk",          # §2.4/§2.5 joins+topk
+        "q07_arith_semantics",    # §2.7
+        "q08_string_ops",         # §2.8
+        "q09_list_ops",           # §2.9/§2.10
+        "q06_null_ops",           # §2.11
+        "q27_rec_ops",            # §2.13
+        "q16_event_windows",      # §2.14 streaming
+        "q54_interop_roundtrip",  # §2.1 interop
+        "q18_exact_dedup", "q19_minhash_pairs", "q46_simhash_pairs",
+        "q43_jaccard_prefix", "q58_near_dup_clusters",
+        "q86_strip_duplicate_spans", "q87_contamination",
+        "q42_cosine_dedup", "q44_ann_ivf", "q123_quantize_embeddings",
+        "q67_kmeans", "q24_text_stats", "q72_redact_pii",
+        "q76_chunk_documents", "q79_dedup_lines", "q80_hll_distinct",
+        "q84_count_min", "q105_heavy_hitters", "q71_deterministic_sampling",
+        "q110_grouped_quantiles", "q121_pack_documents",
+        "q126_multimodal_decode", "q68_tfidf_top_terms", "q82_funnel",
+        "q98_market_share", "q41_bpe_tokenize",
+    }
+    assert must_have <= window, must_have - window

@@ -545,14 +545,18 @@ class Column:
         owner, name = self._named_owner("filter")
         return owner.filter(predicate, columns=[name])
 
-    def reduce(self, fun, initializer=None, finalizer=None):
+    def reduce(self, fun, initializer=None, finalizer=None,
+               max_rows: int | None = 1_000_000):
         """Sequential binary fold to one scalar with an arbitrary Python
         fn (reference icolumn.py:729-770). Inherently order-dependent and
         driver-bound: values stream one partition at a time via
         toLocalIterator (bounded memory, never a full collect), folded in
         construction order when the owning frame carries its index. Not a
         distributed aggregate — use the built-in aggs (sum/min/...) in
-        hot paths; this exists for API parity with arbitrary folds."""
+        hot paths; this exists for API parity with arbitrary folds.
+        Guarded: streaming past ``max_rows`` raises instead of silently
+        folding an unbounded dataset through the driver one row at a
+        time — pass ``max_rows=None`` to opt in explicitly."""
         owner, name = self._named_owner("reduce")
         from .frame import INDEX_COL
 
@@ -563,8 +567,15 @@ class Column:
         ))
         if INDEX_COL in sdf.columns:
             sel = sel.orderBy(INDEX_COL)
-        value, started = initializer, initializer is not None
+        value, started, seen = initializer, initializer is not None, 0
         for r in sel.toLocalIterator():
+            seen += 1
+            if max_rows is not None and seen > max_rows:
+                raise ValueError(
+                    f"reduce streamed > {max_rows} rows through the driver; "
+                    "use a built-in distributed aggregate, or pass "
+                    "max_rows=None to opt in explicitly"
+                )
             v = r["__v__"]
             value = v if not started else fun(value, v)
             started = True

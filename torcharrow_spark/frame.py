@@ -917,13 +917,37 @@ class GroupedDataFrame:
             DataFrame(self._base.select(*self._by, col)), self._by, drop_null=False
         )
 
+    #: group-iteration safety cap — raise instead of silently pulling a
+    #: huge key set to the driver; raise via iter_groups(max_groups=...)
+    MAX_ITER_GROUPS = 1000
+
     def __iter__(self):
         """Iterate (key_tuple, DataFrame) per group (reference
         dataframe_cpu.py:2304-2321). Driver-bound by the number of GROUPS
         (one collect for the key set, one lazy filtered frame per key) —
         fine for pandas-style exploration over few groups; use
-        apply_in_pandas for distributed per-group logic."""
-        keys = self._base.select(*self._by).distinct().orderBy(*self._by).collect()
+        apply_in_pandas for distributed per-group logic. Guarded: more
+        than MAX_ITER_GROUPS distinct keys raises instead of silently
+        flooding the driver — call iter_groups(max_groups=...) to opt
+        into a larger pull explicitly."""
+        return self.iter_groups(max_groups=self.MAX_ITER_GROUPS)
+
+    def iter_groups(self, max_groups: int | None = None):
+        """Explicit form of ``__iter__`` with a caller-chosen cap;
+        ``max_groups=None`` removes the guard entirely (you are asserting
+        the key set fits in driver memory)."""
+        key_q = self._base.select(*self._by).distinct().orderBy(*self._by)
+        if max_groups is not None:
+            keys = key_q.limit(max_groups + 1).collect()
+            if len(keys) > max_groups:
+                raise ValueError(
+                    f"group iteration would collect > {max_groups} distinct "
+                    "keys to the driver; use apply_in_pandas for distributed "
+                    "per-group logic, or iter_groups(max_groups=N) / "
+                    "iter_groups(max_groups=None) to opt in explicitly"
+                )
+        else:
+            keys = key_q.collect()
         for row in keys:
             key = tuple(row[c] for c in self._by)
             cond = None

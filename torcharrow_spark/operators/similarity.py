@@ -151,7 +151,13 @@ def lsh_topk(
     join on bucket (equi-join -> hash shuffle, 2^n_planes x less work than
     brute force), then per-query top-k within the bucket. Recall can be
     raised by multi-probe (querying neighboring buckets) — not needed at
-    this corpus size."""
+    this corpus size.
+
+    Sizing rule (same as :func:`cosine_pairs`): expected bucket size is
+    corpus_size / 2^n_planes, so pick
+    n_planes ≈ log2(corpus_size / target_bucket_size) with a few
+    thousand vectors per bucket — each query scores ~one bucket, so
+    the per-query cost is the bucket size, not the corpus."""
     dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("match_id"),
@@ -299,7 +305,17 @@ def ivf_topk(
     cells and scores exactly within them. n_probe == n_cells degrades to
     exact brute force (tested), n_probe << n_cells reads ~n_probe/n_cells
     of the corpus per query. Assignment is a per-row argmax over centroid
-    literals (no shuffle); the probe join is a hash equi-join on cell id."""
+    literals (no shuffle); the probe join is a hash equi-join on cell id.
+
+    Sizing rule: n_cells ≈ √corpus_size balances the two linear terms —
+    per-row assignment cost scales with n_cells while per-probe scan
+    cost scales with corpus_size / n_cells; their sum is minimized at
+    the square root (the standard IVF heuristic). The default 16 suits
+    ~10^2-10^4 vectors; a 10^8-vector corpus wants ~10^4 cells (train
+    the centroid table with operators/clustering.kmeans at that scale —
+    centroid literals stop being practical past a few thousand cells;
+    switch the argmax to a broadcast-join scoring over a centroid
+    DataFrame)."""
     cents = _centroids(corpus, n_cells, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("match_id"),
