@@ -102,6 +102,135 @@ ANCHOR = {
 }
 
 
+STRESS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".stress_sf1")
+
+# sf1 steady-state anchors (seconds, local[32], first r3 measurement) for
+# the pair machinery — the quadratic-creep canary sf0.1 cannot see.
+STRESS_ANCHOR: dict[str, float] = {}
+
+
+def _build_stress_sf1(spark, sf01_dir: str) -> None:
+    """Materialize a 10x 'sf1' stress corpus from sf0.1 (documents,
+    embeddings) — deterministic, built once, gitignored.
+
+    The scaling is designed so TRUE near-dup structure grows linearly,
+    not quadratically, making 'within linear scaling' a meaningful
+    assertion: documents get per-copy word mutations (every 5th word,
+    rotating offset, gets a copy tag — intra-copy dup structure is
+    preserved, cross-copy Jaccard falls below threshold); embeddings get
+    a per-copy Rademacher sign pattern (cos(x*s, y*s) == cos(x, y)
+    exactly within a copy, while cross-copy cosines collapse to ~0)."""
+    from pyspark.sql import functions as F
+
+    done = os.path.join(STRESS_DIR, "_BUILT")
+    if os.path.exists(done):
+        return
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    copies = spark.range(10).select(F.col("id").cast("int").alias("copy"))
+
+    d = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * F.lit(10_000_000)).alias("doc_id"),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), (w, p) -> "
+                        "CASE WHEN (p + copy) % 5 = 0 "
+                        "THEN concat(w, 'x', copy) ELSE w END)"
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    d.write.mode("overwrite").parquet(f"{STRESS_DIR}/documents.parquet")
+
+    e = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * F.lit(10_000_000)).alias("vec_id"),
+            F.when(F.col("copy") == 0, F.col("embedding"))
+            .otherwise(
+                F.expr(
+                    "transform(embedding, (x, d) -> CAST(x * "
+                    "(CASE WHEN pmod(xxhash64(concat(copy, ',', d)), 2) = 0 "
+                    "THEN 1.0 ELSE -1.0 END) AS FLOAT))"
+                )
+            )
+            .alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    e.write.mode("overwrite").parquet(f"{STRESS_DIR}/embeddings.parquet")
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+
+
+def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
+    """sf1 (10x docs/embeddings) anchors for the pair machinery: the
+    operators whose cost could creep quadratically with corpus size.
+    Reported per query: steady seconds + ratio vs its own sf0.1 steady
+    time (rows grew 10x; candidate/sizing rules should keep the ratio
+    near-linear, i.e. ~O(10), not O(100))."""
+    from torcharrow_spark.operators import (
+        cosine_pairs,
+        heavy_hitters,
+        minhash_pairs,
+        ngram_jaccard_pairs,
+    )
+    from torcharrow_spark.queries import QUERIES
+
+    _build_stress_sf1(spark, sf01_dir)
+    sdir = STRESS_DIR
+
+    def docs():
+        return spark.read.parquet(f"{sdir}/documents.parquet")
+
+    def emb():
+        return spark.read.parquet(f"{sdir}/embeddings.parquet")
+
+    cases = {
+        # same params as q19 (banded pair growth tracks true dups)
+        "q19_minhash_pairs": lambda: minhash_pairs(
+            docs(), shingle_k=3, num_hashes=8, bands=4
+        ),
+        # auto mode == PPJoin prefix — THE scale path under test
+        "q21_ngram_jaccard_auto": lambda: ngram_jaccard_pairs(
+            docs(), shingle_k=3, threshold=0.3, mode="auto"
+        ),
+        # sizing rule applied: corpus 10x => +log2(10)~3-4 planes keeps
+        # per-bucket occupancy (and the quadratic step) constant
+        "q42_cosine_dedup": lambda: cosine_pairs(
+            emb(), threshold=0.2, n_planes=8
+        ),
+        "q105_heavy_hitters": lambda: QUERIES["q105_heavy_hitters"](
+            spark, sdir
+        ),
+    }
+    base = {
+        "q21_ngram_jaccard_auto": warm.get("q21_ngram_jaccard"),
+    }
+    out: dict[str, dict] = {}
+    for name, build in cases.items():
+        build().count()  # cold run: codegen/broadcast spin-up
+        t0 = time.perf_counter()
+        n = build().count()
+        sec = round(time.perf_counter() - t0, 3)
+        b = base.get(name, warm.get(name))
+        out[name] = {
+            "sec": sec,
+            "rows": n,
+            "vs_sf01_ratio": round(sec / b, 2) if b else None,
+        }
+        print(f"# stress sf1 {name}: {sec:.3f}s ({n} rows)", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import torcharrow_spark as ts
@@ -153,6 +282,10 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    stress: dict = {}
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
+        stress = run_stress(spark, warm, sf_dir)
+
     print(
         json.dumps(
             {
@@ -164,6 +297,7 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "delta_vs_r1": delta_vs_r1,
                 "regressions": regressions,
+                "stress_sf1": stress,
                 "sf": sf_val,
             }
         )
