@@ -1677,3 +1677,27 @@ def test_driver_bound_guards(spark):
     with _pt.raises(ValueError, match="streamed"):
         col.reduce(lambda a, b: a + b, max_rows=10)
     assert col.reduce(lambda a, b: a + b, max_rows=None) == sum(range(50))
+
+
+def test_bigram_lm_scores(spark):
+    """Hand-checked add-alpha bigram LM: 'a b' twice and 'a c' once,
+    plus a one-word doc (no bigrams -> null score)."""
+    import math
+
+    from torcharrow_spark.operators import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # V=4 (a,b,c,solo); c(a)=3; c(a,b)=2, c(a,c)=1; alpha=0.4
+    p_ab = (2 + 0.4) / (3 + 0.4 * 4)
+    p_ac = (1 + 0.4) / (3 + 0.4 * 4)
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["avg_logp"] - math.log(p_ab)) < 1e-6
+    assert got[2]["avg_logp"] == got[1]["avg_logp"]
+    assert abs(got[3]["avg_logp"] - math.log(p_ac)) < 1e-6
+    assert got[4]["n_bigrams"] == 0 and got[4]["avg_logp"] is None
+    # boilerplate scores HIGHER (closer to 0) than the rare continuation
+    assert got[1]["avg_logp"] > got[3]["avg_logp"]

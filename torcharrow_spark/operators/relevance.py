@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
 __all__ = ["term_frequencies", "tf_idf", "top_terms", "bm25_scores",
-           "collocations"]
+           "collocations", "bigram_lm_scores"]
 
 
 def _words(col: F.Column) -> F.Column:
@@ -283,4 +283,87 @@ def collocations(
         .select("w1", "w2", "n_bigram", score.alias("score"))
         .orderBy(F.col("score").desc(), "w1", "w2")
         .limit(k)
+    )
+
+
+def bigram_lm_scores(
+    docs: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> SDF:
+    """Per-document bigram language-model log-probability — the
+    CCNet-style perplexity quality filter (Wenzek et al. 2020, public):
+    score every document by the average add-alpha-smoothed bigram
+    log-probability under a model trained on the corpus itself, so
+    boilerplate-like documents (high probability, low "surprise") and
+    gibberish (very low probability) both stand out from the bulk.
+
+    P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V), V = vocabulary
+    size. Returns ``(id, n_bigrams, avg_logp)``; documents with < 2
+    words get ``n_bigrams = 0`` and null ``avg_logp``.
+
+    Scale design: two linear count aggregates (bigram + unigram), the
+    vocabulary-sized unigram table joined onto the bigram-count table
+    (broadcast — vocab << corpus at any scale), then ONE hash join of
+    doc-bigram rows to the stats table on the bigram key and a per-doc
+    aggregate. No collect, no windows; everything shuffles on
+    high-cardinality keys. Determinism: per-bigram contributions are
+    rounded to 8 decimals and summed as exact DECIMAL(28,8) (order-
+    independent — the q69/BM25 pattern), final average rounded to 6."""
+    words = _words(F.col(text_col))
+    toks = docs.select(F.col(id_col), words.alias("__w__"))
+    uni = (
+        toks.select(F.explode("__w__").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    pairs = F.when(
+        F.size("__w__") >= 2,
+        F.zip_with(
+            F.slice(F.col("__w__"), 1, F.size("__w__") - 1),
+            F.slice(F.col("__w__"), 2, F.size("__w__") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_big = toks.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.w1", "p.w2"
+    )
+    big = doc_big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n12")
+    )
+    stats = big.join(F.broadcast(uni), "w1")
+    a = F.lit(float(alpha))
+    logp = F.log(
+        (F.col("n12").cast("double") + a)
+        / (F.col("n1").cast("double") + a * F.col("v"))
+    )
+    contrib = _round8(logp).cast("decimal(28,8)")
+    scored = (
+        doc_big.join(stats, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(contrib).alias("__s__"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            _round6(F.col("__s__").cast("double") / F.col("n_bigrams")).alias(
+                "avg_logp"
+            ),
+        )
+    )
+    ids = docs.select(id_col).distinct()
+    return (
+        ids.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "avg_logp",
+        )
     )

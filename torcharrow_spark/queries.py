@@ -5364,6 +5364,58 @@ def q126_multimodal_decode(spark: SparkSession, sf_dir: str) -> SDF:
     return decode_image_stats(with_png, "img", "doc_id")
 
 
+@query(
+    "q127_lm_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    doc_big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                           i -> {{'w1': w[i], 'w2': w[i+1]}})) AS p
+      FROM toks WHERE len(w) >= 2
+    ),
+    db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM doc_big),
+    uni AS (
+      SELECT unnest(w) AS w1 FROM toks
+    ),
+    u AS (SELECT w1, COUNT(*)::BIGINT AS n1 FROM uni GROUP BY 1),
+    v AS (SELECT COUNT(*)::DOUBLE AS v FROM u),
+    big AS (SELECT w1, w2, COUNT(*)::BIGINT AS n12 FROM db GROUP BY 1, 2),
+    contribs AS (
+      SELECT db.doc_id,
+             CAST(floor(ln((CAST(n12 AS DOUBLE) + 0.4)
+                           / (CAST(n1 AS DOUBLE) + 0.4 * v.v))
+                        * 100000000.0 + 0.5) / 100000000.0
+                  AS DECIMAL(28,8)) AS c
+      FROM db JOIN big USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+             floor(CAST(SUM(c) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+               / 1000000.0 AS avg_logp
+      FROM contribs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+           s.avg_logp
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q127_lm_quality(spark: SparkSession, sf_dir: str) -> SDF:
+    """Bigram language-model quality scores (operators/relevance.
+    bigram_lm_scores) — the CCNet-style perplexity filter for pretraining
+    corpora: every doc's average add-0.4-smoothed bigram log-probability
+    under a self-trained model. Per-bigram contributions are rounded then
+    summed as exact DECIMAL, so the score is aggregation-order-free and
+    reproduced bit-exactly by the SQL oracle."""
+    from torcharrow_spark.operators import bigram_lm_scores
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return bigram_lm_scores(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 #
