@@ -106,9 +106,18 @@ ANCHOR = {
 
 STRESS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".stress_sf1")
 
-# sf1 steady-state anchors (seconds, local[32], first r3 measurement) for
+# sf1 steady-state anchors (seconds, local[32], r3 measurement after the
+# PPJoin positional/length pruning + array-intersect verify rewrite) for
 # the pair machinery — the quadratic-creep canary sf0.1 cannot see.
-STRESS_ANCHOR: dict[str, float] = {}
+# Ratios vs sf0.1 at 10x rows were 6.4 / 7.1 / 2.6 / 3.1 — all
+# sublinear; a later round whose ratio jumps past ~10 has reintroduced
+# superlinear pair work.
+STRESS_ANCHOR: dict[str, float] = {
+    "q19_minhash_pairs": 14.39,
+    "q21_ngram_jaccard_auto": 16.36,
+    "q42_cosine_dedup": 4.19,
+    "q105_heavy_hitters": 2.53,
+}
 
 
 def _build_stress_sf1(spark, sf01_dir: str) -> None:
@@ -226,10 +235,12 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
         n = build().count()
         sec = round(time.perf_counter() - t0, 3)
         b = base.get(name, warm.get(name))
+        anchor = STRESS_ANCHOR.get(name)
         out[name] = {
             "sec": sec,
             "rows": n,
             "vs_sf01_ratio": round(sec / b, 2) if b else None,
+            "vs_anchor": round(sec / anchor, 2) if anchor else None,
         }
         print(f"# stress sf1 {name}: {sec:.3f}s ({n} rows)", file=sys.stderr)
     return out

@@ -396,3 +396,83 @@ def dedup_lines(
     return ids.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+def gopher_filter(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    max_dup_word_frac: float = 0.3,
+    max_dup5_frac: float = 0.15,
+) -> SDF:
+    """Gopher-style composite quality GATE (Rae et al. 2021 Table A1,
+    public rule family): every rule is evaluated per document and the
+    verdict is ``(id, keep, reason)`` with ``reason`` the FIRST failing
+    rule in a fixed order (null when kept) — the curation decision plus
+    its audit trail in one pass.
+
+    Rule order: too_few_words, too_many_words, bad_mean_word_len,
+    low_alpha_frac, high_symbol_ratio, too_few_stopwords (English),
+    repetitive_words (1 - distinct/total), repetitive_5grams.
+
+    Scale design: ONE zero-shuffle codegen projection — every signal,
+    including both repetition fractions, is a higher-order array
+    function over the doc's own tokens (no explode, no aggregate, no
+    join). Filtering 100 TB costs exactly one scan; the same CASE
+    ladder is expressible verbatim in any SQL engine."""
+    text = F.col(text_col)
+    words = _words(text)
+    nw = F.size(words).cast("long")
+    n_chars = F.length(text).cast("double")
+    mwl = F.when(nw > 0, n_chars / nw.cast("double")).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nw > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double")
+        / nw.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_sym = (
+        F.length(F.regexp_replace(text, r"[^#]", "")).cast("double")
+        + F.lit(3.0)
+        * F.size(F.split(text, r"\.\.\.", -1)).cast("double")
+        - F.lit(3.0)
+    )
+    symbol_ratio = F.when(nw > 0, n_sym / nw.cast("double")).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
+    dup_word = F.when(
+        nw > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(words)).cast("double") / nw.cast("double"),
+    ).otherwise(F.lit(0.0))
+    g5 = _ngrams(words, 5)
+    dup5 = F.when(
+        F.size(g5) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(g5)).cast("double") / F.size(g5).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    reason = (
+        F.when(nw < min_words, F.lit("too_few_words"))
+        .when(nw > max_words, F.lit("too_many_words"))
+        .when(
+            (mwl < min_mean_wlen) | (mwl > max_mean_wlen),
+            F.lit("bad_mean_word_len"),
+        )
+        .when(alpha_frac < min_alpha_frac, F.lit("low_alpha_frac"))
+        .when(symbol_ratio > max_symbol_ratio, F.lit("high_symbol_ratio"))
+        .when(stop_hits < min_stopword_hits, F.lit("too_few_stopwords"))
+        .when(dup_word > max_dup_word_frac, F.lit("repetitive_words"))
+        .when(dup5 > max_dup5_frac, F.lit("repetitive_5grams"))
+    )
+    return df.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
