@@ -1701,3 +1701,30 @@ def test_bigram_lm_scores(spark):
     assert got[4]["n_bigrams"] == 0 and got[4]["avg_logp"] is None
     # boilerplate scores HIGHER (closer to 0) than the rare continuation
     assert got[1]["avg_logp"] > got[3]["avg_logp"]
+
+
+def test_gopher_filter_rules(spark):
+    """Each rule fires on a purpose-built document, in ladder order."""
+    from torcharrow_spark.operators import gopher_filter
+
+    good = "the a of to in is it and " + " ".join(f"word{i}" for i in range(50))
+    docs = [
+        (1, good),                                  # keep
+        (2, "short text"),                          # too_few_words
+        (3, " ".join(["abcdefghijklmnop"] * 60)),   # bad_mean_word_len (16>10)
+        (4, " ".join(["123 456"] * 30)),            # low_alpha_frac
+        (5, " ".join(["the and of to a in is it"] * 8) + " ### ... ### ..."),
+        (6, " ".join(f"w{i} v{i} u{i}" for i in range(20))),  # no stopwords
+        (7, "the a " + " ".join(["dup"] * 58)),     # repetitive_words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in gopher_filter(df).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_few_words")
+    assert got[3] == (False, "bad_mean_word_len")
+    assert got[4] == (False, "low_alpha_frac")
+    assert got[6] == (False, "too_few_stopwords")
+    assert got[7] == (False, "repetitive_words")
+    # doc 5 has plenty of stopwords but 6 '#' + 2 '...' in 66 words
+    assert got[5] == (False, "high_symbol_ratio")

@@ -5416,6 +5416,65 @@ def q127_lm_quality(spark: SparkSession, sf_dir: str) -> SDF:
     return bigram_lm_scores(docs)
 
 
+@query(
+    "q128_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split({_NORM}, ' ') AS w,
+             length(text)::DOUBLE AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS nw,
+             CASE WHEN len(w) > 0 THEN n_chars / len(w) ELSE 0.0 END AS mwl,
+             CASE WHEN len(w) > 0 THEN
+               len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                 / len(w) ELSE 0.0 END AS alpha_frac,
+             CASE WHEN len(w) > 0 THEN
+               (length(regexp_replace(text, '[^#]', '', 'g'))::DOUBLE
+                + (length(text) - length(replace(text, '...', '')))::DOUBLE)
+                 / len(w) ELSE 0.0 END AS symbol_ratio,
+             len(list_filter(w, x -> x IN
+               ('the','a','and','of','to','in','is','it')))::BIGINT AS stop_hits,
+             CASE WHEN len(w) > 0 THEN
+               1.0 - len(list_distinct(w))::DOUBLE / len(w) ELSE 0.0 END AS dupw,
+             CASE WHEN len(w) >= 5 THEN
+               1.0 - len(list_distinct(list_transform(range(1, len(w) - 3),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                          || w[i+3] || ' ' || w[i+4])))::DOUBLE
+                   / (len(w) - 4) ELSE 0.0 END AS dup5
+      FROM t
+    )
+    SELECT doc_id,
+           reason IS NULL AS keep, reason
+    FROM (
+      SELECT doc_id,
+             CASE WHEN nw < 50 THEN 'too_few_words'
+                  WHEN nw > 100000 THEN 'too_many_words'
+                  WHEN mwl < 3.0 OR mwl > 10.0 THEN 'bad_mean_word_len'
+                  WHEN alpha_frac < 0.8 THEN 'low_alpha_frac'
+                  WHEN symbol_ratio > 0.1 THEN 'high_symbol_ratio'
+                  WHEN stop_hits < 2 THEN 'too_few_stopwords'
+                  WHEN dupw > 0.3 THEN 'repetitive_words'
+                  WHEN dup5 > 0.15 THEN 'repetitive_5grams'
+             END AS reason
+      FROM m
+    )
+    """,
+)
+def q128_gopher_filter(spark: SparkSession, sf_dir: str) -> SDF:
+    """Gopher-style composite quality gate (operators/textstats.
+    gopher_filter; Rae et al. 2021 Table A1 rule family): keep/drop
+    verdict + first-failing-rule audit reason for every document, in ONE
+    zero-shuffle codegen projection — the curation decision a 100 TB
+    pipeline applies before any dedup pass."""
+    from torcharrow_spark.operators import gopher_filter
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return gopher_filter(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 #
@@ -5440,10 +5499,14 @@ DRIVER_WINDOW = [
     "q16_event_windows",        # §2.14 streaming windows + watermark
     "q17_sessionize",           # §2.14 sessionization
     "q27_rec_ops",              # §2.13 bucketize/sigrid_hash/z-scale
-    "q30_flatmap_words",        # §2.3 flatmap
+    "q127_lm_quality",          # bigram LM perplexity quality filter
+                                # (q30 flatmap was driver-green in r2;
+                                # §2.3 keeps q31/q50/q51/q66 rows)
     "q31_map_udf",              # §2.3 map(callable) + type inference
     "q35_set_ops",              # §2.5 union/intersect/except
-    "q36_rollup",               # §2.5 rollup/cube
+    "q128_gopher_filter",       # Gopher composite quality gate
+                                # (q36 rollup was driver-green in r2;
+                                # §2.5 keeps q03/q35/q37/q47 rows)
     "q37_asof_join",            # §2.5 as-of join
     "q41_bpe_tokenize",         # §2.13 BPE (real merge loop, SQL-checked)
     "q47_rolling",              # §2.5 partitioned rolling windows
