@@ -259,3 +259,30 @@ def test_packing_and_dashboard_windows_are_partitioned(spark, sf_dir):
     t124 = formatted_plan(QUERIES["q124_source_quality_dashboard"](spark, sf_dir))
     assert re.search(r"windowspecdefinition\(source", t124), \
         "dashboard quantile window lost its source partitioning"
+
+
+def test_gopher_filter_is_zero_shuffle(spark, sf_dir):
+    """q128's composite quality gate must plan as scan->project — every
+    signal (incl. both repetition fractions) is a per-row HOF, so the
+    100 TB filter pass costs exactly one scan."""
+    stats = plan_stats(QUERIES["q128_gopher_filter"](spark, sf_dir))
+    assert stats["exchanges"] == 0, stats
+
+
+def test_lm_quality_plan_shape(spark, sf_dir):
+    """q127's bigram LM: hash aggregates only (no SortAggregate), and
+    the vocabulary-sized unigram join broadcasts."""
+    text = formatted_plan(QUERIES["q127_lm_quality"](spark, sf_dir))
+    assert "HashAggregate" in text
+    assert "SortAggregate" not in text
+    stats = plan_stats(QUERIES["q127_lm_quality"](spark, sf_dir))
+    assert stats["broadcast_joins"] >= 1, stats
+
+
+def test_prefix_jaccard_pruning_in_plan(spark, sf_dir):
+    """q43: the PPJoin positional/length bounds must appear as a Filter
+    BEFORE the candidate-dedup exchange (pruning pre-shuffle), and the
+    verify step must be the array_intersect projection, not a join back
+    onto the shingle table."""
+    text = formatted_plan(QUERIES["q43_jaccard_prefix"](spark, sf_dir))
+    assert "array_intersect" in text, text[:3000]
