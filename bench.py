@@ -57,6 +57,11 @@ HEADLINE = [
     "q112_grouped_heavy_hitters",
     "q113_forecast_revenue",
     "q119_min_cost_supplier",
+    # r3 additions (first measurement becomes the r4 anchor)
+    "q43_jaccard_prefix",
+    "q126_multimodal_decode",
+    "q127_lm_quality",
+    "q128_gopher_filter",
 ]
 
 # Round-1 steady-state seconds at sf0.1 on local[32] (BENCH_r01.json) —

@@ -398,3 +398,33 @@ def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
     landed3 = spark.read.parquet(dest)
     assert landed3.count() == ev.count()
     assert landed3.drop("batch_id").schema == spark.read.parquet(src).schema
+
+
+def test_gopher_filter_is_stream_safe(spark, sf_dir, tmp_path):
+    """The quality gate is a stateless projection, so the same operator
+    applies verbatim to a stream (curation-at-ingest) and must agree
+    with the batch result row for row."""
+    from torcharrow_spark.operators import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {r["doc_id"]: (r["keep"], r["reason"])
+             for r in gopher_filter(docs).collect()}
+
+    src = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        gopher_filter(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_gopher")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {r["doc_id"]: (r["keep"], r["reason"])
+                for r in spark.sql("SELECT * FROM t_gopher").collect()}
+    assert streamed == batch and len(batch) > 0
