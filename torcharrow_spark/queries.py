@@ -5089,7 +5089,8 @@ def q120_enriched_windows(spark: SparkSession, sf_dir: str) -> SDF:
       FROM sharded
     )
     SELECT doc_id, n_tokens, shard,
-           cb // 2048 AS bin, cb % 2048 AS "offset"
+           CAST(cb // 2048 AS BIGINT) AS bin,
+           CAST(cb % 2048 AS BIGINT) AS "offset"
     FROM packed
     """,
 )
