@@ -1728,3 +1728,23 @@ def test_gopher_filter_rules(spark):
     assert got[7] == (False, "repetitive_words")
     # doc 5 has plenty of stopwords but 6 '#' + 2 '...' in 66 words
     assert got[5] == (False, "high_symbol_ratio")
+
+
+def test_estimate_jaccard_pair_cost_sampled(spark):
+    """The 1/sample_mod hash-sample keys a subset of shingles but keeps
+    each sampled shingle's document frequency EXACT, so est_pairs is an
+    unbiased scale-up and max_df a lower bound of the true max."""
+    from torcharrow_spark.operators.dedup import estimate_jaccard_pair_cost
+
+    boiler = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} tail{i} t{i*3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    full = estimate_jaccard_pair_cost(docs, sample_mod=1)
+    samp = estimate_jaccard_pair_cost(docs, sample_mod=4)
+    assert samp["sampled_shingles"] < full["sampled_shingles"]
+    assert samp["max_df"] <= full["max_df"]
+    # the boilerplate run dominates; any sampled boiler shingle recovers
+    # the blowup signal within the 4x scale-up
+    assert samp["est_pairs"] > 0
