@@ -392,3 +392,36 @@ def test_frame_profile_method(spark):
     prof = {r["column"]: r for r in df.profile().to_pylist()}
     assert prof["a"]["n_null"] == 1 and prof["a"]["n_distinct"] == 1
     assert prof["b"]["n_distinct"] == 1 and prof["b"]["n_rows"] == 2
+
+
+def test_trace_replay(spark, sf_dir):
+    """trace() records the fluent API calls; replay() re-applies them to
+    a different input frame and reproduces the result exactly
+    (reference torcharrow/trace.py:16-129 — here the recorded steps
+    carry live argument objects, so me-expressions and lambdas replay
+    without a repr/eval round-trip)."""
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+    from torcharrow_spark.trace import replay, trace
+
+    base = ts.read_parquet(f"{sf_dir}/lineitem.parquet", spark)
+    t = trace(base)
+    out = (
+        t.where(me["l_quantity"] > 40)
+        .select("l_orderkey", "l_quantity", half=me["l_quantity"] / 2)
+        .sort(by=["l_orderkey", "l_quantity"])
+        .head(20)
+    )
+    assert len(out.steps) == 4
+    assert [s.method for s in out.steps] == ["where", "select", "sort", "head"]
+    assert all("=" in line for line in out.statements())
+
+    expect = out.result().to_pylist()
+    # replay on a re-read of the same data (a "new shard")
+    again = replay(out.steps, ts.read_parquet(f"{sf_dir}/lineitem.parquet", spark))
+    assert again.to_pylist() == expect
+
+    # non-DataFrame returns pass through unrecorded (sinks)
+    t2 = trace(base)
+    n = t2.where(me["l_quantity"] > 40).to_spark().count()
+    assert n > 0
