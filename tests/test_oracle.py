@@ -10,7 +10,8 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from oracle_check import compare, duck_connect  # noqa: E402
+from driver_sim import check  # noqa: E402
+from oracle_check import duck_connect  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -26,7 +27,11 @@ def _names():
 
 @pytest.mark.parametrize("name", _names())
 def test_query_matches_oracle(spark, duck, sf_dir, name):
-    assert compare(name, spark, duck, sf_dir, verbose=False)
+    # hash-level (driver_sim.check): the EXACT canonicalization the
+    # driver applies — columns sorted, rows sorted, CSV md5 — strictly
+    # stronger than a value compare (r3 upgrade; a dtype artifact like
+    # DuckDB HUGEINT->float64 now fails here instead of in the driver)
+    assert check(name, spark, duck, sf_dir)
 
 
 def test_entry_contract(spark):

@@ -20,6 +20,7 @@ from .columns import Column, if_else
 from .expr import me
 from .frame import DataFrame, GroupedDataFrame
 from .session import get_session, tune
+from .trace import TracedFrame, replay, trace
 from .sources import (
     dataframe,
     from_arrow,
@@ -57,6 +58,9 @@ __all__ = [
     "read_orc",
     "read_parquet",
     "read_table",
+    "replay",
+    "trace",
+    "TracedFrame",
     "tune",
     "write_bucketed",
     "write_csv",
