@@ -1748,3 +1748,62 @@ def test_estimate_jaccard_pair_cost_sampled(spark):
     # the boilerplate run dominates; any sampled boiler shingle recovers
     # the blowup signal within the 4x scale-up
     assert samp["est_pairs"] > 0
+
+
+def test_operators_ansi_session_smoke(spark):
+    """operators/* take PLAIN Spark DataFrames, so they must survive a
+    user-supplied ANSI session (Spark 4 default): no 0/0, no bad casts,
+    no overflow in any operator's expression tree. (The engine FACADE
+    pins ansi=false deliberately — reference arithmetic semantics like
+    x/0 -> inf are non-ANSI by definition; this covers the operator
+    layer only.)"""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import (
+        binned_cdf,
+        bigram_lm_scores,
+        doc_fingerprint,
+        equi_depth_buckets,
+        gopher_filter,
+        heavy_hitters,
+        hash_split,
+        hll_distinct,
+        minhash_pairs,
+        ngram_jaccard_pairs,
+        pack_documents,
+        repetition_stats,
+        text_stats,
+        winsorize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over the lazy dog %d " % i) * 3)
+         for i in range(30)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    nums = spark.range(200).selectExpr("id", "CAST(id % 17 AS DOUBLE) AS x")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert text_stats(docs).count() == 31
+        assert repetition_stats(docs).count() == 31
+        assert gopher_filter(docs).count() == 31
+        assert doc_fingerprint(docs).count() == 31
+        assert bigram_lm_scores(docs).count() == 31
+        assert ngram_jaccard_pairs(docs, threshold=0.9).count() >= 0
+        assert minhash_pairs(docs).count() >= 0
+        assert hll_distinct(docs, "text").collect()[0][0] > 0
+        assert heavy_hitters(
+            docs.select(F.explode(F.split("text", " ")).alias("w")), "w", 0.05
+        ).count() > 0
+        parts = hash_split(docs, "doc_id", (0.5, 0.5))
+        assert sum(p.count() for p in parts) == 31
+        assert pack_documents(
+            docs.select("doc_id", F.lit(10).cast("long").alias("n")),
+            "doc_id", "n", budget=64, n_shards=4,
+        ).count() == 31
+        assert binned_cdf(nums, "x").count() == 200
+        assert winsorize(nums, "x").count() == 200
+        assert equi_depth_buckets(nums, "x", 4).count() == 200
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -68,7 +68,7 @@ def test_driver_window_coverage():
         "q27_rec_ops",            # §2.13
         "q16_event_windows",      # §2.14 streaming
         "q54_interop_roundtrip",  # §2.1 interop
-        "q18_exact_dedup", "q19_minhash_pairs", "q46_simhash_pairs",
+        "q129_curation_pipeline", "q19_minhash_pairs", "q46_simhash_pairs",
         "q43_jaccard_prefix", "q58_near_dup_clusters",
         "q86_strip_duplicate_spans", "q87_contamination",
         "q42_cosine_dedup", "q44_ann_ivf", "q123_quantize_embeddings",

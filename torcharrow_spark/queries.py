@@ -5417,15 +5417,16 @@ def q127_lm_quality(spark: SparkSession, sf_dir: str) -> SDF:
     return bigram_lm_scores(docs)
 
 
-@query(
-    "q128_gopher_filter",
-    oracle=f"""
-    WITH t AS (
+def _gopher_reason_cte(min_words: int = 50, max_dupw: float = 0.3) -> str:
+    """The q128 gopher metric + CASE-ladder SQL as a reusable CTE body:
+    ...gm AS (SELECT doc_id, reason FROM ...) over `documents`."""
+    return f"""
+    gt AS (
       SELECT doc_id, text, string_split({_NORM}, ' ') AS w,
              length(text)::DOUBLE AS n_chars
       FROM documents
     ),
-    m AS (
+    gm0 AS (
       SELECT doc_id,
              len(w)::BIGINT AS nw,
              CASE WHEN len(w) > 0 THEN n_chars / len(w) ELSE 0.0 END AS mwl,
@@ -5445,23 +5446,29 @@ def q127_lm_quality(spark: SparkSession, sf_dir: str) -> SDF:
                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
                           || w[i+3] || ' ' || w[i+4])))::DOUBLE
                    / (len(w) - 4) ELSE 0.0 END AS dup5
-      FROM t
-    )
-    SELECT doc_id,
-           reason IS NULL AS keep, reason
-    FROM (
+      FROM gt
+    ),
+    gm AS (
       SELECT doc_id,
-             CASE WHEN nw < 50 THEN 'too_few_words'
+             CASE WHEN nw < {min_words} THEN 'too_few_words'
                   WHEN nw > 100000 THEN 'too_many_words'
                   WHEN mwl < 3.0 OR mwl > 10.0 THEN 'bad_mean_word_len'
                   WHEN alpha_frac < 0.8 THEN 'low_alpha_frac'
                   WHEN symbol_ratio > 0.1 THEN 'high_symbol_ratio'
                   WHEN stop_hits < 2 THEN 'too_few_stopwords'
-                  WHEN dupw > 0.3 THEN 'repetitive_words'
+                  WHEN dupw > {max_dupw} THEN 'repetitive_words'
                   WHEN dup5 > 0.15 THEN 'repetitive_5grams'
              END AS reason
-      FROM m
-    )
+      FROM gm0
+    )"""
+
+
+
+@query(
+    "q128_gopher_filter",
+    oracle=f"""
+    WITH {_gopher_reason_cte()}
+    SELECT doc_id, reason IS NULL AS keep, reason FROM gm
     """,
 )
 def q128_gopher_filter(spark: SparkSession, sf_dir: str) -> SDF:
@@ -5474,6 +5481,77 @@ def q128_gopher_filter(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     return gopher_filter(docs)
+
+
+@query(
+    "q129_curation_pipeline",
+    oracle=f"""
+    WITH {_gopher_reason_cte(min_words=30, max_dupw=0.6)},
+    kept AS (
+      SELECT d.doc_id, d.text, d.n_chars
+      FROM documents d JOIN gm USING (doc_id)
+      WHERE gm.reason IS NULL
+    ),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+            FROM kept)
+      GROUP BY k
+    ),
+    base AS (
+      SELECT k2.doc_id, GREATEST(k2.n_chars // 4, 1) AS n_tokens,
+             md5('pack:0|' || k2.doc_id::VARCHAR) AS pk
+      FROM kept k2 JOIN surv USING (doc_id)
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(pk, 1, 12))::UBIGINT::BIGINT % 8 AS shard, pk
+      FROM base
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+      FROM sharded
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(cb // 2048 AS BIGINT) AS bin,
+           CAST(cb % 2048 AS BIGINT) AS "offset"
+    FROM packed
+    """,
+)
+def q129_curation_pipeline(spark: SparkSession, sf_dir: str) -> SDF:
+    """END-TO-END curation pipeline — the composition a pretraining-data
+    run actually executes, each stage the already-verified operator:
+    (1) Gopher composite quality gate (textstats.gopher_filter,
+    zero-shuffle) -> (2) exact dedup keep-min-id on normalized text
+    (dedup.exact_dedup, one 120-bit-key shuffle) -> (3) fixed-budget
+    sequence packing into (shard, bin, offset) placements
+    (preprocess.pack_documents, per-shard integer windows). The chained
+    SQL oracle reproduces the whole pipeline bit-for-bit, proving the
+    stages compose without semantic drift."""
+    from torcharrow_spark.operators import (
+        exact_dedup,
+        gopher_filter,
+        pack_documents,
+    )
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    # corpus-tuned gate (the synthetic docs are short, tiny-vocab):
+    # defaults would drop everything and the pipeline would be vacuous
+    keep = (
+        gopher_filter(docs, min_words=30, max_dup_word_frac=0.6)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = docs.join(keep, "doc_id", "left_semi")
+    surv = exact_dedup(kept)
+    sized = surv.select(
+        "doc_id",
+        F.greatest(F.expr("n_chars DIV 4"), F.lit(1).cast("long")).alias("toks"),
+    )
+    return pack_documents(sized, "doc_id", "toks", budget=2048, n_shards=8)
 
 
 # ---------------------------------------------------------------------------
@@ -5519,7 +5597,10 @@ DRIVER_WINDOW = [
     "q65_pandas_arrow_sources", # §2.1 from_pandas/from_arrow
     "q66_head_tail_reduce",     # §2.3 reduce + §2.2 head/tail(order_by)
     # --- LLM-pipeline operator clusters ---
-    "q18_exact_dedup",          # exact dedup
+    "q129_curation_pipeline",   # exact dedup (inside the end-to-end
+                                # curation composite: gopher gate ->
+                                # exact_dedup -> sequence packing; q18's
+                                # standalone row was driver-green in r2)
     "q19_minhash_pairs",        # MinHash + LSH banding
     "q24_text_stats",           # token count/quality/langid
     "q42_cosine_dedup",         # embedding-cosine near-dup
