@@ -197,7 +197,6 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
     near-linear, i.e. ~O(10), not O(100))."""
     from torcharrow_spark.operators import (
         cosine_pairs,
-        heavy_hitters,
         minhash_pairs,
         ngram_jaccard_pairs,
     )

@@ -1807,3 +1807,21 @@ def test_operators_ansi_session_smoke(spark):
         assert equi_depth_buckets(nums, "x", 4).count() == 200
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """ANN quality bound, not just plumbing: with the sizing rule
+    (n_cells ~ sqrt(corpus)) and a 25%-cell probe, recall@3 against
+    brute force must clear 0.5 on the synthetic embeddings — partial
+    probing trades recall for reading n_probe/n_cells of the corpus,
+    and this pins the trade actually delivered."""
+    from torcharrow_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 40")
+    exact = {(r["query_id"], r["match_id"])
+             for r in brute_force_topk(emb, q, k=3).collect()}
+    part = {(r["query_id"], r["match_id"])
+            for r in ivf_topk(emb, q, k=3, n_cells=16, n_probe=4).collect()}
+    recall = len(exact & part) / len(exact)
+    assert recall >= 0.5, recall

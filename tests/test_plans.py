@@ -286,3 +286,14 @@ def test_prefix_jaccard_pruning_in_plan(spark, sf_dir):
     onto the shingle table."""
     text = formatted_plan(QUERIES["q43_jaccard_prefix"](spark, sf_dir))
     assert "array_intersect" in text, text[:3000]
+
+
+def test_curation_pipeline_plan(spark, sf_dir):
+    """q129 composes gate (0 exchanges) + exact dedup (1 hashed-key
+    shuffle) + packing (per-shard windows): hash aggregates only, and
+    the whole pipeline stays within a handful of exchanges — no stage
+    re-reads or re-shuffles the corpus."""
+    text = formatted_plan(QUERIES["q129_curation_pipeline"](spark, sf_dir))
+    assert "SortAggregate" not in text
+    stats = plan_stats(QUERIES["q129_curation_pipeline"](spark, sf_dir))
+    assert stats["exchanges"] <= 6, stats

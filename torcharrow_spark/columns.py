@@ -12,7 +12,6 @@ no UDFs, no Catalyst extensions.
 
 from __future__ import annotations
 
-import math
 import typing as _ty
 
 from pyspark.sql import Column as SC

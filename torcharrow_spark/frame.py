@@ -598,8 +598,6 @@ class DataFrame:
         `include` get count/min/max with null mean/std/percentiles (the
         stats column for them is string-typed); the reference crashes on
         those — a documented extension, not a behavior change."""
-        from . import dtypes as dtt
-
         if percentiles is None:
             percentiles = [25, 50, 75]
         percentiles = sorted(set(percentiles))
