@@ -1825,3 +1825,31 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
             for r in ivf_topk(emb, q, k=3, n_cells=16, n_probe=4).collect()}
     recall = len(exact & part) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_multi_probe_lsh_recall_monotone(spark, sf_dir):
+    """Multi-probe LSH (lowest-|margin| hyperplane flips): recall vs
+    brute force must be non-decreasing in n_probe, and n_probe=1 must
+    reproduce the single-bucket result exactly (same pairs, same
+    cosines)."""
+    from torcharrow_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 40")
+    exact = {(r["query_id"], r["match_id"])
+             for r in brute_force_topk(emb, q, k=3).collect()}
+
+    def recall(n_probe):
+        got = {(r["query_id"], r["match_id"])
+               for r in lsh_topk(emb, q, k=3, n_planes=4, n_probe=n_probe).collect()}
+        return len(exact & got) / len(exact)
+
+    r1, r3, r5 = recall(1), recall(3), recall(5)
+    assert r1 <= r3 <= r5, (r1, r3, r5)
+    assert r5 > r1 or r1 == 1.0, (r1, r5)  # probing actually helps
+
+    single = {(r["query_id"], r["match_id"], round(r["cosine"], 9))
+              for r in lsh_topk(emb, q, k=3, n_planes=4).collect()}
+    probe1 = {(r["query_id"], r["match_id"], round(r["cosine"], 9))
+              for r in lsh_topk(emb, q, k=3, n_planes=4, n_probe=1).collect()}
+    assert single == probe1

@@ -119,16 +119,22 @@ def _plane_weights(plane: int, dim: int):
     ]
 
 
-def _hyperplane_sign(vec, plane: int, dim: int) -> F.Column:
-    """Sign bit of <v, w_plane>, weights shipped as an array literal and
-    indexed with element_at (slicing the literal would copy it per row)."""
+def _hyperplane_proj(vec, plane: int, dim: int) -> F.Column:
+    """<v, w_plane> — weights shipped as an array literal and indexed
+    with element_at (slicing the literal would copy it per row)."""
     w = F.lit(_plane_weights(plane, dim))
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     terms = F.transform(
         idx, lambda d: F.element_at(w, d + 1) * F.element_at(vec, d + 1).cast("double")
     )
-    proj = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
-    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _hyperplane_sign(vec, plane: int, dim: int) -> F.Column:
+    """Sign bit of <v, w_plane>."""
+    return F.when(_hyperplane_proj(vec, plane, dim) >= 0, F.lit(1)).otherwise(
+        F.lit(0)
+    )
 
 
 def lsh_bucket(vec, n_planes: int = 4, dim: int = _DEFAULT_DIM) -> F.Column:
@@ -139,6 +145,46 @@ def lsh_bucket(vec, n_planes: int = 4, dim: int = _DEFAULT_DIM) -> F.Column:
     return bucket.cast("int")
 
 
+def lsh_probe_buckets(
+    vec, n_planes: int = 4, dim: int = _DEFAULT_DIM, n_probe: int = 1
+) -> F.Column:
+    """Multi-probe LSH bucket set (Lv et al. 2007, public): the base
+    bucket plus the ``n_probe - 1`` neighbors obtained by flipping the
+    hyperplanes with the SMALLEST |projection| — a point near a
+    hyperplane could have landed on either side, so those single-bit
+    neighbors are where its missed true matches live. Raises recall
+    without adding planes (which would split every bucket for every
+    query); cost is exactly ``n_probe`` bucket scans per query, no
+    re-hash, no extra shuffle shape. Returns array<int> of distinct
+    bucket ids (length min(n_probe, n_planes + 1))."""
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    projs = [
+        _hyperplane_proj(vec, p, dim) for p in range(n_planes)
+    ]
+    base = F.lit(0)
+    for p, proj in enumerate(projs):
+        base = base + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    base = base.cast("int")
+    if n_probe == 1:
+        return F.array(base)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(proj).alias("m"), F.lit(2 ** p).alias("bit")
+                )
+                for p, proj in enumerate(projs)
+            ]
+        )
+    )
+    flips = F.slice(ranked, 1, min(n_probe - 1, n_planes))
+    return F.concat(
+        F.array(base),
+        F.transform(flips, lambda s: base.bitwiseXOR(s["bit"])),
+    )
+
+
 def lsh_topk(
     corpus: SDF,
     queries: SDF,
@@ -146,18 +192,24 @@ def lsh_topk(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> SDF:
     """Approximate top-k: bucket corpus and queries by hyperplane signs,
     join on bucket (equi-join -> hash shuffle, 2^n_planes x less work than
-    brute force), then per-query top-k within the bucket. Recall can be
-    raised by multi-probe (querying neighboring buckets) — not needed at
-    this corpus size.
+    brute force), then per-query top-k within the bucket.
+
+    ``n_probe > 1`` turns on multi-probe (see :func:`lsh_probe_buckets`):
+    each query also scans the neighbor buckets across its lowest-margin
+    hyperplanes — recall rises toward brute force at a cost of
+    ``n_probe`` bucket scans per query, while the corpus-side work and
+    the join shape are unchanged (only the tiny broadcast query side
+    explodes).
 
     Sizing rule (same as :func:`cosine_pairs`): expected bucket size is
     corpus_size / 2^n_planes, so pick
     n_planes ≈ log2(corpus_size / target_bucket_size) with a few
-    thousand vectors per bucket — each query scores ~one bucket, so
-    the per-query cost is the bucket size, not the corpus."""
+    thousand vectors per bucket — each query scores ~n_probe buckets, so
+    the per-query cost is n_probe x bucket size, not the corpus."""
     dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("match_id"),
@@ -170,7 +222,9 @@ def lsh_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
             _norm(F.col(vec_col)).alias("q_norm"),
-            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+            F.explode(
+                lsh_probe_buckets(F.col(vec_col), n_planes, dim, n_probe)
+            ).alias("bucket"),
         )
     )
     scored = (
