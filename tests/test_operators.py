@@ -1853,3 +1853,35 @@ def test_multi_probe_lsh_recall_monotone(spark, sf_dir):
     probe1 = {(r["query_id"], r["match_id"], round(r["cosine"], 9))
               for r in lsh_topk(emb, q, k=3, n_planes=4, n_probe=1).collect()}
     assert single == probe1
+
+
+def test_grouped_binned_cdf(spark):
+    """Per-group CDF: monotone within each group, group-relative (the
+    same value can have very different CDFs in different groups), null
+    passthrough, constant-group guard."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import grouped_binned_cdf
+
+    rows = [("a", float(i)) for i in range(100)] + \
+           [("b", float(i)) for i in range(1000, 1100)] + \
+           [("c", 5.0)] * 10 + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = grouped_binned_cdf(df, "x", ["g"], n_bins=64)
+    got = out.collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append((r["x"], r["x_cdf"]))
+    # monotone within each group
+    for g in ("a", "b"):
+        vals = sorted([(x, c) for x, c in by_g[g] if x is not None])
+        cs = [c for _, c in vals]
+        assert all(u <= v + 1e-12 for u, v in zip(cs, cs[1:])), g
+        # accuracy: rank/N within a bin's mass
+        n = len(vals)
+        for i in (0, n // 2, n - 1):
+            assert abs(cs[i] - (i + 1) / n) <= 1 / 64 + 0.02, (g, i, cs[i])
+    # constant group: all ties -> cdf 0 (percent_rank semantics)
+    assert all(c == 0.0 for _, c in by_g["c"])
+    # null passthrough
+    assert any(x is None and c is None for x, c in by_g["a"])

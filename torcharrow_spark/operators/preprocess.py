@@ -533,6 +533,95 @@ def grouped_binned_quantile(
     )
 
 
+def grouped_binned_cdf(
+    df: SDF,
+    col: str,
+    by: _ty.Sequence[str],
+    n_bins: int = 1024,
+    out_col: str | None = None,
+) -> SDF:
+    """Per-group empirical-CDF feature for every row (e.g. "where does
+    this doc's length sit within ITS language?") — the grouped form of
+    :func:`binned_cdf` and the scale path next to
+    ``percent_rank().over(Window.partitionBy(group))``, which sorts
+    every group's rows.
+
+    Scale design: per-group min/max/count in one HashAggregate; ONE
+    (group x bin) HashAggregate bounded at groups * n_bins rows; the
+    cumulative window partitions BY GROUP over <= n_bins rows each.
+    The histogram joins back on (group, bin) — a regular hash join
+    keyed on the group columns (never assumes the group count fits a
+    broadcast). Same hi==lo degenerate-group guard and within-bin
+    linear interpolation as the ungrouped form; null inputs yield null
+    CDF."""
+    keys = list(by)
+    if not keys:
+        raise ValueError("use binned_cdf() for the ungrouped form")
+    out = out_col or f"{col}_cdf"
+    c = F.col(col).cast("double")
+    base = df.where(c.isNotNull()).select(*keys, c.alias("__v__"))
+    bounds = base.groupBy(*keys).agg(
+        F.min("__v__").alias("__lo__"),
+        F.max("__v__").alias("__hi__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    b = base.join(bounds, keys)
+    w = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
+    bin_ = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("__v__") - F.col("__lo__")) / w).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+    )
+    hist = b.groupBy(*keys, bin_.alias("__bin__")).agg(
+        F.count(F.lit(1)).alias("__bn__")
+    )
+    hw = (
+        Window.partitionBy(*keys)
+        .orderBy("__bin__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = hist.select(
+        *keys,
+        "__bin__",
+        "__bn__",
+        (F.sum("__bn__").over(hw) - F.col("__bn__")).alias("__cumb__"),
+    )
+    enriched = (
+        df.join(bounds, keys, "left")
+        .withColumn(
+            "__bin__",
+            F.when(
+                c.isNotNull(),
+                F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
+                    F.least(
+                        F.greatest(
+                            F.floor((c - F.col("__lo__")) / w).cast("int"),
+                            F.lit(0),
+                        ),
+                        F.lit(n_bins - 1),
+                    )
+                ),
+            ),
+        )
+        .join(hist, keys + ["__bin__"], "left")
+    )
+    frac = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0.0)).otherwise(
+        F.least(
+            F.greatest((c - (F.col("__lo__") + F.col("__bin__") * w)) / w,
+                       F.lit(0.0)),
+            F.lit(1.0),
+        )
+    )
+    cdf = (F.col("__cumb__") + frac * F.col("__bn__")) / F.col("__n__")
+    return enriched.withColumn(
+        out, F.when(c.isNotNull(), cdf)
+    ).drop("__bin__", "__bn__", "__cumb__", "__lo__", "__hi__", "__n__")
+
+
 def equi_depth_buckets(
     df: SDF,
     col: str,

@@ -5554,6 +5554,52 @@ def q129_curation_pipeline(spark: SparkSession, sf_dir: str) -> SDF:
     return pack_documents(sized, "doc_id", "toks", budget=2048, n_shards=8)
 
 
+@query(
+    "q130_grouped_cdf",
+    oracle="""
+    WITH v AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x
+               FROM documents WHERE n_chars IS NOT NULL),
+    mm AS (SELECT lang, MIN(x) AS lo, MAX(x) AS hi, COUNT(*)::BIGINT AS n
+           FROM v GROUP BY lang),
+    binned AS (
+      SELECT doc_id, v.lang, x, lo, hi, n,
+             CASE WHEN hi = lo THEN 0 ELSE
+               LEAST(GREATEST(CAST(FLOOR((x - lo) / ((hi - lo) / 64.0))
+                                   AS INT), 0), 63) END AS bin
+      FROM v JOIN mm ON mm.lang = v.lang
+    ),
+    h AS (SELECT lang, bin, COUNT(*)::BIGINT AS bn
+          FROM binned GROUP BY lang, bin),
+    hc AS (
+      SELECT lang, bin, bn,
+             SUM(bn) OVER (PARTITION BY lang ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) - bn AS cumb
+      FROM h
+    )
+    SELECT b.doc_id, b.lang,
+           CAST((cumb + (CASE WHEN hi = lo THEN 0.0 ELSE
+                 LEAST(GREATEST((x - (lo + b.bin * ((hi - lo) / 64.0)))
+                                / ((hi - lo) / 64.0), 0.0), 1.0) END) * bn)
+             AS DOUBLE) / n AS cdf
+    FROM binned b JOIN hc ON hc.lang = b.lang AND hc.bin = b.bin
+    """,
+)
+def q130_grouped_cdf(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-LANGUAGE empirical CDF of document length (operators/
+    preprocess.grouped_binned_cdf): "where does this doc sit within its
+    own language's length distribution" — the per-group scale path
+    replacing percent_rank over a group window (which sorts every
+    group's rows); one (group x bin)-bounded HashAggregate + a
+    per-group <= n_bins cumulative window + a hash join back."""
+    from torcharrow_spark.operators import grouped_binned_cdf
+
+    d = _load(spark, sf_dir, "documents").to_spark()
+    out = grouped_binned_cdf(
+        d.where(F.col("n_chars").isNotNull()), "n_chars", ["lang"], n_bins=64
+    )
+    return out.select("doc_id", "lang", F.col("n_chars_cdf").alias("cdf"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 #
