@@ -248,3 +248,49 @@ def test_binned_quantile_error_bound_property(spark, vals, q_pct):
     # estimate lies within the bin containing the rank-r value
     assert est >= true - width - 1e-6 * max(1.0, abs(true))
     assert est <= true + width + 1e-6 * max(1.0, abs(true))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    channels=st.sampled_from([1, 3, 4]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2 ** 31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, channels, filter_type, seed):
+    """Any 8-bit image roundtrips bit-exactly through encode/decode for
+    every PNG filter type (no Spark job — pure codec property)."""
+    import numpy as np
+
+    from torcharrow_spark.operators.imagecodec import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, channels), dtype="uint8")
+    dw, dh, out = decode_png(encode_png(img, filter_type=filter_type))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(out, img)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2 ** 31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_ppm_roundtrip_property(w, h, seed):
+    """BMP (incl. row padding at every width) and PPM roundtrip."""
+    import numpy as np
+
+    from torcharrow_spark.operators.imagecodec import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype="uint8")
+    for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
+        dw, dh, out = dec(enc(img))
+        assert (dw, dh) == (w, h) and np.array_equal(out, img)
