@@ -1885,3 +1885,30 @@ def test_grouped_binned_cdf(spark):
     assert all(c == 0.0 for _, c in by_g["c"])
     # null passthrough
     assert any(x is None and c is None for x, c in by_g["a"])
+
+
+def test_ivf_topk_df_matches_brute_force_full_probe(spark, sf_dir):
+    """ivf_topk_df (centroid TABLE, the >1k-cells path): probing every
+    cell degrades to exact brute force, and the kmeans-centroid
+    integration returns ranked rows for every query at partial probe."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import kmeans
+    from torcharrow_spark.operators.similarity import brute_force_topk, ivf_topk_df
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 8")
+    _, cents = kmeans(emb, k=8, max_iter=2)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<float>",
+    )
+    exact = {(r["query_id"], r["rank"]): (r["match_id"], round(r["cosine"], 9))
+             for r in brute_force_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): (r["match_id"], round(r["cosine"], 9))
+            for r in ivf_topk_df(emb, q, cdf, k=3, n_probe=8).collect()}
+    assert exact == full and len(exact) == 24
+
+    part = ivf_topk_df(emb, q, cdf, k=3, n_probe=2)
+    assert part.groupBy("query_id").count().count() == 8
+    assert part.where(F.col("rank") > 3).count() == 0

@@ -517,3 +517,117 @@ def dequantize_embeddings(
         lambda q: F.col("v_min") + q.cast("double") * F.col("v_scale"),
     )
     return df.select(id_col, rec.alias(out_col))
+
+
+def ivf_topk_df(
+    corpus: SDF,
+    queries: SDF,
+    centroids: SDF,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+) -> SDF:
+    """IVF top-k with a centroid TABLE instead of centroid literals —
+    the path past a few thousand cells, where `ivf_topk`'s per-cell
+    expression list stops being practical (generated code grows with
+    n_cells). ``centroids`` is ``(cell int, centroid array<float>)``,
+    e.g. ``kmeans(corpus)`` output enumerated, or any trained index.
+
+    Scale design: assignment scores corpus x broadcast(centroids) —
+    n_cells rows of dim floats broadcast to every executor — and
+    reduces to one cell per vector with a ``max_by`` HashAggregate
+    (map-side combine: the shuffle carries one partial struct per
+    vector, NOT the n_cells-expanded rows). Query probes take the
+    ``n_probe`` best cells per query with a bounded window over the
+    (tiny) query side. The probe join + exact scoring + top-k window
+    are identical to :func:`ivf_topk`, so n_probe == n_cells again
+    degrades to exact brute force."""
+    cents = F.broadcast(
+        centroids.select(
+            F.col(cell_col).alias("__cell__"),
+            F.col(cent_col).alias("__cv__"),
+            _norm(F.col(cent_col)).alias("__cn__"),
+        )
+    )
+
+    def _best_cells(side: SDF, sid: str, keep_vec: str, n_keep: int) -> SDF:
+        sim = _cosine_from(
+            _dot(F.col(keep_vec), F.col("__cv__")),
+            F.col("__n__"),
+            F.col("__cn__"),
+        )
+        scored = (
+            side.crossJoin(cents)
+            .select(
+                F.col(sid),
+                F.col(keep_vec),
+                F.col("__n__"),
+                F.col("__cell__"),
+                sim.alias("__sim__"),
+            )
+        )
+        if n_keep == 1:
+            # one HashAggregate, map-side combined: ties to lower cell id
+            return scored.groupBy(sid).agg(
+                F.max(
+                    F.struct(
+                        F.col("__sim__"), (-F.col("__cell__")).alias("__nc__")
+                    )
+                ).alias("__m__"),
+                F.first(keep_vec).alias(keep_vec),
+                F.first("__n__").alias("__n__"),
+            ).select(
+                sid, keep_vec, "__n__",
+                (-F.col("__m__.__nc__")).alias("cell"),
+            )
+        w = Window.partitionBy(sid).orderBy(
+            F.col("__sim__").desc(), F.col("__cell__").asc()
+        )
+        return (
+            scored.withColumn("__r__", F.row_number().over(w))
+            .where(F.col("__r__") <= n_keep)
+            .select(sid, keep_vec, "__n__", F.col("__cell__").alias("cell"))
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__n__"),
+    )
+    c_assigned = _best_cells(c, "match_id", "c_vec", 1).withColumnRenamed(
+        "__n__", "c_norm"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__n__"),
+    )
+    q_probes = F.broadcast(
+        _best_cells(q, "query_id", "q_vec", n_probe).withColumnRenamed(
+            "__n__", "q_norm"
+        )
+    )
+    scored = (
+        c_assigned.join(q_probes, "cell")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            _cosine_from(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm"),
+                F.col("c_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
