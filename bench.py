@@ -122,6 +122,12 @@ STRESS_ANCHOR: dict[str, float] = {
     "q21_ngram_jaccard_auto": 16.36,
     "q42_cosine_dedup": 4.19,
     "q105_heavy_hitters": 2.53,
+    # added after the memory-bounded pair-emission rewrite (the first
+    # simhash stress attempt OOMed the executor — the bug the harness
+    # exists to catch; ratios vs sf0.1: 1.8 / 5.2 / 1.0)
+    "q18_exact_dedup": 0.98,
+    "q46_simhash_pairs": 32.97,
+    "q86_strip_spans": 0.29,
 }
 
 
@@ -211,11 +217,23 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
     def emb():
         return spark.read.parquet(f"{sdir}/embeddings.parquet")
 
+    from torcharrow_spark.operators import exact_dedup_ids, simhash_pairs, strip_duplicate_spans
+
     cases = {
         # same params as q19 (banded pair growth tracks true dups)
         "q19_minhash_pairs": lambda: minhash_pairs(
             docs(), shingle_k=3, num_hashes=8, bands=4
         ),
+        # one 120-bit-key shuffle; scales with rows
+        "q18_exact_dedup": lambda: exact_dedup_ids(docs()),
+        # block-permutation pigeonhole, sizing rule applied: corpus 10x
+        # => bits 16->32 keeps (block,value) bucket occupancy constant
+        # (bits ~ (k+1) * log2(corpus/target_bucket))
+        "q46_simhash_pairs": lambda: simhash_pairs(
+            docs(), bits=32, max_hamming=3
+        ),
+        # single span-frequency shuffle (Lee et al. 2022)
+        "q86_strip_spans": lambda: strip_duplicate_spans(docs(), k=8),
         # auto mode == PPJoin prefix — THE scale path under test
         "q21_ngram_jaccard_auto": lambda: ngram_jaccard_pairs(
             docs(), shingle_k=3, threshold=0.3, mode="auto"
@@ -231,6 +249,7 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
     }
     base = {
         "q21_ngram_jaccard_auto": warm.get("q21_ngram_jaccard"),
+        "q86_strip_spans": warm.get("q86_strip_duplicate_spans"),
     }
     out: dict[str, dict] = {}
     for name, build in cases.items():

@@ -27,6 +27,30 @@ def _norm_text(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def _emit_pairs(grouped: SDF, arr_col: str) -> SDF:
+    """Memory-bounded ordered-pair emission from per-group sorted arrays:
+    posexplode each element as an anchor, then explode only its TAIL
+    slice — every row materializes O(group_size) elements, never the
+    C(m, 2) pair array a single ``flatten(transform(...))`` builds in
+    one value. Found by the sf1 stress harness: SimHash's block keys
+    have a small value space, so one hot (block, value) group at 50k
+    docs built a multi-GB pair array and OOMed the executor; the same
+    hazard exists for any group-and-pair site fed a heavily duplicated
+    corpus (identical MinHash band keys, boilerplate shingles).
+
+    Total emitted work is still Σ C(m, 2) — bounding that is the job of
+    the upstream keying (band width, prefix filter, block bits sizing);
+    this bounds PEAK MEMORY so hot groups degrade to throughput, not
+    executor death. Returns columns ``__a__``, ``__b__`` (array element
+    type), pairs ordered by the array's sort order."""
+    ex = grouped.select(
+        F.posexplode(arr_col).alias("__i__", "__a__"),
+        F.col(arr_col).alias("__arr__"),
+    )
+    tail = F.slice(F.col("__arr__"), F.col("__i__") + 2, F.size("__arr__"))
+    return ex.select(F.col("__a__"), F.explode(tail).alias("__b__"))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 
@@ -184,18 +208,11 @@ def minhash_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # memory-bounded emission: a fully-duplicated corpus puts every copy
+    # in ONE band bucket — see _emit_pairs
     return (
-        ids_per_bucket.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        _emit_pairs(ids_per_bucket, "ids")
+        .select(F.col("__a__").alias("id_a"), F.col("__b__").alias("id_b"))
         .distinct()
     )
 
@@ -295,18 +312,13 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # memory-bounded emission (see _emit_pairs): a boilerplate shingle's
+    # C(df, 2) pairs stream row-by-row instead of one giant array —
+    # direct mode on a hot corpus stays slow-not-OOM (prefix mode stays
+    # the scale default regardless)
     inter = (
-        ids_per_shingle.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        _emit_pairs(ids_per_shingle, "ids")
+        .groupBy(F.col("__a__").alias("id_a"), F.col("__b__").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
@@ -437,21 +449,13 @@ def ngram_jaccard_pairs_prefix(
         )
         .where(F.size("ids") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"), x["pos"].alias("pos_a"),
-                    x["sz"].alias("sz_a"),
-                    y["id"].alias("id_b"), y["pos"].alias("pos_b"),
-                    y["sz"].alias("sz_b"),
-                ),
-            ),
-        )
+    # memory-bounded emission (see _emit_pairs)
+    raw = _emit_pairs(buckets, "ids").select(
+        F.col("__a__.id").alias("id_a"), F.col("__a__.pos").alias("pos_a"),
+        F.col("__a__.sz").alias("sz_a"),
+        F.col("__b__.id").alias("id_b"), F.col("__b__.pos").alias("pos_b"),
+        F.col("__b__.sz").alias("sz_b"),
     )
-    raw = buckets.select(F.explode(pairs).alias("p")).select("p.*")
     # PPJoin pruning BEFORE the dedup shuffle — both filters are
     # lossless (classic bounds over the consistent global (df, h)
     # shingle order):
@@ -540,7 +544,16 @@ def simhash_pairs(
     (pigeonhole), so candidates are generated per (block index, block
     value) with one groupBy, then verified exactly with
     bit_count(xor(h_a, h_b)). No self-join, no quadratic corpus scan;
-    the block values are near-uniform, so the shuffle is even."""
+    the block values are near-uniform, so the shuffle is even.
+
+    Sizing rule — ``bits`` MUST grow with the corpus: each block has
+    bits/(max_hamming+1) bits, so a (block, value) bucket holds
+    ~corpus / 2^(bits/(k+1)) docs and candidate work is quadratic in
+    that. Pick bits ≈ (max_hamming+1) * log2(corpus / target_bucket)
+    with target_bucket a few hundred: the default 16 (4-bit blocks)
+    suits ~10^3-10^4 docs; 50k docs want 32 (8-bit blocks). Candidate
+    emission is memory-bounded per row (`_emit_pairs`), so an undersized
+    ``bits`` degrades to slow, not to executor OOM."""
     n_blocks = max_hamming + 1
     widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
     s = simhash(df, text_col, id_col, bits)
@@ -570,22 +583,13 @@ def simhash_pairs(
         )
         .where(F.size("ms") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        _emit_pairs(buckets, "ms")
         .select(
-            F.col("p.a.i").alias("id_a"),
-            F.col("p.b.i").alias("id_b"),
+            F.col("__a__.i").alias("id_a"),
+            F.col("__b__.i").alias("id_b"),
             F.bit_count(
-                F.col("p.a.h").bitwiseXOR(F.col("p.b.h"))
+                F.col("__a__.h").bitwiseXOR(F.col("__b__.h"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)

@@ -288,22 +288,18 @@ def cosine_pairs(
         )
         .where(F.size("ms") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    exploded = buckets.select(F.explode(pairs).alias("p")).select(
-        F.col("p.a.i").alias("id_a"),
-        F.col("p.b.i").alias("id_b"),
-        F.col("p.a.v").alias("__va__"),
-        F.col("p.b.v").alias("__vb__"),
-        F.col("p.a.n").alias("__na__"),
-        F.col("p.b.n").alias("__nb__"),
+    # memory-bounded pair emission (dedup._emit_pairs): a hot bucket of
+    # m vectors would otherwise materialize C(m, 2) struct pairs — each
+    # carrying TWO dim-float arrays — in a single flatten() value
+    from .dedup import _emit_pairs
+
+    exploded = _emit_pairs(buckets, "ms").select(
+        F.col("__a__.i").alias("id_a"),
+        F.col("__b__.i").alias("id_b"),
+        F.col("__a__.v").alias("__va__"),
+        F.col("__b__.v").alias("__vb__"),
+        F.col("__a__.n").alias("__na__"),
+        F.col("__b__.n").alias("__nb__"),
     )
     cos = _cosine_from(
         _dot(F.col("__va__"), F.col("__vb__")), F.col("__na__"), F.col("__nb__")
