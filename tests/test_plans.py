@@ -297,3 +297,15 @@ def test_curation_pipeline_plan(spark, sf_dir):
     assert "SortAggregate" not in text
     stats = plan_stats(QUERIES["q129_curation_pipeline"](spark, sf_dir))
     assert stats["exchanges"] <= 6, stats
+
+
+def test_pair_sites_use_bounded_emission(spark, sf_dir):
+    """Every group-and-pair operator must emit pairs via the
+    posexplode + tail-slice pattern (rows carry O(group) elements) —
+    a flatten(transform(...)) pair array materializes C(m, 2) structs
+    in one value and OOMed the executor on hot simhash buckets at 10x
+    scale (sf1 stress finding)."""
+    for q in ("q19_minhash_pairs", "q42_cosine_dedup", "q43_jaccard_prefix",
+              "q46_simhash_pairs"):
+        text = formatted_plan(QUERIES[q](spark, sf_dir))
+        assert "posexplode" in text, q
