@@ -62,6 +62,8 @@ HEADLINE = [
     "q126_multimodal_decode",
     "q127_lm_quality",
     "q128_gopher_filter",
+    "q129_curation_pipeline",
+    "q130_grouped_cdf",
 ]
 
 # Round-1 steady-state seconds at sf0.1 on local[32] (BENCH_r01.json) —
