@@ -100,3 +100,37 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .count()
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_decoded_image_features_to_tensor(spark):
+    """Multimodal decode -> torch export end to end: real PNG decode
+    (fake=False) produces a features array column whose tensor export is
+    a dense [n, 8] float tensor plus scalar width/height columns — the
+    shape a vision-adjacent training loop consumes."""
+    import numpy as np
+
+    from torcharrow_spark.interop_torch import to_tensor
+    from torcharrow_spark.operators import decode_features
+    from torcharrow_spark.operators.imagecodec import encode_png
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, bytearray(encode_png(
+            rng.randint(0, 256, size=(5 + i, 6 + i, 3), dtype="uint8"))))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    feats = decode_features(df, "img", "doc_id").orderBy("doc_id")
+    out = to_tensor(feats)
+    assert set(out) == {"doc_id", "width", "height", "features"}
+    f = out["features"]
+    # PackedList or dense tensor depending on backend; normalize to rows
+    vals = np.asarray(f.values if hasattr(f, "values") else f)
+    assert np.asarray(out["doc_id"]).shape[0] == 6
+    assert vals.size == 6 * 8
+    assert list(np.asarray(out["width"])) == [6 + i for i in range(6)]
+    assert list(np.asarray(out["height"])) == [5 + i for i in range(6)]
+    # first feature slot is the width, third the channel count
+    per_doc = vals.reshape(6, 8)
+    assert per_doc[:, 0].tolist() == [float(6 + i) for i in range(6)]
+    assert all(c == 3.0 for c in per_doc[:, 2])
