@@ -425,3 +425,33 @@ def test_trace_replay(spark, sf_dir):
     t2 = trace(base)
     n = t2.where(me["l_quantity"] > 40).to_spark().count()
     assert n > 0
+
+
+def test_read_write_text(spark, tmp_path):
+    """Raw text ingestion: line mode (distributed splits) and
+    whole-file mode (document-per-file corpora), plus the text sink."""
+    import os
+
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+
+    p = str(tmp_path / "corpus")
+    os.makedirs(p)
+    with open(f"{p}/a.txt", "w") as fh:
+        fh.write("first line\nsecond line\n")
+    with open(f"{p}/b.txt", "w") as fh:
+        fh.write("third line\n")
+
+    lines = ts.read_text(p, spark)
+    assert sorted(r["text"] for r in lines.to_pylist()) == [
+        "first line", "second line", "third line"]
+
+    docs = ts.read_text(p, spark, whole_file=True)
+    rows = {os.path.basename(r["path"]): r["text"] for r in docs.to_pylist()}
+    assert rows["a.txt"] == "first line\nsecond line\n"
+    assert rows["b.txt"] == "third line\n"
+
+    out = str(tmp_path / "out")
+    ts.write_text(lines.where(me["text"].str.contains("line", regex=False)), out)
+    back = ts.read_text(out, spark)
+    assert back.to_spark().count() == 3

@@ -29,12 +29,14 @@ from .sources import (
     read_csv,
     read_json,
     read_orc,
+    read_text,
     read_parquet,
     read_table,
     write_bucketed,
     write_csv,
     write_json,
     write_parquet,
+    write_text,
 )
 
 __version__ = "0.1.0"
@@ -56,6 +58,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_orc",
+    "read_text",
     "read_parquet",
     "read_table",
     "replay",
@@ -66,6 +69,7 @@ __all__ = [
     "write_csv",
     "write_json",
     "write_parquet",
+    "write_text",
 ]
 
 

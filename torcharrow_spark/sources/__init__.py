@@ -81,6 +81,44 @@ def read_orc(path: str, spark: SparkSession | None = None) -> DataFrame:
     return DataFrame(_spark(spark).read.orc(path))
 
 
+def read_text(
+    path: str,
+    spark: SparkSession | None = None,
+    whole_file: bool = False,
+    line_col: str = "text",
+) -> DataFrame:
+    """Raw text ingestion — the most common LLM-corpus landing format.
+
+    ``whole_file=False`` (default): one row per LINE, column
+    ``line_col`` — splitting happens in the distributed reader, so a
+    100 TB dump of text shards parallelizes by file split like any
+    other scan. ``whole_file=True``: one row per FILE with columns
+    (``path``, ``text``) — for document-per-file corpora; each file
+    must fit an executor's row budget (Spark's wholetext contract)."""
+    if whole_file:
+        from pyspark.sql import functions as F
+
+        sdf = _spark(spark).read.text(path, wholetext=True)
+        sdf = sdf.select(
+            F.input_file_name().alias("path"), F.col("value").alias("text")
+        )
+        return DataFrame(sdf)
+    sdf = _spark(spark).read.text(path)
+    return DataFrame(sdf.withColumnRenamed("value", line_col))
+
+
+def write_text(df: DataFrame, path: str, text_col: str = "text",
+               mode: str = "overwrite") -> None:
+    """Text sink: one line per row from ``text_col`` (distributed, one
+    file per partition)."""
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    from pyspark.sql import functions as F
+
+    sdf.select(F.col(text_col).cast("string").alias("value")).write.mode(
+        mode
+    ).text(path)
+
+
 def from_pandas(pdf, spark: SparkSession | None = None) -> DataFrame:
     """reference interop.py:37-41 declares this NotImplemented; trivial on
     Spark (Arrow-accelerated)."""
