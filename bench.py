@@ -253,6 +253,14 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
         "q21_ngram_jaccard_auto": warm.get("q21_ngram_jaccard"),
         "q86_strip_spans": warm.get("q86_strip_duplicate_spans"),
     }
+    if "q46_simhash_pairs" not in warm:
+        # not a headline query: measure its sf0.1 steady time here so
+        # the stress ratio has a denominator
+        b = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+        simhash_pairs(b, max_hamming=3).count()
+        t0 = time.perf_counter()
+        simhash_pairs(b, max_hamming=3).count()
+        base["q46_simhash_pairs"] = time.perf_counter() - t0
     out: dict[str, dict] = {}
     for name, build in cases.items():
         build().count()  # cold run: codegen/broadcast spin-up

@@ -39,11 +39,14 @@ def _round4(col):
     return F.floor(col * 10000.0 + 0.5) / 10000.0
 
 
-def _token_count_exprs(text_col: str) -> _ty.List[F.Column]:
+def _token_count_exprs(text_col: str, words=None) -> _ty.List[F.Column]:
     """Whitespace tokens + a BPE-ish subword estimate: words plus one
     extra unit per 4 chars beyond the first 4 of each word (a stand-in
-    for byte-pair merges; deterministic, no tokenizer asset needed)."""
-    words = _words(F.col(text_col))
+    for byte-pair merges; deterministic, no tokenizer asset needed).
+
+    ``words``: pass a MATERIALIZED array column (see ``_with_words``) —
+    an inline split is re-planned into every consuming expression."""
+    words = words if words is not None else _words(F.col(text_col))
     n_words = F.size(words).cast("long")
     bpe_units = F.aggregate(
         words,
@@ -57,11 +60,11 @@ def _token_count_exprs(text_col: str) -> _ty.List[F.Column]:
     ]
 
 
-def _quality_exprs(text_col: str) -> _ty.List[F.Column]:
+def _quality_exprs(text_col: str, words=None) -> _ty.List[F.Column]:
     """Heuristic document quality in [0,1]: mean word length sanity,
     punctuation density, stopword (English) hit rate, length band."""
     text = F.col(text_col)
-    words = _words(text)
+    words = words if words is not None else _words(text)
     n_words = F.size(words).cast("double")
     n_chars = F.length(text).cast("double")
     mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
@@ -87,10 +90,10 @@ def _quality_exprs(text_col: str) -> _ty.List[F.Column]:
     ]
 
 
-def _language_exprs(text_col: str) -> _ty.List[F.Column]:
+def _language_exprs(text_col: str, words=None) -> _ty.List[F.Column]:
     """Stopword-vote language ID: the language whose stopword list hits
     the most tokens wins (ties broken by language code order)."""
-    words = _words(F.col(text_col))
+    words = words if words is not None else _words(F.col(text_col))
     hits = {}
     for lang in sorted(STOPWORDS):
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -104,16 +107,37 @@ def _language_exprs(text_col: str) -> _ty.List[F.Column]:
     return [pred.alias("pred_lang"), mx.alias("stopword_hits")]
 
 
+def _with_words(df: SDF, text_col: str, id_col: str) -> SDF:
+    """Materialize the token array ONCE per row (own projection). Spark
+    does not collapse a non-cheap multiply-referenced alias into its
+    consumers, so downstream signal expressions read the array instead
+    of each re-running split(regexp_replace(...)) — the same rule as
+    dedup._shingles (measured 6.5x there, ~2x across the fused stats
+    here)."""
+    return df.select(
+        F.col(id_col), F.col(text_col), _words(F.col(text_col)).alias("__w__")
+    )
+
+
 def token_count(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
-    return df.select(F.col(id_col), *_token_count_exprs(text_col))
+    base = _with_words(df, text_col, id_col)
+    return base.select(
+        F.col(id_col), *_token_count_exprs(text_col, words=F.col("__w__"))
+    )
 
 
 def quality_score(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
-    return df.select(F.col(id_col), *_quality_exprs(text_col))
+    base = _with_words(df, text_col, id_col)
+    return base.select(
+        F.col(id_col), *_quality_exprs(text_col, words=F.col("__w__"))
+    )
 
 
 def language_id(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
-    return df.select(F.col(id_col), *_language_exprs(text_col))
+    base = _with_words(df, text_col, id_col)
+    return base.select(
+        F.col(id_col), *_language_exprs(text_col, words=F.col("__w__"))
+    )
 
 
 def doc_fingerprint(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
@@ -138,16 +162,23 @@ def doc_fingerprint(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def _ngrams(words: F.Column, n: int) -> F.Column:
-    """Space-joined token n-grams.  Guarded sequence: Spark's
-    ``sequence(1, 0)`` DESCENDS, so docs shorter than ``n`` tokens must
-    short-circuit to an empty array."""
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
-    )
+    """Space-joined token n-grams as a zip_with chain over n shifted
+    slices. CRITICAL shape: ``words`` appears only as an HOF *input*
+    (each slice evaluates it once per row); the earlier
+    transform-over-indices form referenced ``words`` INSIDE its lambda,
+    and an outer computed expression in an interpreted lambda re-evaluates
+    per element — O(len²) splits per document, measured 120x slower on
+    the quality gate once the projection was actually materialized
+    (count() benchmarks prune projections and had hidden it)."""
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    acc = F.slice(words, 1, cnt)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, j + 1, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
 
 
 def repetition_stats(
@@ -173,7 +204,8 @@ def repetition_stats(
     per-doc projection.  Nothing is quadratic; gram cardinality per doc
     is bounded by doc length.
     """
-    words = _words(F.col(text_col))
+    df = _with_words(df, text_col, id_col)
+    words = F.col("__w__")
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(words).cast("long").alias("nw"),
@@ -249,11 +281,13 @@ def text_stats(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
     joining the three per-op frames on doc_id would shuffle the corpus
     twice for columns that are all computable side by side in the same
     codegen stage."""
-    return df.select(
+    base = _with_words(df, text_col, id_col)
+    w = F.col("__w__")
+    return base.select(
         F.col(id_col),
-        *_token_count_exprs(text_col),
-        *_quality_exprs(text_col),
-        *_language_exprs(text_col),
+        *_token_count_exprs(text_col, words=w),
+        *_quality_exprs(text_col, words=w),
+        *_language_exprs(text_col, words=w),
     )
 
 
@@ -422,13 +456,16 @@ def gopher_filter(
     low_alpha_frac, high_symbol_ratio, too_few_stopwords (English),
     repetitive_words (1 - distinct/total), repetitive_5grams.
 
-    Scale design: ONE zero-shuffle codegen projection — every signal,
+    Scale design: zero-shuffle narrow projections — every signal,
     including both repetition fractions, is a higher-order array
-    function over the doc's own tokens (no explode, no aggregate, no
-    join). Filtering 100 TB costs exactly one scan; the same CASE
-    ladder is expressible verbatim in any SQL engine."""
+    function over the doc's MATERIALIZED token array (no explode, no
+    aggregate, no join; see ``_with_words`` for why the array is bound
+    once instead of splitting inline per signal). Filtering 100 TB
+    costs exactly one scan; the same CASE ladder is expressible
+    verbatim in any SQL engine."""
+    df = _with_words(df, text_col, id_col)
     text = F.col(text_col)
-    words = _words(text)
+    words = F.col("__w__")
     nw = F.size(words).cast("long")
     n_chars = F.length(text).cast("double")
     mwl = F.when(nw > 0, n_chars / nw.cast("double")).otherwise(F.lit(0.0))
