@@ -3,10 +3,13 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Methodology: each query is fully executed twice (collect-to-count sink,
-so timing covers scan + shuffle + result materialization). The reported
-per-query number is the SECOND (steady-state) run; the first run's time
-is recorded separately under "cold_queries". At sf0.1 the first run is
+Methodology: each query is fully executed twice against the NOOP sink
+(`df.write.format("noop")` — forces every output column to be computed;
+a count() sink lets Catalyst prune projection-only queries down to a
+row count and under-measured every narrow query, found in r3 when a
+projection that "benched" 0.3s cost 12s once materialized). The
+reported per-query number is the SECOND (steady-state) run; the first
+run's time is recorded separately under "cold_queries". At sf0.1 the first run is
 dominated by one-time costs that are independent of data volume —
 Catalyst analysis, whole-stage-codegen Janino compilation, parquet footer
 reads, broadcast-job spin-up (measured 1-4s per distinct plan, identical
@@ -66,70 +69,82 @@ HEADLINE = [
     "q130_grouped_cdf",
 ]
 
-# Round-1 steady-state seconds at sf0.1 on local[32] (BENCH_r01.json) —
-# the regression anchor. A query >25% slower than its anchor (after one
-# damping re-run) is reported under "regressions"; set
-# SPARK_GRAFT_BENCH_STRICT=1 to also fail the script on regressions.
+# Steady-state seconds at sf0.1 on local[32] — the regression anchor.
+# RE-ANCHORED in r3: the sink changed from count() (Catalyst pruned
+# projection-only queries to a bare row count — under-measured every
+# narrow query) to the noop writer, which forces full column
+# evaluation; every value below is a noop-sink measurement. r1/r2
+# count-sink numbers are not comparable. A query >25% slower than its
+# anchor (after one damping re-run) is reported under "regressions";
+# set SPARK_GRAFT_BENCH_STRICT=1 to also fail the script.
 ANCHOR_SF = 0.1
 ANCHOR = {
-    "q01_pricing_summary": 0.582,
-    "q03_join_topk": 1.578,
-    "q05_dedup_keep_first": 1.072,
-    "q11_window_rank": 0.58,
-    "q12_cumsum": 0.221,
-    "q16_event_windows": 0.407,
-    "q17_sessionize": 0.604,
-    "q18_exact_dedup": 0.495,
-    "q19_minhash_pairs": 2.48,
-    "q21_ngram_jaccard": 3.022,
-    "q22_ann_brute_force": 0.724,
-    "q23_ann_lsh": 1.412,
-    "q24_text_stats": 0.497,
-    "q27_rec_ops": 0.604,
-    "q37_asof_join": 0.315,
-    # r3 re-anchor: q41's workload changed (normalized-corpus projection
-    # with a full SQL oracle replaced the rows-only tokens dump)
-    "q41_bpe_tokenize": 0.258,
-    "q42_cosine_dedup": 1.701,
-    "q45_llm_pipeline": 1.312,
-    # r2 additions (anchored at their first sf0.1 measurement)
-    "q80_hll_distinct": 0.447,
-    "q81_local_supplier_volume": 0.934,
-    "q82_funnel": 0.543,
-    "q86_strip_duplicate_spans": 0.45,  # re-measured (4-run steady median); first 0.253 reading not reproducible
-    # r2 wave-2 additions (anchored at their first sf0.1 measurement)
-    "q92_order_priority_exists": 1.137,
-    "q98_market_share": 1.703,
-    "q100_returned_top_customers": 0.841,
-    "q102_waiting_suppliers": 1.809,
-    "q105_heavy_hitters": 1.044,
-    "q107_resample_ffill": 0.403,
-    "q110_grouped_quantiles": 0.635,
-    "q112_grouped_heavy_hitters": 0.858,
-    "q113_forecast_revenue": 0.447,
-    "q119_min_cost_supplier": 1.704,
+    "q01_pricing_summary": 0.641,
+    "q03_join_topk": 1.083,
+    "q05_dedup_keep_first": 0.778,
+    "q11_window_rank": 0.32,
+    "q12_cumsum": 0.426,
+    "q16_event_windows": 0.295,
+    "q17_sessionize": 0.471,
+    "q18_exact_dedup": 0.289,
+    "q19_minhash_pairs": 1.858,
+    "q21_ngram_jaccard": 1.594,
+    "q22_ann_brute_force": 0.454,
+    "q23_ann_lsh": 0.912,
+    "q24_text_stats": 0.911,
+    "q27_rec_ops": 0.734,
+    "q37_asof_join": 0.336,
+    "q41_bpe_tokenize": 0.917,
+    "q42_cosine_dedup": 1.561,
+    "q45_llm_pipeline": 0.869,
+    "q80_hll_distinct": 0.462,
+    "q81_local_supplier_volume": 0.913,
+    "q82_funnel": 0.49,
+    "q86_strip_duplicate_spans": 0.982,
+    "q92_order_priority_exists": 0.517,
+    "q98_market_share": 0.979,
+    "q100_returned_top_customers": 0.568,
+    "q102_waiting_suppliers": 0.944,
+    "q105_heavy_hitters": 0.541,
+    "q107_resample_ffill": 0.358,
+    "q110_grouped_quantiles": 0.299,
+    "q112_grouped_heavy_hitters": 0.707,
+    "q113_forecast_revenue": 0.164,
+    "q119_min_cost_supplier": 1.116,
+    "q43_jaccard_prefix": 2.513,
+    "q126_multimodal_decode": 0.898,
+    "q127_lm_quality": 1.047,
+    "q128_gopher_filter": 0.609,
+    "q129_curation_pipeline": 2.185,
+    "q130_grouped_cdf": 0.342,
 }
+
+
+def _sink(df) -> None:
+    """Benchmark sink: force FULL evaluation of every output column.
+    count() is not a benchmark sink — Catalyst prunes unused columns, so
+    a projection-only query 'benches' as a bare row-count scan."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 STRESS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".stress_sf1")
 
-# sf1 steady-state anchors (seconds, local[32], r3 measurement after the
-# PPJoin positional/length pruning + array-intersect verify rewrite) for
-# the pair machinery — the quadratic-creep canary sf0.1 cannot see.
-# Ratios vs sf0.1 at 10x rows were 6.4 / 7.1 / 2.6 / 3.1 — all
-# sublinear; a later round whose ratio jumps past ~10 has reintroduced
-# superlinear pair work.
+# sf1 steady-state anchors (seconds, local[32], r3 noop-sink
+# measurement) for the pair machinery — the quadratic-creep canary
+# sf0.1 cannot see. All ratios vs sf0.1 at 10x rows were sublinear
+# (q19 7.2, q18 2.7, q46 6.6, q86 7.0, q21-auto 4.9, q42 3.1,
+# q105 5.6); a later round whose ratio jumps past ~10 has
+# reintroduced superlinear pair work. The harness already earned its
+# keep twice in r3: it caught an executor OOM in simhash's
+# small-key-space buckets and the count()-sink under-measurement.
 STRESS_ANCHOR: dict[str, float] = {
-    "q19_minhash_pairs": 14.39,
-    "q21_ngram_jaccard_auto": 16.36,
-    "q42_cosine_dedup": 4.19,
-    "q105_heavy_hitters": 2.53,
-    # added after the memory-bounded pair-emission rewrite (the first
-    # simhash stress attempt OOMed the executor — the bug the harness
-    # exists to catch; ratios vs sf0.1: 1.8 / 5.2 / 1.0)
-    "q18_exact_dedup": 0.98,
-    "q46_simhash_pairs": 32.97,
-    "q86_strip_spans": 0.29,
+    "q19_minhash_pairs": 13.454,
+    "q18_exact_dedup": 0.774,
+    "q46_simhash_pairs": 33.446,
+    "q86_strip_spans": 6.852,
+    "q21_ngram_jaccard_auto": 7.838,
+    "q42_cosine_dedup": 4.774,
+    "q105_heavy_hitters": 3.052,
 }
 
 
@@ -257,16 +272,17 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
         # not a headline query: measure its sf0.1 steady time here so
         # the stress ratio has a denominator
         b = spark.read.parquet(f"{sf01_dir}/documents.parquet")
-        simhash_pairs(b, max_hamming=3).count()
+        _sink(simhash_pairs(b, max_hamming=3))
         t0 = time.perf_counter()
-        simhash_pairs(b, max_hamming=3).count()
+        _sink(simhash_pairs(b, max_hamming=3))
         base["q46_simhash_pairs"] = time.perf_counter() - t0
     out: dict[str, dict] = {}
     for name, build in cases.items():
-        build().count()  # cold run: codegen/broadcast spin-up
+        _sink(build())  # cold run: codegen/broadcast spin-up
         t0 = time.perf_counter()
-        n = build().count()
+        _sink(build())
         sec = round(time.perf_counter() - t0, 3)
+        n = build().count()  # row count (untimed)
         b = base.get(name, warm.get(name))
         anchor = STRESS_ANCHOR.get(name)
         out[name] = {
@@ -288,17 +304,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so timings measure the queries
-    QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+    _sink(QUERIES["q01_pricing_summary"](spark, sf_dir))
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
+        _sink(QUERIES[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
+        _sink(QUERIES[name](spark, sf_dir))
         warm[name] = round(time.perf_counter() - t0, 3)
+        n = QUERIES[name](spark, sf_dir).count()  # row count (untimed)
         print(
             f"# {name}: cold {cold[name]:.3f}s / steady {warm[name]:.3f}s ({n} rows)",
             file=sys.stderr,
@@ -319,7 +336,7 @@ def main() -> None:
             if warm[name] > anchor * 1.25:
                 # damp one-off noise (GC pause, compilation) with a re-run
                 t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).count()
+                _sink(QUERIES[name](spark, sf_dir))
                 warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
             delta_vs_r1[name] = round(warm[name] - anchor, 3)
             if warm[name] > anchor * 1.25:
