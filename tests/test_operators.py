@@ -1912,3 +1912,32 @@ def test_ivf_topk_df_matches_brute_force_full_probe(spark, sf_dir):
     part = ivf_topk_df(emb, q, cdf, k=3, n_probe=2)
     assert part.groupBy("query_id").count().count() == 8
     assert part.where(F.col("rank") > 3).count() == 0
+
+
+def test_collocations_phrase_score(spark):
+    """word2vec phrase score (count(ab) - delta) * N / (count(a)*count(b)):
+    hand-computed on a corpus where 'new york' dominates."""
+    from torcharrow_spark.operators import collocations
+
+    rows = [("new york is big",)] * 6 + [("a new day",)] * 3 + [("york here",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {(r["w1"], r["w2"]): (r["n_bigram"], r["score"])
+           for r in collocations(df, min_count=2, k=5).collect()}
+    # counts: tokens N = 6*4 + 3*3 + 2 = 35; new=9, york=7, 'new york'=6
+    assert got[("new", "york")][0] == 6
+    assert abs(got[("new", "york")][1] - (6 * 35) / (9 * 7)) < 1e-9
+    # every returned bigram respects min_count
+    assert all(n >= 2 for n, _ in got.values())
+
+
+def test_simhash_groups(spark):
+    """Identical-simhash grouping: exact duplicates share a hash and
+    group; the representative is the min id; singletons are excluded."""
+    from torcharrow_spark.operators import simhash_groups
+
+    rows = [(1, "the same text here"), (2, "the same text here"),
+            (5, "the same text here"), (9, "something entirely different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_groups(df).collect()
+    assert len(got) == 1
+    assert (got[0]["n_docs"], got[0]["rep_id"]) == (3, 1)
