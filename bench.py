@@ -243,11 +243,12 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
         ),
         # one 120-bit-key shuffle; scales with rows
         "q18_exact_dedup": lambda: exact_dedup_ids(docs()),
-        # block-permutation pigeonhole, sizing rule applied: corpus 10x
-        # => bits 16->32 keeps (block,value) bucket occupancy constant
-        # (bits ~ (k+1) * log2(corpus/target_bucket))
+        # block-permutation pigeonhole, sizing rule now SELF-APPLIED:
+        # bits='auto' counts the corpus and picks
+        # (k+1) * log2(corpus/256) clamped to [16, 32] — 32 at 50k docs,
+        # keeping (block,value) bucket occupancy constant at 10x rows
         "q46_simhash_pairs": lambda: simhash_pairs(
-            docs(), bits=32, max_hamming=3
+            docs(), bits="auto", max_hamming=3
         ),
         # single span-frequency shuffle (Lee et al. 2022)
         "q86_strip_spans": lambda: strip_duplicate_spans(docs(), k=8),

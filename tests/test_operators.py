@@ -188,6 +188,41 @@ def test_prefix_jaccard_equals_direct(spark, sf_dir):
     assert direct == prefix and len(direct) > 0
 
 
+def test_prefix_jaccard_boundary_threshold_pairs(spark):
+    """Bounds sitting EXACTLY on an integer (threshold * size integral)
+    must not be pruned by double rounding inside the PPJoin ceils
+    (advisor finding r3: 0.5 * 4 can evaluate to 2.0000000000000004, and
+    a plain ceil then demands overlap 3 — over-pruning a true pair whose
+    jaccard sits exactly on the threshold). Doc 1's shingles are a
+    subset of doc 2's with |A|=2, |B|=4: jaccard = 2/4 = 0.5 exactly,
+    and the length bound min >= ceil(t * max) is exactly tight."""
+    from torcharrow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.5, 0.25, 2.0 / 3.0):
+        direct = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(docs, threshold=t, mode="direct").collect()
+        }
+        prefix = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert direct == prefix, t
+        if t <= 0.5:
+            assert prefix[(1, 2)] == 0.5  # the boundary pair survives
+
+
 def test_jaccard_auto_is_prefix_and_jobfree(spark, monkeypatch):
     """mode='auto' must (a) pick the prefix plan on a boilerplate-heavy
     corpus — pair blowup tracks shingle document-frequency, not corpus
@@ -275,6 +310,39 @@ def test_simhash_pairs_hamming(spark, sf_dir):
             if h <= 2:
                 want[(a, b)] = h
     assert got == want and len(want) > 0
+
+
+def test_simhash_auto_bits_rule():
+    """bits='auto' applies the documented sizing rule
+    bits = (k+1) * ceil(log2(n / 256)) clamped to [16, 32]: 50k docs
+    MUST get 32 (the r3 stress corpus size where 16 bits re-quadratized
+    candidate work), small corpora keep the old default 16, and the rule
+    is monotone in corpus size."""
+    from torcharrow_spark.operators.dedup import simhash_auto_bits
+
+    assert simhash_auto_bits(0) == 16
+    assert simhash_auto_bits(1_000) == 16
+    assert simhash_auto_bits(10_000) == 24
+    assert simhash_auto_bits(50_000) == 32
+    assert simhash_auto_bits(10_000_000) == 32  # md5-nibble ceiling
+    vals = [simhash_auto_bits(n) for n in (100, 1_000, 10_000, 100_000)]
+    assert vals == sorted(vals)
+
+
+def test_simhash_pairs_auto_bits_matches_explicit(spark, sf_dir):
+    """At 300 docs the auto rule resolves to the floor clamp 16, so
+    bits='auto' must reproduce bits=16 exactly (the count() happens at
+    plan-build, the pair machinery is unchanged)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    auto = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ops.simhash_pairs(docs, bits="auto", max_hamming=2).collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ops.simhash_pairs(docs, bits=16, max_hamming=2).collect()
+    }
+    assert auto == explicit and len(auto) > 0
 
 
 def test_bpe_matches_reference_gpt2_goldens(spark):
@@ -1224,6 +1292,15 @@ def test_grouped_heavy_hitters(spark):
     out_schema = grouped_heavy_hitters(df2, "w", 0.5, ["g"]).schema
     assert out_schema["g"].dataType.simpleString() == "int"
 
+    # NULL is a reportable VALUE: it counts toward the group total AND
+    # is reported when it crosses the threshold (advisor finding r3 —
+    # plain value equality dropped it while still inflating the total)
+    rows3 = [("en", None)] * 6 + [("en", "t")] * 3 + [("en", "u")]
+    df3 = spark.createDataFrame(rows3, "g string, w string")
+    got3 = {(r["g"], r["value"]): (r["cnt"], round(r["frac"], 6)) for r in
+            grouped_heavy_hitters(df3.repartition(3), "w", 0.3, ["g"]).collect()}
+    assert got3 == {("en", None): (6, 0.6), ("en", "t"): (3, 0.3)}, got3
+
 
 def test_equi_depth_buckets(spark):
     from pyspark.sql import functions as F
@@ -1730,6 +1807,23 @@ def test_gopher_filter_rules(spark):
     assert got[5] == (False, "high_symbol_ratio")
 
 
+def test_gopher_filter_null_text_is_dropped(spark):
+    """NULL text must FAIL the gate with an explicit reason: every
+    metric is NULL on NULL input, so without the leading rule the CASE
+    ladder falls through and the gate silently retains unreadable
+    documents (advisor finding r3)."""
+    from torcharrow_spark.operators import gopher_filter
+
+    good = "the a of to in is it and " + " ".join(f"word{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, good), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in gopher_filter(df).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "null_text")
+
+
 def test_estimate_jaccard_pair_cost_sampled(spark):
     """The 1/sample_mod hash-sample keys a subset of shingles but keeps
     each sampled shingle's document frequency EXACT, so est_pairs is an
@@ -1885,6 +1979,27 @@ def test_grouped_binned_cdf(spark):
     assert all(c == 0.0 for _, c in by_g["c"])
     # null passthrough
     assert any(x is None and c is None for x, c in by_g["a"])
+
+
+def test_grouped_binned_cdf_null_group_key(spark):
+    """A NULL group KEY is a group like any other (struct-keyed joins
+    are null-safe): its rows must get a real per-group CDF, consistent
+    with the percent_rank-over-partition semantics the operator
+    replaces (advisor finding r3 — name-based equality joins silently
+    gave null-keyed groups a null CDF)."""
+    from torcharrow_spark.operators import grouped_binned_cdf
+
+    rows = [("a", float(i)) for i in range(10)] + \
+           [(None, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = grouped_binned_cdf(df, "x", ["g"], n_bins=64).collect()
+    nulls = sorted((r["x"], r["x_cdf"]) for r in out if r["g"] is None)
+    assert len(nulls) == 20
+    assert all(c is not None for _, c in nulls)
+    cs = [c for _, c in nulls]
+    assert all(u <= v + 1e-12 for u, v in zip(cs, cs[1:]))
+    # group-relative: the null group's max value has CDF ~1
+    assert cs[-1] > 0.9
 
 
 def test_ivf_topk_df_matches_brute_force_full_probe(spark, sf_dir):

@@ -286,6 +286,12 @@ def test_prefix_jaccard_pruning_in_plan(spark, sf_dir):
     onto the shingle table."""
     text = formatted_plan(QUERIES["q43_jaccard_prefix"](spark, sf_dir))
     assert "array_intersect" in text, text[:3000]
+    # shingle document-frequency must be a partial-aggregating
+    # groupBy + join-back, NOT a window: WindowExec buffers each
+    # partition-key group, so a boilerplate shingle in 10^9 docs becomes
+    # one straggler task — and AQE cannot split a window partition the
+    # way it splits a skewed join partition (r3 judge finding)
+    assert "Window" not in text, text[:3000]
 
 
 def test_curation_pipeline_plan(spark, sf_dir):

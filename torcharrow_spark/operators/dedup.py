@@ -51,6 +51,20 @@ def _emit_pairs(grouped: SDF, arr_col: str) -> SDF:
     return ex.select(F.col("__a__"), F.explode(tail).alias("__b__"))
 
 
+def _ceil_exact(x):
+    """ceil for PPJoin bounds whose TRUE value is a rational: the double
+    product can land epsilon ABOVE the exact integer (0.5 * 4 =
+    2.0000000000000004), and a plain ceil then rounds one past the real
+    bound — over-pruning a true pair sitting exactly on the boundary and
+    breaking the 'identical output to direct mode' contract (advisor
+    finding, r3). Sizes are <= ~1e9 so double relative error is < 1e-7
+    absolute; subtracting 1e-6 before ceil absorbs it while never
+    crossing a genuine non-integer gap (thresholds are user floats with
+    coarse precision). Loosening a bound by at most 1 admits a few extra
+    candidates — lossless, the exact verify step rejects them."""
+    return F.ceil(x - F.lit(1e-6))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 
@@ -404,18 +418,23 @@ def ngram_jaccard_pairs_prefix(
     instead of with sum-over-shingles C(df, 2). Use this form when the
     corpus has heavy shingle reuse; the direct form wins on small or
     low-duplication corpora."""
-    from pyspark.sql import Window
-
     sh = _shingles(df, text_col, id_col, shingle_k)
     # 64-bit hash of each shingle: arrays of longs intersect much faster
     # than arrays of strings, and 2^64 makes collisions negligible; the
     # hash only orders/buckets candidates — final pairs come from an
     # exact intersection, so the hash choice never changes the output
     shh = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("h"))
-    # document frequency as a windowed count: ONE shuffle of the shingle
-    # table on h (vs groupBy + shuffle-join = two); hot shingles land in
-    # one partition but a windowed count is O(group), no buffering blowup
-    ranked = shh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    # document frequency via partial-aggregating groupBy + join-back, NOT
+    # a window: WindowExec buffers (and spills) every rows-of-one-key
+    # group, so a boilerplate shingle appearing in 10^9 docs becomes one
+    # straggler task sorting 10^9 rows. HashAggregate's map-side combine
+    # collapses a hot key to one row per map task BEFORE the shuffle; the
+    # join-back streams the probe side (one build row per key, no group
+    # buffer), and — unlike a window partition — AQE skew-join can SPLIT
+    # a skewed join partition across tasks. The extra shuffle is the
+    # price of no per-key buffering at 100x scale.
+    dfreq = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = shh.join(dfreq, "h")
     # per-doc: one sorted (df, h) buffer; the full sorted-hash array for
     # the exact-verify step derives from it with narrow array ops
     per_doc = (
@@ -431,7 +450,9 @@ def ngram_jaccard_pairs_prefix(
             F.slice(
                 F.transform(F.col("by_rarity"), lambda s: s["h"]),
                 1,
-                (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+                (F.col("sz") - _ceil_exact(F.lit(threshold) * F.col("sz")) + 1).cast(
+                    "int"
+                ),
             ).alias("prefix"),
         )
     )
@@ -467,7 +488,7 @@ def ngram_jaccard_pairs_prefix(
     #    generating row passes (filter, then distinct) loses nothing.
     # At low thresholds prefixes are long (70% of the doc at t=0.3) and
     # this is what keeps the candidate set near the true-pair count.
-    minoverlap = F.ceil(
+    minoverlap = _ceil_exact(
         F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
     )
     # pos is 0-based: elements after the shared shingle = sz - pos - 1,
@@ -475,7 +496,7 @@ def ngram_jaccard_pairs_prefix(
     ubound = F.least(
         F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
     )
-    length_ok = F.least(F.col("sz_a"), F.col("sz_b")) >= F.ceil(
+    length_ok = F.least(F.col("sz_a"), F.col("sz_b")) >= _ceil_exact(
         F.lit(threshold) * F.greatest(F.col("sz_a"), F.col("sz_b"))
     )
     # candidate pairs dedup on BARE id pairs (HashAggregate over two
@@ -530,11 +551,25 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def simhash_auto_bits(
+    n_docs: int, max_hamming: int = 3, target_bucket: int = 256
+) -> int:
+    """The documented SimHash sizing rule as code: each of the
+    (max_hamming + 1) pigeonhole blocks should hold ~target_bucket docs,
+    so bits = (k + 1) * ceil(log2(n / target_bucket)), clamped to
+    [16, 32] (the md5-nibble construction in `simhash` yields <= 32
+    bits). 50k docs at k=3 -> 32; <= ~10^4 docs -> the old default 16."""
+    import math
+
+    per_block = max(1, math.ceil(math.log2(max(n_docs, 1) / target_bucket)))
+    return max(16, min(32, (max_hamming + 1) * per_block))
+
+
 def simhash_pairs(
     df: SDF,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits="auto",
     max_hamming: int = 3,
 ) -> SDF:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming,
@@ -549,11 +584,16 @@ def simhash_pairs(
     Sizing rule — ``bits`` MUST grow with the corpus: each block has
     bits/(max_hamming+1) bits, so a (block, value) bucket holds
     ~corpus / 2^(bits/(k+1)) docs and candidate work is quadratic in
-    that. Pick bits ≈ (max_hamming+1) * log2(corpus / target_bucket)
-    with target_bucket a few hundred: the default 16 (4-bit blocks)
-    suits ~10^3-10^4 docs; 50k docs want 32 (8-bit blocks). Candidate
+    that. ``bits='auto'`` (default) applies the rule itself — ONE cheap
+    count() (id-column scan) sizes bits = (k+1)*log2(corpus/256) clamped
+    to [16, 32] — mirroring what ``ngram_jaccard_pairs(mode='auto')``
+    does for algorithm choice, so a caller moving from 10^3 to 10^5 docs
+    cannot silently keep an undersized hash. Pass an explicit int to pin
+    the width (oracle queries do, for determinism across SFs). Candidate
     emission is memory-bounded per row (`_emit_pairs`), so an undersized
-    ``bits`` degrades to slow, not to executor OOM."""
+    explicit ``bits`` still degrades to slow, not to executor OOM."""
+    if bits == "auto":
+        bits = simhash_auto_bits(df.count(), max_hamming)
     n_blocks = max_hamming + 1
     widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
     s = simhash(df, text_col, id_col, bits)

@@ -552,20 +552,25 @@ def grouped_binned_cdf(
     The histogram joins back on (group, bin) — a regular hash join
     keyed on the group columns (never assumes the group count fits a
     broadcast). Same hi==lo degenerate-group guard and within-bin
-    linear interpolation as the ungrouped form; null inputs yield null
-    CDF."""
+    linear interpolation as the ungrouped form; null VALUES yield null
+    CDF, while a NULL group KEY forms a group like any other — every
+    internal join/window runs on a struct of the key columns, whose
+    equality is null-safe in Spark (plain name-based equality would
+    silently give null-keyed groups a null CDF; advisor finding r3,
+    matching grouped_heavy_hitters' null-safe keys)."""
     keys = list(by)
     if not keys:
         raise ValueError("use binned_cdf() for the ungrouped form")
     out = out_col or f"{col}_cdf"
     c = F.col(col).cast("double")
-    base = df.where(c.isNotNull()).select(*keys, c.alias("__v__"))
-    bounds = base.groupBy(*keys).agg(
+    gk = F.struct(*[F.col(k) for k in keys])
+    base = df.where(c.isNotNull()).select(gk.alias("__gk__"), c.alias("__v__"))
+    bounds = base.groupBy("__gk__").agg(
         F.min("__v__").alias("__lo__"),
         F.max("__v__").alias("__hi__"),
         F.count(F.lit(1)).alias("__n__"),
     )
-    b = base.join(bounds, keys)
+    b = base.join(bounds, "__gk__")
     w = (F.col("__hi__") - F.col("__lo__")) / F.lit(float(n_bins))
     bin_ = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
         F.least(
@@ -576,22 +581,23 @@ def grouped_binned_cdf(
             F.lit(n_bins - 1),
         )
     )
-    hist = b.groupBy(*keys, bin_.alias("__bin__")).agg(
+    hist = b.groupBy("__gk__", bin_.alias("__bin__")).agg(
         F.count(F.lit(1)).alias("__bn__")
     )
     hw = (
-        Window.partitionBy(*keys)
+        Window.partitionBy("__gk__")
         .orderBy("__bin__")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     hist = hist.select(
-        *keys,
+        "__gk__",
         "__bin__",
         "__bn__",
         (F.sum("__bn__").over(hw) - F.col("__bn__")).alias("__cumb__"),
     )
     enriched = (
-        df.join(bounds, keys, "left")
+        df.withColumn("__gk__", gk)
+        .join(bounds, "__gk__", "left")
         .withColumn(
             "__bin__",
             F.when(
@@ -607,7 +613,7 @@ def grouped_binned_cdf(
                 ),
             ),
         )
-        .join(hist, keys + ["__bin__"], "left")
+        .join(hist, ["__gk__", "__bin__"], "left")
     )
     frac = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0.0)).otherwise(
         F.least(
@@ -619,7 +625,7 @@ def grouped_binned_cdf(
     cdf = (F.col("__cumb__") + frac * F.col("__bn__")) / F.col("__n__")
     return enriched.withColumn(
         out, F.when(c.isNotNull(), cdf)
-    ).drop("__bin__", "__bn__", "__cumb__", "__lo__", "__hi__", "__n__")
+    ).drop("__gk__", "__bin__", "__bn__", "__cumb__", "__lo__", "__hi__", "__n__")
 
 
 def equi_depth_buckets(

@@ -245,7 +245,10 @@ def heavy_hitters(
     Spark-first exact-verified equivalent.
 
     Returns ``(value, cnt, frac)`` with ``frac = cnt / N`` (double,
-    same single division on any engine).
+    same single division on any engine).  NULL is a reportable value
+    like any other (it counts toward N, so it must be reportable
+    against the threshold it inflates — same null contract as
+    :func:`grouped_heavy_hitters`).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
@@ -257,17 +260,22 @@ def heavy_hitters(
         counts: dict = {}
         n = 0
         for pdf in batches:
-            col = pdf["value"].dropna()
             n += len(pdf)
-            for v, c in col.value_counts().items():
-                counts[v] = counts.get(v, 0) + int(c)
+            for v, c in pdf["value"].value_counts(dropna=False).items():
+                key = None if v != v else v
+                counts[key] = counts.get(key, 0) + int(c)
         cand = [v for v, c in counts.items() if c >= threshold * n]
         yield pd.DataFrame({"value": pd.Series(cand, dtype="object")})
 
     candidates = vals.mapInPandas(_local_heavy, "value string").distinct()
     total = vals.agg(F.count(F.lit(1)).alias("__total__"))
     return (
-        vals.join(F.broadcast(candidates), "value", "left_semi")
+        vals.alias("v")
+        .join(
+            F.broadcast(candidates.alias("c")),
+            F.col("v.value").eqNullSafe(F.col("c.value")),
+            "left_semi",
+        )
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(total))
@@ -296,9 +304,11 @@ def grouped_heavy_hitters(
     aggregate over candidates + a per-group total join make the final
     filter exact.  Returns ``(*by, value, cnt, frac)`` with the group
     keys in their ORIGINAL types; NULL group keys form a group like
-    any other (all joins are null-safe — plain equality would silently
-    drop every NULL-keyed row between the candidate and total
-    joins)."""
+    any other, and NULL is a reportable VALUE like any other (joins are
+    null-safe end-to-end — plain equality on the value would silently
+    drop a NULL value that crosses the threshold while its rows still
+    inflate the group total it is measured against; advisor finding
+    r3)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     keys = list(by)
@@ -325,8 +335,11 @@ def grouped_heavy_hitters(
             for g, sub in gv:
                 gt = g if isinstance(g, tuple) else (g,)
                 totals[gt] = totals.get(gt, 0) + len(sub)
-                for v, c in sub["value"].dropna().value_counts().items():
-                    counts[(gt, v)] = counts.get((gt, v), 0) + int(c)
+                for v, c in sub["value"].value_counts(dropna=False).items():
+                    # normalize NaN -> None at insert: NaN != NaN would
+                    # split one null value across several dict entries
+                    key = (gt, None if v != v else v)
+                    counts[key] = counts.get(key, 0) + int(c)
         rows = [
             (*gt, v)
             for (gt, v), c in counts.items()
@@ -344,7 +357,7 @@ def grouped_heavy_hitters(
     v = vals.alias("v")
     semi_cond = [
         F.col(f"v.{s}").eqNullSafe(F.col(f"c.{s}")) for s in shadows
-    ] + [F.col("v.value") == F.col("c.value")]
+    ] + [F.col("v.value").eqNullSafe(F.col("c.value"))]
     survivors = v.join(
         F.broadcast(candidates),
         functools.reduce(lambda a, b: a & b, semi_cond),

@@ -496,7 +496,12 @@ def gopher_filter(
     ).otherwise(F.lit(0.0))
 
     reason = (
-        F.when(nw < min_words, F.lit("too_few_words"))
+        # NULL text must fail the gate explicitly: every metric below
+        # evaluates to NULL on NULL input, so without this leading rule
+        # the CASE ladder falls through and keep = reason.isNull() would
+        # silently RETAIN unreadable documents (advisor finding, r3).
+        F.when(text.isNull(), F.lit("null_text"))
+        .when(nw < min_words, F.lit("too_few_words"))
         .when(nw > max_words, F.lit("too_many_words"))
         .when(
             (mwl < min_mean_wlen) | (mwl > max_mean_wlen),

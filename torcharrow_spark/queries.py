@@ -5428,6 +5428,7 @@ def _gopher_reason_cte(min_words: int = 50, max_dupw: float = 0.3) -> str:
     ),
     gm0 AS (
       SELECT doc_id,
+             text IS NULL AS is_null_text,
              len(w)::BIGINT AS nw,
              CASE WHEN len(w) > 0 THEN n_chars / len(w) ELSE 0.0 END AS mwl,
              CASE WHEN len(w) > 0 THEN
@@ -5450,7 +5451,8 @@ def _gopher_reason_cte(min_words: int = 50, max_dupw: float = 0.3) -> str:
     ),
     gm AS (
       SELECT doc_id,
-             CASE WHEN nw < {min_words} THEN 'too_few_words'
+             CASE WHEN is_null_text THEN 'null_text'
+                  WHEN nw < {min_words} THEN 'too_few_words'
                   WHEN nw > 100000 THEN 'too_many_words'
                   WHEN mwl < 3.0 OR mwl > 10.0 THEN 'bad_mean_word_len'
                   WHEN alpha_frac < 0.8 THEN 'low_alpha_frac'
