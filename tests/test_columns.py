@@ -273,3 +273,94 @@ def test_column_describe(spark):
     assert rows["std"] == _pt.approx(498.33489408897174)
     assert rows["25%"] == 1.5 and rows["50%"] == 3.0 and rows["75%"] == 501.5
     assert rows["min"] == 1.0 and rows["max"] == 999.0
+
+
+def test_column_sort_reference_semantics(spark):
+    """Mirrors reference test_numerical_column.py::base_test_sort_stuff:
+    bare-column sort with ascending/na_position, `by` rejected."""
+    import pytest
+
+    assert list(ts.column([2, 1, 3], spark=spark).sort()) == [1, 2, 3]
+    assert list(ts.column([2, 1, 3], spark=spark).sort(ascending=False)) == [3, 2, 1]
+    c = [None, 1, 5, 2]
+    assert list(ts.column(c, spark=spark).sort()) == [1, 2, 5, None]
+    assert list(ts.column(c, spark=spark).sort(na_position="first")) == [None, 1, 2, 5]
+    assert list(ts.column(c, spark=spark).sort(na_position="last")) == [1, 2, 5, None]
+    with pytest.raises(TypeError, match="by"):
+        ts.column([1], spark=spark).sort(by=["x"])
+
+
+def test_column_append_drop_null_drop_duplicates(spark):
+    """Mirrors reference base_test_na_handling + append: drop_null
+    strips nulls (non-nullable result dtype), drop_duplicates keeps
+    FIRST-occurrence order with null as a value, append extends in
+    construction order."""
+    c = ts.column([None, 2.0, 17.0], spark=spark)
+    assert list(c.drop_null()) == [2.0, 17.0]
+    assert c.drop_null().dtype.nullable is False
+
+    c2 = c.append([2.0])
+    assert list(c2) == [None, 2.0, 17.0, 2.0]
+    assert set(c2.drop_duplicates()) == {None, 2.0, 17.0}
+    # first-occurrence ORDER (OrderedDict.fromkeys semantics)
+    assert list(ts.column([3, 1, 3, 2, 1, None, 2], spark=spark)
+                .drop_duplicates()) == [3, 1, 2, None]
+    import pytest
+    with pytest.raises(TypeError, match="subset"):
+        c.drop_duplicates(subset=["x"])
+    with pytest.raises(TypeError, match="how"):
+        c.drop_null(how="any")
+
+
+def test_column_cumsum_reference_null_semantics(spark):
+    """Mirrors reference base_test_agg_handling's cumsum expectation:
+    null rows yield null and are SKIPPED in the accumulation (plain SQL
+    windows would emit the running sum at a null row instead)."""
+    import pytest
+
+    vals = [1, 4, 2, 7, 9, 1]
+    c = ts.column(vals + [None], spark=spark)
+    assert list(c.cumsum()) == [sum(vals[:i]) for i in range(1, len(vals) + 1)] + [None]
+    # null mid-stream: emitted as null, skipped in the running sum
+    assert list(ts.column([1, None, 2], spark=spark).cumsum()) == [1, None, 3]
+    with pytest.raises(TypeError, match="non-numerical"):
+        ts.column(["a"], spark=spark).cumsum()
+
+
+def test_column_sort_then_dedup_composes(spark):
+    """sort -> drop_duplicates on a bare column (the round-4 oracle
+    query's shape, q131) — composition through 1-col owner frames."""
+    c = ts.column([5, 3, 5, 1, None, 3], spark=spark)
+    assert list(c.sort().drop_duplicates()) == [1, 3, 5, None]
+
+
+def test_device_kwarg_reference_shapes(spark):
+    """Reference-shaped call sites pass device= (icolumn.py:34,
+    idataframe.py:44): '' and 'cpu' select the Spark runtime, anything
+    else raises like an unregistered dispatch key."""
+    import pytest
+
+    assert list(ts.column([1, 2], device="cpu", spark=spark)) == [1, 2]
+    d = ts.dataframe({"a": [1]}, device="cpu", spark=spark)
+    assert d.to_pylist() == [{"a": 1}]
+    assert ts.from_pylist([{"a": 1}], device="cpu", spark=spark).to_pylist() == [{"a": 1}]
+    with pytest.raises(ValueError, match="device"):
+        ts.column([1], device="gpu", spark=spark)
+    with pytest.raises(ValueError, match="device"):
+        ts.dataframe({"a": [1]}, device="velox", spark=spark)
+
+
+def test_rand_size_factory_signature(spark):
+    """Reference factory contract (functional.py:61-76): rand(size=n)
+    yields a free-standing n-row column in [0, 1); the frame-expression
+    spelling (no size) still composes into selects."""
+    from torcharrow_spark import functional as fn
+
+    c = fn.rand(seed=7, size=100)
+    vals = list(c)
+    assert len(vals) == 100 and all(0.0 <= v < 1.0 for v in vals)
+    import pytest
+    with pytest.raises(ValueError, match="size"):
+        fn.rand(size=-1)
+    with pytest.raises(ValueError, match="device"):
+        fn.rand(size=5, device="gpu")

@@ -73,9 +73,16 @@ __all__ = [
 ]
 
 
-def column(data, dtype=None, spark=None):
+def column(data, dtype=None, device: str = "", spark=None):
     """Single-column constructor (reference icolumn.py:34-92): returns a
-    one-column DataFrame's column handle."""
+    one-column DataFrame's column handle. ``device`` mirrors the
+    reference dispatcher's signature (icolumn.py:34,
+    /root/reference/torcharrow/dispatcher.py): '' or 'cpu' select this
+    engine's (only) runtime — the Spark cluster; anything else raises
+    like an unregistered dispatch key."""
+    from .sources import _check_device
+
+    _check_device(device)
     if dtype is None:
         dtype = dtypes.infer_dtype_from_prefix(data)
     df = dataframe({"value": list(data)}, dtype=dtypes.Struct((dtypes.Field("value", dtype),)), spark=spark)

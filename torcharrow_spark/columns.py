@@ -596,6 +596,177 @@ class Column:
         sub = owner.__class__(sdf.select(*cols))
         yield from sub.batch(n, order_by=order_by)
 
+    # -- standalone row-ops (reference lets a BARE column be sorted /
+    #    deduped / appended without a frame: icolumn.py:774-819 sort,
+    #    icolumn.py:211 append, icolumn.py:1024 drop_null,
+    #    icolumn.py:1066 drop_duplicates, inumerical_column.py:229
+    #    cumsum). Each returns a Column owned by a fresh 1-column frame
+    #    whose plan encodes the op — same lazy algebra as the frame
+    #    forms, just the column spelling. -------------------------------
+
+    def _row_frame(self, op: str):
+        """1-col owner projection (+ hidden construction index when the
+        owner carries one) — the substrate for row-reshaping ops."""
+        owner, name = self._named_owner(op)
+        from .frame import INDEX_COL
+
+        sdf = owner._sdf
+        cols = [name] + ([INDEX_COL] if INDEX_COL in sdf.columns else [])
+        return owner.__class__(sdf.select(*cols)), name
+
+    def to_pylist(self) -> list:
+        """Materialize the column's values (reference icolumn.py
+        to_pylist), in construction order when the owning frame carries
+        its index."""
+        if self._owner is None:
+            raise ValueError("to_pylist needs a frame-bound column")
+        from .frame import INDEX_COL
+
+        sdf = self._owner._sdf
+        e, _ = self._resolve(self._owner)
+        if INDEX_COL in sdf.columns:
+            sel = sdf.select(e.alias("__v__"), F.col(INDEX_COL)).orderBy(INDEX_COL)
+        else:
+            sel = sdf.select(e.alias("__v__"))
+        return [r["__v__"] for r in sel.select("__v__").collect()]
+
+    def __iter__(self):
+        return iter(self.to_pylist())
+
+    def to_frame(self, name: str | None = None):
+        """1-column frame view of this column (construction order
+        preserved when the owner carries its index) — the bridge from
+        bare-column row-ops back into frame-land / Spark."""
+        owner, nm = self._named_owner("to_frame")
+        from .frame import INDEX_COL
+
+        sdf = owner._sdf
+        cols = [F.col(nm).alias(name or nm)] + (
+            [F.col(INDEX_COL)] if INDEX_COL in sdf.columns else []
+        )
+        return owner.__class__(sdf.select(*cols))
+
+    def sort(self, by=None, ascending: bool = True, na_position: str = "last"):
+        """Value sort of a bare column (reference icolumn.py:774-819):
+        ``by`` must be None (reference contract for non-struct columns);
+        nulls go first/last per ``na_position``. Lazy — the returned
+        column's owner frame carries the orderBy plan; like the frame
+        form, a global sort is a documented single-direction bottleneck
+        at scale (prefer top_k / grouped forms in pipelines)."""
+        if by is not None:
+            raise TypeError(
+                "sorting a non-structured column can't have 'by' parameter"
+            )
+        from pyspark.sql import Window
+
+        sub, name = self._row_frame("sort")
+        from .frame import INDEX_COL
+
+        col = F.col(name)
+        if ascending:
+            key = col.asc_nulls_last() if na_position == "last" else col.asc_nulls_first()
+        else:
+            key = col.desc_nulls_last() if na_position == "last" else col.desc_nulls_first()
+        # the sorted order becomes the new CONSTRUCTION order (a fresh
+        # index via row_number) so downstream row-ops — drop_duplicates
+        # keep-first, cumsum, positional slicing — see the sorted
+        # sequence, exactly as the reference's eager sorted vector does.
+        # A global rank is a single-direction sort: the documented cost
+        # of positional APIs at scale (same as slice_rows/gather).
+        sdf = sub._sdf.select(
+            name, (F.row_number().over(Window.orderBy(key)) - 1).alias(INDEX_COL)
+        )
+        return sub.__class__(sdf)[name]
+
+    def append(self, values):
+        """Values appended to the column (reference icolumn.py:211):
+        builds a new tail frame and unions it in — construction indices
+        continue past the current length so positional APIs keep
+        working (one count job, like the reference's eager append)."""
+        owner, name = self._named_owner("append")
+        from .frame import INDEX_COL
+
+        sdf = owner._sdf
+        spark = sdf.sparkSession
+        vals = list(values)
+        has_idx = INDEX_COL in sdf.columns
+        base = sdf.select(name, *([INDEX_COL] if has_idx else []))
+        schema = base.schema
+        if has_idx:
+            n = sdf.count()
+            rows = [(v, n + i) for i, v in enumerate(vals)]
+        else:
+            rows = [(v,) for v in vals]
+        new = spark.createDataFrame(rows, schema=schema)
+        return owner.__class__(base.unionByName(new))[name]
+
+    def drop_null(self, how=None):
+        """Rows with nulls removed (reference icolumn.py:1024-1064):
+        ``how`` must be None for flat columns (reference contract); the
+        result dtype is non-nullable, as in the reference."""
+        if how is not None:
+            raise TypeError("how parameter for flat columns not supported")
+        sub, name = self._row_frame("drop_null")
+        out = sub.__class__(sub._sdf.dropna(subset=[name]))
+        d = out[name].dtype.with_null(False)
+        return Column(lambda df: (F.col(name), d), owner=out, name=name)
+
+    def drop_duplicates(self, subset=None, keep: str = "first"):
+        """Distinct values keeping FIRST occurrence order (reference
+        icolumn.py:1066-1086 — OrderedDict.fromkeys semantics; a null
+        is a value and survives once). Lowers to min(index) per value
+        + re-order — one hash shuffle on the value, no window over the
+        data. Without a construction index (derived frames) the result
+        is distinct values with no order guarantee."""
+        if subset is not None:
+            raise TypeError("subset parameter for flat columns not supported")
+        if keep != "first":
+            # reference asserts keep == 'first' (icolumn.py:1078)
+            raise NotImplementedError("only keep='first' is supported")
+        sub, name = self._row_frame("drop_duplicates")
+        from .frame import INDEX_COL
+
+        sdf = sub._sdf
+        if INDEX_COL in sdf.columns:
+            ded = (
+                sdf.groupBy(name)
+                .agg(F.min(INDEX_COL).alias(INDEX_COL))
+                .orderBy(INDEX_COL)
+            )
+        else:
+            ded = sdf.select(name).distinct()
+        return sub.__class__(ded)[name]
+
+    def cumsum(self):
+        """Cumulative sum (reference inumerical_column.py:229-236) in
+        construction order. Reference null semantics, which differ from
+        plain SQL windows: a null row YIELDS null (instead of the
+        running sum) and is SKIPPED in the accumulation — so the window
+        sum is masked by the row's own nullness. Raises for derived
+        frames without a construction index (no inherent row order at
+        scale; use the frame-level cumsum(order_by=) there)."""
+        from pyspark.sql import Window
+
+        d = self.dtype
+        if not dt.is_numerical(d):
+            raise TypeError(f"cumsum on non-numerical column {d.name}")
+        sub, name = self._row_frame("cumsum")
+        from .frame import INDEX_COL
+
+        if INDEX_COL not in sub._sdf.columns:
+            raise ValueError(
+                "cumsum requires construction order (frames built via "
+                "ta.column/ta.dataframe); for derived frames use "
+                "DataFrame.cumsum(order_by=...)"
+            )
+        w = Window.orderBy(INDEX_COL).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        e = F.when(F.col(name).isNotNull(), F.sum(name).over(w)).cast(
+            dt.to_spark(d)
+        )
+        return sub.__class__(sub._sdf.withColumn(name, e))[name]
+
     # -- accessors ----------------------------------------------------------
 
     @property

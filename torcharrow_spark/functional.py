@@ -355,10 +355,34 @@ def bpe_tokenize(tokenizer, col: Column) -> Column:
     return _wrap(resolve, col)
 
 
-def rand(seed: _ty.Optional[int] = None) -> Column:
+def rand(
+    seed: _ty.Optional[int] = None,
+    size: _ty.Optional[int] = None,
+    device: str = "",
+) -> Column:
     """Uniform [0,1) column (reference factory fn `rand`,
-    velox_rt/functional.py:85; size comes from the owning frame rather
-    than a `size=` arg — Spark columns are never free-standing)."""
+    functional.py:61-76 + velox_rt/functional.py:85). Two spellings:
+
+    * reference-shaped: ``fn.rand(size=n)`` — a free-standing column of
+      n rows (the reference REQUIRES size; device as in the factory
+      dispatcher).
+    * frame-expression (this engine's native form): ``fn.rand(seed)``
+      with no size — an unbound expression sized by whatever frame it
+      is selected into (Spark columns are never free-standing, so this
+      is the composable spelling; documented deviation, README)."""
+    from .sources import _check_device
+
+    _check_device(device)
+    if size is not None:
+        if not isinstance(size, int) or size < 0:
+            raise ValueError(f"size must be a non-negative int, got {size!r}")
+        from .frame import INDEX_COL, DataFrame, _active_session
+
+        sdf = _active_session().range(size).select(
+            F.col("id").alias(INDEX_COL),
+            (F.rand(seed) if seed is not None else F.rand()).alias("value"),
+        )
+        return DataFrame(sdf)["value"]
 
     def resolve(df):
         return (F.rand(seed) if seed is not None else F.rand()), dt.float64.with_null(False)

@@ -5602,6 +5602,25 @@ def q130_grouped_cdf(spark: SparkSession, sf_dir: str) -> SDF:
     return out.select("doc_id", "lang", F.col("n_chars_cdf").alias("cdf"))
 
 
+@query(
+    "q131_column_sort_dedup",
+    oracle="""
+    SELECT DISTINCT n_chars FROM documents
+    """,
+)
+def q131_column_sort_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Standalone Column row-ops (reference icolumn.py:774 sort,
+    icolumn.py:1066 drop_duplicates — r4 API-parity closure): a BARE
+    column is sorted then deduped without ever touching a frame. sort
+    assigns a fresh construction index (row_number over the sort key),
+    so the keep-first dedup sees the sorted sequence — the same
+    composition the reference's eager sorted vector gives. Output is
+    the distinct value set (the driver hash is order-insensitive)."""
+    docs = _load(spark, sf_dir, "documents")
+    c = docs["n_chars"].sort(na_position="last").drop_duplicates()
+    return c.to_frame().to_spark()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 #

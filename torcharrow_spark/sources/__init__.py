@@ -17,6 +17,19 @@ from .. import dtypes as dt
 from ..frame import DataFrame
 
 
+def _check_device(device: str) -> None:
+    """Reference-shaped ``device=`` validation (icolumn.py:34-92,
+    idataframe.py:44-49, dispatcher.py): '' (default runtime) and 'cpu'
+    both select this engine's single runtime — the Spark cluster plays
+    the role the Velox CPU runtime plays in the reference. Any other
+    device raises, as the reference does for unregistered keys."""
+    if device not in ("", "cpu"):
+        raise ValueError(
+            f"unsupported device {device!r} (valid: '' or 'cpu'; this "
+            "engine has a single Spark runtime)"
+        )
+
+
 def _spark(spark: SparkSession | None) -> SparkSession:
     if spark is not None:
         return spark
@@ -119,22 +132,26 @@ def write_text(df: DataFrame, path: str, text_col: str = "text",
     ).text(path)
 
 
-def from_pandas(pdf, spark: SparkSession | None = None) -> DataFrame:
+def from_pandas(pdf, device: str = "", spark: SparkSession | None = None) -> DataFrame:
     """reference interop.py:37-41 declares this NotImplemented; trivial on
     Spark (Arrow-accelerated)."""
+    _check_device(device)
     return DataFrame(_spark(spark).createDataFrame(pdf))
 
 
-def from_arrow(table, spark: SparkSession | None = None) -> DataFrame:
+def from_arrow(table, device: str = "", spark: SparkSession | None = None) -> DataFrame:
     """Arrow Table -> DataFrame (reference interop.py:17-34). Spark's
     createDataFrame accepts pa.Table natively in 4.x (Arrow exchange)."""
+    _check_device(device)
     return DataFrame(_spark(spark).createDataFrame(table))
 
 
 def from_pylist(data: _ty.List[dict], dtype: dt.Struct | None = None,
+                device: str = "",
                 spark: SparkSession | None = None) -> DataFrame:
     from ..frame import INDEX_COL
 
+    _check_device(device)
     s = _spark(spark)
     if not (data and isinstance(data[0], dict)):
         schema = dt.spark_schema(dtype) if dtype is not None else None
@@ -151,9 +168,12 @@ def from_pylist(data: _ty.List[dict], dtype: dt.Struct | None = None,
 
 
 def dataframe(data, dtype: dt.Struct | None = None, columns: _ty.List[str] | None = None,
+              device: str = "",
               spark: SparkSession | None = None) -> DataFrame:
     """Build from dict-of-lists / list-of-tuples (reference
-    idataframe.py:44-154), with prefix-based inference when no dtype."""
+    idataframe.py:44-154), with prefix-based inference when no dtype;
+    ``device`` as in the reference factory (idataframe.py:44-49)."""
+    _check_device(device)
     s = _spark(spark)
     if isinstance(data, dict):
         names = list(data.keys())
