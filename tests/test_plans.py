@@ -294,6 +294,27 @@ def test_prefix_jaccard_pruning_in_plan(spark, sf_dir):
     assert "Window" not in text, text[:3000]
 
 
+def test_ngrams_lambda_reads_bound_array(spark):
+    """SURVEY §4.3 guard: HOF lambdas are interpreted, so an outer
+    expression referenced INSIDE a lambda re-evaluates per element —
+    the r3 O(len²) bug split the document once per n-gram position.
+    The n-gram builder must read a BOUND array column (one `split` in
+    the whole optimized plan, sitting in a projection) and build
+    n-grams as a zip_with chain over shifted slices of it."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.textstats import _ngrams
+
+    df = (
+        spark.createDataFrame([("a b c d e",)], "text string")
+        .withColumn("__w__", F.split("text", " "))
+        .select(_ngrams(F.col("__w__"), 3).alias("g3"))
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "zip_with" in plan, plan
+    assert plan.count("split(") == 1, plan  # only the bound projection
+
+
 def test_curation_pipeline_plan(spark, sf_dir):
     """q129 composes gate (0 exchanges) + exact dedup (1 hashed-key
     shuffle) + packing (per-shard windows): hash aggregates only, and

@@ -428,3 +428,59 @@ def test_gopher_filter_is_stream_safe(spark, sf_dir, tmp_path):
     streamed = {r["doc_id"]: (r["keep"], r["reason"])
                 for r in spark.sql("SELECT * FROM t_gopher").collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_curate_pack_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming curation-at-ingest (gate -> per-shard stateful
+    dedup+pack) == the batch twin, bit for bit: three doc_id-ordered
+    files arrive as three micro-batches (maxFilesPerTrigger=1), so the
+    per-shard state — cumulative token offset and the seen content
+    hashes — must carry packing positions AND dedup decisions across
+    batch boundaries to reproduce the one-shot batch result."""
+    from torcharrow_spark.streaming import curate_pack_batch, curate_pack_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["shard"], r["bin"], r["offset"])
+        for r in curate_pack_batch(docs).collect()
+    }
+
+    # three files split by doc_id range, each internally doc_id-sorted:
+    # arrival order == doc_id order, so batch keep-min-id dedup and
+    # streaming keep-first-arrival dedup agree
+    src = str(tmp_path / "docs_curate")
+    n = docs.count()
+    from pyspark.sql import functions as F
+    cuts = [n // 3, 2 * n // 3]
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    bounds = [ids[cuts[0]], ids[cuts[1]]]
+    parts = [
+        docs.where(F.col("doc_id") < bounds[0]),
+        docs.where((F.col("doc_id") >= bounds[0]) & (F.col("doc_id") < bounds[1])),
+        docs.where(F.col("doc_id") >= bounds[1]),
+    ]
+    import os
+    for i, p in enumerate(parts):
+        p.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(f"{src}/part{i}")
+        # single dir of plain files, lexicographic name order == batch order
+        for f in os.listdir(f"{src}/part{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/part{i}/{f}", f"{src}/file_{i}.parquet")
+    import shutil
+    for i in range(3):
+        shutil.rmtree(f"{src}/part{i}")
+
+    q = curate_pack_stream(
+        spark, src, docs.schema,
+        query_name="t_curate_pack", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"], r["bin"], r["offset"])
+        for r in spark.sql("SELECT * FROM t_curate_pack").collect()
+    }
+    assert len(q.recentProgress) >= 3  # really ran as multiple micro-batches
+    assert got == want and len(want) > 0

@@ -293,6 +293,10 @@ def ngram_jaccard_pairs(
     |A ∩ B| is then a pair count. A self-join formulation shuffles the
     shingle table twice; this shuffles it once, and only shingles shared
     by ≥2 docs survive to the pair stage. |A ∪ B| = |A| + |B| − |A ∩ B|.
+    Each shingle row carries its doc's size (read off the shingle array
+    before the explode — zero extra shuffle), so the classic length
+    bound min(|A|,|B|) >= ceil(t·max(|A|,|B|)) prunes candidate pairs
+    AT EMISSION and the final jaccard needs no size join-back.
     The shingle key is high-cardinality text → even shuffle; BUT a
     boilerplate shingle shared by m docs costs O(m²) pairs — pair blowup
     is driven by shingle document-frequency, NOT corpus row count, so a
@@ -314,42 +318,67 @@ def ngram_jaccard_pairs(
         mode = "prefix"
     if mode == "prefix":
         return ngram_jaccard_pairs_prefix(df, text_col, id_col, shingle_k, threshold)
-    sh = _shingles(df, text_col, id_col, shingle_k)
+    # doc size (distinct-shingle count) is taken from the materialized
+    # shingle ARRAY before the explode, so every shingle row carries its
+    # doc's size for free — no separate per-doc groupBy, and the
+    # classic length filter (jaccard >= t forces min(|A|,|B|) >=
+    # ceil(t * max)) applies to each candidate pair AT EMISSION, before
+    # the pair-dedup shuffle ever sees it
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    base = (
+        df.select(F.col(id_col), words.alias("__w__"))
+        .select(
+            F.col(id_col), _shingle_array(F.col("__w__"), shingle_k).alias("__s__")
+        )
+        .select(
+            F.col(id_col),
+            F.size("__s__").alias("sz"),
+            F.explode("__s__").alias("shingle"),
+        )
+    )
     # shuffle on a 64-bit hash of the shingle, not the 20-30 byte text:
     # ~3x smaller shuffle keys; a cross-shingle collision (~n^2/2^65)
     # could only perturb results if both collided shingles also shared a
     # doc pair — negligible against the corpus sizes this targets
-    sh = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("shingle"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    shh = base.select(id_col, "sz", F.xxhash64(F.col("shingle")).alias("shingle"))
     ids_per_shingle = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        shh.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("sz")))
+            ).alias("ids")
+        )
         .where(F.size("ids") >= 2)
     )
     # memory-bounded emission (see _emit_pairs): a boilerplate shingle's
     # C(df, 2) pairs stream row-by-row instead of one giant array —
     # direct mode on a hot corpus stays slow-not-OOM (prefix mode stays
     # the scale default regardless)
+    raw = _emit_pairs(ids_per_shingle, "ids").select(
+        F.col("__a__.i").alias("id_a"),
+        F.col("__a__.sz").alias("sz_a"),
+        F.col("__b__.i").alias("id_b"),
+        F.col("__b__.sz").alias("sz_b"),
+    )
+    length_ok = F.least(F.col("sz_a"), F.col("sz_b")) >= _ceil_exact(
+        F.lit(threshold) * F.greatest(F.col("sz_a"), F.col("sz_b"))
+    )
+    # sz rides the pair key (it is functionally determined by the id),
+    # so the final jaccard needs NO size join-back at all — the old two
+    # hash joins disappear along with the pruned pairs
     inter = (
-        _emit_pairs(ids_per_shingle, "ids")
-        .groupBy(F.col("__a__").alias("id_a"), F.col("__b__").alias("id_b"))
+        raw.where(length_ok)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def estimate_jaccard_pair_cost(

@@ -445,6 +445,7 @@ def gopher_filter(
     min_stopword_hits: int = 2,
     max_dup_word_frac: float = 0.3,
     max_dup5_frac: float = 0.15,
+    keep_columns: bool = False,
 ) -> SDF:
     """Gopher-style composite quality GATE (Rae et al. 2021 Table A1,
     public rule family): every rule is evaluated per document and the
@@ -462,8 +463,20 @@ def gopher_filter(
     aggregate, no join; see ``_with_words`` for why the array is bound
     once instead of splitting inline per signal). Filtering 100 TB
     costs exactly one scan; the same CASE ladder is expressible
-    verbatim in any SQL engine."""
-    df = _with_words(df, text_col, id_col)
+    verbatim in any SQL engine.
+
+    ``keep_columns=True`` returns ALL original columns + keep/reason
+    instead of the (id, keep, reason) verdict — the streaming shape:
+    a stream can't semi-join its own verdict back (stream-stream self
+    join), so gate-at-ingest pipelines filter on ``keep`` directly."""
+    orig_cols = None
+    if keep_columns:
+        # same materialize-words-in-own-projection rule as _with_words,
+        # but carrying every original column through
+        orig_cols = df.columns
+        df = df.select("*", _words(F.col(text_col)).alias("__w__"))
+    else:
+        df = _with_words(df, text_col, id_col)
     text = F.col(text_col)
     words = F.col("__w__")
     nw = F.size(words).cast("long")
@@ -513,6 +526,12 @@ def gopher_filter(
         .when(dup_word > max_dup_word_frac, F.lit("repetitive_words"))
         .when(dup5 > max_dup5_frac, F.lit("repetitive_5grams"))
     )
+    if keep_columns:
+        return df.select(
+            *orig_cols,
+            reason.isNull().alias("keep"),
+            reason.alias("reason"),
+        )
     return df.select(
         F.col(id_col),
         reason.isNull().alias("keep"),

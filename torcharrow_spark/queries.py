@@ -5603,6 +5603,54 @@ def q130_grouped_cdf(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q132_curate_pack_twin",
+    oracle=f"""
+    WITH {_gopher_reason_cte(min_words=30, max_dupw=0.6)},
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN gm USING (doc_id)
+      WHERE gm.reason IS NULL
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::UBIGINT::BIGINT AS h,
+             GREATEST(length(text) // 4, 1)::BIGINT AS n_tokens
+      FROM kept
+    ),
+    surv AS (SELECT h, MIN(doc_id) AS doc_id FROM hashed GROUP BY h),
+    base AS (
+      SELECT s.doc_id, hh.n_tokens, hh.h % 8 AS shard
+      FROM surv s JOIN hashed hh ON hh.doc_id = s.doc_id AND hh.h = s.h
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+      FROM base
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(cb // 2048 AS BIGINT) AS bin,
+           CAST(cb % 2048 AS BIGINT) AS "offset"
+    FROM packed
+    """,
+)
+def q132_curate_pack_twin(spark: SparkSession, sf_dir: str) -> SDF:
+    """Batch twin of the STREAMING curation pipeline
+    (streaming.curate_pack_batch / curate_pack_stream — r4): Gopher
+    gate -> exact dedup on a 60-bit content hash -> greedy sequential
+    packing per CONTENT-hash shard in doc_id order. The same stateless
+    prefix feeds the stream, whose per-shard applyInPandasWithState
+    state (cumulative offset + seen hashes) reproduces this result bit
+    for bit (proven by tests/test_streaming.py::
+    test_curate_pack_stream_matches_batch); this oracle pins the batch
+    semantics both twins share."""
+    from torcharrow_spark.streaming import curate_pack_batch
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return curate_pack_batch(docs)
+
+
+@query(
     "q131_column_sort_dedup",
     oracle="""
     SELECT DISTINCT n_chars FROM documents

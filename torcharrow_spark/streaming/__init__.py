@@ -506,3 +506,150 @@ def stream_to_parquet(
         .queryName(query_name)
         .start()
     )
+
+
+def _curate_base(df: SDF, text_col: str, id_col: str, n_shards: int,
+                 min_words: int, max_dup_word_frac: float) -> SDF:
+    """Shared gate -> hash -> size -> shard prefix of the curation
+    pipeline (stateless projections only, so it applies verbatim to a
+    batch frame or a stream): Gopher quality gate, 60-bit md5 content
+    hash of the normalized text (the oracle-reproducible arithmetic of
+    `operators.dedup.exact_dedup_ids`), n_tokens ~ len/4, and the shard
+    as content_hash mod n_shards — sharding by CONTENT puts every
+    duplicate of a text into the same shard, which is what lets the
+    streaming twin dedup and pack in a single per-shard stateful pass."""
+    from torcharrow_spark.operators import gopher_filter
+    from torcharrow_spark.operators.dedup import _norm_text
+
+    gated = gopher_filter(
+        df, text_col, id_col,
+        min_words=min_words, max_dup_word_frac=max_dup_word_frac,
+        keep_columns=True,
+    ).where(F.col("keep"))
+    h = F.conv(F.substring(F.md5(_norm_text(F.col(text_col))), 1, 15), 16, 10).cast("long")
+    return gated.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        h.alias("h"),
+        F.greatest(
+            (F.length(F.col(text_col)) / F.lit(4)).cast("long"), F.lit(1).cast("long")
+        ).alias("n_tokens"),
+        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
+    )
+
+
+def curate_pack_batch(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_shards: int = 8,
+    min_words: int = 30,
+    max_dup_word_frac: float = 0.6,
+) -> SDF:
+    """Batch reference semantics for `curate_pack_stream`: gate ->
+    exact dedup (keep MIN doc_id per content hash) -> greedy sequential
+    packing per shard in doc_id order. Returns
+    (doc_id, n_tokens, shard, bin, offset) — cumulative-offset packing,
+    bit-identical to the streaming twin when the stream's arrival order
+    is doc_id order (the paired test feeds doc_id-sorted files).
+
+    Scale: gate is zero-shuffle; dedup is one hash shuffle on the
+    60-bit content key; packing is a per-shard window over the
+    SURVIVORS (corpus/n_shards rows per partition)."""
+    base = _curate_base(df, text_col, id_col, n_shards, min_words, max_dup_word_frac)
+    surv = base.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = base.join(surv, ["h", "doc_id"], "left_semi")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cb = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cb")
+    return kept.select("doc_id", "n_tokens", "shard", cb).select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        (F.col("cb") / F.lit(budget)).cast("long").alias("bin"),
+        F.pmod(F.col("cb"), F.lit(budget)).cast("long").alias("offset"),
+    )
+
+
+def curate_pack_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_shards: int = 8,
+    min_words: int = 30,
+    max_dup_word_frac: float = 0.6,
+    query_name: str = "curate_pack_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming curation-at-ingest (stateful twin of the q129 family):
+    Gopher gate (stateless projection) -> per-shard stateful
+    [dedup + sequence-pack] via ``applyInPandasWithState``.
+
+    Design: ONE stateful operator. Sharding by content hash sends every
+    duplicate of a text to the same shard-group, so per-shard state =
+    (cumulative token offset, seen content hashes) suffices for both
+    global exact dedup and contiguous packing — chaining
+    dropDuplicates + applyInPandasWithState would be two stateful
+    operators in one query (unsupported combination). Docs are packed
+    in doc_id order WITHIN each micro-batch and state carries (offset,
+    seen) across batches, so with doc_id-ordered arrival the output is
+    bit-identical to `curate_pack_batch`.
+
+    State size: 8 bytes offset + 8 bytes per distinct doc per shard.
+    The seen-set grows with the corpus — acceptable for finite
+    backfills (tests); an unbounded production feed should age it with
+    a timeout or an upstream `dedup_stream` stage once multi-stateful
+    queries land. Emits (doc_id, n_tokens, shard, bin, offset) append
+    to an in-memory sink (tests); swap for a real sink in production."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+    base = _curate_base(stream, text_col, id_col, n_shards, min_words, max_dup_word_frac)
+
+    cols = ["doc_id", "n_tokens", "shard", "bin", "offset"]
+
+    def pack(key, pdf_iter, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            cum, seen_list = state.get
+            seen = set(seen_list)
+        else:
+            cum, seen = 0, set()
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("doc_id")
+            rows = []
+            for did, hh, nt in zip(pdf["doc_id"], pdf["h"], pdf["n_tokens"]):
+                hh = int(hh)
+                if hh in seen:
+                    continue
+                seen.add(hh)
+                rows.append((int(did), int(nt), int(shard), cum // budget, cum % budget))
+                cum += int(nt)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                yield pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        state.update((int(cum), sorted(seen)))
+
+    out_schema = "doc_id long, n_tokens long, shard long, bin long, offset long"
+    state_schema = "cum long, seen array<long>"
+    result = base.groupBy("shard").applyInPandasWithState(
+        pack, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
