@@ -296,6 +296,120 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
     return out
 
 
+def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
+    """Recall@10 vs probe depth for BOTH ANN scale paths on the sf1
+    stress corpus (20k vectors, dim 64): multi-probe LSH (n_planes=5,
+    32 buckets, perturbation-set probing) and IVF (n_cells=64). The
+    corpus is a WEAK-neighbor regime — true top-10 cosines sit at
+    0.40-0.49, so no single-table partition concentrates them; the r4
+    measured curve (lsh 0.08/0.22/0.44/0.68 at 1/2/4/8 probes, ivf
+    0.04/0.22/0.69 at 1/4/16 cells) is ~2.7x the random-scan baseline
+    at 25% coverage, and the pytest twin pins monotonicity + the >=
+    0.55-at-25% / >= 2x-baseline floors. On a near-dup-rich corpus
+    (cos >= 0.9 neighbors) the same probe budgets sit near 1.0 —
+    operators should read THIS curve to size probe budgets before
+    burning a full scan. Ground truth is exact brute force over the
+    same corpus/queries."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    _build_stress_sf1(spark, sf01_dir)
+    emb = spark.read.parquet(f"{STRESS_DIR}/embeddings.parquet")
+    # deterministic query sample spread across the id space
+    q = emb.where(F.pmod(F.col("vec_id"), F.lit(2003)) == 0).limit(n_queries)
+    k = 10
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+
+    def _recall(got) -> float:
+        hits = {(r["query_id"], r["match_id"]) for r in got.collect()}
+        return round(len(exact & hits) / len(exact), 4)
+
+    out: dict = {"k": k, "n_queries": n_queries, "lsh": {}, "ivf": {}}
+    for n_probe in (1, 2, 4, 8):  # 8/32 buckets = 25% of cells
+        out["lsh"][n_probe] = _recall(
+            lsh_topk(emb, q, k=k, n_planes=5, n_probe=n_probe)
+        )
+    for n_probe in (1, 4, 16):  # 16/64 cells = 25%
+        out["ivf"][n_probe] = _recall(
+            ivf_topk(emb, q, k=k, n_cells=64, n_probe=n_probe)
+        )
+    print(f"# recall_sf1: lsh {out['lsh']} ivf {out['ivf']}", file=sys.stderr)
+    return out
+
+
+GPT2_ENCODER = "/root/reference/torcharrow/test/asset/gpt2_bpe_encoder.json"
+GPT2_VOCAB = "/root/reference/torcharrow/test/asset/gpt2_bpe_vocab.bpe"
+
+# sf0.1 steady seconds for the REAL 50k-merge GPT-2 vocab (r4 first
+# measurement = anchor): q41's toy vocab exercises the merge loop shape
+# but a 15-merge vocab terminates each word in a couple of iterations —
+# the real vocab is the only honest measure of the one Python-heavy
+# headline operator. Measured r4: 0.897s steady / 271k tokens
+# (302k tokens/s on local[32]) — within noise of the toy-vocab q41
+# anchor (0.917s): per-batch cost is dominated by Arrow transfer + the
+# pretokenizer regex, and the per-token-TYPE merge cache amortizes the
+# 50k-rank merge loop across repeated words. Gated on the public
+# reference asset.
+BPE_ANCHOR_SEC = 0.897
+
+
+def run_bpe_real_vocab(spark, sf_dir: str) -> dict:
+    """Tokenize every sf document with the full GPT-2 vocabulary
+    (50,257 tokens / 50,000 merges, the PUBLIC asset shipped in the
+    reference repo) through the production path — Arrow-batched
+    pandas_udf, tokenizer in the task closure — and report steady
+    seconds + tokens/sec. Skipped (empty dict) when the asset isn't
+    mounted."""
+    import json as _json
+
+    if not (os.path.exists(GPT2_ENCODER) and os.path.exists(GPT2_VOCAB)):
+        return {}
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.functions import BPETokenizer
+    from torcharrow_spark.functions.bpe import bpe_tokenize
+
+    with open(GPT2_ENCODER, encoding="utf-8") as f:
+        encoder = _json.load(f)
+    with open(GPT2_VOCAB, encoding="utf-8") as f:
+        merges = [tuple(l.split()) for l in f.read().split("\n")[1:-1]]
+    tok = BPETokenizer(encoder, merges)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def build():
+        return bpe_tokenize(tok, docs, "text")
+
+    _sink(build())  # cold: closure broadcast + codegen
+    t0 = time.perf_counter()
+    _sink(build())
+    sec = round(time.perf_counter() - t0, 3)
+    row = build().agg(
+        F.sum(F.size("tokens")).alias("toks"), F.count(F.lit(1)).alias("docs")
+    ).collect()[0]
+    out = {
+        "sec": sec,
+        "docs": int(row["docs"]),
+        "tokens": int(row["toks"]),
+        "tokens_per_sec": int(row["toks"] / sec),
+        "vs_anchor": round(sec / BPE_ANCHOR_SEC, 2) if BPE_ANCHOR_SEC else None,
+        "n_merges": len(merges),
+    }
+    print(
+        f"# bpe_real_vocab: {sec:.3f}s steady, {out['tokens']} tokens "
+        f"({out['tokens_per_sec']}/s, {len(merges)} merges)",
+        file=sys.stderr,
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import torcharrow_spark as ts
@@ -352,6 +466,12 @@ def main() -> None:
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         stress = run_stress(spark, warm, sf_dir)
 
+    bpe_real: dict = {}
+    recall: dict = {}
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
+        bpe_real = run_bpe_real_vocab(spark, sf_dir)
+        recall = run_recall_curves(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -364,6 +484,8 @@ def main() -> None:
                 "delta_vs_r1": delta_vs_r1,
                 "regressions": regressions,
                 "stress_sf1": stress,
+                "bpe_real_vocab": bpe_real,
+                "recall_sf1": recall,
                 "sf": sf_val,
             }
         )

@@ -145,18 +145,35 @@ def lsh_bucket(vec, n_planes: int = 4, dim: int = _DEFAULT_DIM) -> F.Column:
     return bucket.cast("int")
 
 
+#: multi-probe perturbation enumeration is restricted to the 2^j masks
+#: over the j lowest-|margin| planes; 12 keeps the per-QUERY candidate
+#: array at 4096 structs (queries are the small broadcast side) while
+#: covering every useful perturbation — flips of high-margin planes
+#: have near-zero collision probability for the query's true neighbors
+_MAX_PERTURB_PLANES = 12
+
+
 def lsh_probe_buckets(
     vec, n_planes: int = 4, dim: int = _DEFAULT_DIM, n_probe: int = 1
 ) -> F.Column:
-    """Multi-probe LSH bucket set (Lv et al. 2007, public): the base
-    bucket plus the ``n_probe - 1`` neighbors obtained by flipping the
-    hyperplanes with the SMALLEST |projection| — a point near a
-    hyperplane could have landed on either side, so those single-bit
-    neighbors are where its missed true matches live. Raises recall
-    without adding planes (which would split every bucket for every
-    query); cost is exactly ``n_probe`` bucket scans per query, no
-    re-hash, no extra shuffle shape. Returns array<int> of distinct
-    bucket ids (length min(n_probe, n_planes + 1))."""
+    """Multi-probe LSH bucket set via PERTURBATION SETS (Lv et al.
+    2007, public): a point near a hyperplane could have landed on
+    either side, so the buckets most likely to hold a query's missed
+    neighbors are the ones reached by flipping LOW-|projection| planes.
+    Candidate perturbations are all subsets of the j = min(n_planes,
+    12) lowest-margin planes, scored by the SUM of flipped |margins|
+    (the query-aware success-probability ordering); the ``n_probe``
+    best-scoring subsets — always starting with the empty set, i.e. the
+    base bucket — become the probe sequence. Multi-bit flips matter:
+    flipping the two lowest margins often beats flipping one moderate
+    margin, and single-bit probing caps coverage at n_planes + 1
+    buckets — at 32 buckets that ceiling capped recall at ~0.5 on the
+    sf1 stress corpus (r4 finding) regardless of probe budget.
+
+    Raises recall without adding planes (which would split every bucket
+    for every query); cost is exactly ``n_probe`` bucket scans per
+    query, no re-hash, no extra shuffle shape. Returns array<int> of
+    distinct bucket ids (length min(n_probe, 2^j))."""
     if n_probe < 1:
         raise ValueError("n_probe must be >= 1")
     projs = [
@@ -178,11 +195,24 @@ def lsh_probe_buckets(
             ]
         )
     )
-    flips = F.slice(ranked, 1, min(n_probe - 1, n_planes))
-    return F.concat(
-        F.array(base),
-        F.transform(flips, lambda s: base.bitwiseXOR(s["bit"])),
+    jj = min(n_planes, _MAX_PERTURB_PLANES)
+    low = F.slice(ranked, 1, jj)
+
+    def _mask_struct(mask):
+        score = F.lit(0.0)
+        xorm = F.lit(0)
+        for i in range(jj):
+            bit_set = mask.bitwiseAND(F.lit(1 << i)) != F.lit(0)
+            s = F.element_at(low, i + 1)
+            score = score + F.when(bit_set, s["m"]).otherwise(F.lit(0.0))
+            xorm = xorm + F.when(bit_set, s["bit"]).otherwise(F.lit(0))
+        return F.struct(score.alias("score"), xorm.alias("xorm"))
+
+    cand = F.transform(
+        F.sequence(F.lit(0), F.lit(2 ** jj - 1)), _mask_struct
     )
+    top = F.slice(F.array_sort(cand), 1, min(n_probe, 2 ** jj))
+    return F.transform(top, lambda s: base.bitwiseXOR(s["xorm"].cast("int")))
 
 
 def lsh_topk(
