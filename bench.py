@@ -111,7 +111,14 @@ ANCHOR = {
     "q112_grouped_heavy_hitters": 0.707,
     "q113_forecast_revenue": 0.164,
     "q119_min_cost_supplier": 1.116,
-    "q43_jaccard_prefix": 2.513,
+    # RE-ANCHORED r4 (was 2.513): shingle document frequency moved from
+    # a WindowExec count (one straggler task per hot boilerplate
+    # shingle at scale, unsplittable by AQE) to a partial-aggregating
+    # groupBy + join-back. The extra shuffle + recomputed probe branch
+    # cost ~0.8s at sf0.1 and buy the only plan shape that survives a
+    # 10^9-doc boilerplate shingle — a deliberate scale trade, see
+    # VERDICT r3 item 1 and tests/test_plans.py (no-WindowExec pin).
+    "q43_jaccard_prefix": 3.3,
     "q126_multimodal_decode": 0.898,
     "q127_lm_quality": 1.047,
     "q128_gopher_filter": 0.609,
@@ -125,6 +132,32 @@ def _sink(df) -> None:
     count() is not a benchmark sink — Catalyst prunes unused columns, so
     a projection-only query 'benches' as a bare row-count scan."""
     df.write.format("noop").mode("overwrite").save()
+
+
+# Machine-speed calibration (added r4): the container's absolute speed
+# SHIFTS BETWEEN ROUNDS — r4's host ran the UNTOUCHED r3 code ~1.9x
+# slower than r3's own anchors (verified by checking out the r3 commit
+# in a worktree and re-timing q12/q82/q110 — same slowdown with zero
+# code delta). Absolute cross-round seconds are therefore meaningless
+# without a code-independent probe: a fixed CPU-bound Spark job whose
+# cost no repo change can affect. Regressions are judged against
+# anchor * (cal_now / CAL_ANCHOR_SEC), so a slow host doesn't produce
+# phantom regressions and a fast host doesn't mask real ones.
+CAL_ANCHOR_SEC = 0.154  # r4 environment, best-of-3
+
+
+def measure_calibration(spark) -> float:
+    """Best-of-3 steady time of a fixed whole-stage-codegen job
+    (500M-row modular sum, 32 fixed partitions — pure JVM CPU, no IO,
+    no repo code)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 500_000_000, 1, 32).selectExpr(
+            "sum(id % 1000003)"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 STRESS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".stress_sf1")
@@ -212,7 +245,7 @@ def _build_stress_sf1(spark, sf01_dir: str) -> None:
         fh.write("ok\n")
 
 
-def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
+def run_stress(spark, warm: dict, sf01_dir: str, cal_ratio: float = 1.0) -> dict:
     """sf1 (10x docs/embeddings) anchors for the pair machinery: the
     operators whose cost could creep quadratically with corpus size.
     Reported per query: steady seconds + ratio vs its own sf0.1 steady
@@ -286,6 +319,8 @@ def run_stress(spark, warm: dict, sf01_dir: str) -> dict:
         n = build().count()  # row count (untimed)
         b = base.get(name, warm.get(name))
         anchor = STRESS_ANCHOR.get(name)
+        if anchor is not None:
+            anchor = anchor * cal_ratio  # machine-normalized (see CAL_ANCHOR_SEC)
         out[name] = {
             "sec": sec,
             "rows": n,
@@ -316,6 +351,7 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
         brute_force_topk,
         ivf_topk,
         lsh_topk,
+        lsh_topk_multitable,
     )
 
     _build_stress_sf1(spark, sf01_dir)
@@ -341,7 +377,22 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
         out["ivf"][n_probe] = _recall(
             ivf_topk(emb, q, k=k, n_cells=64, n_probe=n_probe)
         )
-    print(f"# recall_sf1: lsh {out['lsh']} ivf {out['ivf']}", file=sys.stderr)
+    # same 8-scans-per-query budget as lsh@8, allocated across
+    # independent TABLES instead of probes of one table — the
+    # multi-table lever (corpus-side cost: shuffle x n_tables)
+    out["lsh_multitable"] = {
+        "2tables_x4probe": _recall(
+            lsh_topk_multitable(emb, q, k=k, n_planes=5, n_tables=2, n_probe=4)
+        ),
+        "4tables_x2probe": _recall(
+            lsh_topk_multitable(emb, q, k=k, n_planes=5, n_tables=4, n_probe=2)
+        ),
+    }
+    print(
+        f"# recall_sf1: lsh {out['lsh']} ivf {out['ivf']} "
+        f"multitable {out['lsh_multitable']}",
+        file=sys.stderr,
+    )
     return out
 
 
@@ -361,7 +412,7 @@ GPT2_VOCAB = "/root/reference/torcharrow/test/asset/gpt2_bpe_vocab.bpe"
 BPE_ANCHOR_SEC = 0.897
 
 
-def run_bpe_real_vocab(spark, sf_dir: str) -> dict:
+def run_bpe_real_vocab(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
     """Tokenize every sf document with the full GPT-2 vocabulary
     (50,257 tokens / 50,000 merges, the PUBLIC asset shipped in the
     reference repo) through the production path — Arrow-batched
@@ -399,7 +450,9 @@ def run_bpe_real_vocab(spark, sf_dir: str) -> dict:
         "docs": int(row["docs"]),
         "tokens": int(row["toks"]),
         "tokens_per_sec": int(row["toks"] / sec),
-        "vs_anchor": round(sec / BPE_ANCHOR_SEC, 2) if BPE_ANCHOR_SEC else None,
+        "vs_anchor": round(sec / (BPE_ANCHOR_SEC * cal_ratio), 2)
+        if BPE_ANCHOR_SEC
+        else None,
         "n_merges": len(merges),
     }
     print(
@@ -420,6 +473,14 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so timings measure the queries
     _sink(QUERIES["q01_pricing_summary"](spark, sf_dir))
+
+    cal = measure_calibration(spark)
+    cal_ratio = max(cal / CAL_ANCHOR_SEC, 0.25)  # floor guards a probe fluke
+    print(
+        f"# calibration: {cal:.3f}s (anchor {CAL_ANCHOR_SEC}s, "
+        f"machine factor {cal_ratio:.2f}x)",
+        file=sys.stderr,
+    )
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -448,28 +509,32 @@ def main() -> None:
         for name, anchor in ANCHOR.items():
             if name not in warm:
                 continue
-            if warm[name] > anchor * 1.25:
+            # anchors are machine-normalized: the bar scales with the
+            # calibration probe so host-speed shifts between rounds
+            # don't fabricate (or hide) regressions
+            bar = anchor * cal_ratio
+            if warm[name] > bar * 1.25:
                 # damp one-off noise (GC pause, compilation) with a re-run
                 t0 = time.perf_counter()
                 _sink(QUERIES[name](spark, sf_dir))
                 warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
             delta_vs_r1[name] = round(warm[name] - anchor, 3)
-            if warm[name] > anchor * 1.25:
-                regressions[name] = round(warm[name] / anchor, 2)
+            if warm[name] > bar * 1.25:
+                regressions[name] = round(warm[name] / bar, 2)
                 print(
-                    f"# REGRESSION {name}: {warm[name]:.3f}s vs r1 {anchor:.3f}s "
-                    f"({regressions[name]}x)",
+                    f"# REGRESSION {name}: {warm[name]:.3f}s vs normalized "
+                    f"anchor {bar:.3f}s ({regressions[name]}x)",
                     file=sys.stderr,
                 )
 
     stress: dict = {}
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
-        stress = run_stress(spark, warm, sf_dir)
+        stress = run_stress(spark, warm, sf_dir, cal_ratio)
 
     bpe_real: dict = {}
     recall: dict = {}
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
-        bpe_real = run_bpe_real_vocab(spark, sf_dir)
+        bpe_real = run_bpe_real_vocab(spark, sf_dir, cal_ratio)
         recall = run_recall_curves(spark, sf_dir)
 
     print(
@@ -486,6 +551,8 @@ def main() -> None:
                 "stress_sf1": stress,
                 "bpe_real_vocab": bpe_real,
                 "recall_sf1": recall,
+                "calibration_sec": cal,
+                "machine_factor": round(cal_ratio, 3),
                 "sf": sf_val,
             }
         )

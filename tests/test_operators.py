@@ -2101,3 +2101,41 @@ def test_recall_vs_probe_curves_sf1(spark):
     assert ivf[16] >= 0.55, ivf           # 16/64 cells = 25% coverage
     assert ivf[16] >= 2 * (16 / 64), ivf
     assert ivf[4] >= 2 * (4 / 64), ivf
+
+
+def test_multitable_lsh_dominates_single_table(spark, sf_dir):
+    """Multi-table LSH: with table 0 sharing the single-table operator's
+    exact planes, the candidate set is a SUPERSET of lsh_topk's — and
+    exact top-k by cosine is monotone in the candidate set (an added
+    candidate outranks a true top-k member only if it is itself a true
+    top-k member), so recall vs brute force must be >= the single-table
+    recall at every probe depth. n_tables=1 must reproduce lsh_topk
+    exactly."""
+    from torcharrow_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multitable,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 40")
+    exact = {(r["query_id"], r["match_id"])
+             for r in brute_force_topk(emb, q, k=3).collect()}
+
+    def recall(got):
+        hits = {(r["query_id"], r["match_id"]) for r in got.collect()}
+        return len(exact & hits) / len(exact)
+
+    for n_probe in (1, 3):
+        r_single = recall(lsh_topk(emb, q, k=3, n_planes=4, n_probe=n_probe))
+        r_multi = recall(
+            lsh_topk_multitable(emb, q, k=3, n_planes=4, n_tables=2, n_probe=n_probe)
+        )
+        assert r_multi >= r_single, (n_probe, r_single, r_multi)
+
+    one_table = {(r["query_id"], r["match_id"], round(r["cosine"], 9), r["rank"])
+                 for r in lsh_topk_multitable(emb, q, k=3, n_planes=4,
+                                              n_tables=1).collect()}
+    single = {(r["query_id"], r["match_id"], round(r["cosine"], 9), r["rank"])
+              for r in lsh_topk(emb, q, k=3, n_planes=4).collect()}
+    assert one_table == single and len(single) > 0

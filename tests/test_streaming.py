@@ -484,3 +484,44 @@ def test_curate_pack_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(q.recentProgress) >= 3  # really ran as multiple micro-batches
     assert got == want and len(want) > 0
+
+
+def test_contamination_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Contamination-at-ingest == batch: every arriving train doc's
+    benchmark-overlap fraction is a pure function of (doc, static
+    benchmark set), so the foreachBatch form must reproduce the batch
+    operator exactly under any micro-batch partitioning (three files,
+    one per trigger)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import contamination
+    from torcharrow_spark.streaming import contamination_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_set = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+
+    want = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"],
+                      round(r["overlap_frac"], 9), r["contaminated"])
+        for r in contamination(train=bench_set, test=train, k=8).collect()
+    }
+
+    src = str(tmp_path / "train_stream")
+    train.repartition(3).write.mode("overwrite").parquet(src)
+    dest = str(tmp_path / "scores")
+    q = contamination_stream(
+        spark, src, train.schema, bench_set, dest,
+        k=8, query_name="t_contam", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"],
+                      round(r["overlap_frac"], 9), r["contaminated"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    assert got == want and len(want) > 0
+    assert len(spark.read.parquet(dest).select("batch_id").distinct().collect()) >= 2

@@ -51,6 +51,10 @@ def _emit_pairs(grouped: SDF, arr_col: str) -> SDF:
     return ex.select(F.col("__a__"), F.explode(tail).alias("__b__"))
 
 
+#: low bits of the packed (id, size) long in direct-mode Jaccard
+_PACK_SZ_BITS = 20
+
+
 def _ceil_exact(x):
     """ceil for PPJoin bounds whose TRUE value is a rational: the double
     product can land epsilon ABOVE the exact integer (0.5 * 4 =
@@ -323,7 +327,14 @@ def ngram_jaccard_pairs(
     # doc's size for free — no separate per-doc groupBy, and the
     # classic length filter (jaccard >= t forces min(|A|,|B|) >=
     # ceil(t * max)) applies to each candidate pair AT EMISSION, before
-    # the pair-dedup shuffle ever sees it
+    # the pair-dedup shuffle ever sees it.
+    # SHAPE MATTERS (SURVEY §4.3): the array must have exactly ONE
+    # consumer expression in the next projection. The obvious spelling
+    # — size("__s__") + explode("__s__") side by side — makes Catalyst
+    # inline the array build into BOTH consumers (and the word split
+    # into all of those), re-evaluating the shingle construction 3x per
+    # row (measured 2.9x wall on q21 at sf0.1). Wrapping (size, item)
+    # into a struct array inside a single explode keeps one evaluation.
     words = F.split(_norm_text(F.col(text_col)), " ")
     base = (
         df.select(F.col(id_col), words.alias("__w__"))
@@ -332,51 +343,77 @@ def ngram_jaccard_pairs(
         )
         .select(
             F.col(id_col),
-            F.size("__s__").alias("sz"),
-            F.explode("__s__").alias("shingle"),
+            F.explode(
+                F.transform(
+                    F.col("__s__"),
+                    lambda s: F.struct(
+                        F.size(F.col("__s__")).alias("sz"), s.alias("sh")
+                    ),
+                )
+            ).alias("z"),
         )
     )
     # shuffle on a 64-bit hash of the shingle, not the 20-30 byte text:
     # ~3x smaller shuffle keys; a cross-shingle collision (~n^2/2^65)
     # could only perturb results if both collided shingles also shared a
     # doc pair — negligible against the corpus sizes this targets
-    shh = base.select(id_col, "sz", F.xxhash64(F.col("shingle")).alias("shingle"))
+    # (id, sz) packed into ONE long — id in the high 42 bits, size in
+    # the low 20 (bounds checked; 2^20 shingles means a ~1M-word doc,
+    # far past any quality gate) — so the pair machinery shuffles and
+    # aggregates bare 8-byte longs exactly like the exact-dedup path:
+    # half the shuffle bytes of an (id, sz) struct and a two-long
+    # HashAggregate key instead of four columns. Packed order == id
+    # order (sz is functionally determined by id), so sorted pair
+    # emission still yields id_a < id_b.
+    sz_long = F.col("z.sz").cast("long")
+    idl = F.col(id_col).cast("long")
+    pk = F.when(
+        (sz_long < F.lit(1 << _PACK_SZ_BITS))
+        & (idl >= 0)
+        & (idl < F.lit(1 << (63 - _PACK_SZ_BITS))),
+        F.shiftleft(idl, _PACK_SZ_BITS) + sz_long,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "ngram_jaccard_pairs(mode='direct') packs (id, size) into "
+                "one long: requires 0 <= id < 2^43 and < 2^20 distinct "
+                "shingles per doc"
+            )
+        ).cast("long")
+    )
+    shh = base.select(pk.alias("p"), F.xxhash64(F.col("z.sh")).alias("shingle"))
     ids_per_shingle = (
         shh.groupBy("shingle")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("sz")))
-            ).alias("ids")
-        )
+        .agg(F.sort_array(F.collect_list("p")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     # memory-bounded emission (see _emit_pairs): a boilerplate shingle's
     # C(df, 2) pairs stream row-by-row instead of one giant array —
     # direct mode on a hot corpus stays slow-not-OOM (prefix mode stays
     # the scale default regardless)
-    raw = _emit_pairs(ids_per_shingle, "ids").select(
-        F.col("__a__.i").alias("id_a"),
-        F.col("__a__.sz").alias("sz_a"),
-        F.col("__b__.i").alias("id_b"),
-        F.col("__b__.sz").alias("sz_b"),
+    raw = _emit_pairs(ids_per_shingle, "ids")
+    mask = F.lit((1 << _PACK_SZ_BITS) - 1)
+    sz_a = F.col("__a__").bitwiseAND(mask)
+    sz_b = F.col("__b__").bitwiseAND(mask)
+    length_ok = F.least(sz_a, sz_b) >= _ceil_exact(
+        F.lit(threshold) * F.greatest(sz_a, sz_b)
     )
-    length_ok = F.least(F.col("sz_a"), F.col("sz_b")) >= _ceil_exact(
-        F.lit(threshold) * F.greatest(F.col("sz_a"), F.col("sz_b"))
-    )
-    # sz rides the pair key (it is functionally determined by the id),
-    # so the final jaccard needs NO size join-back at all — the old two
-    # hash joins disappear along with the pruned pairs
+    # sz rides inside the pair key, so the final jaccard needs NO size
+    # join-back at all — the old two hash joins disappear along with
+    # the length-pruned pairs
     inter = (
         raw.where(length_ok)
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .groupBy("__a__", "__b__")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sz_a2 = F.col("__a__").bitwiseAND(mask)
+    sz_b2 = F.col("__b__").bitwiseAND(mask)
     return inter.select(
-        "id_a",
-        "id_b",
+        F.shiftrightunsigned(F.col("__a__"), _PACK_SZ_BITS).alias("id_a"),
+        F.shiftrightunsigned(F.col("__b__"), _PACK_SZ_BITS).alias("id_b"),
         (
             F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            / (sz_a2 + sz_b2 - F.col("inter")).cast("double")
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
 

@@ -5602,6 +5602,70 @@ def q130_grouped_cdf(spark: SparkSession, sf_dir: str) -> SDF:
     return out.select("doc_id", "lang", F.col("n_chars_cdf").alias("cdf"))
 
 
+def _lsh_bucket_sql(plane_ids) -> str:
+    """DuckDB bucket arithmetic for one LSH table: bit i = sign of the
+    md5-derived hyperplane plane_ids[i] (same nibble arithmetic as
+    similarity._plane_weights / the q23 oracle)."""
+    terms = [
+        f"""(CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+              d -> (strpos('0123456789abcdef', substr(md5('{pid},' || d), 1, 1)) - 1 - 7.5)
+                   * embedding[d + 1]::DOUBLE)) >= 0 THEN 1 ELSE 0 END) * {2 ** i}"""
+        for i, pid in enumerate(plane_ids)
+    ]
+    return "( " + "\n         + ".join(terms) + " )::INT"
+
+
+@query(
+    "q133_ann_lsh_multitable",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        {_lsh_bucket_sql([0, 1, 2, 3])} AS b0,
+        {_lsh_bucket_sql([100, 101, 102, 103])} AS b1
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, b0, b1 FROM b WHERE vec_id < 5),
+    cand AS (
+      SELECT q.query_id, c.vec_id AS match_id
+      FROM b c JOIN q ON c.b0 = q.b0 AND c.vec_id <> q.query_id
+      UNION
+      SELECT q.query_id, c.vec_id AS match_id
+      FROM b c JOIN q ON c.b1 = q.b1 AND c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS cosine
+      FROM (SELECT cand.query_id, cand.match_id,
+                   {_DDOT}(q.qv, c.v) AS dot,
+                   sqrt({_DDOT}(q.qv, q.qv)) AS na,
+                   sqrt({_DDOT}(c.v, c.v)) AS nb
+            FROM cand
+            JOIN q ON q.query_id = cand.query_id
+            JOIN b c ON c.vec_id = cand.match_id)
+    )
+    SELECT query_id, match_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, match_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q133_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> SDF:
+    """Multi-TABLE LSH ANN (operators/similarity.lsh_topk_multitable —
+    r4): two independent 4-plane hyperplane tables, candidates unioned,
+    deduped by map-side-combined groupBy-max, exact cosine + per-query
+    top-3. The orthodox recall lever past multi-probe saturation: a
+    neighbor is missed only if EVERY table splits it (1-(1-p)^L).
+    Table 0 is exactly q23's table, so this output is a superset-
+    quality refinement of q23's."""
+    from torcharrow_spark.operators import lsh_topk_multitable
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    q = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk_multitable(emb, q, k=3, n_planes=4, n_tables=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query(
     "q132_curate_pack_twin",
     oracle=f"""

@@ -653,3 +653,57 @@ def curate_pack_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def contamination_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    test_df: SDF,
+    dest_path: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_name: str = "contamination_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Benchmark-contamination check AT INGEST: every arriving training
+    document is scored against the static test/benchmark set — the
+    fraction of its k-gram shingles that appear anywhere in the
+    benchmark corpus (`operators.dedup.contamination` with the roles
+    transposed: the STREAM is the train side being screened, the
+    benchmark is static).
+
+    Shape: ``foreachBatch`` running the batch operator per micro-batch,
+    landing each batch's scores in its own ``batch_id=<n>`` parquet
+    partition with mode('overwrite') — the same exactly-once idempotent
+    sink as :func:`stream_to_parquet`. foreachBatch is exactly right
+    here: the per-document metric depends only on the document itself
+    and the STATIC benchmark set, so there is no cross-batch state to
+    carry and stream == batch holds under ANY micro-batch partitioning
+    (the paired test proves it across several files). Production pins
+    the benchmark shingle table with ``persist()`` before starting the
+    stream; readers of ``dest_path`` see (doc_id, n_shingles,
+    n_overlap, overlap_frac, contaminated) plus the batch_id partition
+    column."""
+    from torcharrow_spark.operators.dedup import contamination
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        scored = contamination(
+            train=test_df, test=batch_df, k=k, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        scored.write.mode("overwrite").parquet(f"{dest_path}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
