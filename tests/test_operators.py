@@ -2139,3 +2139,65 @@ def test_multitable_lsh_dominates_single_table(spark, sf_dir):
     single = {(r["query_id"], r["match_id"], round(r["cosine"], 9), r["rank"])
               for r in lsh_topk(emb, q, k=3, n_planes=4).collect()}
     assert one_table == single and len(single) > 0
+
+
+def test_pack_nosplit_properties(spark, sf_dir):
+    """pack_documents_nosplit invariants: NO document straddles a bin
+    (offset + n_tokens <= budget on every row), size_class is a
+    power-of-two capacity, full (non-final) bins carry exactly
+    `size_class` docs and beat the ~50% geometric fill bound,
+    oversize/empty docs are excluded, and placement is identical under
+    any input partitioning."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import (
+        pack_documents_nosplit,
+        packing_efficiency,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.greatest(F.expr("n_chars DIV 4"), F.lit(1)).alias("toks")
+    )
+    budget = 512
+    packed = pack_documents_nosplit(docs, "doc_id", "toks", budget, n_shards=8)
+    rows = packed.collect()
+    assert len(rows) > 0
+    # no straddle, ever
+    assert all(r["offset"] + r["n_tokens"] <= budget for r in rows)
+    assert all(r["offset"] >= 0 for r in rows)
+    # per-(shard, class) bins hold exactly size_class docs except the
+    # last partial bin; FULL bins beat the harmonic fill bound
+    from collections import defaultdict
+    bins = defaultdict(list)
+    counts = defaultdict(int)
+    for r in rows:
+        bins[(r["shard"], r["size_class"], r["bin"])].append(r["n_tokens"])
+        counts[(r["shard"], r["size_class"])] = max(
+            counts[(r["shard"], r["size_class"])], r["bin"]
+        )
+    for (shard, c, b), toks in bins.items():
+        assert c & (c - 1) == 0  # power-of-two capacity
+        assert len(toks) <= c
+        if b < counts[(shard, c)]:  # full (non-last) bin
+            assert len(toks) == c
+            # geometric classes: every member's q = budget DIV tok is
+            # in [c, 2c), so tok > budget/(2c+1) and a full bin fills
+            # past ~half the budget (slack for integer boundaries)
+            assert sum(toks) > 0.45 * budget, (c, toks)
+    # efficiency report consistent
+    eff = packing_efficiency(packed, budget).collect()[0]
+    assert eff["n_bins"] == len(bins)
+    assert eff["packed_tokens"] == sum(sum(v) for v in bins.values())
+    assert 0 < eff["fill_frac"] <= 1.0
+    # oversize excluded
+    big = spark.createDataFrame([(1, budget + 1), (2, 10)], "doc_id long, toks long")
+    out = pack_documents_nosplit(big, "doc_id", "toks", budget).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    # partition-invariant placement
+    a = {r["doc_id"]: (r["shard"], r["size_class"], r["bin"], r["offset"])
+         for r in rows}
+    b2 = {r["doc_id"]: (r["shard"], r["size_class"], r["bin"], r["offset"])
+          for r in pack_documents_nosplit(
+              docs.repartition(13), "doc_id", "toks", budget, n_shards=8
+          ).collect()}
+    assert a == b2

@@ -769,6 +769,125 @@ def pack_documents(
     )
 
 
+def pack_documents_nosplit(
+    df: SDF,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 256,
+    seed: int = 0,
+) -> SDF:
+    """Sequence packing where NO document straddles a bin boundary —
+    the form pretraining pipelines need when an attention mask can't
+    span bins (:func:`pack_documents` is the contiguous-offset
+    next-fit form that lets tails straddle).
+
+    Algorithm (geometric size-class packing, fully data-parallel):
+    each doc's SIZE CLASS is the largest power of two <=
+    budget DIV n_tokens — the per-bin capacity. Within each
+    (shard, class) docs are ranked in deterministic hash order and
+    placed capacity-per-bin: bin = rank DIV capacity, offset = running
+    sum of the bin's previous members. capacity * n_tokens <=
+    (budget DIV n_tokens) * n_tokens <= budget, so nothing straddles;
+    a FULL bin's fill exceeds ~50% (capacity >= q/2 and each doc >
+    budget/(q+1)), approaching 100% as docs shrink relative to the
+    budget. Power-of-two classes keep the class count at
+    ~log2(budget) — exact per-size classes (capacity = q itself) pack
+    full bins tighter (q/(q+1)) but create up to ``budget`` classes,
+    and every (shard, class) cell pays one partial final bin, which
+    DOMINATED waste on real corpora (measured fill 0.07 at budget 2048
+    on the sf0.01 documents vs 0.75+ geometric). Zero cross-partition
+    coordination (first-fit-decreasing packs tighter but is inherently
+    sequential); exactly one shuffle on (shard); per-partition window
+    sorts bounded by shard size. Placement is a pure function of
+    (seed, ids, token counts) — reruns, any parallelism, and external
+    SQL engines reproduce it bit-for-bit (the class ladder is integer
+    CASE arithmetic, no floating log2).
+
+    Docs with n_tokens > budget (would never fit) or n_tokens < 1 are
+    EXCLUDED from the output — screen them upstream (a quality gate
+    bounds document length anyway). Returns
+    ``(id, n_tokens, shard, size_class, bin, offset)`` where
+    ``size_class`` IS the bin capacity (power of two), with
+    offset + n_tokens <= budget guaranteed on every row; bins are
+    numbered within each (shard, size_class)."""
+    if budget < 1:
+        raise ValueError("budget must be positive")
+    if n_shards < 1:
+        raise ValueError("n_shards must be positive")
+    key = F.md5(F.concat(F.lit(f"packns:{seed}|"), F.col(id_col).cast("string")))
+    t = F.col(token_col).cast("long")
+    q = F.col("__q__")
+    # capacity = largest power of two <= budget DIV n_tokens, as an
+    # integer CASE ladder (floor(log2()) on doubles is not guaranteed
+    # correctly rounded across engines at exact powers)
+    cap = F.lit(1)
+    p = 2
+    while p <= budget:
+        cap = F.when(q >= p, F.lit(p)).otherwise(cap)
+        p *= 2
+    base = df.where((t >= 1) & (t <= budget)).select(
+        F.col(id_col),
+        t.alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(key, 1, 12), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).alias("shard"),
+        F.expr(f"{int(budget)} DIV {token_col}").alias("__q__"),
+        key.alias("__order__"),
+    ).select(
+        id_col, "n_tokens", "shard", cap.alias("size_class"), "__order__"
+    )
+    rw = Window.partitionBy("shard", "size_class").orderBy("__order__", id_col)
+    ranked = base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        "size_class",
+        (F.row_number().over(rw) - 1).alias("__r__"),
+    )
+    binned = ranked.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        "size_class",
+        F.expr("__r__ DIV size_class").alias("bin"),
+        F.col("__r__"),
+    )
+    ow = (
+        Window.partitionBy("shard", "size_class", "bin")
+        .orderBy("__r__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return binned.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        "size_class",
+        "bin",
+        (F.sum("n_tokens").over(ow) - F.col("n_tokens")).alias("offset"),
+    )
+
+
+def packing_efficiency(packed: SDF, budget: int) -> SDF:
+    """One-row packing report for a `pack_documents_nosplit` output:
+    total bins, packed tokens, capacity, and fill fraction — the number
+    a pipeline watches when tuning budget/shards (bounded aggregate:
+    one HashAggregate over (shard, class, bin) then one global row)."""
+    per_bin = packed.groupBy("shard", "size_class", "bin").agg(
+        F.sum("n_tokens").alias("__fill__")
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("__fill__").alias("packed_tokens"),
+        (F.count(F.lit(1)) * F.lit(int(budget))).alias("capacity_tokens"),
+        (
+            F.sum("__fill__").cast("double")
+            / (F.count(F.lit(1)) * F.lit(int(budget))).cast("double")
+        ).alias("fill_frac"),
+    )
+
+
 def weighted_sample_per_group(
     df: SDF,
     k: int,

@@ -5714,6 +5714,74 @@ def q132_curate_pack_twin(spark: SparkSession, sf_dir: str) -> SDF:
     return curate_pack_batch(docs)
 
 
+def _pow2_cap_sql(budget: int) -> str:
+    """Largest power of two <= q, as the same integer CASE ladder the
+    Spark operator builds (no floating log2 on either engine)."""
+    powers = []
+    p = 2
+    while p <= budget:
+        powers.append(p)
+        p *= 2
+    whens = " ".join(f"WHEN q >= {p} THEN {p}" for p in reversed(powers))
+    return f"CASE {whens} ELSE 1 END"
+
+
+@query(
+    "q134_pack_nosplit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             GREATEST(n_chars // 4, 1)::BIGINT AS n_tokens
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, n_tokens, 512 // n_tokens AS q,
+             ('0x' || substr(md5('packns:0|' || doc_id::VARCHAR), 1, 12))::UBIGINT::BIGINT % 8 AS shard,
+             md5('packns:0|' || doc_id::VARCHAR) AS pk
+      FROM base WHERE n_tokens BETWEEN 1 AND 512
+    ),
+    eligible AS (
+      SELECT doc_id, n_tokens, shard,
+             ({_pow2_cap_sql(512)})::BIGINT AS size_class, pk
+      FROM sized
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, shard, size_class,
+             ROW_NUMBER() OVER (PARTITION BY shard, size_class
+                                ORDER BY pk, doc_id) - 1 AS r
+      FROM eligible
+    ),
+    binned AS (
+      SELECT doc_id, n_tokens, shard, size_class,
+             r // size_class AS bin, r
+      FROM ranked
+    )
+    SELECT doc_id, n_tokens, shard, size_class, bin,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard, size_class, bin
+                                    ORDER BY r ROWS UNBOUNDED PRECEDING)
+                - n_tokens AS BIGINT) AS "offset"
+    FROM binned
+    """,
+)
+def q134_pack_nosplit(spark: SparkSession, sf_dir: str) -> SDF:
+    """No-straddle sequence packing (operators/preprocess.
+    pack_documents_nosplit — r4): geometric size-class packing — the
+    class IS the per-bin capacity, the largest power of two <=
+    budget DIV n_tokens — so offset + n_tokens <= budget on every row,
+    full bins fill > ~50%, and only ~log2(budget) classes exist per
+    shard (fragmentation control): the attention-mask-safe packing
+    form next to q121's contiguous next-fit. One shuffle; placement is
+    a pure function of (seed, ids, token counts)."""
+    from torcharrow_spark.operators import pack_documents_nosplit
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    sized = docs.select(
+        "doc_id",
+        F.greatest(F.expr("n_chars DIV 4"), F.lit(1).cast("long")).alias("toks"),
+    )
+    return pack_documents_nosplit(sized, "doc_id", "toks", budget=512, n_shards=8)
+
+
 @query(
     "q131_column_sort_dedup",
     oracle="""
