@@ -336,3 +336,39 @@ def test_pair_sites_use_bounded_emission(spark, sf_dir):
               "q46_simhash_pairs"):
         text = formatted_plan(QUERIES[q](spark, sf_dir))
         assert "posexplode" in text, q
+
+
+def test_shuffle_payloads_are_narrow(spark, sf_dir):
+    """The 100-TB question, checkable: what actually RIDES each
+    shuffle. Dedup/pair operators must never put the document text (or
+    any wide string) on an exchange — keys are hashed longs, payloads
+    are ids/counts. A regression that, e.g., groups exact-dedup by raw
+    text instead of its md5 halves would shuffle hundreds of bytes per
+    row where 16 do."""
+    from torcharrow_spark.plans import shuffle_payloads
+
+    # exact dedup: every exchange payload is hash halves + bounded aggs
+    ex = shuffle_payloads(QUERIES["q18_exact_dedup"](spark, sf_dir))
+    assert len(ex) >= 1
+    for e in ex:
+        assert "text" not in e["columns"], e
+    # minhash LSH banding: band-key exchanges carry signatures/ids only
+    for e in shuffle_payloads(QUERIES["q19_minhash_pairs"](spark, sf_dir)):
+        assert "text" not in e["columns"], e
+    # prefix jaccard: the shingle table shuffles 64-bit hashes, never
+    # shingle STRINGS or document text
+    for e in shuffle_payloads(QUERIES["q43_jaccard_prefix"](spark, sf_dir)):
+        assert "text" not in e["columns"], e
+        assert "shingle" not in e["columns"], e
+
+
+def test_curation_pipeline_shuffles_hashes_not_text(spark, sf_dir):
+    """q129 end-to-end: after the zero-shuffle gate, the dedup and
+    packing exchanges carry ids, hashes and token counts — the corpus
+    text stays in the scan stage and never crosses the network."""
+    from torcharrow_spark.plans import shuffle_payloads
+
+    payloads = shuffle_payloads(QUERIES["q129_curation_pipeline"](spark, sf_dir))
+    assert len(payloads) >= 2
+    for e in payloads:
+        assert "text" not in e["columns"], e

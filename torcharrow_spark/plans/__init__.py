@@ -46,6 +46,24 @@ def plan_stats(sdf: SDF) -> _ty.Dict[str, _ty.Any]:
     }
 
 
+def shuffle_payloads(sdf: SDF) -> _ty.List[_ty.Dict[str, _ty.Any]]:
+    """One entry per Exchange in the plan: the columns that actually
+    ride the shuffle (the node's Input list) and the partitioning
+    expression. This is the '100 TB question' made checkable — a dedup
+    whose exchange carries the document text shuffles hundreds of
+    bytes per row where two hashed longs would do; tests pin that the
+    payloads of the hot shuffles are narrow."""
+    text = formatted_plan(sdf)
+    out = []
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)",
+        text,
+    ):
+        cols = [c.strip().split("#")[0] for c in m.group(1).split(",")]
+        out.append({"columns": cols, "partitioning": m.group(2)})
+    return out
+
+
 def assert_pushdown(sdf: SDF, column: str) -> bool:
     """True iff a filter on `column` reached the parquet scan."""
     text = formatted_plan(sdf)
