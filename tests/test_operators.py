@@ -2201,3 +2201,39 @@ def test_pack_nosplit_properties(spark, sf_dir):
               docs.repartition(13), "doc_id", "toks", budget, n_shards=8
           ).collect()}
     assert a == b2
+
+
+def test_semantic_dedup_keeps_min_id_per_neighborhood(spark):
+    """SemDeDup-style: within a cluster, a vector is dropped iff a
+    LOWER-id vector has cosine >= threshold to it — min id survives,
+    dissimilar vectors survive, cross-cluster near-dups are untouched
+    by design."""
+    from torcharrow_spark.operators import semantic_dedup
+
+    # two tight bundles + one loner; 12 dims
+    def v(seed, eps=0.0):
+        import hashlib
+        base = [((int(hashlib.md5(f"{seed},{d}".encode()).hexdigest()[:4], 16)
+                  % 1000) - 500) / 500.0 for d in range(12)]
+        return [x + eps * ((d % 3) - 1) * 0.01 for d, x in enumerate(base)]
+
+    rows = [
+        (1, v("a")), (2, v("a", 1.0)), (3, v("a", 2.0)),   # bundle A
+        (10, v("b")), (11, v("b", 1.0)),                   # bundle B
+        (50, v("c")),                                      # loner
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semantic_dedup(df, n_clusters=3, threshold=0.999).collect()}
+    assert len(out) == 6
+    # every vector gets a verdict; the minimum id of any same-cluster
+    # near-identical group is kept, its >= 0.999-cosine followers dropped
+    for bundle in ([1, 2, 3], [10, 11]):
+        clusters = {out[i][0] for i in bundle}
+        if len(clusters) == 1:  # bundle landed in one cluster
+            kept = [i for i in bundle if out[i][1]]
+            assert kept[0] == min(bundle)
+    assert out[50][1] is True  # loner always survives

@@ -458,6 +458,87 @@ def cosine_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: SDF,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SDF:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public method family): cluster the embedding space, compute exact
+    pairwise cosines only WITHIN each cluster, and keep one
+    representative per near-duplicate neighborhood — the curation pass
+    that removes paraphrase-level duplicates exact/minhash dedup cannot
+    see.
+
+    This form: cells are the deterministic md5-pick centroids the IVF
+    index uses (swap in `kmeans()` centroids for trained clusters — the
+    pair machinery is identical), assignment is max cosine-to-centroid
+    (one zero-shuffle projection), and a vector is DROPPED iff some
+    lower-id vector in its cluster has cosine >= threshold to it
+    (keep-min-id). This one-pass dominance rule is deterministic,
+    distributed, and SQL-reproducible; it is slightly more aggressive
+    than SemDeDup's sequential within-cluster greedy scan (which
+    re-checks only against KEPT items — inherently order-sequential),
+    an accepted approximation documented here.
+
+    Scale design: the quadratic step is confined per cluster (size
+    n_clusters ~ sqrt(corpus) like IVF so cluster populations stay a
+    few thousand); pair emission is memory-bounded (`_emit_pairs`);
+    cross-cluster near-dups are missed by design — SemDeDup's own
+    approximation, priced against never comparing across cells.
+    Returns ``(id, cluster, keep)`` for every input vector."""
+    cents = _centroids(corpus, n_clusters, id_col, vec_col)
+    sims = _cell_sims(F.col(vec_col), cents)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("__n__"),
+        F.array_max(sims)["c"].alias("cluster"),
+    )
+    buckets = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col(vec_col).alias("v"),
+                        F.col("__n__").alias("n"),
+                    )
+                )
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    from .dedup import _emit_pairs
+
+    pairs = _emit_pairs(buckets, "ms").select(
+        F.col("__b__.i").alias(id_col),
+        _cosine_from(
+            _dot(F.col("__a__.v"), F.col("__b__.v")),
+            F.col("__a__.n"),
+            F.col("__b__.n"),
+        ).alias("__cos__"),
+    )
+    dropped = (
+        pairs.where(F.col("__cos__") >= threshold)
+        .select(id_col)
+        .distinct()
+        .withColumn("__dropped__", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def _centroids(corpus: SDF, n_cells: int, id_col: str, vec_col: str):
     """Deterministic centroid pick: the n_cells corpus vectors with the
     smallest md5(id) — reproducible without k-means iterations (swap in

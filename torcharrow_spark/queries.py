@@ -5727,6 +5727,51 @@ def _pow2_cap_sql(budget: int) -> str:
 
 
 @query(
+    "q135_semantic_dedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT embedding::DOUBLE[] AS cv,
+             ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             sqrt({_DDOT}(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nv,
+             (SELECT cell FROM (
+                SELECT c.cell,
+                       {_DDOT}(e.embedding::DOUBLE[], c.cv)
+                         / sqrt({_DDOT}(c.cv, c.cv)) AS s
+                FROM cents c) ORDER BY s DESC, cell DESC LIMIT 1) AS cluster
+      FROM embeddings e
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE CASE WHEN a.nv > 0 AND b.nv > 0
+                 THEN {_DDOT}(a.v, b.v) / (a.nv * b.nv) ELSE 0.0 END >= 0.2
+    )
+    SELECT a.vec_id, a.cluster,
+           d.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+)
+def q135_semantic_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """SemDeDup-style semantic deduplication (operators/similarity.
+    semantic_dedup — r4; Abbas et al. 2023 method family): cluster the
+    embedding space (deterministic IVF cells here; kmeans-trainable),
+    exact pairwise cosine WITHIN clusters only, keep-min-id per
+    near-duplicate neighborhood — the paraphrase-level dedup pass
+    exact/minhash cannot see, with the quadratic step confined per
+    cluster. Returns every vector's (id, cluster, keep) verdict."""
+    from torcharrow_spark.operators import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    return semantic_dedup(emb, n_clusters=8, threshold=0.2)
+
+
+@query(
     "q134_pack_nosplit",
     oracle=f"""
     WITH base AS (
