@@ -455,3 +455,30 @@ def test_read_write_text(spark, tmp_path):
     ts.write_text(lines.where(me["text"].str.contains("line", regex=False)), out)
     back = ts.read_text(out, spark)
     assert back.to_spark().count() == 3
+
+
+def test_rolling_quantile_median_std(spark):
+    """Rolling median/quantile/std match pandas rolling semantics on a
+    hand-checkable series (exact trailing-window order statistics with
+    linear interpolation; sample std from decimal-exact moments)."""
+    import math
+
+    import torcharrow_spark as ts
+
+    vals = [5.0, 1.0, 4.0, 2.0, 8.0, 3.0]
+    d = ts.dataframe(
+        {"g": ["a"] * 6, "i": list(range(6)), "x": vals}, spark=spark
+    )
+    r = d.rolling(3, order_by=["i"], partition_by=["g"])
+    med = {row["i"]: row["x.rolling_median"]
+           for row in r.agg({"x": ["median"]}).to_pylist()}
+    # trailing-3 windows: [5],[5,1],[5,1,4],[1,4,2],[4,2,8],[2,8,3]
+    assert med == {0: 5.0, 1: 3.0, 2: 4.0, 3: 2.0, 4: 4.0, 5: 3.0}
+    q9 = {row["i"]: row["x.rolling_q0.9"]
+          for row in r.quantile("x", 0.9).to_pylist()}
+    # linear interpolation at h = (n-1)*0.9
+    assert abs(q9[2] - 4.8) < 1e-12 and abs(q9[4] - 7.2) < 1e-12
+    std = {row["i"]: row["x.rolling_std"]
+           for row in r.agg({"x": ["std"]}).to_pylist()}
+    assert std[0] is None  # n = 1
+    assert abs(std[2] - math.sqrt(13 / 3)) < 1e-9  # stdev of 5,1,4

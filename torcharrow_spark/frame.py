@@ -1023,7 +1023,15 @@ class GroupedDataFrame:
 class RollingWindow:
     """Handle for DataFrame.rolling: trailing-`window`-rows aggregates."""
 
-    _FNS = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max, "count": F.count}
+    _FNS = {
+        "sum": F.sum,
+        "mean": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        # sample std, consistent with Column.std
+        "std": F.stddev_samp,
+    }
 
     def __init__(self, df: DataFrame, window: int, order_by, partition_by):
         self._df = df
@@ -1034,11 +1042,54 @@ class RollingWindow:
         )
 
     def agg(self, spec: _ty.Dict[str, _ty.List[str]]) -> DataFrame:
-        """spec: {column: [ops]} -> adds `{col}.rolling_{op}` columns."""
+        """spec: {column: [ops]} -> adds `{col}.rolling_{op}` columns.
+        Ops: sum/mean/min/max/count/std/median (median = exact trailing
+        quantile 0.5; see `quantile`)."""
         sdf = self._df.to_spark()
         for col, ops in spec.items():
             for op in ops:
-                sdf = sdf.withColumn(
-                    f"{col}.rolling_{op}", self._FNS[op](F.col(col)).over(self._w)
-                )
+                if op == "median":
+                    e = F.percentile(F.col(col), F.lit(0.5)).over(self._w)
+                elif op == "std":
+                    # decimal-exact window moments + ONE fixed double
+                    # formula: Spark's stddev_samp window uses a
+                    # streaming variance whose float order differs from
+                    # other engines by an ulp — exact decimal sums make
+                    # the result engine-bit-identical (same trick as
+                    # scaled_frame / bigram scores)
+                    dec = F.col(col).cast("decimal(18,6)")
+                    n = F.count(F.col(col)).over(self._w).cast("double")
+                    sm = F.sum(dec).over(self._w).cast("double")
+                    q2 = F.sum(dec * dec).over(self._w).cast("double")
+                    e = F.when(
+                        n > 1,
+                        F.sqrt(
+                            F.greatest(
+                                (q2 - sm * sm / n) / (n - F.lit(1.0)),
+                                F.lit(0.0),
+                            )
+                        ),
+                    )
+                else:
+                    e = self._FNS[op](F.col(col)).over(self._w)
+                sdf = sdf.withColumn(f"{col}.rolling_{op}", e)
         return DataFrame(sdf)
+
+    def quantile(self, column: str, q: float) -> DataFrame:
+        """Exact trailing-window quantile with linear interpolation
+        (pandas `rolling(w).quantile(q)` semantics; matches DuckDB
+        `quantile_cont` over the same frame) — adds
+        ``{col}.rolling_q{q}``. The window aggregate buffers at most
+        `window` values per row, so memory is bounded by the window
+        size, never by the partition — the property that keeps grouped
+        rolling quantiles viable on an unbounded event stream's batch
+        twin."""
+        if not 0 <= q <= 1:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        sdf = self._df.to_spark()
+        return DataFrame(
+            sdf.withColumn(
+                f"{column}.rolling_q{q}",
+                F.percentile(F.col(column), F.lit(float(q))).over(self._w),
+            )
+        )

@@ -5727,6 +5727,61 @@ def _pow2_cap_sql(budget: int) -> str:
 
 
 @query(
+    "q136_rolling_quantiles",
+    oracle="""
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER w AS "value.rolling_median",
+           quantile_cont(value, 0.9) OVER w AS "value.rolling_q0.9",
+           CASE WHEN COUNT(value) OVER w > 1 THEN
+             sqrt(GREATEST(
+               (CAST(SUM(CAST(value AS DECIMAL(18,6))
+                         * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                - CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                  * CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                  / CAST(COUNT(value) OVER w AS DOUBLE))
+               / (CAST(COUNT(value) OVER w AS DOUBLE) - 1.0), 0.0))
+           END AS "value.rolling_std"
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q136_rolling_quantiles(spark: SparkSession, sf_dir: str) -> SDF:
+    """Grouped rolling quantiles + std (frame.rolling — r4): per-user
+    trailing-7-event median, p90 and sample std over event time. The
+    exact window quantile buffers at most `window` values per row —
+    memory bounded by the window, not the partition — and the whole
+    frame computes in one partitioned window pass (one shuffle on
+    user_id). Linear interpolation matches DuckDB quantile_cont."""
+    import torcharrow_spark as ts
+
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").to_spark()
+    r = ts.DataFrame(ev).rolling(
+        7, order_by=["ts", "event_id"], partition_by=["user_id"]
+    )
+    out = r.agg({"value": ["median", "std"]})
+    out = ts.DataFrame(
+        out.to_spark().withColumn(
+            "value.rolling_q0.9",
+            F.percentile(F.col("value"), F.lit(0.9)).over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(-6, Window.currentRow)
+            ),
+        )
+    )
+    return out.to_spark().select(
+        "user_id",
+        "event_id",
+        "`value.rolling_median`",
+        "`value.rolling_q0.9`",
+        "`value.rolling_std`",
+    )
+
+
+@query(
     "q135_semantic_dedup",
     oracle=f"""
     WITH cents AS (
