@@ -5726,6 +5726,81 @@ def _pow2_cap_sql(budget: int) -> str:
     return f"CASE {whens} ELSE 1 END"
 
 
+def _fertility_oracle_sql() -> str:
+    from torcharrow_spark.functions import BPETokenizer
+
+    tok = BPETokenizer.toy()
+    merges = sorted(tok.ranks, key=tok.ranks.get)
+    s = r"'<Ġ>' || regexp_replace(w, '(.)', '<\1>', 'g')"
+    for a, b in merges:
+        s = f"replace({s}, '<{a}><{b}>', '<{a}{b}>')"
+    count = f"(length({s}) - length(replace({s}, '<', '')))"
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS t
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang, length(t)::BIGINT AS n_chars,
+             CAST(list_sum(list_transform(string_split(t, ' '),
+                                          w -> {count})) AS BIGINT) AS n_tokens
+      FROM norm WHERE length(t) > 0
+    )
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           SUM(n_chars)::BIGINT AS total_chars,
+           CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_chars) AS tokens_per_char
+    FROM per_doc GROUP BY lang
+    """
+
+
+@query("q137_tokenizer_fertility", oracle=_fertility_oracle_sql())
+def q137_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> SDF:
+    """Tokenizer fertility by language (r4): tokens produced per
+    character of normalized text, aggregated per language — the metric
+    that tells a data team which languages a tokenizer underserves
+    (high fertility = more tokens per char = shorter effective context
+    for that language). Same normalize -> REAL greedy-merge BPE path
+    as q41 (toy vocab so the oracle can replay the merge chain; swap
+    the 50k GPT-2 vocab in production — see bench's bpe_real_vocab),
+    then integer sums + ONE double division per language."""
+    from torcharrow_spark import me
+    from torcharrow_spark.functions import BPETokenizer
+    from torcharrow_spark.functions.bpe import bpe_tokenize
+
+    tok = BPETokenizer.toy()
+    docs = _load(spark, sf_dir, "documents")
+    s = me["text"].str
+    norm = (
+        s.lower()
+        .str.replace("[^a-z ]", "", regex=True)
+        .str.replace(" +", " ", regex=True)
+        .str.strip()
+    )
+    # one leading space so the pretokenizer Ġ-prefixes EVERY word —
+    # the same convention as q41, which is what the oracle's per-word
+    # '<Ġ>' replace chain assumes
+    nz = docs.select("doc_id", "lang", t=norm).where(me["t"].str.length() > 0)
+    spaced = nz.to_spark().withColumn("__sp__", F.concat(F.lit(" "), F.col("t")))
+    toks = bpe_tokenize(tok, spaced, "__sp__")
+    per_doc = (
+        nz.to_spark()
+        .select("doc_id", "lang", F.length("t").cast("long").alias("n_chars"))
+        .join(toks.select("doc_id", F.size("tokens").cast("long").alias("n_tokens")), "doc_id")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum("n_tokens").cast("double") / F.sum("n_chars").cast("double")
+        ).alias("tokens_per_char"),
+    )
+
+
 @query(
     "q136_rolling_quantiles",
     oracle="""
