@@ -71,11 +71,11 @@ def test_driver_window_coverage():
         "q129_curation_pipeline", "q19_minhash_pairs", "q46_simhash_pairs",
         "q43_jaccard_prefix", "q58_near_dup_clusters",
         "q86_strip_duplicate_spans", "q87_contamination",
-        "q42_cosine_dedup", "q44_ann_ivf", "q123_quantize_embeddings",
+        "q42_cosine_dedup", "q133_ann_lsh_multitable", "q123_quantize_embeddings",
         "q67_kmeans", "q24_text_stats", "q72_redact_pii",
         "q76_chunk_documents", "q79_dedup_lines", "q80_hll_distinct",
-        "q84_count_min", "q105_heavy_hitters", "q71_deterministic_sampling",
-        "q110_grouped_quantiles", "q121_pack_documents",
+        "q135_semantic_dedup", "q105_heavy_hitters", "q71_deterministic_sampling",
+        "q110_grouped_quantiles", "q134_pack_nosplit",
         "q126_multimodal_decode", "q68_tfidf_top_terms", "q82_funnel",
         "q98_market_share", "q41_bpe_tokenize",
     }

@@ -6010,7 +6010,9 @@ DRIVER_WINDOW = [
                                 # §2.5 keeps q03/q35/q37/q47 rows)
     "q37_asof_join",            # §2.5 as-of join
     "q41_bpe_tokenize",         # §2.13 BPE (real merge loop, SQL-checked)
-    "q47_rolling",              # §2.5 partitioned rolling windows
+    "q136_rolling_quantiles",   # §2.5 rolling windows (quantile/median/
+                                # std form; q47's sum/mean was driver-
+                                # green r2-r3 and stays pytest+sim-gated)
     "q50_filter_udf",           # §2.3 filter(callable)
     "q51_transform_batch",      # §2.3 transform over mapInArrow
     "q52_describe",             # §2.6 describe(percentiles)
@@ -6027,7 +6029,9 @@ DRIVER_WINDOW = [
     "q24_text_stats",           # token count/quality/langid
     "q42_cosine_dedup",         # embedding-cosine near-dup
     "q43_jaccard_prefix",       # PPJoin prefix Jaccard (scale path)
-    "q44_ann_ivf",              # ANN similarity search (IVF)
+    "q133_ann_lsh_multitable",  # ANN similarity search (multi-table
+                                # LSH; q44 IVF was driver-green r2-r3,
+                                # its oracle is q22's brute force)
     "q46_simhash_pairs",        # SimHash Hamming pairs
     "q58_near_dup_clusters",    # connected components / near_dedup
     "q67_kmeans",               # k-means + group centroids
@@ -6038,13 +6042,17 @@ DRIVER_WINDOW = [
     "q79_dedup_lines",          # line-level corpus-frequency dedup (C4)
     "q80_hll_distinct",         # HLL sketch
     "q82_funnel",               # funnel / event sequence
-    "q84_count_min",            # Count-Min sketch
+    "q135_semantic_dedup",      # SemDeDup-style paraphrase dedup
+                                # (q84 count-min was driver-green
+                                # r2-r3; q80/q105 keep sketches covered)
     "q86_strip_duplicate_spans",# substring-span dedup (Lee et al.)
     "q87_contamination",        # train/test contamination
     "q98_market_share",         # TPC-H gauntlet representative (Q8 shape)
     "q105_heavy_hitters",       # exact heavy hitters at scale
     "q110_grouped_quantiles",   # grouped binned quantiles
-    "q121_pack_documents",      # sequence packing
+    "q134_pack_nosplit",        # sequence packing (no-straddle form;
+                                # q121 next-fit was driver-green r2-r3
+                                # and runs inside q129's composite)
     "q123_quantize_embeddings", # int8 embedding quantization
     "q126_multimodal_decode",   # REAL image decode (png, all filters)
 ]
