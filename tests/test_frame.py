@@ -482,3 +482,33 @@ def test_rolling_quantile_median_std(spark):
            for row in r.agg({"x": ["std"]}).to_pylist()}
     assert std[0] is None  # n = 1
     assert abs(std[2] - math.sqrt(13 / 3)) < 1e-9  # stdev of 5,1,4
+
+
+def test_rolling_std_large_value_fallback(spark):
+    """Rolling std windows whose max |v| leaves the decimal(18,6)
+    domain (>= 1e9 guard) fall back to stddev_samp over the raw double
+    instead of silently NULLing the overflowed value out of the sums
+    (which previously produced a wrong-not-error std)."""
+    import math
+
+    vals = [1.0, 2.0, 5.0e13, 4.0, 7.0]
+    d = ts.dataframe(
+        {"i": list(range(len(vals))), "x": vals}, spark=spark
+    )
+    out = d.rolling(3, order_by=["i"]).agg({"x": ["std"]})
+    got = {row["i"]: row["x.rolling_std"] for row in out.to_pylist()}
+
+    def ref_std(window):
+        n = len(window)
+        if n < 2:
+            return None
+        m = sum(window) / n
+        return math.sqrt(sum((v - m) ** 2 for v in window) / (n - 1))
+
+    for i in range(len(vals)):
+        window = vals[max(0, i - 2): i + 1]
+        want = ref_std(window)
+        if want is None:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - want) <= 1e-6 * abs(want), (i, window, got[i], want)

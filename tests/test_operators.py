@@ -2237,3 +2237,41 @@ def test_semantic_dedup_keeps_min_id_per_neighborhood(spark):
             kept = [i for i in bundle if out[i][1]]
             assert kept[0] == min(bundle)
     assert out[50][1] is True  # loner always survives
+
+
+def test_ngram_jaccard_direct_string_ids_route_to_prefix(spark):
+    """mode='direct' packs (id, size) into one long and therefore
+    requires an integral id; a string/UUID id column is routed to the
+    prefix plan at PLAN time (no job), which accepts and preserves any
+    id type — the two modes' pair sets stay identical."""
+    from torcharrow_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog today"),
+        ("b", "the quick brown fox jumps over the lazy dog today"),
+        ("c", "completely different text with nothing shared at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = ngram_jaccard_pairs(docs, mode="direct", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got == {("a", "b"): 1.0}
+    # id type preserved (prefix plan), not coerced to long
+    assert dict(out.dtypes)["id_a"] == "string"
+
+
+def test_pack_documents_nosplit_double_token_col(spark):
+    """pack_documents_nosplit must accept a DOUBLE token column (DIV
+    runs on the pre-cast long alias, not the raw column) and produce
+    the same placement as the equivalent integral column."""
+    from torcharrow_spark.operators.preprocess import pack_documents_nosplit
+
+    rows = [(i, float(10 + (i * 7) % 50)) for i in range(200)]
+    docs_d = spark.createDataFrame(rows, "doc_id long, toks double")
+    docs_l = spark.createDataFrame(
+        [(i, int(t)) for i, t in rows], "doc_id long, toks long"
+    )
+    got_d = {r["doc_id"]: (r["size_class"], r["bin"], r["offset"])
+             for r in pack_documents_nosplit(docs_d, "doc_id", "toks", 128).collect()}
+    got_l = {r["doc_id"]: (r["size_class"], r["bin"], r["offset"])
+             for r in pack_documents_nosplit(docs_l, "doc_id", "toks", 128).collect()}
+    assert got_d == got_l and len(got_d) == 200

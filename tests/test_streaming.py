@@ -525,3 +525,101 @@ def test_contamination_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want and len(want) > 0
     assert len(spark.read.parquet(dest).select("batch_id").distinct().collect()) >= 2
+
+
+def test_curate_pack_stream_multichunk_group_matches_batch(spark, sf_dir, tmp_path):
+    """A group's micro-batch arrives as MULTIPLE arrow chunks when it
+    exceeds spark.sql.execution.arrow.maxRecordsPerBatch; the stateful
+    pack must buffer+concat them and sort ONCE globally (per-chunk
+    sorting would make bin/offset depend on arbitrary chunk order).
+    Forcing 7-row chunks with n_shards=1 makes every micro-batch a
+    many-chunk group; output must still be bit-identical to the batch
+    twin."""
+    from torcharrow_spark.streaming import curate_pack_batch, curate_pack_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["shard"], r["bin"], r["offset"])
+        for r in curate_pack_batch(docs, n_shards=1).collect()
+    }
+
+    src = str(tmp_path / "docs_multichunk")
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        q = curate_pack_stream(
+            spark, src, docs.schema, n_shards=1,
+            query_name="t_curate_multichunk",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"], r["bin"], r["offset"])
+        for r in spark.sql("SELECT * FROM t_curate_multichunk").collect()
+    }
+    assert len(want) > 7  # group really spanned several 7-row chunks
+    assert got == want
+
+
+def test_curate_pack_stream_ttl_state_aging(spark, tmp_path):
+    """seen_ttl_batches bounds the dedup state: hashes idle for more
+    than N of a shard's batches are pruned, so (a) a duplicate INSIDE
+    the horizon is still suppressed, (b) a duplicate arriving past the
+    horizon is re-admitted (the documented trade), and (c) the state
+    plateaus instead of growing with the corpus. Timeline with ttl=1,
+    one shard: T-texts land in batch0; batch1 carries a T0-dup
+    (suppressed, stamp refreshed); after batch2 the idle T1..T9 stamps
+    age out; batch3's T1-dup is re-admitted while its T0-dup (refreshed
+    in batch1, so idle 1 at the batch2 prune) stays suppressed."""
+    import os
+
+    from torcharrow_spark.streaming import curate_pack_stream
+
+    def text(tag: str) -> str:
+        body = " ".join(f"{tag}{w}{j}" for j in range(32) for w in ("alpha",))
+        return body + " the and with that from this"
+
+    t = [text(f"t{i}") for i in range(10)]
+    batches = [
+        [(i, t[i]) for i in range(10)],                      # b0: T0..T9
+        [(10 + i, text(f"u{i}")) for i in range(5)] + [(20, t[0])],   # b1
+        [(30 + i, text(f"v{i}")) for i in range(5)],          # b2
+        [(40, t[1]), (41, t[0])],                             # b3
+    ]
+    src = str(tmp_path / "ttl_stream")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        part = f"{src}/part{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        for f in os.listdir(part):
+            if f.endswith(".parquet"):
+                os.rename(f"{part}/{f}", f"{src}/file_{i}.parquet")
+                os.utime(f"{src}/file_{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+        import shutil
+        shutil.rmtree(part)
+
+    q = curate_pack_stream(
+        spark, src, spark.createDataFrame([], schema).schema,
+        n_shards=1, min_words=10, query_name="t_curate_ttl",
+        max_files_per_trigger=1, seen_ttl_batches=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_ids = {r["doc_id"] for r in spark.sql("SELECT * FROM t_curate_ttl").collect()}
+    assert len(q.recentProgress) >= 4  # one micro-batch per file
+    assert set(range(10)) <= got_ids          # b0 all fresh
+    assert {10, 11, 12, 13, 14} <= got_ids    # b1 fresh
+    assert 20 not in got_ids                  # T0-dup inside horizon: deduped
+    assert {30, 31, 32, 33, 34} <= got_ids    # b2 fresh
+    assert 40 in got_ids                      # T1-dup past horizon: re-admitted
+    assert 41 not in got_ids                  # T0 refreshed in b1: still deduped

@@ -1056,12 +1056,19 @@ class RollingWindow:
                     # streaming variance whose float order differs from
                     # other engines by an ulp — exact decimal sums make
                     # the result engine-bit-identical (same trick as
-                    # scaled_frame / bigram scores)
+                    # scaled_frame / bigram scores).
+                    # Domain guard: decimal(18,6) holds |v| < 1e12 and
+                    # quantizes below 1e-6; outside that range the cast
+                    # NULLs out (non-ANSI) and would silently drop the
+                    # value from the sums — so (a) n is based on the
+                    # CAST column (rows stay self-consistent) and (b)
+                    # windows whose max |v| leaves the safe domain fall
+                    # back to stddev_samp over the raw double.
                     dec = F.col(col).cast("decimal(18,6)")
-                    n = F.count(F.col(col)).over(self._w).cast("double")
+                    n = F.count(dec).over(self._w).cast("double")
                     sm = F.sum(dec).over(self._w).cast("double")
                     q2 = F.sum(dec * dec).over(self._w).cast("double")
-                    e = F.when(
+                    exact = F.when(
                         n > 1,
                         F.sqrt(
                             F.greatest(
@@ -1069,6 +1076,14 @@ class RollingWindow:
                                 F.lit(0.0),
                             )
                         ),
+                    )
+                    # 1e9 (not the full 1e12 cast limit) also keeps the
+                    # window's sum-of-squares inside decimal(38,12)
+                    in_domain = (
+                        F.max(F.abs(F.col(col))).over(self._w) < F.lit(1e9)
+                    )
+                    e = F.when(in_domain, exact).otherwise(
+                        F.stddev_samp(F.col(col)).over(self._w)
                     )
                 else:
                     e = self._FNS[op](F.col(col)).over(self._w)

@@ -18,8 +18,12 @@ with the facade (`DataFrame.to_spark()`) and raw Spark pipelines alike.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("torcharrow_spark.dedup")
 
 
 def _norm_text(col):
@@ -317,9 +321,21 @@ def ngram_jaccard_pairs(
     plan-time Spark job (a row-count guard both triggers a blocking
     count() per call and guards the wrong variable). 'direct' is a
     measured micro-optimization for small trusted corpora, never the
-    default."""
+    default.
+
+    mode='direct' requires an INTEGRAL id column with 0 <= id < 2^43
+    (the (id, size) pack rides one long) and returns id_a/id_b as
+    LONG; non-integral id columns are routed to the prefix plan —
+    which preserves the id type — at plan time, no job needed."""
     if mode == "auto":
         mode = "prefix"
+    if mode == "direct":
+        # plan-time type check (free): the packed-long fast path only
+        # holds for integral ids; anything else takes the prefix plan,
+        # which accepts and preserves any id type
+        id_type = dict(df.dtypes).get(id_col, "")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            mode = "prefix"
     if mode == "prefix":
         return ngram_jaccard_pairs_prefix(df, text_col, id_col, shingle_k, threshold)
     # doc size (distinct-shingle count) is taken from the materialized
@@ -657,9 +673,22 @@ def simhash_pairs(
     cannot silently keep an undersized hash. Pass an explicit int to pin
     the width (oracle queries do, for determinism across SFs). Candidate
     emission is memory-bounded per row (`_emit_pairs`), so an undersized
-    explicit ``bits`` still degrades to slow, not to executor OOM."""
+    explicit ``bits`` still degrades to slow, not to executor OOM.
+
+    REPRODUCIBILITY NOTE: ``bits='auto'`` runs an eager count() at call
+    time, and the chosen width depends on the corpus size — two runs
+    over a grown corpus use different bucket widths and their pair sets
+    are not directly comparable. The chosen width is logged
+    (``torcharrow_spark.dedup`` logger, INFO); callers needing
+    run-to-run comparability must pin an explicit int, as the oracle
+    queries do."""
     if bits == "auto":
-        bits = simhash_auto_bits(df.count(), max_hamming)
+        n_docs = df.count()
+        bits = simhash_auto_bits(n_docs, max_hamming)
+        _log.info(
+            "simhash_pairs bits='auto': corpus=%d docs, max_hamming=%d "
+            "-> %d bits", n_docs, max_hamming, bits,
+        )
     n_blocks = max_hamming + 1
     widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
     s = simhash(df, text_col, id_col, bits)

@@ -833,8 +833,16 @@ def pack_documents_nosplit(
             F.conv(F.substring(key, 1, 12), 16, 10).cast("long"),
             F.lit(n_shards),
         ).alias("shard"),
-        F.expr(f"{int(budget)} DIV {token_col}").alias("__q__"),
         key.alias("__order__"),
+    ).select(
+        # DIV on the already-cast LONG alias — the raw column may be a
+        # double (DIV requires integral/decimal operands) or carry a
+        # name that needs backtick quoting; `n_tokens` is clean.
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("shard"),
+        F.expr(f"{int(budget)} DIV n_tokens").alias("__q__"),
+        F.col("__order__"),
     ).select(
         id_col, "n_tokens", "shard", cap.alias("size_class"), "__order__"
     )

@@ -586,6 +586,7 @@ def curate_pack_stream(
     max_dup_word_frac: float = 0.6,
     query_name: str = "curate_pack_stream",
     max_files_per_trigger: int | None = None,
+    seen_ttl_batches: int | None = None,
 ):
     """Streaming curation-at-ingest (stateful twin of the q129 family):
     Gopher gate (stateless projection) -> per-shard stateful
@@ -596,17 +597,31 @@ def curate_pack_stream(
     (cumulative token offset, seen content hashes) suffices for both
     global exact dedup and contiguous packing — chaining
     dropDuplicates + applyInPandasWithState would be two stateful
-    operators in one query (unsupported combination). Docs are packed
-    in doc_id order WITHIN each micro-batch and state carries (offset,
-    seen) across batches, so with doc_id-ordered arrival the output is
-    bit-identical to `curate_pack_batch`.
+    operators in one query (unsupported combination). A group's
+    micro-batch arrives as MULTIPLE ~10k-row pandas chunks in arbitrary
+    post-shuffle order, so ALL chunks are buffered and concatenated
+    before ONE global doc_id sort — sorting each chunk independently
+    would let bin/offset assignment (and which duplicate survives)
+    depend on the chunking, breaking the bit-identical contract with
+    `curate_pack_batch`. Buffering is bounded by one shard's share of a
+    micro-batch (cap it with ``max_files_per_trigger``), never by the
+    corpus. Docs are packed in doc_id order WITHIN each micro-batch and
+    state carries (offset, seen) across batches, so with doc_id-ordered
+    arrival the output is bit-identical to `curate_pack_batch`.
 
-    State size: 8 bytes offset + 8 bytes per distinct doc per shard.
-    The seen-set grows with the corpus — acceptable for finite
-    backfills (tests); an unbounded production feed should age it with
-    a timeout or an upstream `dedup_stream` stage once multi-stateful
-    queries land. Emits (doc_id, n_tokens, shard, bin, offset) append
-    to an in-memory sink (tests); swap for a real sink in production."""
+    State size: 8 bytes offset + 16 bytes per distinct doc per shard.
+    With ``seen_ttl_batches=None`` the seen-set grows with the corpus —
+    exact global dedup, right for finite backfills (and the
+    stream==batch tests). For an UNBOUNDED production feed pass
+    ``seen_ttl_batches=N``: each seen-hash is stamped with the batch
+    tick that last saw it and entries idle for more than N of this
+    shard's batches are pruned, so state is bounded by ~(N+1) batches
+    of distinct hashes. The trade is explicit and standard for
+    streaming dedup: a duplicate arriving more than N batches after its
+    original is re-admitted (dedup horizon = TTL); the packing offset
+    (`cum`) is NEVER aged, so bin/offset continuity survives pruning.
+    Emits (doc_id, n_tokens, shard, bin, offset) append to an
+    in-memory sink (tests); swap for a real sink in production."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -621,28 +636,44 @@ def curate_pack_stream(
     def pack(key, pdf_iter, state: GroupState):
         (shard,) = key
         if state.exists:
-            cum, seen_list = state.get
-            seen = set(seen_list)
+            cum, tick, hashes, stamps = state.get
+            seen = dict(zip(hashes, stamps))
         else:
-            cum, seen = 0, set()
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("doc_id")
-            rows = []
+            cum, tick, seen = 0, 0, {}
+        tick += 1
+        # buffer + concat EVERY chunk of this group's micro-batch, then
+        # sort ONCE — per-chunk sorting diverges from the batch twin
+        # whenever a group spans >1 Arrow chunk (chunk order is
+        # arbitrary post-shuffle)
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            if chunks
+            else pd.DataFrame()
+        )
+        rows = []
+        if len(pdf):
             for did, hh, nt in zip(pdf["doc_id"], pdf["h"], pdf["n_tokens"]):
                 hh = int(hh)
                 if hh in seen:
+                    seen[hh] = tick  # refresh idle clock on re-sight
                     continue
-                seen.add(hh)
+                seen[hh] = tick
                 rows.append((int(did), int(nt), int(shard), cum // budget, cum % budget))
                 cum += int(nt)
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-            else:
-                yield pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-        state.update((int(cum), sorted(seen)))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+        else:
+            yield pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        if seen_ttl_batches is not None:
+            seen = {h: t for h, t in seen.items() if tick - t <= seen_ttl_batches}
+        ordered = sorted(seen.items())
+        state.update(
+            (int(cum), int(tick), [h for h, _ in ordered], [t for _, t in ordered])
+        )
 
     out_schema = "doc_id long, n_tokens long, shard long, bin long, offset long"
-    state_schema = "cum long, seen array<long>"
+    state_schema = "cum long, tick long, hashes array<long>, stamps array<long>"
     result = base.groupBy("shard").applyInPandasWithState(
         pack, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
