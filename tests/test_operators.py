@@ -2275,3 +2275,114 @@ def test_pack_documents_nosplit_double_token_col(spark):
     got_l = {r["doc_id"]: (r["size_class"], r["bin"], r["offset"])
              for r in pack_documents_nosplit(docs_l, "doc_id", "toks", 128).collect()}
     assert got_d == got_l and len(got_d) == 200
+
+
+def test_semantic_dedup_auto_cluster_sizing(spark, sf_dir):
+    """n_clusters='auto' applies the sqrt sizing rule itself (mirrors
+    simhash bits='auto'): cell count >= ceil(sqrt(corpus)) clamped to
+    [2, 4096], and the realized cluster populations stay bounded — the
+    structural guarantee that the per-cluster quadratic step cannot
+    blow up when a caller forgets the parameter."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = semantic_dedup(emb, threshold=0.99)  # n_clusters defaults to 'auto'
+    want_cells = max(2, min(4096, math.ceil(math.sqrt(n))))
+    pops = out.groupBy("cluster").count()
+    n_used = pops.count()
+    # every assigned cluster id is one of the auto-chosen cells
+    assert out.agg(F.max("cluster")).collect()[0][0] < want_cells
+    assert n_used >= 2
+    # population bound: no cluster holds more than ~an order of
+    # magnitude above the sqrt(n) expectation (the corpus is not
+    # adversarially concentrated; this pins the auto-sizing actually
+    # spreading the quadratic step)
+    max_pop = pops.agg(F.max("count")).collect()[0][0]
+    assert max_pop <= 10 * want_cells, (n, want_cells, max_pop)
+    # every vector still gets a verdict
+    assert out.count() == n
+
+
+def test_semantic_dedup_trained_centroids(spark, sf_dir):
+    """centroids= wires a TRAINED kmeans fit into semantic_dedup: the
+    cluster ids are indices into the provided list, every vector gets a
+    verdict, and keep-min-id semantics hold within trained clusters
+    exactly as with md5-pick cells."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import semantic_dedup
+    from torcharrow_spark.operators.clustering import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    _asg, cents = kmeans(emb, k=8, max_iter=1)
+    out = semantic_dedup(emb, threshold=0.2, centroids=cents)
+    assert out.count() == n
+    assert out.agg(F.max("cluster")).collect()[0][0] < len(cents)
+    # dropped vectors always have a kept lower-id vector in-cluster
+    dropped = out.where(~F.col("keep")).select("vec_id", "cluster")
+    kept_min = out.where(F.col("keep")).groupBy("cluster").agg(
+        F.min("vec_id").alias("mn")
+    )
+    bad = dropped.join(kept_min, "cluster").where(
+        F.col("vec_id") <= F.col("mn")
+    )
+    assert bad.count() == 0
+
+
+def test_emit_pairs_salted_hot_bucket(spark):
+    """Adversarial duplication (r4 verdict ask #2): one hot bucket used
+    to emit all C(m, 2) pairs from ONE task. Groups above `chunk` are
+    now cut into chunk-pairs and hash-repartitioned, so (a) the pair
+    SET is unchanged vs the small-group path, (b) the emission runs in
+    MANY partitions, each bounded by ~chunk^2 pairs per chunk-pair."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import _emit_pairs
+
+    m = 500
+    grouped = spark.createDataFrame(
+        [(1, sorted(range(m)))], "g long, ms array<int>"
+    ).select("g", F.col("ms"))
+
+    out = _emit_pairs(grouped, "ms", chunk=50)
+    n = out.count()
+    assert n == m * (m - 1) // 2
+    # exact pair set equals the unchunked (small-path) result
+    small = _emit_pairs(grouped, "ms", chunk=10_000)
+    assert small.count() == n
+    assert out.exceptAll(small).count() == 0
+    assert small.exceptAll(out).count() == 0
+    # ordered contract holds everywhere
+    assert out.where(F.col("__a__") >= F.col("__b__")).count() == 0
+    # emission parallelized: the hot group's pairs span many partitions
+    n_parts = (
+        out.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts > 4, n_parts
+
+
+def test_minhash_adversarial_duplication_bounded(spark):
+    """End-to-end hot-bucket proof: a single text duplicated 3000x puts
+    all 3000 docs in identical MinHash band buckets; the salted emitter
+    must still produce exactly C(3000, 2) candidate pairs per band
+    (deduped across bands) without concentrating the emission in one
+    task. The pair count being exact also re-proves no pair is lost or
+    duplicated across chunk boundaries."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import minhash_pairs
+
+    n = 3000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere "
+              "across this synthetic corpus for the hot bucket test").alias("text"),
+    )
+    pairs = minhash_pairs(docs, shingle_k=3, num_hashes=8, bands=4)
+    assert pairs.count() == n * (n - 1) // 2

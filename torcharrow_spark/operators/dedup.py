@@ -31,7 +31,7 @@ def _norm_text(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
-def _emit_pairs(grouped: SDF, arr_col: str) -> SDF:
+def _emit_pairs(grouped: SDF, arr_col: str, chunk: int = 2048) -> SDF:
     """Memory-bounded ordered-pair emission from per-group sorted arrays:
     posexplode each element as an anchor, then explode only its TAIL
     slice — every row materializes O(group_size) elements, never the
@@ -43,16 +43,99 @@ def _emit_pairs(grouped: SDF, arr_col: str) -> SDF:
     corpus (identical MinHash band keys, boilerplate shingles).
 
     Total emitted work is still Σ C(m, 2) — bounding that is the job of
-    the upstream keying (band width, prefix filter, block bits sizing);
-    this bounds PEAK MEMORY so hot groups degrade to throughput, not
-    executor death. Returns columns ``__a__``, ``__b__`` (array element
-    type), pairs ordered by the array's sort order."""
-    ex = grouped.select(
+    the upstream keying (band width, prefix filter, block bits sizing).
+    This function bounds two things:
+
+    * PEAK MEMORY (the tail-slice trick above), so hot groups degrade
+      to throughput, not executor death;
+    * since r5, PER-TASK EMISSION: a group larger than ``chunk``
+      members is SALTED — its sorted array is cut into equal chunks,
+      every ordered chunk-pair (ci <= cj) becomes its own row, and the
+      chunk-pair rows are hash-repartitioned so the C(m, 2) emission of
+      one adversarial bucket (a boilerplate text duplicated 10^5x = one
+      task emitting 5*10^9 pairs) spreads across the cluster, each task
+      bounded by ~chunk^2 pairs per chunk-pair. The chunk count is
+      capped at 256 per group so the chunk-pair index array stays small
+      even for pathological groups. The common case (every group <=
+      ``chunk``) keeps today's zero-shuffle plan: the small branch is
+      untouched and the big branch's exchange carries zero rows;
+      the shared upstream aggregate's exchange is reused across the two
+      branches (ReuseExchange), so no second corpus shuffle exists.
+
+    Returns columns ``__a__``, ``__b__`` (array element type), pairs
+    ordered by the array's sort order (``__a__`` precedes ``__b__``)."""
+    arr = F.col(arr_col)
+
+    small = grouped.where(F.size(arr) <= chunk)
+    ex = small.select(
         F.posexplode(arr_col).alias("__i__", "__a__"),
         F.col(arr_col).alias("__arr__"),
     )
     tail = F.slice(F.col("__arr__"), F.col("__i__") + 2, F.size("__arr__"))
-    return ex.select(F.col("__a__"), F.explode(tail).alias("__b__"))
+    small_pairs = ex.select(F.col("__a__"), F.explode(tail).alias("__b__"))
+
+    big = grouped.where(F.size(arr) > chunk)
+    m = F.size(arr)
+    nch = F.least(F.ceil(m / F.lit(chunk)), F.lit(256)).cast("int")
+    csz = F.ceil(m / nch).cast("int")
+    idx = F.sequence(F.lit(0), nch - 1)
+    # all ordered chunk-index pairs (i, j) with i <= j: at most
+    # 256*257/2 = 32,896 small structs per group row
+    idx_pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(idx, i + 1, F.size(idx)),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    step1 = big.select(
+        arr.alias("__arr__"),
+        csz.alias("__csz__"),
+        F.explode(idx_pairs).alias("__p__"),
+    )
+    step2 = step1.select(
+        F.col("__p__.i").alias("__ci__"),
+        F.col("__p__.j").alias("__cj__"),
+        F.slice(
+            F.col("__arr__"),
+            F.col("__p__.i") * F.col("__csz__") + 1,
+            F.col("__csz__"),
+        ).alias("__ca__"),
+        F.slice(
+            F.col("__arr__"),
+            F.col("__p__.j") * F.col("__csz__") + 1,
+            F.col("__csz__"),
+        ).alias("__cb__"),
+    )
+    # hash-spread the chunk-pairs: (ci, cj, content-hash) is unique per
+    # group x chunk-pair, so one hot bucket's emission parallelizes.
+    # The partition count is pinned EXPLICITLY: AQE's coalescing sizes
+    # partitions by shuffle BYTES, but a chunk-pair's cost is its
+    # downstream chunk^2 pair explosion (~32 KB of input -> ~4M pairs),
+    # so byte-based coalescing would re-serialize the hot bucket into
+    # one task — the exact failure this path exists to break up.
+    n_part = grouped.sparkSession.sparkContext.defaultParallelism * 2
+    spread = step2.repartition(
+        n_part, F.col("__ci__"), F.col("__cj__"), F.xxhash64(F.col("__ca__"))
+    )
+    ex2 = spread.select(
+        F.col("__ci__"),
+        F.col("__cj__"),
+        F.col("__cb__"),
+        F.posexplode("__ca__").alias("__i__", "__a__"),
+    )
+    # diagonal chunk-pair (ci == cj): tail-slice within the chunk
+    # (ca == cb there); off-diagonal: every (a in ca, b in cb) is an
+    # ordered pair because the source array is sorted and cj > ci
+    tail2 = F.when(
+        F.col("__ci__") == F.col("__cj__"),
+        F.slice(F.col("__cb__"), F.col("__i__") + 2, F.size("__cb__")),
+    ).otherwise(F.col("__cb__"))
+    big_pairs = ex2.select(F.col("__a__"), F.explode(tail2).alias("__b__"))
+
+    return small_pairs.unionByName(big_pairs)
 
 
 #: low bits of the packed (id, size) long in direct-mode Jaccard

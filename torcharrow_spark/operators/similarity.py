@@ -20,11 +20,14 @@ Two measured rules shape this module (sf0.1, local[32]):
 from __future__ import annotations
 
 import hashlib
+import logging
 import math
 
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("torcharrow_spark.similarity")
 
 # Fallback weight-table size when a dimension probe finds no rows.
 _DEFAULT_DIM = 64
@@ -460,10 +463,11 @@ def cosine_pairs(
 
 def semantic_dedup(
     corpus: SDF,
-    n_clusters: int = 16,
+    n_clusters="auto",
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> SDF:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public method family): cluster the embedding space, compute exact
@@ -488,8 +492,36 @@ def semantic_dedup(
     few thousand); pair emission is memory-bounded (`_emit_pairs`);
     cross-cluster near-dups are missed by design — SemDeDup's own
     approximation, priced against never comparing across cells.
-    Returns ``(id, cluster, keep)`` for every input vector."""
-    cents = _centroids(corpus, n_clusters, id_col, vec_col)
+    Returns ``(id, cluster, keep)`` for every input vector.
+
+    ``n_clusters='auto'`` (default, r5) applies the sqrt sizing rule
+    ITSELF — one cheap count() picks ceil(sqrt(corpus)) cells clamped
+    to [2, 4096] — mirroring ``simhash_pairs(bits='auto')``, so a
+    forgotten parameter at 10^9 vectors cannot re-create the quadratic
+    blowup the operator exists to avoid (expected cluster population
+    stays ~sqrt(corpus)). The chosen count is logged; pin an explicit
+    int for run-to-run comparability (oracle queries do). Same
+    reproducibility trade as simhash auto-bits: the cell count — hence
+    the missed cross-cluster pairs — depends on corpus size at call
+    time.
+
+    ``centroids=`` (r5) accepts TRAINED cell centers — a list of
+    dim-float vectors, e.g. ``kmeans(corpus)[1]`` — in place of the
+    md5-pick cells; cluster ids are then indices into that list.
+    Trained cells tighten clusters around the true density, which
+    raises within-cluster recall at the same cell count (measured in
+    bench.py's recall table)."""
+    if centroids is not None:
+        cents = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    else:
+        if n_clusters == "auto":
+            n = corpus.count()
+            n_clusters = max(2, min(4096, math.ceil(math.sqrt(max(n, 1)))))
+            _log.info(
+                "semantic_dedup n_clusters='auto': corpus=%d vectors "
+                "-> %d clusters", n, n_clusters,
+            )
+        cents = _centroids(corpus, n_clusters, id_col, vec_col)
     sims = _cell_sims(F.col(vec_col), cents)
     assigned = corpus.select(
         F.col(id_col),

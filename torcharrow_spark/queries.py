@@ -5976,6 +5976,94 @@ def q131_column_sort_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     return c.to_frame().to_spark()
 
 
+# DuckDB replay of ONE Lloyd's kmeans step over the 64-dim embeddings
+# (init by md5 order, argmin-L2 assign, DECIMAL(38,12) mean update with
+# empty-cluster fallback — the exact arithmetic of
+# operators/clustering.kmeans, per-dim expressions generated below the
+# way q67 hand-writes its 3 dims), feeding the q135 semantic-dedup SQL
+# with the TRAINED centroids instead of the md5-pick cells.
+_KM_DIM = 64
+_KM_K = 8
+
+
+def _kmeans_cents_sql(dim: int, k: int) -> str:
+    cols = ", ".join(f"v[{i + 1}] AS c{i}" for i in range(dim))
+    dist = " + ".join(f"(v[{i + 1}]-c{i})*(v[{i + 1}]-c{i})" for i in range(dim))
+    sums = ", ".join(
+        f"CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE)"
+        f" / COUNT(*) AS c{i}"
+        for i in range(dim)
+    )
+    coal = ", ".join(f"COALESCE(upd.c{i}, c0.c{i}) AS c{i}" for i in range(dim))
+    clist = ", ".join(f"c{i}" for i in range(dim))
+    return f"""
+    emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cl,
+             {cols}
+      FROM (SELECT * FROM emb ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k})
+    ),
+    a1 AS (
+      SELECT id, cl FROM (
+        SELECT emb.id, c0.cl,
+               ROW_NUMBER() OVER (PARTITION BY emb.id ORDER BY {dist}, c0.cl) AS rn
+        FROM emb CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT cl, {sums}
+      FROM a1 JOIN emb USING (id) GROUP BY cl
+    ),
+    cfin AS (
+      SELECT c0.cl, {coal} FROM c0 LEFT JOIN upd ON c0.cl = upd.cl
+    ),
+    cents AS (SELECT cl AS cell, [{clist}] AS cv FROM cfin)
+    """
+
+
+@query(
+    "q138_kmeans_semantic_dedup",
+    oracle=f"""
+    WITH {_kmeans_cents_sql(_KM_DIM, _KM_K)},
+    assigned AS (
+      SELECT e.id AS vec_id, e.v,
+             sqrt({_DDOT}(e.v, e.v)) AS nv,
+             (SELECT cell FROM (
+                SELECT c.cell,
+                       {_DDOT}(e.v, c.cv) / sqrt({_DDOT}(c.cv, c.cv)) AS s
+                FROM cents c) ORDER BY s DESC, cell DESC LIMIT 1) AS cluster
+      FROM emb e
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE CASE WHEN a.nv > 0 AND b.nv > 0
+                 THEN {_DDOT}(a.v, b.v) / (a.nv * b.nv) ELSE 0.0 END >= 0.2
+    )
+    SELECT a.vec_id, a.cluster,
+           d.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+)
+def q138_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """TRAINED cells wired into semantic dedup (r4 verdict ask #6): fit
+    kmeans (operators/clustering.kmeans — one Lloyd step, md5 init,
+    DECIMAL(38,12) exact centroid sums so the fit is bit-deterministic
+    across engines AND partitionings) and run semantic_dedup with the
+    trained centroids via its ``centroids=`` hook instead of the
+    md5-pick cells. Trained cells follow the embedding density, so
+    cluster populations tighten around true neighborhoods — bench.py's
+    recall table measures the uplift at equal probe budget. The oracle
+    replays the whole pipeline — Lloyd step included — in SQL."""
+    from torcharrow_spark.operators import semantic_dedup
+    from torcharrow_spark.operators.clustering import kmeans
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    _asg, cents = kmeans(emb, k=_KM_K, max_iter=1)
+    return semantic_dedup(emb, threshold=0.2, centroids=cents)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window
 #
