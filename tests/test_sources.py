@@ -1,0 +1,96 @@
+
+
+def test_compact_parquet_size_tiered(spark, tmp_path):
+    """Size-tiered compaction invariants: a small-file storm (one file
+    per row-group-sized write, two partition dirs) collapses into few
+    ~target-sized files, big files are untouched, EVERY row survives
+    exactly once, and a second run is a no-op (incremental contract)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.sources import compact_parquet
+
+    root = str(tmp_path / "tbl")
+    # storm: 12 tiny files per partition dir
+    for p in ("a", "b"):
+        for i in range(12):
+            spark.range(i * 100, i * 100 + 100).select(
+                F.col("id"), F.lit(p).alias("tag")
+            ).coalesce(1).write.mode("append").parquet(f"{root}/part={p}")
+
+    import glob
+    before = glob.glob(f"{root}/part=*/*.parquet")
+    assert len(before) >= 24
+    rows_before = sorted(
+        (r["part"], r["id"]) for r in spark.read.parquet(root).collect()
+    )
+
+    rep = compact_parquet(root, target_file_bytes=1 << 20, spark=spark)
+    assert rep["dirs_compacted"] == 2
+    after = glob.glob(f"{root}/part=*/*.parquet")
+    assert len(after) < len(before)
+    rows_after = sorted(
+        (r["part"], r["id"]) for r in spark.read.parquet(root).collect()
+    )
+    assert rows_after == rows_before
+
+    # second run: nothing small enough in pairs remains -> no-op
+    rep2 = compact_parquet(root, target_file_bytes=1 << 20, spark=spark)
+    assert rep2["dirs_compacted"] == 0 and rep2["outputs"] == 0
+    assert sorted(
+        (r["part"], r["id"]) for r in spark.read.parquet(root).collect()
+    ) == rows_before
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """Exactly-once under crash/re-run: (a) roll FORWARD — manifest
+    present and all outputs in place means only source deletion was
+    interrupted, so recovery deletes the leftover sources (no
+    duplicates); (b) roll BACK — outputs incomplete means sources are
+    intact, so recovery drops the partial outputs (no loss)."""
+    import json
+    import os
+
+    from torcharrow_spark.sources import compact_parquet
+
+    root = str(tmp_path / "tbl2")
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(root)
+    rows = sorted(r["id"] for r in spark.read.parquet(root).collect())
+
+    # run a real compaction to produce a compacted file we can abuse
+    rep = compact_parquet(root, target_file_bytes=1 << 20, spark=spark)
+    assert rep["outputs"] >= 1
+    compacted = [f for f in os.listdir(root) if f.startswith("compact-")]
+    assert compacted
+
+    # (a) roll forward: fake a crash after the swap, before source
+    # deletion — a duplicate source next to the compacted output
+    dup = os.path.join(root, "dup-source.parquet")
+    spark.range(990, 1000).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "dupsrc")
+    )
+    src_part = next(
+        f for f in os.listdir(str(tmp_path / "dupsrc")) if f.endswith(".parquet")
+    )
+    os.replace(str(tmp_path / "dupsrc" / src_part), dup)
+    manifest = os.path.join(root, ".compact_manifest_fake1")
+    with open(manifest, "w") as fh:
+        json.dump({"sources": ["dup-source.parquet"],
+                   "outputs": [compacted[0]], "tmp": ".compact_tmp_fake1"}, fh)
+    compact_parquet(root, target_file_bytes=1 << 20, spark=spark)
+    assert not os.path.exists(dup) and not os.path.exists(manifest)
+    assert sorted(r["id"] for r in spark.read.parquet(root).collect()) == rows
+
+    # (b) roll back: manifest names an output that never landed ->
+    # recovery must remove partial outputs and keep sources
+    partial = os.path.join(root, "compact-fake2-0.parquet")
+    os.replace(os.path.join(root, compacted[0]), partial)
+    manifest2 = os.path.join(root, ".compact_manifest_fake2")
+    with open(manifest2, "w") as fh:
+        json.dump({"sources": [], "outputs":
+                   ["compact-fake2-0.parquet", "compact-fake2-MISSING.parquet"],
+                   "tmp": ".compact_tmp_fake2"}, fh)
+    compact_parquet(root, target_file_bytes=1 << 20, spark=spark)
+    assert not os.path.exists(partial) and not os.path.exists(manifest2)

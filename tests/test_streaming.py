@@ -623,3 +623,85 @@ def test_curate_pack_stream_ttl_state_aging(spark, tmp_path):
     assert {30, 31, 32, 33, 34} <= got_ids    # b2 fresh
     assert 40 in got_ids                      # T1-dup past horizon: re-admitted
     assert 41 not in got_ids                  # T0 refreshed in b1: still deduped
+
+
+def test_term_stats_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming vocab/document-frequency table == batch, bit for bit:
+    the complete-mode stateful aggregate must fold three micro-batches
+    into exactly the (term, df, tf_total) table `term_stats_batch`
+    computes one-shot — the IDF side of windowed TF-IDF at ingest."""
+    from torcharrow_spark.streaming import term_stats_batch, term_stats_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r["term"]: (r["df"], r["tf_total"])
+        for r in term_stats_batch(docs).collect()
+    }
+
+    src = str(tmp_path / "docs_terms")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    q = term_stats_stream(
+        spark, src, docs.schema,
+        query_name="t_term_stats", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["term"]: (r["df"], r["tf_total"])
+        for r in spark.sql("SELECT * FROM t_term_stats").collect()
+    }
+    assert len(q.recentProgress) >= 3
+    assert got == want and len(want) > 20
+
+
+def test_tf_stream_joined_tfidf_matches_batch(spark, sf_dir, tmp_path):
+    """tf at ingest (landed per batch) joined with the streamed df
+    table reproduces `relevance.tf_idf` exactly: tf is per-document
+    (stream == batch under any partitioning), df/N come from the final
+    streaming state, and the same smoothed-idf arithmetic over them is
+    bit-identical to the one-shot batch computation."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.relevance import tf_idf, _round8
+    from torcharrow_spark.streaming import term_stats_stream, tf_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["idf"], r["tfidf"])
+        for r in tf_idf(docs).collect()
+    }
+
+    src = str(tmp_path / "docs_tf")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    dest = str(tmp_path / "tf_landed")
+    q1 = tf_stream(
+        spark, src, docs.schema, dest,
+        query_name="t_tf_land", max_files_per_trigger=1,
+    )
+    q2 = term_stats_stream(
+        spark, src, docs.schema,
+        query_name="t_term_stats2", max_files_per_trigger=1,
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    tf_landed = spark.read.parquet(dest)
+    df_tbl = spark.sql("SELECT term, df FROM t_term_stats2")
+    n_docs = float(tf_landed.select("doc_id").distinct().count())
+    idf = F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    joined = tf_landed.join(F.broadcast(df_tbl), "term").select(
+        "doc_id", "term", "tf", "df",
+        _round8(idf).alias("idf"),
+        _round8(F.col("tf").cast("double") * idf).alias("tfidf"),
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["idf"], r["tfidf"])
+        for r in joined.collect()
+    }
+    assert got == want and len(want) > 1000
