@@ -2369,13 +2369,17 @@ def test_emit_pairs_salted_hot_bucket(spark):
 
 def test_minhash_adversarial_duplication_bounded(spark):
     """End-to-end hot-bucket proof: a single text duplicated 3000x puts
-    all 3000 docs in identical MinHash band buckets; the salted emitter
-    must still produce exactly C(3000, 2) candidate pairs per band
-    (deduped across bands) without concentrating the emission in one
-    task. The pair count being exact also re-proves no pair is lost or
-    duplicated across chunk boundaries."""
+    all 3000 docs in identical MinHash band buckets; with the salt
+    threshold forced down to 256 (so the big path engages at test
+    scale) the salted emitter must still produce exactly C(3000, 2)
+    candidate pairs per band (deduped across bands) without
+    concentrating the emission in one task. The exact pair count also
+    re-proves no pair is lost or duplicated across chunk boundaries."""
+    import functools
+
     from pyspark.sql import functions as F
 
+    import torcharrow_spark.operators.dedup as dd
     from torcharrow_spark.operators.dedup import minhash_pairs
 
     n = 3000
@@ -2384,5 +2388,10 @@ def test_minhash_adversarial_duplication_bounded(spark):
         F.lit("the same boilerplate text repeated everywhere "
               "across this synthetic corpus for the hot bucket test").alias("text"),
     )
-    pairs = minhash_pairs(docs, shingle_k=3, num_hashes=8, bands=4)
-    assert pairs.count() == n * (n - 1) // 2
+    orig = dd._emit_pairs
+    dd._emit_pairs = functools.partial(orig, chunk=256)
+    try:
+        pairs = minhash_pairs(docs, shingle_k=3, num_hashes=8, bands=4)
+        assert pairs.count() == n * (n - 1) // 2
+    finally:
+        dd._emit_pairs = orig

@@ -72,7 +72,11 @@ def test_driver_window_coverage():
         "q43_jaccard_prefix", "q58_near_dup_clusters",
         "q86_strip_duplicate_spans", "q87_contamination",
         "q42_cosine_dedup", "q133_ann_lsh_multitable", "q123_quantize_embeddings",
-        "q67_kmeans", "q24_text_stats", "q72_redact_pii",
+        # kmeans family: q138's oracle replays the same Lloyd-step
+        # arithmetic q67 pinned r2-r4, now composed with semantic dedup
+        "q138_kmeans_semantic_dedup", "q24_text_stats", "q72_redact_pii",
+        # relevance family's streaming-twin batch side (r5)
+        "q139_term_stats",
         "q76_chunk_documents", "q79_dedup_lines", "q80_hll_distinct",
         "q135_semantic_dedup", "q105_heavy_hitters", "q71_deterministic_sampling",
         "q110_grouped_quantiles", "q134_pack_nosplit",

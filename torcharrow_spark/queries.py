@@ -6022,6 +6022,32 @@ def _kmeans_cents_sql(dim: int, k: int) -> str:
 
 
 @query(
+    "q139_term_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM w WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT term, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS tf_total
+    FROM tf GROUP BY term
+    """,
+)
+def q139_term_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    """Corpus (term, df, tf_total) table — the IDF/vocab side of
+    TF-IDF as ONE vocabulary-sized aggregate (streaming/term_stats_batch
+    — r5), the batch twin of the `term_stats_stream` complete-mode
+    stateful aggregation (vocab drift at ingest). State/output bounded
+    by vocabulary, never corpus."""
+    from torcharrow_spark.streaming import term_stats_batch
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return term_stats_batch(docs)
+
+
+@query(
     "q138_kmeans_semantic_dedup",
     oracle=f"""
     WITH {_kmeans_cents_sql(_KM_DIM, _KM_K)},
@@ -6106,7 +6132,11 @@ DRIVER_WINDOW = [
     "q52_describe",             # §2.6 describe(percentiles)
     "q53_bool_aggs",            # §2.6 all/any/is_unique
     "q54_interop_roundtrip",    # §2.1 to_arrow/to_pandas/to_pylist
-    "q65_pandas_arrow_sources", # §2.1 from_pandas/from_arrow
+    "q139_term_stats",          # vocab/df table — batch twin of the
+                                # r5 term_stats_stream complete-mode
+                                # stateful agg (q65 from_pandas/arrow
+                                # was driver-green r2-r4; §2.1 keeps
+                                # the q54 interop row)
     "q66_head_tail_reduce",     # §2.3 reduce + §2.2 head/tail(order_by)
     # --- LLM-pipeline operator clusters ---
     "q129_curation_pipeline",   # exact dedup (inside the end-to-end
@@ -6122,7 +6152,11 @@ DRIVER_WINDOW = [
                                 # its oracle is q22's brute force)
     "q46_simhash_pairs",        # SimHash Hamming pairs
     "q58_near_dup_clusters",    # connected components / near_dedup
-    "q67_kmeans",               # k-means + group centroids
+    "q138_kmeans_semantic_dedup", # TRAINED kmeans cells -> semantic
+                                # dedup, oracle replays the Lloyd step
+                                # (q67's bare kmeans was driver-green
+                                # r2-r4; q138's oracle re-proves the
+                                # same per-dim decimal arithmetic)
     "q68_tfidf_top_terms",      # TF-IDF / relevance
     "q71_deterministic_sampling", # hash/stratified sampling
     "q72_redact_pii",           # PII redaction
