@@ -127,6 +127,53 @@ ANCHOR = {
 }
 
 
+# r5: headline shuffle-write byte anchors (one steady noop-sink run at
+# sf0.1) — byte-identical across repeated runs on this host (verified
+# twice, an hour apart, while the wall-time machine factor drifted
+# 1.305 -> 1.669), so a >25% byte growth is a PLAN/volume change, not
+# noise. Reported per run; asserted alongside the calibrated wall gate.
+HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
+    "q01_pricing_summary": 756,
+    "q03_join_topk": 534878,
+    "q05_dedup_keep_first": 1464317,
+    "q11_window_rank": 716638,
+    "q12_cumsum": 6448897,
+    "q16_event_windows": 116103,
+    "q17_sessionize": 2070362,
+    "q18_exact_dedup": 157440,
+    "q19_minhash_pairs": 875550,
+    "q21_ngram_jaccard": 16928635,
+    "q22_ann_brute_force": 448,
+    "q23_ann_lsh": 446,
+    "q24_text_stats": 0,
+    "q27_rec_ops": 263,
+    "q37_asof_join": 806733,
+    "q41_bpe_tokenize": 0,
+    "q42_cosine_dedup": 557556,
+    "q45_llm_pipeline": 116407,
+    "q80_hll_distinct": 102478,
+    "q81_local_supplier_volume": 531,
+    "q82_funnel": 1932570,
+    "q86_strip_duplicate_spans": 6235481,
+    "q92_order_priority_exists": 373,
+    "q98_market_share": 2257007,
+    "q100_returned_top_customers": 196831,
+    "q102_waiting_suppliers": 9802621,
+    "q105_heavy_hitters": 3498,
+    "q107_resample_ffill": 2464959,
+    "q110_grouped_quantiles": 810,
+    "q112_grouped_heavy_hitters": 10303,
+    "q113_forecast_revenue": 222,
+    "q119_min_cost_supplier": 18812039,
+    "q43_jaccard_prefix": 15205163,
+    "q126_multimodal_decode": 0,
+    "q127_lm_quality": 169237,
+    "q128_gopher_filter": 0,
+    "q129_curation_pipeline": 121646,
+    "q130_grouped_cdf": 915,
+}
+
+
 def _sink(df) -> None:
     """Benchmark sink: force FULL evaluation of every output column.
     count() is not a benchmark sink — Catalyst prunes unused columns, so
@@ -237,7 +284,15 @@ STRESS_ANCHOR: dict[str, float] = {
 # >25% over anchor has CHANGED ITS PLAN or its pair-emission volume —
 # that, not a slow minute, is the regression trigger for stress.
 # Values: r5 first instrumented run (local[32], sf1 stress corpus).
-STRESS_SHUFFLE_ANCHOR: dict[str, int] = {}
+STRESS_SHUFFLE_ANCHOR: dict[str, int] = {
+    "q19_minhash_pairs": 8598298,
+    "q18_exact_dedup": 1544960,
+    "q46_simhash_pairs": 36738739,
+    "q86_strip_spans": 66247984,
+    "q21_ngram_jaccard_auto": 164026296,
+    "q42_cosine_dedup": 5533789,
+    "q105_heavy_hitters": 12777,
+}
 
 # Spill bytes at the bench scales are expected to be ZERO everywhere
 # (partitions are sized to fit); any nonzero spill on a stress query is
@@ -520,7 +575,7 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
 # (mapInArrow), driver-side re-chunk to exact 65536-row tensor dicts.
 # Measured r5 first run = anchor; throughput reported as rows/s and
 # MB/s of Arrow payload crossing the bridge.
-TENSOR_EXPORT_ANCHOR_SEC = 0.0  # set from the r5 measurement below
+TENSOR_EXPORT_ANCHOR_SEC = 0.778  # r5 measurement (1.299s at machine factor 1.669)
 
 
 def run_tensor_export(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
@@ -719,6 +774,31 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # r5: machine-INDEPENDENT byte gate — shuffle bytes are a property
+    # of (plan, data), reproduced exactly across runs, so a >25% growth
+    # (or any nonzero spill) is a real plan/volume change even when the
+    # host is too noisy for the wall gate to say anything.
+    byte_regressions: dict[str, dict] = {}
+    if sf_val == ANCHOR_SF and shuffle_bytes:
+        for name, anchor_b in HEADLINE_SHUFFLE_ANCHOR.items():
+            got = shuffle_bytes.get(name)
+            if got is None:
+                continue
+            grew = anchor_b > 0 and got > anchor_b * 1.25
+            appeared = anchor_b == 0 and got > 1 << 20  # new >1MB shuffle
+            spilled = spill_bytes.get(name, 0) > 0
+            if grew or appeared or spilled:
+                byte_regressions[name] = {
+                    "shuffle_bytes": got,
+                    "anchor": anchor_b,
+                    "spill_bytes": spill_bytes.get(name, 0),
+                }
+                print(
+                    f"# BYTE REGRESSION {name}: shuffle {got}B vs anchor "
+                    f"{anchor_b}B, spill {spill_bytes.get(name, 0)}B",
+                    file=sys.stderr,
+                )
+
     stress: dict = {}
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         stress = run_stress(spark, warm, sf_dir, cal_ratio, metrics)
@@ -744,6 +824,7 @@ def main() -> None:
                 "spill_bytes": spill_bytes,
                 "delta_vs_r1": delta_vs_r1,
                 "regressions": regressions,
+                "byte_regressions": byte_regressions,
                 "stress_sf1": stress,
                 "bpe_real_vocab": bpe_real,
                 "recall_sf1": recall,
@@ -754,7 +835,9 @@ def main() -> None:
             }
         )
     )
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+    if (regressions or byte_regressions) and os.environ.get(
+        "SPARK_GRAFT_BENCH_STRICT"
+    ):
         sys.exit(1)
 
 
