@@ -2395,3 +2395,40 @@ def test_minhash_adversarial_duplication_bounded(spark):
         assert pairs.count() == n * (n - 1) // 2
     finally:
         dd._emit_pairs = orig
+
+
+def test_logreg_train_partition_invariant_and_learns(spark):
+    """Trainable quality classifier: (a) the decimal-exact gradient
+    sums make the fitted weights BIT-identical under any partitioning
+    (the float-determinism policy applied to model fitting), (b) the
+    first gradient step from w=0 matches the hand formula (p = 0.5
+    exactly), (c) on linearly separable features the scores actually
+    separate the classes."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import logreg_score, logreg_train
+
+    rows = [(i, 1.0, (i % 40) / 10.0, 1.0 if i % 40 >= 20 else 0.0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x0 double, x1 double, y double")
+
+    w1 = logreg_train(df, ["x0", "x1"], "y", lr=1.0, iters=3)
+    w2 = logreg_train(df.repartition(17, "id"), ["x0", "x1"], "y",
+                      lr=1.0, iters=3)
+    assert w1 == w2  # bit-identical, not approximately
+
+    # hand-check one step: w=0 -> p=0.5 -> g_i = mean((0.5 - y) * x_i)
+    import math
+
+    def r8(v):
+        return math.floor(v * 1e8 + 0.5) / 1e8
+
+    g0 = sum(r8((0.5 - y) * x0) for _i, x0, _x1, y in rows) / len(rows)
+    g1 = sum(r8((0.5 - y) * x1) for _i, _x0, x1, y in rows) / len(rows)
+    w_step1 = logreg_train(df, ["x0", "x1"], "y", lr=1.0, iters=1)
+    assert abs(w_step1[0] - (-g0)) < 1e-12 and abs(w_step1[1] - (-g1)) < 1e-12
+
+    scored = logreg_score(df, ["x0", "x1"], w1)
+    means = {r["y"]: r["m"] for r in scored.groupBy("y").agg(
+        F.avg("score").alias("m")).collect()}
+    assert means[1.0] > means[0.0] + 0.1  # separates the classes

@@ -6021,6 +6021,86 @@ def _kmeans_cents_sql(dim: int, k: int) -> str:
     """
 
 
+# DuckDB replay of full-batch logistic-regression training
+# (operators/classifier.logreg_train): per-iteration gradient CTEs with
+# the exact same arithmetic — round8 per-row contributions, exact
+# DECIMAL(28,8) sums, CAST-to-double / COUNT(*) means, left-associated
+# margin — so the trained weights, and every score, are bit-identical.
+def _logreg_oracle_sql(iters: int, lr: float) -> str:
+    feats = ["x0", "x1", "x2"]
+
+    def r8(e: str) -> str:
+        return f"floor(({e}) * 100000000.0 + 0.5) / 100000000.0"
+
+    def margin(wref: str) -> str:
+        return " + ".join(f"{x} * {wref}.w{i}" for i, x in enumerate(feats))
+
+    ctes = [
+        f"""feat AS (
+      SELECT doc_id,
+             1.0 AS x0,
+             {r8("ln(1.0 + nw)")} AS x1,
+             {r8("n_chars / nw")} AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM (
+        SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars,
+               CAST(len(string_split({_NORM}, ' ')) AS DOUBLE) AS nw
+        FROM documents
+      ) WHERE nw > 0
+    )""",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{i}" for i in range(len(feats))) + ")",
+    ]
+    for t in range(iters):
+        p = f"1.0 / (1.0 + exp(-({margin(f'w{t}')})))"
+        sums = ", ".join(
+            f"CAST(SUM(CAST({r8(f'(({p}) - y) * {x}')} AS DECIMAL(28,8))) AS DOUBLE)"
+            f" / COUNT(*) AS g{i}"
+            for i, x in enumerate(feats)
+        )
+        ctes.append(f"g{t} AS (SELECT {sums} FROM feat CROSS JOIN w{t})")
+        upd = ", ".join(
+            f"w{t}.w{i} - {lr!r} * g{t}.g{i} AS w{i}" for i in range(len(feats))
+        )
+        ctes.append(f"w{t + 1} AS (SELECT {upd} FROM w{t} CROSS JOIN g{t})")
+    final_p = f"1.0 / (1.0 + exp(-({margin(f'w{iters}')})))"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT doc_id, CAST(y AS BIGINT) AS label,
+           floor(({final_p}) * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM feat CROSS JOIN w{iters}
+    """
+    )
+
+
+@query("q140_logreg_quality", oracle=_logreg_oracle_sql(iters=3, lr=1.0))
+def q140_logreg_quality(spark: SparkSession, sf_dir: str) -> SDF:
+    """TRAINABLE quality classifier (operators/classifier — r5): fit
+    logistic regression by 3 full-batch gradient steps over cheap
+    per-document features (bias, log word count, mean word length),
+    label = "document is English", then score every document — the
+    learned quality-model shape production curation uses next to the
+    heuristic Gopher gate. One scan + one dim-sized decimal-exact
+    aggregate per step (shuffle volume independent of corpus size);
+    scoring is a zero-shuffle broadcast-literal projection. The oracle
+    replays the entire training loop in SQL — weights bit-identical."""
+    from torcharrow_spark.operators import logreg_score, logreg_train
+    from torcharrow_spark.operators.relevance import _round8, _words
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    nw = F.size(_words(F.col("text"))).cast("double")
+    feat = docs.where(nw > 0).select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        _round8(F.log(F.lit(1.0) + nw)).alias("x1"),
+        _round8(F.col("n_chars").cast("double") / nw).alias("x2"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
+    return logreg_score(feat, ["x0", "x1", "x2"], w).select(
+        "doc_id", F.col("y").cast("long").alias("label"), "score"
+    )
+
+
 @query(
     "q139_term_stats",
     oracle=f"""
