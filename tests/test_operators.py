@@ -2432,3 +2432,32 @@ def test_logreg_train_partition_invariant_and_learns(spark):
     means = {r["y"]: r["m"] for r in scored.groupBy("y").agg(
         F.avg("score").alias("m")).collect()}
     assert means[1.0] > means[0.0] + 0.1  # separates the classes
+
+
+def test_semantic_dedup_auto_sizing_sf1(spark):
+    """The r4 verdict's done-criterion for auto-sizing, at the sf1
+    stress scale: n_clusters='auto' on the 5000-vector stress corpus
+    must pick >= ceil(sqrt(n)) cells (~71), assign within the chosen
+    range, and keep every realized cluster population within an order
+    of magnitude of the sqrt(n) expectation — the guarantee that the
+    per-cluster quadratic step stays bounded when the corpus grows and
+    nobody re-tunes the parameter."""
+    import math
+
+    import bench
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import semantic_dedup
+
+    bench._build_stress_sf1(spark, "/root/testdata/sf0.1")
+    emb = spark.read.parquet(f"{bench.STRESS_DIR}/embeddings.parquet")
+    n = emb.count()
+    want_cells = max(2, min(4096, math.ceil(math.sqrt(n))))
+    assert want_cells >= 70  # really at stress scale
+
+    out = semantic_dedup(emb, threshold=0.995)  # 'auto'
+    assert out.count() == n
+    assert out.agg(F.max("cluster")).collect()[0][0] < want_cells
+    pops = out.groupBy("cluster").count()
+    max_pop = pops.agg(F.max("count")).collect()[0][0]
+    assert max_pop <= 10 * want_cells, (n, want_cells, max_pop)

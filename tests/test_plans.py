@@ -372,3 +372,44 @@ def test_curation_pipeline_shuffles_hashes_not_text(spark, sf_dir):
     assert len(payloads) >= 2
     for e in payloads:
         assert "text" not in e["columns"], e
+
+
+def test_r5_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the r5 operators: (a) term_stats_batch is exactly
+    the two-level aggregate — two exchanges (doc,term then term), no
+    window, no join; (b) logreg_score is a ZERO-exchange projection
+    (broadcast-literal sigmoid); (c) semantic_dedup with trained
+    centroids plans no CartesianProduct and no non-broadcast crossJoin
+    (assignment is a per-row literal argmax, the only join is the
+    dropped-id left join)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import logreg_score, semantic_dedup
+    from torcharrow_spark.streaming import term_stats_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    p1 = term_stats_batch(docs)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange ", p1)) == 2, p1
+    assert "Window" not in p1 and "Join" not in p1
+
+    feat = docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        F.col("n_chars").cast("double").alias("x1"),
+    )
+    p2 = (
+        logreg_score(feat, ["x0", "x1"], [0.1, -0.2])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p2, p2
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[0.1] * 64, [-0.1] * 64]
+    p3 = (
+        semantic_dedup(emb, threshold=0.9, centroids=cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p3, p3
