@@ -1163,3 +1163,34 @@ def minhash_merge(sig_a: SDF, sig_b: SDF, id_col: str = "doc_id") -> SDF:
     return a.join(b, id_col, "full_outer").select(
         id_col, merged.alias("sig")
     )
+
+
+def decontaminate(
+    train: SDF,
+    benchmark: SDF,
+    k: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> SDF:
+    """Benchmark decontamination as a single operator: DROP every
+    training document whose distinct-k-shingle overlap with the
+    benchmark corpus reaches ``threshold`` (the flag-then-remove
+    composition every eval-hygiene pipeline runs; `contamination` is
+    the flag half, this returns the CLEANED corpus). Survivors keep
+    ALL original columns plus the audit trail (n_shingles, n_overlap,
+    overlap_frac) so downstream mixing can re-weight near-threshold
+    documents instead of trusting a silent filter.
+
+    Scale: one extra hash join of train against its own verdict table
+    (id-keyed, train-sized) on top of `contamination`'s linear shingle
+    semi-join; nothing pairwise. For paraphrased (non-exact) overlap
+    use `similarity_join` and anti-join its left ids instead."""
+    verdict = contamination(
+        train=benchmark, test=train, k=k,
+        threshold=threshold, text_col=text_col, id_col=id_col,
+    )
+    keep = verdict.where(~F.col("contaminated")).select(
+        id_col, "n_shingles", "n_overlap", "overlap_frac"
+    )
+    return train.join(keep, id_col)

@@ -6072,6 +6072,67 @@ def _logreg_oracle_sql(iters: int, lr: float) -> str:
     )
 
 
+@query(
+    "q141_decontaminate",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(u), 1, 15))::UBIGINT::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               UNNEST([array_to_string(w[s+1:s+8], ' ')
+                       for s in range(0, GREATEST(len(w) - 7, 0))]) AS u
+        FROM docs
+      )
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 0),
+    totals AS (SELECT doc_id, COUNT(*)::BIGINT AS n_shingles
+               FROM tr GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_overlap
+      FROM tr WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
+    ),
+    verdict AS (
+      SELECT d.doc_id,
+             COALESCE(n_shingles, 0)::BIGINT AS n_shingles,
+             COALESCE(n_overlap, 0)::BIGINT AS n_overlap,
+             CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0::DOUBLE
+                  ELSE COALESCE(n_overlap, 0)::DOUBLE
+                       / n_shingles::DOUBLE END AS overlap_frac,
+             CASE WHEN COALESCE(n_shingles, 0) = 0 THEN FALSE
+                  ELSE COALESCE(n_overlap, 0)::DOUBLE
+                       / n_shingles::DOUBLE >= 0.3 END AS contaminated
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      LEFT JOIN totals USING (doc_id)
+      LEFT JOIN hits USING (doc_id)
+    )
+    SELECT t.doc_id, t.n_chars, v.n_shingles, v.n_overlap, v.overlap_frac
+    FROM documents t JOIN verdict v USING (doc_id)
+    WHERE t.doc_id % 10 <> 0 AND NOT v.contaminated
+    """,
+)
+def q141_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
+    """Benchmark decontamination end-to-end (operators/dedup.
+    decontaminate — r5): every tenth document plays the benchmark set,
+    the rest are the training corpus; training docs whose distinct
+    8-shingle overlap with the benchmark reaches 0.3 are DROPPED, and
+    the survivors come back with their audit columns. The flag half is
+    q87's linear shingle semi-join; this adds one id-keyed hash join
+    of train against its own verdict — nothing pairwise."""
+    from torcharrow_spark.operators import decontaminate
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    benchmark = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, benchmark, k=8, threshold=0.3).select(
+        "doc_id", "n_chars", "n_shingles", "n_overlap", "overlap_frac"
+    )
+
+
 @query("q140_logreg_quality", oracle=_logreg_oracle_sql(iters=3, lr=1.0))
 def q140_logreg_quality(spark: SparkSession, sf_dir: str) -> SDF:
     """TRAINABLE quality classifier (operators/classifier — r5): fit
