@@ -705,3 +705,50 @@ def test_tf_stream_joined_tfidf_matches_batch(spark, sf_dir, tmp_path):
         for r in joined.collect()
     }
     assert got == want and len(want) > 1000
+
+
+def test_dedup_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    """CHAINED multi-stateful streaming: watermark ->
+    dropDuplicatesWithinWatermark -> windowed aggregation in ONE query
+    must equal the batch composition (dedup then window counts) on an
+    at-least-once feed — every event is fed TWICE (identical redelivery,
+    same event time and event_id), split into two files in event order,
+    and the final windowed metrics must count each event exactly once."""
+    from torcharrow_spark.sources import read_parquet_ns
+    from torcharrow_spark.streaming import (
+        dedup_windowed_counts_batch,
+        dedup_windowed_counts_stream,
+    )
+
+    ev = read_parquet_ns(f"{sf_dir}/events.parquet", spark).to_spark()
+    keys = ["event_id"]
+    duplicated = ev.unionByName(ev)  # exact at-least-once redelivery
+    # total_value is rounded: a streaming agg may sum doubles in a
+    # different order than the batch plan (the engine's oracle-checked
+    # money aggregates use exact decimals; this twin checks semantics)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in dedup_windowed_counts_batch(duplicated, keys).collect()
+    }
+
+    src = str(tmp_path / "events_dup")
+    duplicated.orderBy("ts", "event_id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = dedup_windowed_counts_stream(
+        spark, src, ev.schema, keys,
+        query_name="t_dedup_window", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM t_dedup_window").collect()
+    }
+    # append mode finalizes a window only when the watermark passes its
+    # end: every emitted window must match the batch value exactly, and
+    # most windows (all but the watermark tail) must have been emitted
+    assert got and all(want[k] == v for k, v in got.items())
+    assert len(got) >= len(want) * 0.5, (len(got), len(want))

@@ -861,3 +861,71 @@ def tf_stream(
         .queryName(query_name)
         .start()
     )
+
+
+def dedup_windowed_counts_batch(
+    events: SDF, keys: _ty.List[str], window: str = "1 hour"
+) -> SDF:
+    """Batch twin of `dedup_windowed_counts_stream`: exact dedup (first
+    row per key tuple) THEN tumbling event-time window counts — the
+    composition an ingest pipeline wants when the upstream feed
+    at-least-once-duplicates events and the metric must count each
+    event once."""
+    return windowed_counts_batch(dedup_batch(events, keys), window)
+
+
+def dedup_windowed_counts_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    keys: _ty.List[str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "dedup_windowed_counts",
+    max_files_per_trigger: int | None = None,
+):
+    """CHAINED multi-stateful streaming (r5): watermark ->
+    `dropDuplicatesWithinWatermark` -> windowed aggregation in ONE
+    query — two stateful operators back to back, the append-mode chain
+    Structured Streaming supports natively. This is the shape the
+    single-stateful operators could not express (the
+    `curate_pack_stream` docstring's "once multi-stateful queries
+    land" — for watermarked event streams, they have): exactly-once
+    metric counting over an at-least-once feed without landing an
+    intermediate table.
+
+    State: dedup keys held until the watermark passes (bounded by the
+    horizon, like `dedup_stream`); window state finalized and emitted
+    append-mode when the watermark passes each window's end. Stream ==
+    batch twin whenever duplicates of an event share its event time
+    (the at-least-once-redelivery case) and arrive in event order —
+    the paired test proves it across micro-batches."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
