@@ -575,7 +575,14 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
 # (mapInArrow), driver-side re-chunk to exact 65536-row tensor dicts.
 # Measured r5 first run = anchor; throughput reported as rows/s and
 # MB/s of Arrow payload crossing the bridge.
-TENSOR_EXPORT_ANCHOR_SEC = 0.778  # r5 measurement (1.299s at machine factor 1.669)
+# RE-ANCHORED within r5 after the bridge was profiled against raw
+# toArrow (4.8x overhead found): prefetchPartitions on toLocalIterator
+# overlaps JVM partition compute with driver conversion, and the
+# per-yield re-chunk now combines only the HEAD slice (the old code
+# combine_chunks'd head+tail every yield, re-copying the carried tail
+# O(batches) times). 1.57 s -> 1.005 s best-of-3 (597k rows/s) at
+# machine factor 1.383.
+TENSOR_EXPORT_ANCHOR_SEC = 0.727
 
 
 def run_tensor_export(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
