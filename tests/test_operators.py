@@ -2461,3 +2461,48 @@ def test_semantic_dedup_auto_sizing_sf1(spark):
     pops = out.groupBy("cluster").count()
     max_pop = pops.agg(F.max("count")).collect()[0][0]
     assert max_pop <= 10 * want_cells, (n, want_cells, max_pop)
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """RIFF/PCM codec invariants without Spark: encode->decode
+    round-trips samples exactly (PCM16, mono + stereo), the chunk
+    walker skips extra metadata chunks (LIST before data), 8-bit PCM
+    widens offset-binary -> signed, and malformed streams raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from torcharrow_spark.operators.audiocodec import decode_wav, encode_wav
+
+    s = np.array([-32768, -1, 0, 1, 32767, 1234], dtype=np.int16)
+    for ch in (1, 2):
+        rate, got_ch, got = decode_wav(encode_wav(s, 16000, ch))
+        assert (rate, got_ch) == (16000, ch)
+        assert np.array_equal(got, s)
+
+    # inject a LIST metadata chunk between fmt and data
+    raw = encode_wav(s, 8000, 1)
+    fmt_end = 12 + 8 + 16
+    meta = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = bytearray(raw[:fmt_end] + meta + raw[fmt_end:])
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    rate, ch, got = decode_wav(bytes(patched))
+    assert rate == 8000 and np.array_equal(got, s)
+
+    # 8-bit PCM: offset-binary 128 -> 0, 255 -> 32512
+    pcm8 = bytes(
+        b"RIFF" + struct.pack("<I", 36 + 3) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 3) + bytes([0, 128, 255])
+    )
+    _r, _c, got8 = decode_wav(pcm8)
+    assert got8.tolist() == [-32768, 0, 32512]
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+    with pytest.raises(ValueError):
+        # format 85 = MP3 inside WAV: compressed, must refuse
+        bad = bytearray(encode_wav(s, 8000, 1))
+        struct.pack_into("<H", bad, 20, 85)
+        decode_wav(bytes(bad))

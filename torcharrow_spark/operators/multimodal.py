@@ -252,3 +252,60 @@ def resize_media(
             yield pd.DataFrame({id_col: ids, "resized": outs, "meta": metas})
 
     return src.mapInPandas(resize_iter, out_schema)
+
+
+def decode_audio_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
+    """REAL audio decode -> exact sample statistics:
+    ``(id, sample_rate, n_channels, n_samples, duration_ms, amp_sum,
+    amp_mean)`` — the audio twin of :func:`decode_image_stats`, backed
+    by the pure-stdlib RIFF/PCM parser in `operators/audiocodec`.
+
+    ``amp_sum`` is the exact integer sum of |sample| over all decoded
+    PCM16 samples — a checksum an external system (or the driver's SQL
+    oracle, q142) reproduces arithmetically for synthetic audio, so the
+    decode is independently verifiable. ``duration_ms`` is integer
+    frame-count math (frames * 1000 DIV rate), engine-exact.
+    mapInPandas streams Arrow batches; bytes stay columnar, outputs are
+    tiny."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("amp_sum", T.LongType(), True),
+            T.StructField("amp_mean", T.DoubleType(), True),
+        ]
+    )
+    src = df.select(id_col, bytes_col)
+
+    def stats_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .audiocodec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    rows.append((i, None, None, None, None, None, None))
+                    continue
+                rate, ch, samples = decode_wav(bytes(data))
+                n = int(samples.size)
+                frames = n // ch if ch else 0
+                total = int(np.abs(samples.astype("int64")).sum())
+                rows.append(
+                    (
+                        i, rate, ch, n, frames * 1000 // rate if rate else None,
+                        total, total / n if n else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_channels", "n_samples",
+                         "duration_ms", "amp_sum", "amp_mean"],
+            )
+
+    return src.mapInPandas(stats_iter, out_schema)

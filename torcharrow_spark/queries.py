@@ -5366,6 +5366,68 @@ def q126_multimodal_decode(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q142_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           (8000 + (doc_id % 3) * 4000)::INT AS sample_rate,
+           (1 + doc_id % 2)::INT AS n_channels,
+           ((50 + doc_id % 97) * (1 + doc_id % 2))::BIGINT AS n_samples,
+           ((50 + doc_id % 97) * 1000 // (8000 + (doc_id % 3) * 4000))::BIGINT
+             AS duration_ms,
+           CAST(list_sum(list_transform(
+                 range(0, (50 + doc_id % 97) * (1 + doc_id % 2)),
+                 i -> abs((doc_id * 31 + i * 7) % 65536 - 32768))) AS BIGINT)
+             AS amp_sum,
+           CAST(list_sum(list_transform(
+                 range(0, (50 + doc_id % 97) * (1 + doc_id % 2)),
+                 i -> abs((doc_id * 31 + i * 7) % 65536 - 32768))) AS DOUBLE)
+             / ((50 + doc_id % 97) * (1 + doc_id % 2)) AS amp_mean
+    FROM documents
+    """,
+)
+def q142_audio_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    """REAL audio decode on Spark (operators/multimodal.
+    decode_audio_stats + operators/audiocodec — pure-stdlib RIFF/PCM16
+    parser, r5): a deterministic WAV is synthesized per document
+    (sample i = (doc_id*31 + i*7) % 65536 - 32768, rate/channels vary
+    by doc_id so mono+stereo and three rates all decode), parsed back
+    through the mapInPandas plumbing, and the exact |sample| checksum
+    is reproduced arithmetically by the SQL oracle — the audio twin of
+    q126's exact-pixel image decode."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import decode_audio_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from torcharrow_spark.operators.audiocodec import encode_wav
+
+        for pdf in batches:
+            ids, wavs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sr = 8000 + (d % 3) * 4000
+                ch = 1 + d % 2
+                n = (50 + d % 97) * ch
+                s = ((d * 31 + np.arange(n, dtype=np.int64) * 7) % 65536
+                     - 32768).astype(np.int16)
+                ids.append(d)
+                wavs.append(bytearray(encode_wav(s, sr, ch)))
+            yield pd.DataFrame({"doc_id": ids, "wav": wavs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("wav", T.BinaryType(), True)]
+    )
+    with_wav = docs.mapInPandas(_synth, schema)
+    return decode_audio_stats(with_wav, "wav", "doc_id")
+
+
+@query(
     "q127_lm_quality",
     oracle=f"""
     WITH toks AS (
