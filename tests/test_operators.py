@@ -2506,3 +2506,45 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         bad = bytearray(encode_wav(s, 8000, 1))
         struct.pack_into("<H", bad, 20, 85)
         decode_wav(bytes(bad))
+
+
+def test_mp4_box_walker_edges():
+    """ISO-BMFF walker invariants without Spark: round-trip of the
+    synthesized skeleton, 64-bit largesize boxes, size-0 (to-EOF)
+    boxes, mvhd version 1, and malformed streams raising."""
+    import struct
+
+    import pytest
+
+    from torcharrow_spark.operators.videocodec import (
+        encode_mp4_meta,
+        parse_mp4_meta,
+    )
+
+    m = parse_mp4_meta(encode_mp4_meta(b"isom", 600, 1234, 2))
+    assert m == {"major_brand": "isom", "timescale": 600, "duration": 1234,
+                 "duration_ms": 1234 * 1000 // 600, "n_tracks": 2}
+
+    # mvhd version 1 (64-bit duration)
+    body = (b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 1000) + struct.pack(">Q", 5_000_000_000)
+            + b"\x00" * 80)
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"mp42" + b"\x00" * 4
+    m1 = parse_mp4_meta(ftyp + moov)
+    assert m1["duration"] == 5_000_000_000 and m1["timescale"] == 1000
+
+    # largesize (size == 1 -> 64-bit header) wrapping a free box
+    free = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16)
+    m2 = parse_mp4_meta(ftyp + free + moov)
+    assert m2["duration"] == 5_000_000_000
+
+    # size 0 = box extends to EOF (must terminate, not loop)
+    tail = struct.pack(">I", 0) + b"free" + b"xyz"
+    assert parse_mp4_meta(ftyp + moov + tail)["n_tracks"] == 0
+
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00\x00\x00\x04nope")
+    with pytest.raises(ValueError):
+        parse_mp4_meta(ftyp)  # no moov/mvhd

@@ -309,3 +309,49 @@ def decode_audio_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
             )
 
     return src.mapInPandas(stats_iter, out_schema)
+
+
+def video_container_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
+    """REAL video CONTAINER parse -> ``(id, major_brand, timescale,
+    duration, duration_ms, n_tracks)`` via the pure-stdlib ISO-BMFF box
+    walker in `operators/videocodec` — the metadata a curation pipeline
+    filters on (drop sub-second clips, cap durations, require a/v
+    tracks) without decoding a single frame. Frame DECODE stays behind
+    `frame_sample_plan`'s planning stub (codec libraries aren't in the
+    container; the Spark-side plumbing — schema, batching, binary
+    columns — is real and tested). mapInPandas, Arrow-batched."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("major_brand", T.StringType(), True),
+            T.StructField("timescale", T.LongType(), True),
+            T.StructField("duration", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("n_tracks", T.IntegerType(), True),
+        ]
+    )
+    src = df.select(id_col, bytes_col)
+
+    def stats_iter(batches):
+        import pandas as pd
+
+        from .videocodec import parse_mp4_meta
+
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    rows.append((i, None, None, None, None, None))
+                    continue
+                m = parse_mp4_meta(bytes(data))
+                rows.append(
+                    (i, m["major_brand"], m["timescale"], m["duration"],
+                     m["duration_ms"], m["n_tracks"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "major_brand", "timescale", "duration",
+                         "duration_ms", "n_tracks"],
+            )
+
+    return src.mapInPandas(stats_iter, out_schema)

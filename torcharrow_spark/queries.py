@@ -5366,6 +5366,61 @@ def q126_multimodal_decode(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q143_video_container",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+           (600 + (doc_id % 4) * 300)::BIGINT AS timescale,
+           (1200 + doc_id % 9999)::BIGINT AS duration,
+           ((1200 + doc_id % 9999) * 1000 // (600 + (doc_id % 4) * 300))::BIGINT
+             AS duration_ms,
+           (1 + doc_id % 3)::INT AS n_tracks
+    FROM documents
+    """,
+)
+def q143_video_container(spark: SparkSession, sf_dir: str) -> SDF:
+    """REAL video container parse on Spark (operators/multimodal.
+    video_container_stats + operators/videocodec — pure-stdlib ISO-BMFF
+    box walker, r5): a minimal valid MP4 (ftyp + moov/mvhd + trak
+    boxes) is synthesized per document with doc_id-derived brand /
+    timescale / duration / track count, box-walked back through the
+    mapInPandas plumbing, and the SQL oracle reproduces every field
+    arithmetically — the video third of the q126/q142 multimodal
+    decode family (frame decode itself stays a planning stub; no codec
+    library ships in the container)."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import video_container_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from torcharrow_spark.operators.videocodec import encode_mp4_meta
+
+        for pdf in batches:
+            ids, vids = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ids.append(d)
+                vids.append(bytearray(encode_mp4_meta(
+                    b"isom" if d % 2 == 0 else b"mp42",
+                    600 + (d % 4) * 300,
+                    1200 + d % 9999,
+                    1 + d % 3,
+                )))
+            yield pd.DataFrame({"doc_id": ids, "vid": vids})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("vid", T.BinaryType(), True)]
+    )
+    with_mp4 = docs.mapInPandas(_synth, schema)
+    return video_container_stats(with_mp4, "vid", "doc_id")
+
+
+@query(
     "q142_audio_decode",
     oracle="""
     SELECT doc_id,
