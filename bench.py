@@ -67,6 +67,13 @@ HEADLINE = [
     "q128_gopher_filter",
     "q129_curation_pipeline",
     "q130_grouped_cdf",
+    # r5 additions (first measurement becomes the r6 anchor)
+    "q138_kmeans_semantic_dedup",
+    "q139_term_stats",
+    "q140_logreg_quality",
+    "q141_decontaminate",
+    "q142_audio_decode",
+    "q143_video_container",
 ]
 
 # Steady-state seconds at sf0.1 on local[32] — the regression anchor.
@@ -124,6 +131,14 @@ ANCHOR = {
     "q128_gopher_filter": 0.609,
     "q129_curation_pipeline": 2.185,
     "q130_grouped_cdf": 0.342,
+    # r5 additions: first (r5) measurement normalized to anchor-era
+    # seconds via the calibration factor of the measuring run (1.182)
+    "q138_kmeans_semantic_dedup": 4.155,
+    "q139_term_stats": 0.337,
+    "q140_logreg_quality": 0.716,
+    "q141_decontaminate": 1.156,
+    "q142_audio_decode": 0.277,
+    "q143_video_container": 0.241,
 }
 
 
@@ -171,6 +186,12 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q128_gopher_filter": 0,
     "q129_curation_pipeline": 121646,
     "q130_grouped_cdf": 915,
+    "q138_kmeans_semantic_dedup": 579870,
+    "q139_term_stats": 1641449,
+    "q140_logreg_quality": 380,
+    "q141_decontaminate": 315580,
+    "q142_audio_decode": 0,
+    "q143_video_container": 0,
 }
 
 
@@ -580,9 +601,13 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
 # overlaps JVM partition compute with driver conversion, and the
 # per-yield re-chunk now combines only the HEAD slice (the old code
 # combine_chunks'd head+tail every yield, re-copying the carried tail
-# O(batches) times). 1.57 s -> 1.005 s best-of-3 (597k rows/s) at
-# machine factor 1.383.
-TENSOR_EXPORT_ANCHOR_SEC = 0.727
+# O(batches) times). 1.57 s -> 1.005 s best-of-3 (597k rows/s).
+# Anchor = mean of three post-fix measurements normalized by their
+# runs' calibration factors (0.727, 0.90, 0.84 — the bridge is a
+# driver-side loop, noisier than executor queries, hence best-of-3 in
+# the measurement loop below and a mean anchor rather than a
+# single-run pin).
+TENSOR_EXPORT_ANCHOR_SEC = 0.82
 
 
 def run_tensor_export(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
@@ -614,11 +639,14 @@ def run_tensor_export(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
         return rows, nbytes
 
     consume()  # cold: codegen + Arrow path warm-up
-    t0 = time.perf_counter()
-    rows, nbytes = consume()
-    sec = round(time.perf_counter() - t0, 3)
+    sec = float("inf")
+    for _ in range(3):  # best-of-3: driver-side loop, host-noise prone
+        t0 = time.perf_counter()
+        rows, nbytes = consume()
+        sec = min(sec, round(time.perf_counter() - t0, 3))
     out = {
         "sec": sec,
+        "best_of": 3,
         "rows": rows,
         "mb": round(nbytes / 1e6, 1),
         "rows_per_sec": int(rows / sec),
