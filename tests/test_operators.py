@@ -2548,3 +2548,74 @@ def test_mp4_box_walker_edges():
         parse_mp4_meta(b"\x00\x00\x00\x04nope")
     with pytest.raises(ValueError):
         parse_mp4_meta(ftyp)  # no moov/mvhd
+
+
+def test_logreg_train_null_and_empty_guards(spark):
+    """NULL rows are excluded from training entirely (not silently
+    diluted out of the gradient mean), and an empty/fully-null frame
+    raises instead of crashing with float(None)."""
+    import pytest
+
+    from torcharrow_spark.operators import logreg_train
+
+    rows = [(1.0, 2.0, 1.0), (1.0, None, 0.0), (1.0, 4.0, 0.0),
+            (1.0, 1.0, None)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, y double")
+    clean = spark.createDataFrame(
+        [(1.0, 2.0, 1.0), (1.0, 4.0, 0.0)], "x0 double, x1 double, y double"
+    )
+    assert logreg_train(df, ["x0", "x1"], "y", iters=2) == \
+        logreg_train(clean, ["x0", "x1"], "y", iters=2)
+
+    with pytest.raises(ValueError, match="no trainable rows"):
+        logreg_train(df.where("y > 99"), ["x0", "x1"], "y")
+
+
+def test_wav_truncated_chunk_raises():
+    """A chunk whose declared size extends past the stream raises
+    (silent partial decode would report wrong stats)."""
+    import pytest
+
+    import numpy as np
+
+    from torcharrow_spark.operators.audiocodec import decode_wav, encode_wav
+
+    raw = encode_wav(np.arange(64, dtype=np.int16), 8000, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(raw[:-10])
+
+
+def test_compact_parquet_recovery_hardening(spark, tmp_path):
+    """Recovery edge cases: a TORN manifest (crash mid-write) is
+    discarded without touching data, and an orphan scratch dir with no
+    manifest (crash before commit) is reaped — neither bricks or
+    duplicates the table."""
+    import os
+
+    from torcharrow_spark.sources import compact_parquet
+
+    root = str(tmp_path / "tblr")
+    for i in range(4):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(root)
+    rows = sorted(r["id"] for r in spark.read.parquet(root).collect())
+
+    # torn manifest + orphan scratch with a decoy parquet inside
+    with open(os.path.join(root, ".compact_manifest_torn"), "w") as fh:
+        fh.write('{"sources": ["x"')  # cut mid-json
+    scratch = os.path.join(root, ".compact_tmp_orphan", "bin0")
+    os.makedirs(scratch)
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(scratch)
+
+    rep = compact_parquet(root, target_file_bytes=1 << 20, spark=spark)
+    assert rep["dirs_compacted"] == 1
+    assert not os.path.exists(os.path.join(root, ".compact_manifest_torn"))
+    assert not os.path.exists(os.path.join(root, ".compact_tmp_orphan"))
+    assert sorted(r["id"] for r in spark.read.parquet(root).collect()) == rows
+
+    # non-local URI fails fast instead of silently no-opping
+    import pytest
+
+    with pytest.raises(ValueError, match="LOCAL filesystem"):
+        compact_parquet("s3a://bucket/table", spark=spark)

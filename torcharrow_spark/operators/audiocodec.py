@@ -63,6 +63,12 @@ def decode_wav(data: bytes) -> _ty.Tuple[int, int, "np.ndarray"]:
     while pos + 8 <= len(data):
         cid = data[pos: pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4: pos + 8])
+        if pos + 8 + size > len(data):
+            # a declared chunk extending past the stream is a truncated
+            # file — raise rather than silently decode fewer samples
+            # (wrong n_samples/duration/checksum); same contract as the
+            # MP4 walker
+            raise ValueError(f"truncated {cid!r} chunk")
         body = data[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:

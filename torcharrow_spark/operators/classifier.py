@@ -31,10 +31,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["logreg_train", "logreg_score"]
 
-
-def _round8(col: F.Column) -> F.Column:
-    # same engine-independent half-up rounding as operators/relevance.py
-    return F.floor(col * 100000000.0 + 0.5) / 100000000.0
+# the engine-determinism rounding primitives live in ONE place
+from .relevance import _round6, _round8  # noqa: E402
 
 
 def _margin(feature_cols: _ty.Sequence[str], w: _ty.Sequence[float]) -> F.Column:
@@ -66,12 +64,16 @@ def logreg_train(
     step, a dim-sized shuffle, and a bit-deterministic fit — corpus
     quality models are small (a handful of features), so a few exact
     batch steps beat a stochastic pass that would make the model depend
-    on row order. Returns plain Python floats."""
+    on row order. Rows with a NULL feature or label are EXCLUDED
+    up front (a NULL would drop out of the decimal gradient sums while
+    still inflating the mean's denominator — silently shrinking every
+    gradient); an empty or fully-null training frame raises.
+    Returns plain Python floats."""
     cols = list(feature_cols)
     feat = df.select(
         *[F.col(c).cast("double").alias(c) for c in cols],
         F.col(label_col).cast("double").alias("__y__"),
-    )
+    ).na.drop()
     if cache:
         feat = feat.persist()
     try:
@@ -89,6 +91,11 @@ def logreg_train(
                 ],
             ).collect()[0]
             n = float(row["__n__"])
+            if n == 0:
+                raise ValueError(
+                    "logreg_train: no trainable rows (empty input, or "
+                    "every row has a NULL feature/label)"
+                )
             w = [
                 wi - lr * (float(row[f"__g{i}__"]) / n)
                 for i, wi in enumerate(w)
@@ -111,5 +118,5 @@ def logreg_score(
     `exp` ulp policy — same as BM25 scores). Zero-shuffle projection."""
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(list(feature_cols), weights)))
     if round6:
-        p = F.floor(p * 1000000.0 + 0.5) / 1000000.0
+        p = _round6(p)
     return df.withColumn(out_col, p)

@@ -284,37 +284,63 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 # Incremental compaction (r5): size-tiered small-file rewrite
 
 
+def _rm_with_crc(path: str) -> None:
+    import os
+
+    if os.path.exists(path):
+        os.remove(path)
+    crc = os.path.join(os.path.dirname(path), f".{os.path.basename(path)}.crc")
+    if os.path.exists(crc):  # orphan Hadoop LocalFS checksum
+        os.remove(crc)
+
+
 def _compact_recover(d: str) -> None:
     """Finish or roll back an interrupted compaction in directory `d`.
     A leftover manifest means a crash mid-swap: if every output file
     exists, the write phase completed — roll FORWARD (delete remaining
     sources); otherwise sources are all intact — roll BACK (delete any
-    moved outputs). Either way the directory returns to a consistent
-    exactly-once state before the new run selects files."""
+    moved outputs). A torn manifest (crash during its own write — the
+    writer uses tmp+rename so this needs a pre-rename crash) or a tmp
+    dir with NO manifest means the swap never started: sources are
+    untouched, so the scratch is simply dropped. Either way the
+    directory returns to a consistent exactly-once state before the
+    new run selects files. Single-writer assumption: two concurrent
+    compactors of the same directory are not supported (one would
+    reap the other's scratch)."""
     import json as _json
     import os
     import shutil
 
-    for name in os.listdir(d):
+    manifested_tmps = set()
+    for name in sorted(os.listdir(d)):
         if not name.startswith(".compact_manifest_"):
             continue
         mpath = os.path.join(d, name)
-        with open(mpath, encoding="utf-8") as fh:
-            man = _json.load(fh)
+        try:
+            with open(mpath, encoding="utf-8") as fh:
+                man = _json.load(fh)
+        except ValueError:
+            # torn manifest: no rename happened, sources are intact
+            os.remove(mpath)
+            continue
         outputs = [os.path.join(d, o) for o in man["outputs"]]
         sources = [os.path.join(d, s) for s in man["sources"]]
         if all(os.path.exists(o) for o in outputs):
             for s in sources:
-                if os.path.exists(s):
-                    os.remove(s)
+                _rm_with_crc(s)
         else:
             for o in outputs:
-                if os.path.exists(o):
-                    os.remove(o)
+                _rm_with_crc(o)
+        manifested_tmps.add(man["tmp"])
         tmp = os.path.join(d, man["tmp"])
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         os.remove(mpath)
+    # orphan scratch from a crash before the manifest commit: data is
+    # still in the sources, so the copy is safe to drop
+    for name in os.listdir(d):
+        if name.startswith(".compact_tmp_") and name not in manifested_tmps:
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
 
 def compact_parquet(
@@ -359,6 +385,14 @@ def compact_parquet(
     import shutil
     import uuid
 
+    if "://" in path:
+        # os.walk over an s3a://.. URI silently yields nothing — an
+        # all-zero report would read as "already compact"; fail fast.
+        raise ValueError(
+            "compact_parquet walks the LOCAL filesystem; for object "
+            "stores run it on a mounted path or use a transactional "
+            f"table format (got {path!r})"
+        )
     s = _spark(spark)
     small = small_file_bytes if small_file_bytes is not None else target_file_bytes // 2
     report = {"dirs_compacted": 0, "files_before": 0, "files_after": 0,
@@ -417,22 +451,28 @@ def compact_parquet(
             outputs.append((os.path.join(dest, part), f"compact-{token}-{i}.parquet"))
         sources = [f for b in bins for f in b]
         manifest = os.path.join(d, f".compact_manifest_{token}")
-        with open(manifest, "w", encoding="utf-8") as fh:
+        # atomic manifest commit: write-to-tmp + rename, so a crash
+        # during the dump can never leave a torn manifest that bricks
+        # every future recovery of this directory
+        with open(manifest + ".tmp", "w", encoding="utf-8") as fh:
             _json.dump(
                 {"sources": sources, "outputs": [o[1] for o in outputs],
                  "tmp": tmpname}, fh,
             )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(manifest + ".tmp", manifest)
         for src, name in outputs:
             os.replace(src, os.path.join(d, name))
         for f in sources:
-            os.remove(os.path.join(d, f))
-            crc = os.path.join(d, f".{f}.crc")
-            if os.path.exists(crc):  # orphan Hadoop LocalFS checksum
-                os.remove(crc)
+            _rm_with_crc(os.path.join(d, f))
         os.remove(manifest)
         shutil.rmtree(tmp, ignore_errors=True)
+        sizes = dict(smalls)
         report["dirs_compacted"] += 1
         report["outputs"] += len(outputs)
-        report["bytes_compacted"] += sum(sz for _f, sz in smalls)
+        # only the files actually rewritten (a 1-file greedy tail stays
+        # in place and must not inflate the throughput report)
+        report["bytes_compacted"] += sum(sizes[f] for f in sources)
         report["files_after"] += len(entries) - len(sources) + len(outputs)
     return report
