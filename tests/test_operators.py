@@ -2619,3 +2619,40 @@ def test_compact_parquet_recovery_hardening(spark, tmp_path):
 
     with pytest.raises(ValueError, match="LOCAL filesystem"):
         compact_parquet("s3a://bucket/table", spark=spark)
+
+
+def test_normalize_url_and_dedup(spark):
+    """URL canonicalization invariants: scheme/www/case/fragment/
+    trailing-slash/tracking-param variants of the same page collapse to
+    ONE canonical key; distinct pages (different kept query params,
+    different paths) stay distinct; url_dedup_ids keeps min id."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import normalize_url, url_dedup_ids
+
+    variants = [
+        (1, "https://www.Example.com/Page/"),
+        (2, "http://EXAMPLE.com/Page"),
+        (3, "example.com/Page?utm_campaign=a&fbclid=zz"),
+        (4, "https://Example.com/Page#section"),
+        (5, "https://example.com/Page?utm_source=x&utm_medium=y&ref=z"),
+        # distinct pages
+        (6, "https://example.com/Page?id=5"),
+        (7, "https://example.com/page"),           # path case differs
+        (8, "https://example.com/Page?utm_source=x&id=5&ref=z"),
+        (9, "https://other.com/Page"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    canon = {r["doc_id"]: r["c"]
+             for r in df.select("doc_id", normalize_url("url").alias("c")).collect()}
+    assert canon[1] == canon[2] == canon[3] == canon[4] == canon[5] \
+        == "example.com/Page"
+    assert canon[6] == "example.com/Page?id=5" == canon[8]
+    assert canon[7] == "example.com/page"
+    assert canon[9] == "other.com/Page"
+
+    out = {r["canonical_url"]: r["doc_id"]
+           for r in url_dedup_ids(df).collect()}
+    assert out["example.com/Page"] == 1          # min id survives
+    assert out["example.com/Page?id=5"] == 6
+    assert len(out) == 4

@@ -537,3 +537,51 @@ def gopher_filter(
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
+
+
+def normalize_url(col) -> F.Column:
+    """Canonical URL form for dedup/grouping (the CommonCrawl-pipeline
+    convention): scheme stripped, leading ``www.`` stripped, HOST
+    lowercased (paths are case-sensitive and preserved), ``#fragment``
+    dropped, tracking parameters removed (``utm_*``, ``fbclid``,
+    ``gclid``, ``ref``), empty ``?``/dangling ``&`` cleaned, one
+    trailing ``/`` stripped. A pure chained-regexp projection
+    (zero-shuffle, whole-stage codegen, RE2-compatible patterns) whose
+    exact chain any SQL engine replays — two crawls of the same page
+    through different trackers canonicalize to one key.
+
+    Deliberately NOT full RFC 3986 normalization (percent-decoding /
+    port elision / path dot-segments): those need a URL parser; this is
+    the high-yield 99% that a regexp chain gets exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:www\.)?([^/?#]*)", 1))
+    rest = F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^#]*)", 1)
+    u = F.concat(host, rest)
+    # tracking params, preserving the delimiter of the FOLLOWING param
+    # ("?utm=x&id=5" -> "?id=5", "a=1&ref=z&b=2" -> "a=1&b=2"). One
+    # regex pass can't match two ADJACENT tracking params (the second's
+    # delimiter was consumed), so the replace is applied three times —
+    # runs of up to three adjacent trackers (the realistic ceiling)
+    # canonicalize fully, and the chain is deterministic either way.
+    track = r"([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?"
+    for _ in range(3):
+        u = F.regexp_replace(u, track, r"$1")
+    u = F.regexp_replace(u, r"\?&", "?")         # "?&id=5" -> "?id=5"
+    u = F.regexp_replace(u, r"[?&]+$", "")       # dangling ? or &
+    u = F.regexp_replace(u, r"/$", "")           # one trailing slash
+    return u
+
+
+def url_dedup_ids(df: SDF, url_col: str = "url", id_col: str = "doc_id") -> SDF:
+    """One surviving id per canonical URL (keep min id) — URL-keyed
+    exact dedup, the cheapest dedup pass a web corpus runs before any
+    content hashing. Returns ``(id, canonical_url)`` for survivors.
+    One hash shuffle on the canonical string; at 100 TB swap the key
+    for its md5 halves like `dedup.exact_dedup_ids` if URLs are long."""
+    canon = normalize_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "canonical_url")
+    )

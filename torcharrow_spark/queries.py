@@ -5365,6 +5365,78 @@ def q126_multimodal_decode(spark: SparkSession, sf_dir: str) -> SDF:
     return decode_image_stats(with_png, "img", "doc_id")
 
 
+# DuckDB replay of normalize_url's exact regexp chain (RE2 both
+# engines; DuckDB backrefs are \1 where Spark uses $1, and DuckDB
+# needs the explicit 'g' flag Spark implies).
+def _norm_url_sql(expr: str) -> str:
+    host = (
+        f"lower(regexp_extract({expr}, "
+        "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:www\\.)?([^/?#]*)', 1))"
+    )
+    rest = (
+        f"regexp_extract({expr}, "
+        "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^#]*)', 1)"
+    )
+    u = f"({host} || {rest})"
+    track = "'([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?'"
+    for _ in range(3):
+        u = f"regexp_replace({u}, {track}, '\\1', 'g')"
+    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '', 'g')"
+    u = f"regexp_replace({u}, '/$', '', 'g')"
+    return u
+
+
+@query(
+    "q144_url_dedup",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://www.Example' || (doc_id % 100) || '.com/Page'
+                      || (doc_id % 100) || '/'
+          WHEN 1 THEN 'http://EXAMPLE' || (doc_id % 100) || '.COM/Page'
+                      || (doc_id % 100)
+          WHEN 2 THEN 'Example' || (doc_id % 100) || '.com/Page'
+                      || (doc_id % 100) || '?utm_campaign=a&fbclid=zz'
+          ELSE 'https://Example' || (doc_id % 100) || '.com/Page'
+               || (doc_id % 100) || '#sec'
+        END AS url
+      FROM documents
+    ),
+    c AS (SELECT doc_id, {_norm_url_sql("url")} AS canonical_url FROM u)
+    SELECT MIN(doc_id) AS doc_id, canonical_url
+    FROM c GROUP BY canonical_url
+    """,
+)
+def q144_url_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """URL-keyed exact dedup (operators/textstats.normalize_url +
+    url_dedup_ids — r5): scheme / www / host-case / fragment /
+    trailing-slash / tracking-param variants of the same page
+    (synthesized per doc_id, four variant shapes) canonicalize to one
+    key and keep the min id — the cheapest dedup pass a web corpus
+    runs before any content hashing. The canonicalization is a
+    zero-shuffle chained-regexp projection whose exact chain the
+    DuckDB oracle replays; one hash shuffle on the canonical key."""
+    from torcharrow_spark.operators import url_dedup_ids
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+    b = (F.col("doc_id") % 100).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www.Example"), b, F.lit(".com/Page"), b, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://EXAMPLE"), b, F.lit(".COM/Page"), b))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("Example"), b, F.lit(".com/Page"), b,
+                       F.lit("?utm_campaign=a&fbclid=zz")))
+        .otherwise(
+            F.concat(F.lit("https://Example"), b, F.lit(".com/Page"), b,
+                     F.lit("#sec")))
+    )
+    return url_dedup_ids(docs.select("doc_id", url.alias("url")))
+
+
 @query(
     "q143_video_container",
     oracle="""
