@@ -74,6 +74,7 @@ HEADLINE = [
     "q141_decontaminate",
     "q142_audio_decode",
     "q143_video_container",
+    "q144_url_dedup",  # no anchor yet: first measurement is the baseline
 ]
 
 # Steady-state seconds at sf0.1 on local[32] — the regression anchor.

@@ -94,3 +94,65 @@ def test_compact_parquet_crash_recovery(spark, tmp_path):
                    "tmp": ".compact_tmp_fake2"}, fh)
     compact_parquet(root, target_file_bytes=1 << 20, spark=spark)
     assert not os.path.exists(partial) and not os.path.exists(manifest2)
+
+
+def test_write_webdataset_roundtrip(spark, sf_dir, tmp_path):
+    """WebDataset sink invariants: every sample's members land exactly
+    once across tar shards ({key}.txt UTF-8, {key}.json for non-string,
+    binary raw), shards roll at samples_per_shard, names are unique per
+    task (no committer needed), and the manifest matches what is on
+    disk."""
+    import glob
+    import json
+    import os
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.sources import write_webdataset
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id", "text", "n_chars",
+            F.encode(F.col("lang"), "utf-8").alias("blob"),
+        )
+        .repartition(3)
+    )
+    want = {str(r["doc_id"]): (r["text"], r["n_chars"], r["lang"])
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        docs, out, "doc_id",
+        {"text": "txt", "n_chars": "json", "blob": "bin"},
+        samples_per_shard=100,
+    ).collect()
+
+    shards = sorted(glob.glob(f"{out}/shard-*.tar"))
+    assert len(shards) >= 5  # 500 docs / 100 per shard over >=3 tasks
+    man = {r["shard"]: (r["n_samples"], r["n_bytes"]) for r in manifest}
+    assert set(man) == {os.path.basename(s) for s in shards}
+
+    got = {}
+    for s in shards:
+        n_in_shard = 0
+        seen_keys = set()
+        with tarfile.open(s) as tf:
+            members = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+        for name, payload in members.items():
+            key, ext = name.rsplit(".", 1)
+            if key not in seen_keys:
+                seen_keys.add(key)
+                n_in_shard += 1
+            e = got.setdefault(key, {})
+            assert ext not in e  # no duplicate member anywhere
+            e[ext] = payload
+        assert n_in_shard == man[os.path.basename(s)][0]
+        assert man[os.path.basename(s)][1] == os.path.getsize(s)
+        assert n_in_shard <= 100
+    assert set(got) == set(want)
+    for key, (text, n_chars, lang) in want.items():
+        assert got[key]["txt"].decode("utf-8") == text
+        assert json.loads(got[key]["json"]) == n_chars
+        assert got[key]["bin"].decode("utf-8") == lang
