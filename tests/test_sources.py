@@ -156,3 +156,33 @@ def test_write_webdataset_roundtrip(spark, sf_dir, tmp_path):
         assert got[key]["txt"].decode("utf-8") == text
         assert json.loads(got[key]["json"]) == n_chars
         assert got[key]["bin"].decode("utf-8") == lang
+
+
+def test_read_webdataset_roundtrip(spark, sf_dir, tmp_path):
+    """write_webdataset -> read_webdataset round-trips every sample:
+    one row per key, members come back as binary columns, missing
+    members are NULL, and parallelism is per-shard (binaryFile)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.sources import read_webdataset, write_webdataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "wds2")
+    write_webdataset(
+        docs.repartition(2), out, "doc_id", {"text": "txt", "lang": "cls"},
+        samples_per_shard=150,
+    )
+
+    back = read_webdataset(f"{out}/shard-*.tar", {"text": "txt", "lang": "cls"})
+    got = {
+        r["key"]: (r["text"], r["lang"])
+        for r in back.to_spark().select(
+            "key",
+            F.decode("text", "utf-8").alias("text"),
+            F.decode("lang", "utf-8").alias("lang"),
+        ).collect()
+    }
+    want = {str(r["doc_id"]): (r["text"], r["lang"]) for r in docs.collect()}
+    assert got == want

@@ -579,3 +579,66 @@ def write_webdataset(
     return s.createDataFrame(
         manifest_rows or [], "shard string, n_samples long, n_bytes long"
     )
+
+
+def read_webdataset(
+    path: str,
+    column_extensions: _ty.Dict[str, str],
+    key_col: str = "key",
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Read WebDataset tar shards back into a DataFrame — the inverse
+    of :func:`write_webdataset` (and compatible with any
+    WebDataset-layout archive: members named ``{key}.{ext}``, one
+    sample's members contiguous or not). ``column_extensions`` maps
+    output columns to member extensions; every member payload comes
+    back as BINARY (decode/parse downstream — text is
+    ``decode(col, 'utf-8')``, json is ``from_json``), missing members
+    are NULL.
+
+    Scale shape: shards load via Spark's distributed ``binaryFile``
+    source (one task per shard — exactly the parallelism the format is
+    designed for), each task walks its tar in memory with stdlib
+    ``tarfile`` and emits one row per sample key. A shard must fit an
+    executor's memory — true by construction for WebDataset shards
+    (they are sized for sequential streaming)."""
+    s = _spark(spark)
+    exts = dict(column_extensions)
+    src = s.read.format("binaryFile").load(path)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType(), False)]
+        + [T.StructField(c, T.BinaryType(), True) for c in exts]
+    )
+
+    def _parse(batches):
+        import io
+        import tarfile as _tarfile
+
+        import pandas as pd
+
+        by_ext = {v: k for k, v in exts.items()}
+        for pdf in batches:
+            for blob in pdf["content"]:
+                samples: dict = {}
+                with _tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile() or "." not in m.name:
+                            continue
+                        key, ext = m.name.rsplit(".", 1)
+                        col = by_ext.get(ext)
+                        if col is None:
+                            continue
+                        samples.setdefault(key, {})[col] = tf.extractfile(m).read()
+                if samples:
+                    yield pd.DataFrame(
+                        [
+                            {key_col: k, **{c: v.get(c) for c in exts}}
+                            for k, v in samples.items()
+                        ],
+                        columns=[key_col, *exts],
+                    )
+
+    return DataFrame(src.select("content").mapInPandas(_parse, out_schema))
