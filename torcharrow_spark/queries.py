@@ -5387,6 +5387,130 @@ def _norm_url_sql(expr: str) -> str:
     return u
 
 
+# DuckDB replay of full-batch logistic-regression training
+# (operators/classifier.logreg_train): per-iteration gradient CTEs with
+# the exact same arithmetic — round8 per-row contributions, exact
+# DECIMAL(28,8) sums, CAST-to-double / COUNT(*) means, left-associated
+# margin — so the trained weights, and every score, are bit-identical.
+def _logreg_ctes(iters: int, lr: float, src: str = "documents") -> tuple:
+    """Per-iteration training CTEs over source table/CTE ``src`` (must
+    expose doc_id, lang, n_chars, text). Returns (cte_list,
+    final_score_expr) where the score expression references the final
+    weight CTE ``w{iters}`` (CROSS JOIN it at use site)."""
+    feats = ["x0", "x1", "x2"]
+
+    def r8(e: str) -> str:
+        return f"floor(({e}) * 100000000.0 + 0.5) / 100000000.0"
+
+    def margin(wref: str) -> str:
+        return " + ".join(f"{x} * {wref}.w{i}" for i, x in enumerate(feats))
+
+    ctes = [
+        f"""feat AS (
+      SELECT doc_id,
+             1.0 AS x0,
+             {r8("ln(1.0 + nw)")} AS x1,
+             {r8("n_chars / nw")} AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM (
+        SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars,
+               CAST(len(string_split({_NORM}, ' ')) AS DOUBLE) AS nw
+        FROM {src}
+      ) WHERE nw > 0
+    )""",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{i}" for i in range(len(feats))) + ")",
+    ]
+    for t in range(iters):
+        p = f"1.0 / (1.0 + exp(-({margin(f'w{t}')})))"
+        sums = ", ".join(
+            f"CAST(SUM(CAST({r8(f'(({p}) - y) * {x}')} AS DECIMAL(28,8))) AS DOUBLE)"
+            f" / COUNT(*) AS g{i}"
+            for i, x in enumerate(feats)
+        )
+        ctes.append(f"g{t} AS (SELECT {sums} FROM feat CROSS JOIN w{t})")
+        upd = ", ".join(
+            f"w{t}.w{i} - {lr!r} * g{t}.g{i} AS w{i}" for i in range(len(feats))
+        )
+        ctes.append(f"w{t + 1} AS (SELECT {upd} FROM w{t} CROSS JOIN g{t})")
+    final_p = f"1.0 / (1.0 + exp(-({margin(f'w{iters}')})))"
+    score = f"floor(({final_p}) * 1000000.0 + 0.5) / 1000000.0"
+    return ctes, score
+
+
+def _logreg_oracle_sql(iters: int, lr: float) -> str:
+    ctes, score = _logreg_ctes(iters, lr)
+    n = iters
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT doc_id, CAST(y AS BIGINT) AS label,
+           {score} AS score
+    FROM feat CROSS JOIN w{n}
+    """
+    )
+
+
+@query(
+    "q141_decontaminate",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(u), 1, 15))::UBIGINT::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               UNNEST([array_to_string(w[s+1:s+8], ' ')
+                       for s in range(0, GREATEST(len(w) - 7, 0))]) AS u
+        FROM docs
+      )
+    ),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 0),
+    totals AS (SELECT doc_id, COUNT(*)::BIGINT AS n_shingles
+               FROM tr GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_overlap
+      FROM tr WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
+    ),
+    verdict AS (
+      SELECT d.doc_id,
+             COALESCE(n_shingles, 0)::BIGINT AS n_shingles,
+             COALESCE(n_overlap, 0)::BIGINT AS n_overlap,
+             CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0::DOUBLE
+                  ELSE COALESCE(n_overlap, 0)::DOUBLE
+                       / n_shingles::DOUBLE END AS overlap_frac,
+             CASE WHEN COALESCE(n_shingles, 0) = 0 THEN FALSE
+                  ELSE COALESCE(n_overlap, 0)::DOUBLE
+                       / n_shingles::DOUBLE >= 0.3 END AS contaminated
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      LEFT JOIN totals USING (doc_id)
+      LEFT JOIN hits USING (doc_id)
+    )
+    SELECT t.doc_id, t.n_chars, v.n_shingles, v.n_overlap, v.overlap_frac
+    FROM documents t JOIN verdict v USING (doc_id)
+    WHERE t.doc_id % 10 <> 0 AND NOT v.contaminated
+    """,
+)
+def q141_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
+    """Benchmark decontamination end-to-end (operators/dedup.
+    decontaminate — r5): every tenth document plays the benchmark set,
+    the rest are the training corpus; training docs whose distinct
+    8-shingle overlap with the benchmark reaches 0.3 are DROPPED, and
+    the survivors come back with their audit columns. The flag half is
+    q87's linear shingle semi-join; this adds one id-keyed hash join
+    of train against its own verdict — nothing pairwise."""
+    from torcharrow_spark.operators import decontaminate
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    benchmark = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, benchmark, k=8, threshold=0.3).select(
+        "doc_id", "n_chars", "n_shingles", "n_overlap", "overlap_frac"
+    )
+
+
+
 @query(
     "q144_url_dedup",
     oracle=f"""
@@ -6146,6 +6270,149 @@ def q134_pack_nosplit(spark: SparkSession, sf_dir: str) -> SDF:
     return pack_documents_nosplit(sized, "doc_id", "toks", budget=512, n_shards=8)
 
 
+def _q145_oracle() -> str:
+    lg_ctes, lg_score = _logreg_ctes(3, 1.0, src="d2")
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://www.Example' || (doc_id % 400) || '.com/Page'
+                      || (doc_id % 400) || '/'
+          WHEN 1 THEN 'http://EXAMPLE' || (doc_id % 400) || '.COM/Page'
+                      || (doc_id % 400)
+          WHEN 2 THEN 'Example' || (doc_id % 400) || '.com/Page'
+                      || (doc_id % 400) || '?utm_campaign=a&fbclid=zz'
+          ELSE 'https://Example' || (doc_id % 400) || '.com/Page'
+               || (doc_id % 400) || '#sec'
+        END AS url
+      FROM documents
+    ),
+    cu AS (SELECT doc_id, {_norm_url_sql("url")} AS canonical_url FROM u),
+    uk AS (SELECT MIN(doc_id) AS doc_id FROM cu GROUP BY canonical_url),
+    d1 AS (SELECT d.* FROM documents d JOIN uk USING (doc_id)),
+    {_gopher_reason_cte(min_words=30, max_dupw=0.6)},
+    d2 AS (
+      SELECT d1.* FROM d1 JOIN gm USING (doc_id) WHERE gm.reason IS NULL
+    ),
+    {",".join(lg_ctes)},
+    sc AS (
+      SELECT doc_id, {lg_score} AS score FROM feat CROSS JOIN w3
+    ),
+    msc AS (
+      SELECT CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS m
+      FROM sc
+    ),
+    k3 AS (SELECT doc_id FROM sc CROSS JOIN msc WHERE score >= m),
+    d3 AS (SELECT d2.* FROM d2 JOIN k3 USING (doc_id)),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+            FROM d3)
+      GROUP BY k
+    ),
+    base AS (
+      SELECT k2.doc_id, GREATEST(k2.n_chars // 4, 1) AS n_tokens,
+             md5('pack:0|' || k2.doc_id::VARCHAR) AS pk
+      FROM d3 k2 JOIN surv USING (doc_id)
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(pk, 1, 12))::UBIGINT::BIGINT % 8 AS shard, pk
+      FROM base
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+      FROM sharded
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(cb // 2048 AS BIGINT) AS bin,
+           CAST(cb % 2048 AS BIGINT) AS "offset"
+    FROM packed
+    """
+
+
+@query("q145_modern_curation", oracle=_q145_oracle())
+def q145_modern_curation(spark: SparkSession, sf_dir: str) -> SDF:
+    """The MODERN curation pipeline end-to-end (r5 capstone — q129's
+    chain with the r5 stages composed in): (1) URL-keyed dedup on
+    canonical URLs (textstats.url_dedup_ids — the cheapest pass, runs
+    before anything touches text) -> (2) Gopher heuristic gate ->
+    (3) LEARNED quality filter: logistic regression trained ON THE
+    GATED SURVIVORS (classifier.logreg_train, bit-deterministic fit),
+    keep the above-(decimal-exact)-mean half -> (4) exact content dedup keep-min-id ->
+    (5) fixed-budget sequence packing. Every stage is the
+    already-oracle-verified operator; the chained SQL oracle replays
+    ALL FIVE — trained weights included — bit-for-bit, proving the
+    composition has no semantic drift. This is the pipeline shape a
+    pretraining-data run actually ships."""
+    from torcharrow_spark.operators import (
+        exact_dedup,
+        gopher_filter,
+        logreg_score,
+        logreg_train,
+        pack_documents,
+        url_dedup_ids,
+    )
+    from torcharrow_spark.operators.relevance import _round8, _words
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    b = (F.col("doc_id") % 400).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www.Example"), b, F.lit(".com/Page"), b, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://EXAMPLE"), b, F.lit(".COM/Page"), b))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("Example"), b, F.lit(".com/Page"), b,
+                       F.lit("?utm_campaign=a&fbclid=zz")))
+        .otherwise(
+            F.concat(F.lit("https://Example"), b, F.lit(".com/Page"), b,
+                     F.lit("#sec")))
+    )
+    u_keep = url_dedup_ids(docs.select("doc_id", url.alias("url"))).select("doc_id")
+    d1 = docs.join(u_keep, "doc_id", "left_semi")
+    g = (
+        gopher_filter(d1, min_words=30, max_dup_word_frac=0.6)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    d2 = d1.join(g, "doc_id", "left_semi")
+    nw = F.size(_words(F.col("text"))).cast("double")
+    feat = d2.where(nw > 0).select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        _round8(F.log(F.lit(1.0) + nw)).alias("x1"),
+        _round8(F.col("n_chars").cast("double") / nw).alias("x2"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
+    scored = logreg_score(feat, ["x0", "x1", "x2"], w)
+    # relative cutoff — keep the above-mean half (the top-k%-by-score
+    # shape real pipelines use; an absolute 0.5 keeps nothing when the
+    # positive class is a minority). The mean is decimal-exact over the
+    # round6 scores, so the cutoff is aggregation-order independent.
+    mean_score = (
+        F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1))
+    ).alias("m")
+    k3 = (
+        scored.crossJoin(F.broadcast(scored.agg(mean_score)))
+        .where(F.col("score") >= F.col("m"))
+        .select("doc_id")
+    )
+    d3 = d2.join(k3, "doc_id", "left_semi")
+    surv = exact_dedup(d3)
+    sized = surv.select(
+        "doc_id",
+        F.greatest(F.expr("n_chars DIV 4"), F.lit(1).cast("long")).alias("toks"),
+    )
+    return pack_documents(sized, "doc_id", "toks", budget=2048, n_shards=8)
+
+
 @query(
     "q131_column_sort_dedup",
     oracle="""
@@ -6208,118 +6475,6 @@ def _kmeans_cents_sql(dim: int, k: int) -> str:
     ),
     cents AS (SELECT cl AS cell, [{clist}] AS cv FROM cfin)
     """
-
-
-# DuckDB replay of full-batch logistic-regression training
-# (operators/classifier.logreg_train): per-iteration gradient CTEs with
-# the exact same arithmetic — round8 per-row contributions, exact
-# DECIMAL(28,8) sums, CAST-to-double / COUNT(*) means, left-associated
-# margin — so the trained weights, and every score, are bit-identical.
-def _logreg_oracle_sql(iters: int, lr: float) -> str:
-    feats = ["x0", "x1", "x2"]
-
-    def r8(e: str) -> str:
-        return f"floor(({e}) * 100000000.0 + 0.5) / 100000000.0"
-
-    def margin(wref: str) -> str:
-        return " + ".join(f"{x} * {wref}.w{i}" for i, x in enumerate(feats))
-
-    ctes = [
-        f"""feat AS (
-      SELECT doc_id,
-             1.0 AS x0,
-             {r8("ln(1.0 + nw)")} AS x1,
-             {r8("n_chars / nw")} AS x2,
-             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-      FROM (
-        SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars,
-               CAST(len(string_split({_NORM}, ' ')) AS DOUBLE) AS nw
-        FROM documents
-      ) WHERE nw > 0
-    )""",
-        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{i}" for i in range(len(feats))) + ")",
-    ]
-    for t in range(iters):
-        p = f"1.0 / (1.0 + exp(-({margin(f'w{t}')})))"
-        sums = ", ".join(
-            f"CAST(SUM(CAST({r8(f'(({p}) - y) * {x}')} AS DECIMAL(28,8))) AS DOUBLE)"
-            f" / COUNT(*) AS g{i}"
-            for i, x in enumerate(feats)
-        )
-        ctes.append(f"g{t} AS (SELECT {sums} FROM feat CROSS JOIN w{t})")
-        upd = ", ".join(
-            f"w{t}.w{i} - {lr!r} * g{t}.g{i} AS w{i}" for i in range(len(feats))
-        )
-        ctes.append(f"w{t + 1} AS (SELECT {upd} FROM w{t} CROSS JOIN g{t})")
-    final_p = f"1.0 / (1.0 + exp(-({margin(f'w{iters}')})))"
-    return (
-        "WITH " + ",\n    ".join(ctes) + f"""
-    SELECT doc_id, CAST(y AS BIGINT) AS label,
-           floor(({final_p}) * 1000000.0 + 0.5) / 1000000.0 AS score
-    FROM feat CROSS JOIN w{iters}
-    """
-    )
-
-
-@query(
-    "q141_decontaminate",
-    oracle=f"""
-    WITH docs AS (
-      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(u), 1, 15))::UBIGINT::BIGINT AS h
-      FROM (
-        SELECT doc_id,
-               UNNEST([array_to_string(w[s+1:s+8], ' ')
-                       for s in range(0, GREATEST(len(w) - 7, 0))]) AS u
-        FROM docs
-      )
-    ),
-    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
-    tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 0),
-    totals AS (SELECT doc_id, COUNT(*)::BIGINT AS n_shingles
-               FROM tr GROUP BY doc_id),
-    hits AS (
-      SELECT doc_id, COUNT(*)::BIGINT AS n_overlap
-      FROM tr WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
-    ),
-    verdict AS (
-      SELECT d.doc_id,
-             COALESCE(n_shingles, 0)::BIGINT AS n_shingles,
-             COALESCE(n_overlap, 0)::BIGINT AS n_overlap,
-             CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0::DOUBLE
-                  ELSE COALESCE(n_overlap, 0)::DOUBLE
-                       / n_shingles::DOUBLE END AS overlap_frac,
-             CASE WHEN COALESCE(n_shingles, 0) = 0 THEN FALSE
-                  ELSE COALESCE(n_overlap, 0)::DOUBLE
-                       / n_shingles::DOUBLE >= 0.3 END AS contaminated
-      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
-      LEFT JOIN totals USING (doc_id)
-      LEFT JOIN hits USING (doc_id)
-    )
-    SELECT t.doc_id, t.n_chars, v.n_shingles, v.n_overlap, v.overlap_frac
-    FROM documents t JOIN verdict v USING (doc_id)
-    WHERE t.doc_id % 10 <> 0 AND NOT v.contaminated
-    """,
-)
-def q141_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
-    """Benchmark decontamination end-to-end (operators/dedup.
-    decontaminate — r5): every tenth document plays the benchmark set,
-    the rest are the training corpus; training docs whose distinct
-    8-shingle overlap with the benchmark reaches 0.3 are DROPPED, and
-    the survivors come back with their audit columns. The flag half is
-    q87's linear shingle semi-join; this adds one id-keyed hash join
-    of train against its own verdict — nothing pairwise."""
-    from torcharrow_spark.operators import decontaminate
-
-    docs = _load(spark, sf_dir, "documents").to_spark()
-    benchmark = docs.where(F.col("doc_id") % 10 == 0)
-    train = docs.where(F.col("doc_id") % 10 != 0)
-    return decontaminate(train, benchmark, k=8, threshold=0.3).select(
-        "doc_id", "n_chars", "n_shingles", "n_overlap", "overlap_frac"
-    )
 
 
 @query("q140_logreg_quality", oracle=_logreg_oracle_sql(iters=3, lr=1.0))
