@@ -141,6 +141,8 @@ ANCHOR = {
     "q141_decontaminate": 1.156,
     "q142_audio_decode": 0.277,
     "q143_video_container": 0.241,
+    "q144_url_dedup": 0.187,
+    "q145_modern_curation": 4.551,
 }
 
 
@@ -194,6 +196,8 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q141_decontaminate": 315580,
     "q142_audio_decode": 0,
     "q143_video_container": 0,
+    "q144_url_dedup": 4155,
+    "q145_modern_curation": 32480,
 }
 
 
