@@ -74,8 +74,8 @@ HEADLINE = [
     "q141_decontaminate",
     "q142_audio_decode",
     "q143_video_container",
-    "q144_url_dedup",  # no anchor yet: first measurement is the baseline
-    "q145_modern_curation",  # capstone composition; first measurement = baseline
+    "q144_url_dedup",
+    "q145_modern_curation",  # the r5 capstone composition
 ]
 
 # Steady-state seconds at sf0.1 on local[32] — the regression anchor.

@@ -2636,23 +2636,31 @@ def test_normalize_url_and_dedup(spark):
         (3, "example.com/Page?utm_campaign=a&fbclid=zz"),
         (4, "https://Example.com/Page#section"),
         (5, "https://example.com/Page?utm_source=x&utm_medium=y&ref=z"),
+        (10, "https://WWW.example.com/Page"),       # uppercase WWW strips too
         # distinct pages
         (6, "https://example.com/Page?id=5"),
         (7, "https://example.com/page"),           # path case differs
         (8, "https://example.com/Page?utm_source=x&id=5&ref=z"),
         (9, "https://other.com/Page"),
+        (11, None),                                # NULL urls pass through
+        (12, None),
     ]
     df = spark.createDataFrame(variants, "doc_id long, url string")
     canon = {r["doc_id"]: r["c"]
              for r in df.select("doc_id", normalize_url("url").alias("c")).collect()}
     assert canon[1] == canon[2] == canon[3] == canon[4] == canon[5] \
-        == "example.com/Page"
+        == canon[10] == "example.com/Page"
     assert canon[6] == "example.com/Page?id=5" == canon[8]
     assert canon[7] == "example.com/page"
     assert canon[9] == "other.com/Page"
+    assert canon[11] is None
 
+    rows = url_dedup_ids(df).collect()
     out = {r["canonical_url"]: r["doc_id"]
-           for r in url_dedup_ids(df).collect()}
+           for r in rows if r["canonical_url"] is not None}
     assert out["example.com/Page"] == 1          # min id survives
     assert out["example.com/Page?id=5"] == 6
     assert len(out) == 4
+    # NULL urls are NOT keyed together: every url-less row survives
+    null_ids = sorted(r["doc_id"] for r in rows if r["canonical_url"] is None)
+    assert null_ids == [11, 12]

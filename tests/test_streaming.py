@@ -731,10 +731,26 @@ def test_dedup_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in dedup_windowed_counts_batch(duplicated, keys).collect()
     }
 
+    # the redelivered copy lands in its OWN file (file_0 = the corpus,
+    # file_1 = the corpus again; one file per trigger), so every
+    # duplicate arrives in a LATER micro-batch than its original and
+    # the dedup decision must come from CROSS-BATCH state; duplicates
+    # older than the watermark horizon are dropped by the watermark
+    # instead — same exactly-once metrics either way
+    import os
+    import shutil
+
     src = str(tmp_path / "events_dup")
-    duplicated.orderBy("ts", "event_id").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
+    os.makedirs(src, exist_ok=True)
+    for i in range(2):
+        part = f"{src}/part{i}"
+        ev.orderBy("ts", "event_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+        os.rename(f"{part}/{f}", f"{src}/file_{i}.parquet")
+        os.utime(f"{src}/file_{i}.parquet", (2_000_000 + i, 2_000_000 + i))
+        shutil.rmtree(part)
     q = dedup_windowed_counts_stream(
         spark, src, ev.schema, keys,
         query_name="t_dedup_window", max_files_per_trigger=1,
@@ -743,6 +759,7 @@ def test_dedup_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    assert len(q.recentProgress) >= 2  # duplicates really spanned batches
     got = {
         (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
         for r in spark.sql("SELECT * FROM t_dedup_window").collect()

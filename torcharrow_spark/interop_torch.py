@@ -12,9 +12,9 @@ Distributed note: `to_tensor` is a DRIVER-side sink for model hand-off
 (bounded by what fits on the driver, like the reference's single-node
 semantics). For training-scale export, `batched_tensors` streams:
 executors serialize their Arrow batches to IPC payloads (mapInArrow)
-and the driver walks them one partition at a time via toLocalIterator —
-peak driver memory is one partition's payloads plus ~2x batch_size
-rows, never the dataset.
+and the driver walks them via toLocalIterator with partition prefetch —
+peak driver memory is ~two partitions' payloads (current + prefetched)
+plus ~2x batch_size rows, never the dataset.
 """
 
 from __future__ import annotations
@@ -210,8 +210,8 @@ def batched_tensors(df, batch_size: int = 65536):
     Streams without a whole-dataset driver materialization: each executor
     serializes its Arrow record batches to IPC payloads (mapInArrow, one
     output row per batch), and the driver walks them with toLocalIterator
-    — holding one partition's payloads plus at most ~2x batch_size
-    buffered rows at a time, never the full dataset. Batches are
+    — holding at most ~two partitions' payloads (current + prefetch)
+    plus ~2x batch_size buffered rows at a time, never the full dataset. Batches are
     re-chunked driver-side so every yielded batch has exactly
     `batch_size` rows (except the last)."""
     sdf = df.to_spark() if hasattr(df, "to_spark") else df

@@ -554,7 +554,9 @@ def normalize_url(col) -> F.Column:
     port elision / path dot-segments): those need a URL parser; this is
     the high-yield 99% that a regexp chain gets exactly."""
     c = F.col(col) if isinstance(col, str) else col
-    host = F.lower(F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:www\.)?([^/?#]*)", 1))
+    # www. stripped case-INsensitively (the regex runs before the
+    # lowercasing, so a literal www\. would miss WWW. hosts)
+    host = F.lower(F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[wW][wW][wW]\.)?([^/?#]*)", 1))
     rest = F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^#]*)", 1)
     u = F.concat(host, rest)
     # tracking params, preserving the delimiter of the FOLLOWING param
@@ -576,12 +578,21 @@ def url_dedup_ids(df: SDF, url_col: str = "url", id_col: str = "doc_id") -> SDF:
     """One surviving id per canonical URL (keep min id) — URL-keyed
     exact dedup, the cheapest dedup pass a web corpus runs before any
     content hashing. Returns ``(id, canonical_url)`` for survivors.
-    One hash shuffle on the canonical string; at 100 TB swap the key
-    for its md5 halves like `dedup.exact_dedup_ids` if URLs are long."""
+    Rows with a NULL url PASS THROUGH untouched (canonical_url NULL,
+    every id kept) — keying them together would silently collapse all
+    url-less documents into one survivor. One hash shuffle on the
+    canonical string; at 100 TB swap the key for its md5 halves like
+    `dedup.exact_dedup_ids` if URLs are long."""
     canon = normalize_url(F.col(url_col))
-    return (
-        df.select(F.col(id_col), canon.alias("canonical_url"))
+    keyed = df.select(F.col(id_col), canon.alias("canonical_url"))
+    deduped = (
+        keyed.where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "canonical_url")
+    )
+    return deduped.unionByName(
+        keyed.where(F.col("canonical_url").isNull()).select(
+            id_col, "canonical_url"
+        )
     )

@@ -5365,13 +5365,46 @@ def q126_multimodal_decode(spark: SparkSession, sf_dir: str) -> SDF:
     return decode_image_stats(with_png, "img", "doc_id")
 
 
+def _synth_url_case_sql(mod: int) -> str:
+    """doc_id-derived synthetic URL (SQL side) — four variant shapes of
+    the same page (www/case/tracking/fragment), shared by q144 and the
+    q145 capstone so the two cannot drift."""
+    return f"""CASE doc_id % 4
+          WHEN 0 THEN 'https://www.Example' || (doc_id % {mod}) || '.com/Page'
+                      || (doc_id % {mod}) || '/'
+          WHEN 1 THEN 'http://EXAMPLE' || (doc_id % {mod}) || '.COM/Page'
+                      || (doc_id % {mod})
+          WHEN 2 THEN 'Example' || (doc_id % {mod}) || '.com/Page'
+                      || (doc_id % {mod}) || '?utm_campaign=a&fbclid=zz'
+          ELSE 'https://Example' || (doc_id % {mod}) || '.com/Page'
+               || (doc_id % {mod}) || '#sec'
+        END"""
+
+
+def _synth_url_expr(mod: int) -> F.Column:
+    """Spark twin of `_synth_url_case_sql` — identical strings."""
+    b = (F.col("doc_id") % mod).cast("string")
+    return (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www.Example"), b, F.lit(".com/Page"), b, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://EXAMPLE"), b, F.lit(".COM/Page"), b))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("Example"), b, F.lit(".com/Page"), b,
+                       F.lit("?utm_campaign=a&fbclid=zz")))
+        .otherwise(
+            F.concat(F.lit("https://Example"), b, F.lit(".com/Page"), b,
+                     F.lit("#sec")))
+    )
+
+
 # DuckDB replay of normalize_url's exact regexp chain (RE2 both
 # engines; DuckDB backrefs are \1 where Spark uses $1, and DuckDB
 # needs the explicit 'g' flag Spark implies).
 def _norm_url_sql(expr: str) -> str:
     host = (
         f"lower(regexp_extract({expr}, "
-        "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:www\\.)?([^/?#]*)', 1))"
+        "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[wW][wW][wW]\\.)?([^/?#]*)', 1))"
     )
     rest = (
         f"regexp_extract({expr}, "
@@ -5516,16 +5549,7 @@ def q141_decontaminate(spark: SparkSession, sf_dir: str) -> SDF:
     oracle=f"""
     WITH u AS (
       SELECT doc_id,
-        CASE doc_id % 4
-          WHEN 0 THEN 'https://www.Example' || (doc_id % 100) || '.com/Page'
-                      || (doc_id % 100) || '/'
-          WHEN 1 THEN 'http://EXAMPLE' || (doc_id % 100) || '.COM/Page'
-                      || (doc_id % 100)
-          WHEN 2 THEN 'Example' || (doc_id % 100) || '.com/Page'
-                      || (doc_id % 100) || '?utm_campaign=a&fbclid=zz'
-          ELSE 'https://Example' || (doc_id % 100) || '.com/Page'
-               || (doc_id % 100) || '#sec'
-        END AS url
+        {_synth_url_case_sql(100)} AS url
       FROM documents
     ),
     c AS (SELECT doc_id, {_norm_url_sql("url")} AS canonical_url FROM u)
@@ -5545,19 +5569,7 @@ def q144_url_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     from torcharrow_spark.operators import url_dedup_ids
 
     docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
-    b = (F.col("doc_id") % 100).cast("string")
-    url = (
-        F.when(F.col("doc_id") % 4 == 0,
-               F.concat(F.lit("https://www.Example"), b, F.lit(".com/Page"), b, F.lit("/")))
-        .when(F.col("doc_id") % 4 == 1,
-              F.concat(F.lit("http://EXAMPLE"), b, F.lit(".COM/Page"), b))
-        .when(F.col("doc_id") % 4 == 2,
-              F.concat(F.lit("Example"), b, F.lit(".com/Page"), b,
-                       F.lit("?utm_campaign=a&fbclid=zz")))
-        .otherwise(
-            F.concat(F.lit("https://Example"), b, F.lit(".com/Page"), b,
-                     F.lit("#sec")))
-    )
+    url = _synth_url_expr(100)
     return url_dedup_ids(docs.select("doc_id", url.alias("url")))
 
 
@@ -6275,16 +6287,7 @@ def _q145_oracle() -> str:
     return f"""
     WITH u AS (
       SELECT doc_id,
-        CASE doc_id % 4
-          WHEN 0 THEN 'https://www.Example' || (doc_id % 400) || '.com/Page'
-                      || (doc_id % 400) || '/'
-          WHEN 1 THEN 'http://EXAMPLE' || (doc_id % 400) || '.COM/Page'
-                      || (doc_id % 400)
-          WHEN 2 THEN 'Example' || (doc_id % 400) || '.com/Page'
-                      || (doc_id % 400) || '?utm_campaign=a&fbclid=zz'
-          ELSE 'https://Example' || (doc_id % 400) || '.com/Page'
-               || (doc_id % 400) || '#sec'
-        END AS url
+        {_synth_url_case_sql(400)} AS url
       FROM documents
     ),
     cu AS (SELECT doc_id, {_norm_url_sql("url")} AS canonical_url FROM u),
@@ -6360,19 +6363,7 @@ def q145_modern_curation(spark: SparkSession, sf_dir: str) -> SDF:
     from torcharrow_spark.operators.relevance import _round8, _words
 
     docs = _load(spark, sf_dir, "documents").to_spark()
-    b = (F.col("doc_id") % 400).cast("string")
-    url = (
-        F.when(F.col("doc_id") % 4 == 0,
-               F.concat(F.lit("https://www.Example"), b, F.lit(".com/Page"), b, F.lit("/")))
-        .when(F.col("doc_id") % 4 == 1,
-              F.concat(F.lit("http://EXAMPLE"), b, F.lit(".COM/Page"), b))
-        .when(F.col("doc_id") % 4 == 2,
-              F.concat(F.lit("Example"), b, F.lit(".com/Page"), b,
-                       F.lit("?utm_campaign=a&fbclid=zz")))
-        .otherwise(
-            F.concat(F.lit("https://Example"), b, F.lit(".com/Page"), b,
-                     F.lit("#sec")))
-    )
+    url = _synth_url_expr(400)
     u_keep = url_dedup_ids(docs.select("doc_id", url.alias("url"))).select("doc_id")
     d1 = docs.join(u_keep, "doc_id", "left_semi")
     g = (

@@ -494,11 +494,18 @@ def write_webdataset(
     ``column_extensions`` maps DataFrame columns to member extensions;
     string columns are written UTF-8, binary columns raw bytes, and
     anything else as its JSON rendering. Each TASK writes its own
-    shards (``shard-{partition:05d}-{seq:05d}.tar`` — names are unique
-    per task, so no committer is needed and a re-run with
-    mode-overwrite semantics is achieved by writing into a fresh
-    directory), rolling to a new tar every ``samples_per_shard``
-    samples. This is the standard WebDataset export shape: shard count
+    shards (``shard-{partition:05d}-{seq:05d}.tar``), rolling to a new
+    tar every ``samples_per_shard`` samples. Rows whose mapped columns
+    are ALL NULL are skipped (and not counted) — they would be
+    invisible to any reader.
+
+    Shard names are unique per PARTITION, not per attempt: there is no
+    output committer, so run with speculative execution off (Spark's
+    default) and do not re-run a failed job into the same directory —
+    write to a fresh directory and rename it into place (the same
+    single-writer contract as `compact_parquet`). Two attempts of one
+    task racing on shared storage would interleave writes into the
+    same tar. This is the standard WebDataset export shape: shard count
     scales with partitions, no driver bottleneck, and the return value
     is a (shard, n_samples, n_bytes) manifest DataFrame (small — one
     row per shard) the caller can persist next to the data.
@@ -550,6 +557,7 @@ def write_webdataset(
             if tar is None:
                 _open()
             key = str(row[key_col])
+            wrote = 0
             for col, ext in exts.items():
                 v = row[col]
                 if v is None:
@@ -564,6 +572,11 @@ def write_webdataset(
                 info.size = len(payload)
                 info.mtime = 0  # deterministic archives
                 tar.addfile(info, io.BytesIO(payload))
+                wrote += 1
+            if wrote == 0:
+                # an all-NULL row writes no members: counting it would
+                # make the manifest disagree with what a reader sees
+                continue
             n_in_shard += 1
             if n_in_shard >= samples_per_shard:
                 _close()
