@@ -2664,3 +2664,21 @@ def test_normalize_url_and_dedup(spark):
     # NULL urls are NOT keyed together: every url-less row survives
     null_ids = sorted(r["doc_id"] for r in rows if r["canonical_url"] is None)
     assert null_ids == [11, 12]
+
+
+def test_emit_pairs_chunk_cap_path(spark):
+    """The 256-chunk cap branch: with chunk forced tiny, a 600-element
+    group wants 300 chunks and is capped at 256 (csz recomputed as
+    ceil(m/256)=3, trailing slices empty) — the pair set must still be
+    exactly C(600, 2) with the ordering contract intact."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import _emit_pairs
+
+    m = 600
+    grouped = spark.createDataFrame(
+        [(1, sorted(range(m)))], "g long, ms array<int>"
+    )
+    out = _emit_pairs(grouped, "ms", chunk=2)
+    assert out.count() == m * (m - 1) // 2
+    assert out.where(F.col("__a__") >= F.col("__b__")).count() == 0
