@@ -2682,3 +2682,18 @@ def test_emit_pairs_chunk_cap_path(spark):
     out = _emit_pairs(grouped, "ms", chunk=2)
     assert out.count() == m * (m - 1) // 2
     assert out.where(F.col("__a__") >= F.col("__b__")).count() == 0
+
+
+def test_skew_report_hand_values(spark):
+    """skew_report on a hand-built skewed frame: counts, shares and
+    multiple-of-mean are exact, ordering is hottest-first with a total
+    tie-break, top_k truncates."""
+    from torcharrow_spark.operators import skew_report
+
+    rows = [(k,) for k in (["hot"] * 6 + ["warm"] * 3 + ["a"] * 1 + ["b"] * 2)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top_k=3).collect()
+    assert [(r["k"], r["n_rows"]) for r in out] == [("hot", 6), ("warm", 3), ("b", 2)]
+    r0 = out[0]
+    assert abs(r0["share"] - 6 / 12) < 1e-12
+    assert abs(r0["x_mean"] - 6 * 4 / 12) < 1e-12  # 2x the mean key pop

@@ -931,3 +931,43 @@ def weighted_sample_per_group(
         .where(F.col("__rn__") <= k)
         .drop("__pri__", "__rn__")
     )
+
+
+def skew_report(
+    df: SDF,
+    key_cols: _ty.List[str],
+    top_k: int = 20,
+) -> SDF:
+    """Shuffle-skew diagnostic: the ``top_k`` hottest key tuples of a
+    prospective shuffle/join key with their row counts and corpus
+    share, plus each key's multiple of the MEAN key population — the
+    number an operator owner reads before picking a plan (broadcast the
+    other side, salt the key, or let AQE's skew-join split it; this
+    round's `_emit_pairs` salting threshold came from exactly this kind
+    of measurement). One HashAggregate with map-side combine + a
+    TakeOrderedAndProject over the aggregated (key-cardinality-sized)
+    table — never a sort of the corpus. Output:
+    ``(*key_cols, n_rows, share, x_mean)`` ordered hottest-first."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total__"),
+        F.count(F.lit(1)).alias("__nkeys__"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total__").cast("double"))
+            .alias("share"),
+            (
+                F.col("n_rows").cast("double")
+                * F.col("__nkeys__").cast("double")
+                / F.col("__total__").cast("double")
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top_k)
+    )

@@ -6405,6 +6405,39 @@ def q145_modern_curation(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q146_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey, COUNT(*)::BIGINT AS n_rows
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+      SELECT SUM(n_rows)::BIGINT AS total, COUNT(*)::BIGINT AS nkeys
+      FROM counts
+    )
+    SELECT l_suppkey, n_rows,
+           n_rows::DOUBLE / total::DOUBLE AS share,
+           n_rows::DOUBLE * nkeys::DOUBLE / total::DOUBLE AS x_mean
+    FROM counts CROSS JOIN stats
+    ORDER BY n_rows DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def q146_skew_report(spark: SparkSession, sf_dir: str) -> SDF:
+    """Shuffle-skew diagnostic (operators/preprocess.skew_report — r5):
+    the 20 hottest join/shuffle keys with row counts, corpus share, and
+    multiple-of-mean — the measurement an operator owner reads before
+    choosing broadcast / salting / AQE skew-join (the r5 `_emit_pairs`
+    salting threshold came from this kind of measurement). One
+    map-side-combined HashAggregate + a TakeOrderedAndProject over the
+    key-cardinality-sized count table — never a corpus sort."""
+    from torcharrow_spark.operators import skew_report
+
+    li = _load(spark, sf_dir, "lineitem").to_spark()
+    return skew_report(li, ["l_suppkey"], top_k=20)
+
+
+@query(
     "q131_column_sort_dedup",
     oracle="""
     SELECT DISTINCT n_chars FROM documents
