@@ -2635,13 +2635,16 @@ def test_normalize_url_and_dedup(spark):
         (2, "http://EXAMPLE.com/Page"),
         (3, "example.com/Page?utm_campaign=a&fbclid=zz"),
         (4, "https://Example.com/Page#section"),
-        (5, "https://example.com/Page?utm_source=x&utm_medium=y&ref=z"),
+        (5, "https://example.com/Page?utm_source=x&utm_medium=y"),
         (10, "https://WWW.example.com/Page"),       # uppercase WWW strips too
+        (13, "https://example.com/Page?UTM_SOURCE=x"),  # (?i) trackers
         # distinct pages
         (6, "https://example.com/Page?id=5"),
         (7, "https://example.com/page"),           # path case differs
-        (8, "https://example.com/Page?utm_source=x&id=5&ref=z"),
+        (8, "https://example.com/Page?utm_source=x&id=5"),
         (9, "https://other.com/Page"),
+        # `ref` is FUNCTIONAL, not a tracker (r6): kept, stays distinct
+        (14, "https://example.com/Page?ref=branch"),
         (11, None),                                # NULL urls pass through
         (12, None),
     ]
@@ -2649,18 +2652,26 @@ def test_normalize_url_and_dedup(spark):
     canon = {r["doc_id"]: r["c"]
              for r in df.select("doc_id", normalize_url("url").alias("c")).collect()}
     assert canon[1] == canon[2] == canon[3] == canon[4] == canon[5] \
-        == canon[10] == "example.com/Page"
+        == canon[10] == canon[13] == "example.com/Page"
     assert canon[6] == "example.com/Page?id=5" == canon[8]
     assert canon[7] == "example.com/page"
     assert canon[9] == "other.com/Page"
+    assert canon[14] == "example.com/Page?ref=branch"
     assert canon[11] is None
+    # the tracker list is a parameter: opting `ref` back in strips it
+    canon_ref = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id",
+        normalize_url("url", trackers=("utm_[A-Za-z0-9_]+", "ref")).alias("c"),
+    ).collect()}
+    assert canon_ref[14] == "example.com/Page"
 
     rows = url_dedup_ids(df).collect()
     out = {r["canonical_url"]: r["doc_id"]
            for r in rows if r["canonical_url"] is not None}
     assert out["example.com/Page"] == 1          # min id survives
     assert out["example.com/Page?id=5"] == 6
-    assert len(out) == 4
+    assert out["example.com/Page?ref=branch"] == 14
+    assert len(out) == 5
     # NULL urls are NOT keyed together: every url-less row survives
     null_ids = sorted(r["doc_id"] for r in rows if r["canonical_url"] is None)
     assert null_ids == [11, 12]

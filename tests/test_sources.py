@@ -186,3 +186,37 @@ def test_read_webdataset_roundtrip(spark, sf_dir, tmp_path):
     }
     want = {str(r["doc_id"]): (r["text"], r["lang"]) for r in docs.collect()}
     assert got == want
+
+
+def test_read_webdataset_duplicate_extension_rejected(spark):
+    """Two columns mapped to one extension would silently leave one
+    column always-NULL after the ext->column inversion — rejected."""
+    import pytest
+
+    from torcharrow_spark.sources import read_webdataset
+
+    with pytest.raises(ValueError, match="duplicate extensions"):
+        read_webdataset("/nonexistent/*.tar", {"a": "txt", "b": "txt"})
+
+
+def test_compact_parquet_merges_drifted_schemas(spark, tmp_path):
+    """Small files with drifted schemas in one directory: the bin
+    rewrite must UNION the schemas (missing columns NULL), never drop
+    columns present in only some source files."""
+    import os
+
+    from torcharrow_spark.sources import compact_parquet
+
+    root = str(tmp_path / "drift")
+    os.makedirs(root)
+    spark.range(0, 50).selectExpr("id", "id * 2 AS a") \
+        .coalesce(1).write.mode("append").parquet(root)
+    spark.range(50, 100).selectExpr("id", "id * 3 AS b") \
+        .coalesce(1).write.mode("append").parquet(root)
+    rep = compact_parquet(root, target_file_bytes=1 << 20, spark=spark)
+    assert rep["dirs_compacted"] == 1
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    assert {"id", "a", "b"} <= set(back.columns)
+    rows = {r["id"]: (r["a"], r["b"]) for r in back.collect()}
+    assert len(rows) == 100
+    assert rows[10] == (20, None) and rows[60] == (None, 180)

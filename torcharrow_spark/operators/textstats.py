@@ -539,16 +539,25 @@ def gopher_filter(
     )
 
 
-def normalize_url(col) -> F.Column:
+#: default tracking parameters stripped by `normalize_url` — only the
+#: UNAMBIGUOUS ad/analytics trackers. `ref` is deliberately absent (r5
+#: advisor): it is a functional parameter on many sites (?ref=branch),
+#: and stripping it under keep-min-id dedup silently drops distinct
+#: pages. Entries are regex alternatives matched case-INsensitively.
+DEFAULT_URL_TRACKERS = ("utm_[A-Za-z0-9_]+", "fbclid", "gclid", "msclkid")
+
+
+def normalize_url(col, trackers=DEFAULT_URL_TRACKERS) -> F.Column:
     """Canonical URL form for dedup/grouping (the CommonCrawl-pipeline
     convention): scheme stripped, leading ``www.`` stripped, HOST
     lowercased (paths are case-sensitive and preserved), ``#fragment``
-    dropped, tracking parameters removed (``utm_*``, ``fbclid``,
-    ``gclid``, ``ref``), empty ``?``/dangling ``&`` cleaned, one
-    trailing ``/`` stripped. A pure chained-regexp projection
-    (zero-shuffle, whole-stage codegen, RE2-compatible patterns) whose
-    exact chain any SQL engine replays — two crawls of the same page
-    through different trackers canonicalize to one key.
+    dropped, tracking parameters removed (``trackers`` regex
+    alternatives, case-insensitive — default `DEFAULT_URL_TRACKERS`;
+    pass your own tuple to widen/narrow), empty ``?``/dangling ``&``
+    cleaned, one trailing ``/`` stripped. A pure chained-regexp
+    projection (zero-shuffle, whole-stage codegen, RE2-compatible
+    patterns) whose exact chain any SQL engine replays — two crawls of
+    the same page through different trackers canonicalize to one key.
 
     Deliberately NOT full RFC 3986 normalization (percent-decoding /
     port elision / path dot-segments): those need a URL parser; this is
@@ -565,7 +574,7 @@ def normalize_url(col) -> F.Column:
     # delimiter was consumed), so the replace is applied three times —
     # runs of up to three adjacent trackers (the realistic ceiling)
     # canonicalize fully, and the chain is deterministic either way.
-    track = r"([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?"
+    track = r"(?i)([?&])(?:" + "|".join(trackers) + r")=[^&#]*&?"
     for _ in range(3):
         u = F.regexp_replace(u, track, r"$1")
     u = F.regexp_replace(u, r"\?&", "?")         # "?&id=5" -> "?id=5"

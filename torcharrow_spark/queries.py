@@ -5411,7 +5411,10 @@ def _norm_url_sql(expr: str) -> str:
         "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^#]*)', 1)"
     )
     u = f"({host} || {rest})"
-    track = "'([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*&?'"
+    # mirror of textstats.DEFAULT_URL_TRACKERS ((?i): case-insensitive
+    # in RE2 and Java alike); `ref` dropped r6 (functional param on
+    # many sites — advisor finding)
+    track = "'(?i)([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*&?'"
     for _ in range(3):
         u = f"regexp_replace({u}, {track}, '\\1', 'g')"
     u = f"regexp_replace({u}, '\\?&', '?', 'g')"

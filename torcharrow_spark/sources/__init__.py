@@ -442,7 +442,14 @@ def compact_parquet(
         outputs = []
         for i, b in enumerate(bins):
             dest = os.path.join(tmp, f"bin{i}")
-            s.read.parquet(*[os.path.join(d, f) for f in b]).coalesce(1) \
+            # mergeSchema: small files in one directory may have
+            # drifted schemas (a writer evolved mid-stream); without it
+            # the bin rewrite silently DROPS columns absent from the
+            # first file read (r5 advisor). Columns missing from a
+            # given source file come back NULL — a widening, lossless
+            # rewrite.
+            s.read.option("mergeSchema", "true") \
+                .parquet(*[os.path.join(d, f) for f in b]).coalesce(1) \
                 .write.mode("overwrite").parquet(dest)
             part = next(
                 f for f in os.listdir(dest)
@@ -617,6 +624,14 @@ def read_webdataset(
     (they are sized for sequential streaming)."""
     s = _spark(spark)
     exts = dict(column_extensions)
+    if len(set(exts.values())) != len(exts):
+        # the ext->column inversion below would silently pick one
+        # winner and leave the losing column always-NULL (r5 advisor)
+        raise ValueError(
+            "read_webdataset: duplicate extensions in column_extensions "
+            f"({sorted(exts.values())}); each column needs a distinct "
+            "member extension"
+        )
     src = s.read.format("binaryFile").load(path)
 
     from pyspark.sql import types as T

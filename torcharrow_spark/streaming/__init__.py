@@ -769,7 +769,6 @@ def term_stats_stream(
     path: str,
     schema,
     text_col: str = "text",
-    id_col: str = "doc_id",
     query_name: str = "term_stats_stream",
     max_files_per_trigger: int | None = None,
 ):
