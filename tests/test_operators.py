@@ -2708,3 +2708,223 @@ def test_skew_report_hand_values(spark):
     r0 = out[0]
     assert abs(r0["share"] - 6 / 12) < 1e-12
     assert abs(r0["x_mean"] - 6 * 4 / 12) < 1e-12  # 2x the mean key pop
+
+
+def test_emit_pairs_election_generic(spark):
+    """r5 verdict ask #1 — TOTAL work bound: a bucket over
+    elect_threshold collapses to per-class representatives. Emitted
+    set must be exactly {rep-rep pairs} + {(rep, member) stars}, the
+    ordering contract must hold, and elect_key=None must keep the full
+    C(m,2) emission bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import _emit_pairs
+
+    # 3 classes: class 10 has ids 0..9, class 20 ids 10..14, class 30 id 15
+    members = [(i, 10) for i in range(10)] + \
+              [(i, 20) for i in range(10, 15)] + [(15, 30)]
+    grouped = spark.createDataFrame(
+        [(1, sorted(members))],
+        "g long, ms array<struct<i:long,k:long>>",
+    )
+    elected = _emit_pairs(
+        grouped, "ms", elect_key=lambda x: x["k"], elect_threshold=8
+    )
+    got = {(r["__a__"]["i"], r["__b__"]["i"]) for r in elected.collect()}
+    reps = {0, 10, 15}
+    want = {(a, b) for a in reps for b in reps if a < b}
+    want |= {(0, i) for i in range(1, 10)} | {(10, i) for i in range(11, 15)}
+    assert got == want
+    assert all(a < b for a, b in got)
+
+    # below the threshold: full emission, identical to elect_key=None
+    full = _emit_pairs(grouped, "ms", elect_key=lambda x: x["k"],
+                       elect_threshold=100)
+    plain = _emit_pairs(grouped, "ms")
+    assert full.exceptAll(plain).count() == 0
+    assert plain.exceptAll(full).count() == 0
+    assert plain.count() == 16 * 15 // 2
+
+    # connectivity contraction: components of the elected graph equal
+    # components of the full graph (here: one component per class pair
+    # set — all 16 nodes connected through reps iff fully connected)
+    import itertools
+
+    def comps(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        return {frozenset(g) for _, g in itertools.groupby(
+            sorted(nodes, key=find), key=find)}
+
+    nodes = list(range(16))
+    full_pairs = {(r["__a__"]["i"], r["__b__"]["i"]) for r in plain.collect()}
+    assert comps(got, nodes) == comps(full_pairs, nodes)
+
+
+def test_elect_audit_counts(spark):
+    """_elect_audit: members / n_classes / largest_class / pair math,
+    bucket keys passed through, sub-threshold buckets absent."""
+    from torcharrow_spark.operators.dedup import _elect_audit
+
+    rows = [
+        (1, [10] * 6 + [20] * 3 + [30]),   # 10 members, 3 classes
+        (2, [40, 41]),                      # 2 members: under threshold
+    ]
+    grouped = spark.createDataFrame(rows, "g long, ks array<long>").selectExpr(
+        "g", "transform(ks, x -> named_struct('k', x)) AS ms"
+    )
+    out = _elect_audit(grouped, "ms", lambda x: x["k"], elect_threshold=5)
+    rws = out.collect()
+    assert len(rws) == 1 and rws[0]["g"] == 1
+    r = rws[0]
+    assert r["members"] == 10 and r["n_classes"] == 3
+    assert r["largest_class"] == 6
+    assert r["pairs_full"] == 45
+    assert r["pairs_elected"] == 3 + 7
+    assert not r["cap_bound"]
+
+
+def test_minhash_election_adversarial(spark):
+    """10^6-dup shape at test scale: one boilerplate text duplicated
+    2000x mixed with organic docs. With elect_threshold forced low the
+    pair list must be LINEAR in the duplication (stars + rep pairs,
+    never C(2000,2)), every duplicate must still be linked to the
+    surviving representative, and organic pairs must be unchanged vs
+    the unelected plan."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import minhash_pairs
+
+    n_dup = 2000
+    boiler = ("the same boilerplate text repeated everywhere across this "
+              "synthetic corpus for the election test")
+    dup = spark.range(n_dup).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+    organic = spark.createDataFrame(
+        [(100000, "alpha beta gamma delta epsilon zeta eta theta"),
+         (100001, "alpha beta gamma delta epsilon zeta eta iota"),
+         (100002, "totally different words nothing shared here at all ok")],
+        "doc_id long, text string",
+    )
+    docs = dup.unionByName(organic)
+
+    elected = minhash_pairs(docs, shingle_k=3, num_hashes=8, bands=4,
+                            elect_threshold=64)
+    pairs = {(r["id_a"], r["id_b"]) for r in elected.collect()}
+    # linear, not quadratic: stars (n_dup - 1) + organic pairs
+    assert len(pairs) < n_dup + 10
+    # every duplicate is linked to the class representative (doc 0)
+    assert {(0, i) for i in range(1, n_dup)} <= pairs
+    # organic near-dup pair preserved exactly as unelected finds it
+    organic_only = minhash_pairs(organic, shingle_k=3, num_hashes=8, bands=4)
+    organic_pairs = {(r["id_a"], r["id_b"]) for r in organic_only.collect()}
+    assert {(a, b) for a, b in pairs if a >= 100000} == organic_pairs
+
+
+def test_simhash_and_jaccard_election_adversarial(spark):
+    """Same adversarial shape through simhash_pairs (class key = full
+    simhash, stars at hamming 0) and ngram_jaccard_pairs prefix mode
+    (class key = shingle-set hash, stars verify to jaccard exactly
+    1.0)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    n_dup = 1200
+    boiler = ("identical boilerplate body shared by every duplicated "
+              "document in this adversarial corpus test case")
+    dup = spark.range(n_dup).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+    organic = spark.createDataFrame(
+        [(200000, "completely unrelated content words for the organic doc"),
+         (200001, "completely unrelated content words for the organic dok")],
+        "doc_id long, text string",
+    )
+    docs = dup.unionByName(organic)
+
+    sh = simhash_pairs(docs, bits=16, max_hamming=3, elect_threshold=64)
+    sh_pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in sh.collect()}
+    assert len(sh_pairs) < n_dup + 50
+    for i in range(1, n_dup):
+        assert sh_pairs.get((0, i)) == 0
+
+    jc = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.8,
+                             elect_threshold=64)
+    jc_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jc.collect()}
+    assert len(jc_pairs) < n_dup + 50
+    for i in range(1, n_dup):
+        assert jc_pairs.get((0, i)) == 1.0
+
+
+def test_semantic_dedup_election_output_identical(spark, monkeypatch):
+    """semantic_dedup's keep-first drop set is EXACTLY unchanged under
+    election (the rep is the class min id, so every earlier-similar
+    witness survives the collapse) — forced low threshold vs default
+    must agree row-for-row even with duplicated vectors present."""
+    import torcharrow_spark.operators.dedup as dd
+    from torcharrow_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(300):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0]))          # one big dup class
+    rows += [(1000, [0.0, 1.0, 0.0, 0.0]),
+             (1001, [0.0, 0.999, 0.01, 0.0]),           # near-dup of 1000
+             (1002, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    base = semantic_dedup(df, n_clusters=2, threshold=0.95,
+                          id_col="vec_id", vec_col="embedding")
+    want = {r["vec_id"]: r["keep"] for r in base.collect()}
+
+    monkeypatch.setattr(dd, "DEFAULT_ELECT_THRESHOLD", 16)
+    got = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        df, n_clusters=2, threshold=0.95,
+        id_col="vec_id", vec_col="embedding").collect()}
+    assert got == want
+    # the dup class collapsed to its min id: 0 survives, 1..299 dropped
+    assert got[0] and not got[1] and not got[299]
+    assert got[1000] and not got[1001] and got[1002]
+
+
+def test_bucket_audit_operators(spark):
+    """minhash_bucket_audit / simhash_bucket_audit surface the buckets
+    the policy collapses — the non-silent half of the r5 ask."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import (
+        minhash_bucket_audit,
+        simhash_bucket_audit,
+    )
+
+    n_dup = 500
+    docs = spark.range(n_dup).select(
+        F.col("id").alias("doc_id"),
+        F.lit("audited boilerplate body for the bucket report test "
+              "with enough words to shingle").alias("text"),
+    ).unionByName(spark.createDataFrame(
+        [(9000, "an organic document with its own distinct words here")],
+        "doc_id long, text string"))
+
+    mh = minhash_bucket_audit(docs, bands=4, elect_threshold=64).collect()
+    assert len(mh) >= 4      # every band bucket of the dup class
+    for r in mh:
+        assert r["members"] == n_dup and r["n_classes"] == 1
+        assert r["largest_class"] == n_dup
+        assert r["pairs_full"] == n_dup * (n_dup - 1) // 2
+        assert r["pairs_elected"] == n_dup - 1
+        assert not r["cap_bound"]
+
+    sh = simhash_bucket_audit(docs, bits=16, elect_threshold=64).collect()
+    assert len(sh) >= 4
+    assert all(r["n_classes"] == 1 and r["members"] == n_dup for r in sh)

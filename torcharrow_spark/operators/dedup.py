@@ -31,7 +31,26 @@ def _norm_text(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
-def _emit_pairs(grouped: SDF, arr_col: str, chunk: int = 8192) -> SDF:
+#: default per-bucket member bound above which `_emit_pairs` ELECTS
+#: representatives instead of emitting every pair (r5 verdict ask #1).
+#: C(2^18, 2) ~ 3.4e10 pairs is the most total work one bucket may
+#: demand before the policy kicks in — still spread by the salted path,
+#: but beyond this a bucket is pathological duplication (a boilerplate
+#: text repeated 10^6-10^7x is NORMAL in a 100-TB crawl) and emitting
+#: its quadratic pair set is the wrong plan no matter how it is spread.
+#: Organic hot buckets measured at sf1 stay under ~8k members, so this
+#: never fires on real data distributions; it exists for the cliff.
+DEFAULT_ELECT_THRESHOLD = 1 << 18
+
+
+def _emit_pairs(
+    grouped: SDF,
+    arr_col: str,
+    chunk: int = 8192,
+    elect_key=None,
+    elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
+    link_reps: bool = True,
+) -> SDF:
     """Memory-bounded ordered-pair emission from per-group sorted arrays:
     posexplode each element as an anchor, then explode only its TAIL
     slice — every row materializes O(group_size) elements, never the
@@ -67,8 +86,113 @@ def _emit_pairs(grouped: SDF, arr_col: str, chunk: int = 8192) -> SDF:
       the shared upstream aggregate's exchange is reused across the two
       branches (ReuseExchange), so no second corpus shuffle exists.
 
+    Since r6 the TOTAL work of a pathological bucket is bounded too
+    (r5 verdict ask #1): when ``elect_key`` is given (a Column lambda
+    mapping an array element to its 64-bit exact-equivalence class key
+    — e.g. a hash of the doc's full signature / shingle set / vector;
+    members with equal keys are INDISTINGUISHABLE to the calling
+    operator), a bucket larger than ``elect_threshold`` members is
+    COLLAPSED before emission: one representative per class (the
+    class's first element in the array's natural sort order, i.e. min
+    id), pairs emitted only among representatives, plus — when
+    ``link_reps`` (default) — one linear "star" pair (rep, member) per
+    collapsed non-representative. The star preserves every property
+    downstream consumers rely on:
+
+    * connected components / near-dup clusters are IDENTICAL to full
+      emission (the star keeps each class connected to its rep, and
+      rep-rep pairs carry all cross-class edges);
+    * keep-first drop rules (semantic_dedup) are IDENTICAL: a member's
+      rep is its class MIN, so every "exists an earlier similar doc"
+      witness that full emission finds via a non-rep is also found via
+      that non-rep's (earlier) rep, whose key-equal element has the
+      same similarity;
+    * only the explicit pair LIST is thinned — C(m, 2) within a class
+      becomes m - 1 star pairs; the full class membership is
+      recoverable by grouping on the class key upstream (e.g.
+      `exact_dedup_ids`, `simhash`, full-signature groupBy).
+
+    A 10^7-duplicated boilerplate text thus costs 10^7 - 1 star rows
+    instead of 5*10^13 pairs. If a bucket over the threshold is made of
+    genuinely DISTINCT classes, election cannot help (the quadratic
+    output is semantically demanded) and the salted path below carries
+    it; `_elect_audit` flags such buckets (``cap_bound``) for operator
+    intervention. The elect branch's predicates are no-ops on organic
+    data (every bucket <= elect_threshold), and elect_key=None keeps
+    the exact r5 plan.
+
+    Peak-memory note: the bucket ARRAY itself (built by the caller's
+    collect_list) still materializes m elements in one aggregation
+    buffer (~16 B/member: ~160 MB at 10^7) — survivable, and the next
+    ceiling (~10^8 members) is exactly the corpus shape where running
+    `exact_dedup` FIRST (the standard pipeline order, as q129/q145 do)
+    is the right plan anyway.
+
     Returns columns ``__a__``, ``__b__`` (array element type), pairs
     ordered by the array's sort order (``__a__`` precedes ``__b__``)."""
+    if elect_key is None:
+        return _emit_pairs_impl(grouped, arr_col, chunk)
+    arr = F.col(arr_col)
+    normal = grouped.where(F.size(arr) <= F.lit(elect_threshold)).select(arr_col)
+    giant = grouped.where(F.size(arr) > F.lit(elect_threshold))
+    # (class-key, member) pairs sorted so equal-key members are
+    # ADJACENT; each expression lands in its own projection so HOF
+    # lambdas only reference bound columns (SURVEY §4.3)
+    g1 = giant.select(
+        F.sort_array(
+            F.transform(
+                arr, lambda x: F.struct(elect_key(x).alias("k"), x.alias("m"))
+            )
+        ).alias("__kd__")
+    )
+    # representative = first element of each adjacent run (class MIN in
+    # the natural member order, because sort on (k, m) orders members
+    # within a class); i is 0-based, element_at 1-based, so
+    # element_at(__kd__, i) is the PREDECESSOR of element i. greatest(i,
+    # 1) keeps the index legal at i=0 — the when() picks True there.
+    g2 = g1.select(
+        F.col("__kd__"),
+        F.filter(
+            F.col("__kd__"),
+            lambda e, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+                F.element_at(F.col("__kd__"), F.greatest(i, F.lit(1)))["k"]
+                != e["k"]
+            ),
+        ).alias("__rk__"),
+    )
+    # class-key -> representative member map (keys distinct: one rep
+    # per class), for star emission and non-rep detection
+    g3 = g2.select(
+        F.col("__kd__"),
+        F.col("__rk__"),
+        F.map_from_entries(
+            F.transform("__rk__", lambda e: F.struct(e["k"], e["m"]))
+        ).alias("__rm__"),
+    )
+    reps = g3.select(
+        F.sort_array(F.transform("__rk__", lambda e: e["m"])).alias(arr_col)
+    )
+    base_pairs = _emit_pairs_impl(normal.unionByName(reps), arr_col, chunk)
+    if not link_reps:
+        return base_pairs
+    stars = g3.select(
+        F.col("__rm__"),
+        F.explode(
+            F.filter(
+                F.col("__kd__"),
+                lambda e: e["m"] != F.element_at(F.col("__rm__"), e["k"]),
+            )
+        ).alias("__e__"),
+    ).select(
+        F.element_at(F.col("__rm__"), F.col("__e__.k")).alias("__a__"),
+        F.col("__e__.m").alias("__b__"),
+    )
+    return base_pairs.unionByName(stars)
+
+
+def _emit_pairs_impl(grouped: SDF, arr_col: str, chunk: int) -> SDF:
+    """The r5 emission machinery (small zero-shuffle path + salted
+    chunk-pair path) — see `_emit_pairs` for the contract."""
     arr = F.col(arr_col)
 
     small = grouped.where(F.size(arr) <= chunk)
@@ -141,6 +265,66 @@ def _emit_pairs(grouped: SDF, arr_col: str, chunk: int = 8192) -> SDF:
     big_pairs = ex2.select(F.col("__a__"), F.explode(tail2).alias("__b__"))
 
     return small_pairs.unionByName(big_pairs)
+
+
+def _elect_audit(
+    grouped: SDF,
+    arr_col: str,
+    elect_key,
+    elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
+    chunk: int = 8192,
+) -> SDF:
+    """skew_report-style companion to `_emit_pairs` election: one row
+    per bucket the policy WOULD collapse (members > elect_threshold),
+    with the numbers an operator owner needs to judge the bucket —
+    ``members``, ``n_classes`` (distinct exact-equivalence classes),
+    ``largest_class``, ``pairs_full`` (C(members, 2) that full emission
+    would cost), ``pairs_elected`` (C(n_classes, 2) + collapsed star
+    rows actually emitted), and ``cap_bound`` (true when even the
+    elected rep count exceeds chunk*256, i.e. the salted path's
+    per-task work grows again and the bucket's quadratic output is
+    semantically demanded — the operator, not the emitter, must decide
+    to coarsen its keying or drop the bucket). Bucket key columns pass
+    through. Linear per bucket; never emits a pair."""
+    arr = F.col(arr_col)
+    keys = [c for c in grouped.columns if c != arr_col]
+    g = grouped.where(F.size(arr) > F.lit(elect_threshold)).select(
+        *keys, F.sort_array(F.transform(arr, elect_key)).alias("__ks__")
+    )
+    # largest adjacent run over the sorted class keys: one linear fold
+    st0 = F.struct(
+        F.lit(None).cast("bigint").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    fold = F.aggregate(
+        F.col("__ks__"),
+        st0,
+        lambda st, k: F.struct(
+            k.alias("prev"),
+            F.when(st["prev"].eqNullSafe(k), st["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                st["best"],
+                F.when(st["prev"].eqNullSafe(k), st["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda st: st["best"],
+    )
+    m = F.size("__ks__").cast("long")
+    ncl = F.size(F.array_distinct("__ks__")).cast("long")
+    return g.select(
+        *keys,
+        m.alias("members"),
+        ncl.alias("n_classes"),
+        fold.cast("long").alias("largest_class"),
+        (m * (m - 1) / 2).cast("long").alias("pairs_full"),
+        ((ncl * (ncl - 1) / 2).cast("long") + (m - ncl)).alias("pairs_elected"),
+        (ncl > F.lit(chunk) * 256).alias("cap_bound"),
+    )
 
 
 #: low bits of the packed (id, size) long in direct-mode Jaccard
@@ -287,6 +471,7 @@ def minhash_pairs(
     shingle_k: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
 ) -> SDF:
     """Candidate near-duplicate pairs via LSH banding: split the signature
     into `bands` rows-per-band chunks; docs sharing any band key become a
@@ -294,16 +479,50 @@ def minhash_pairs(
     (uncached, derived) banded table would recompute the whole
     shingle+signature pipeline for BOTH sides; grouping on (band,
     band_key) — a uniformly distributed hash — computes it once, shuffles
-    evenly, and never goes quadratic in the corpus size."""
+    evenly, and never goes quadratic in the corpus size.
+
+    Buckets over ``elect_threshold`` members collapse to one
+    representative per full-signature class before pair emission, plus
+    a (rep, member) star per collapsed member — connectivity-exact,
+    linear in the duplication (`_emit_pairs` election;
+    `minhash_bucket_audit` shows what it touched)."""
+    return (
+        _emit_pairs(
+            _minhash_buckets(df, text_col, id_col, shingle_k, num_hashes, bands),
+            "ids",
+            elect_key=lambda x: x["s"],
+            elect_threshold=elect_threshold,
+        )
+        .select(F.col("__a__.i").alias("id_a"), F.col("__b__.i").alias("id_b"))
+        .distinct()
+    )
+
+
+def _minhash_buckets(
+    df: SDF,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+) -> SDF:
+    """LSH band buckets: (band, band_key, ids) where ids is the sorted
+    array of member structs (i: id, s: xxhash64 of the FULL signature —
+    the exact-equivalence class key for `_emit_pairs` election: docs
+    with equal full signatures are indistinguishable to MinHash, so a
+    pathologically duplicated text collapses to one representative;
+    8 bytes/member on the bucket shuffle is the price of the policy)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, shingle_k, num_hashes)
     banded = sig.select(
         id_col,
+        F.xxhash64(F.col("sig")).alias("__sck__"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         F.col("sig"),
     ).select(
         id_col,
+        "__sck__",
         "band",
         F.array_join(
             F.transform(
@@ -313,17 +532,40 @@ def minhash_pairs(
             "|",
         ).alias("band_key"),
     )
-    ids_per_bucket = (
-        banded.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
     # memory-bounded emission: a fully-duplicated corpus puts every copy
     # in ONE band bucket — see _emit_pairs
     return (
-        _emit_pairs(ids_per_bucket, "ids")
-        .select(F.col("__a__").alias("id_a"), F.col("__b__").alias("id_b"))
-        .distinct()
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("__sck__").alias("s"))
+                )
+            ).alias("ids")
+        )
+        .where(F.size("ids") >= 2)
+    )
+
+
+def minhash_bucket_audit(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
+) -> SDF:
+    """Election audit for `minhash_pairs` (see `_elect_audit`): every
+    band bucket the collapse policy would touch at ``elect_threshold``,
+    with member/class/pair counts — run it at the production threshold
+    to see what election is saving, or at a low threshold as a plain
+    hot-bucket profile."""
+    return _elect_audit(
+        _minhash_buckets(df, text_col, id_col, shingle_k, num_hashes, bands),
+        "ids",
+        lambda x: x["s"],
+        elect_threshold,
     )
 
 
@@ -380,6 +622,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     mode: str = "auto",
+    elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
 ) -> SDF:
     """Exact Jaccard similarity over distinct k-shingles.
 
@@ -398,7 +641,10 @@ def ngram_jaccard_pairs(
     is driven by shingle document-frequency, NOT corpus row count, so a
     10k-doc corpus that is 90% boilerplate still explodes in this mode.
     Opt in only when the corpus is known small AND low-duplication
-    (measure with `estimate_jaccard_pair_cost` first).
+    (measure with `estimate_jaccard_pair_cost` first). Direct mode has
+    NO representative election (its packed-long members cannot carry a
+    class key; ``elect_threshold`` applies to the prefix plan only) —
+    one more reason it is never the scale default.
 
     mode='prefix' delegates to `ngram_jaccard_pairs_prefix` (PPJoin-style
     prefix filter — identical output, candidates scale with true
@@ -425,7 +671,9 @@ def ngram_jaccard_pairs(
         if id_type not in ("tinyint", "smallint", "int", "bigint"):
             mode = "prefix"
     if mode == "prefix":
-        return ngram_jaccard_pairs_prefix(df, text_col, id_col, shingle_k, threshold)
+        return ngram_jaccard_pairs_prefix(
+            df, text_col, id_col, shingle_k, threshold, elect_threshold
+        )
     # doc size (distinct-shingle count) is taken from the materialized
     # shingle ARRAY before the explode, so every shingle row carries its
     # doc's size for free — no separate per-doc groupBy, and the
@@ -569,6 +817,7 @@ def ngram_jaccard_pairs_prefix(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
 ) -> SDF:
     """Prefix-filtered exact Jaccard join (PPJoin-family, public
     algorithm): identical output to `ngram_jaccard_pairs`, asymptotically
@@ -627,21 +876,34 @@ def ngram_jaccard_pairs_prefix(
         )
     )
     # prefix rows carry (position in the doc's rarity order, doc size):
-    # the PPJoin positional bound needs both
+    # the PPJoin positional bound needs both. __ck__ (xxhash64 of the
+    # doc's FULL sorted shingle-hash array) is the election class key:
+    # exact-duplicate texts share every shingle, so every prefix bucket
+    # of a 10^6-duplicated text holds all copies — election collapses
+    # each such bucket to per-set representatives + linear stars (which
+    # verify to jaccard exactly 1.0 below). 8 bytes/prefix-row is the
+    # cost; identical docs share pos per bucket so star pairs pass the
+    # positional filter wherever their reps do.
     pref = per_doc.select(
-        id_col, "sz", F.posexplode("prefix").alias("pos", "h")
+        id_col, "sz", F.xxhash64("all_h").alias("__ck__"),
+        F.posexplode("prefix").alias("pos", "h"),
     )
     buckets = (
         pref.groupBy("h")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "pos", "sz"))
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), "pos", "sz", "__ck__")
+                )
             ).alias("ids")
         )
         .where(F.size("ids") >= 2)
     )
     # memory-bounded emission (see _emit_pairs)
-    raw = _emit_pairs(buckets, "ids").select(
+    raw = _emit_pairs(
+        buckets, "ids", elect_key=lambda x: x["__ck__"],
+        elect_threshold=elect_threshold,
+    ).select(
         F.col("__a__.id").alias("id_a"), F.col("__a__.pos").alias("pos_a"),
         F.col("__a__.sz").alias("sz_a"),
         F.col("__b__.id").alias("id_b"), F.col("__b__.pos").alias("pos_b"),
@@ -741,6 +1003,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits="auto",
     max_hamming: int = 3,
+    elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
 ) -> SDF:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming,
     via the block-permutation trick (Charikar/Manku et al., public): split
@@ -777,6 +1040,30 @@ def simhash_pairs(
             "simhash_pairs bits='auto': corpus=%d docs, max_hamming=%d "
             "-> %d bits", n_docs, max_hamming, bits,
         )
+    buckets = _simhash_buckets(df, text_col, id_col, bits, max_hamming)
+    # election class key = the FULL simhash (already in the struct —
+    # free): equal-hash members are Hamming-0, so a pathological bucket
+    # collapses to per-hash representatives + linear stars (hamming 0,
+    # always <= max_hamming, so stars survive the filter)
+    return (
+        _emit_pairs(buckets, "ms", elect_key=lambda x: x["h"], elect_threshold=elect_threshold)
+        .select(
+            F.col("__a__.i").alias("id_a"),
+            F.col("__b__.i").alias("id_b"),
+            F.bit_count(
+                F.col("__a__.h").bitwiseXOR(F.col("__b__.h"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _simhash_buckets(
+    df: SDF, text_col: str, id_col: str, bits: int, max_hamming: int
+) -> SDF:
+    """Block-permutation candidate buckets: (blk, val, ms) with member
+    structs (i: id, h: full simhash — the election class key)."""
     n_blocks = max_hamming + 1
     widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
     s = simhash(df, text_col, id_col, bits)
@@ -797,7 +1084,7 @@ def simhash_pairs(
         id_col, "simhash", F.explode(F.array(*block_exprs)).alias("b")
     ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
 
-    buckets = (
+    return (
         banded.groupBy("blk", "val")
         .agg(
             F.sort_array(
@@ -806,17 +1093,25 @@ def simhash_pairs(
         )
         .where(F.size("ms") >= 2)
     )
-    return (
-        _emit_pairs(buckets, "ms")
-        .select(
-            F.col("__a__.i").alias("id_a"),
-            F.col("__b__.i").alias("id_b"),
-            F.bit_count(
-                F.col("__a__.h").bitwiseXOR(F.col("__b__.h"))
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+
+
+def simhash_bucket_audit(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+    elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
+) -> SDF:
+    """Election audit for `simhash_pairs` (see `_elect_audit`): every
+    (block, value) bucket the collapse policy would touch. ``bits``
+    must be explicit (no 'auto' — audits want run-to-run comparable
+    keying)."""
+    return _elect_audit(
+        _simhash_buckets(df, text_col, id_col, bits, max_hamming),
+        "ms",
+        lambda x: x["h"],
+        elect_threshold,
     )
 
 

@@ -442,9 +442,17 @@ def cosine_pairs(
     # memory-bounded pair emission (dedup._emit_pairs): a hot bucket of
     # m vectors would otherwise materialize C(m, 2) struct pairs — each
     # carrying TWO dim-float arrays — in a single flatten() value
-    from .dedup import _emit_pairs
+    from .dedup import DEFAULT_ELECT_THRESHOLD, _emit_pairs
 
-    exploded = _emit_pairs(buckets, "ms").select(
+    # election class key = xxhash64 of the raw vector (free: the vector
+    # already rides the bucket shuffle): byte-identical embeddings are
+    # cosine-1.0 duplicates, so a pathological bucket collapses to
+    # per-vector-class representatives + linear stars (cosine exactly
+    # 1.0 in the projection below, so stars survive any threshold <= 1)
+    exploded = _emit_pairs(
+        buckets, "ms", elect_key=lambda x: F.xxhash64(x["v"]),
+        elect_threshold=DEFAULT_ELECT_THRESHOLD,
+    ).select(
         F.col("__a__.i").alias("id_a"),
         F.col("__b__.i").alias("id_b"),
         F.col("__a__.v").alias("__va__"),
@@ -544,9 +552,16 @@ def semantic_dedup(
         )
         .where(F.size("ms") >= 2)
     )
-    from .dedup import _emit_pairs
+    from .dedup import DEFAULT_ELECT_THRESHOLD, _emit_pairs
 
-    pairs = _emit_pairs(buckets, "ms").select(
+    # election (see cosine_pairs): a member's rep is its class MIN id
+    # with an IDENTICAL vector, so every "earlier similar doc" witness
+    # full emission finds survives the collapse — the keep-first drop
+    # set below is exactly unchanged (proof in _emit_pairs docstring)
+    pairs = _emit_pairs(
+        buckets, "ms", elect_key=lambda x: F.xxhash64(x["v"]),
+        elect_threshold=DEFAULT_ELECT_THRESHOLD,
+    ).select(
         F.col("__b__.i").alias(id_col),
         _cosine_from(
             _dot(F.col("__a__.v"), F.col("__b__.v")),

@@ -6441,6 +6441,68 @@ def q146_skew_report(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q148_minhash_bucket_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5((seed // 4)::VARCHAR || '|' || sh),
+                                 (seed % 4) * 8 + 1, 8))::UBIGINT::BIGINT) AS minh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(minh::VARCHAR, '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, band
+    ),
+    fullsig AS (
+      SELECT doc_id, string_agg(band_key, '||' ORDER BY band) AS fs
+      FROM sig GROUP BY doc_id
+    ),
+    cl AS (
+      SELECT s.band, s.band_key, f.fs, COUNT(*)::BIGINT AS csz
+      FROM sig s JOIN fullsig f USING (doc_id)
+      GROUP BY s.band, s.band_key, f.fs
+    ),
+    b AS (
+      SELECT band, band_key,
+             SUM(csz)::BIGINT AS members,
+             COUNT(*)::BIGINT AS n_classes,
+             MAX(csz)::BIGINT AS largest_class
+      FROM cl GROUP BY band, band_key
+    )
+    SELECT band, band_key, members, n_classes, largest_class,
+           (members * (members - 1) // 2)::BIGINT AS pairs_full,
+           (n_classes * (n_classes - 1) // 2
+            + (members - n_classes))::BIGINT AS pairs_elected,
+           (n_classes > 2097152) AS cap_bound
+    FROM b WHERE members > 2
+    """,
+)
+def q148_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> SDF:
+    """Election audit (operators/dedup.minhash_bucket_audit — r6, the
+    non-silent half of the r5 verdict's #1 ask): every LSH band bucket
+    the representative-collapse policy would touch at the given member
+    bound, with member / exact-class / pair-savings counts. The oracle
+    replays banding in SQL and derives the exact-equivalence classes
+    from the FULL signature string — the same partition the engine's
+    xxhash64(sig) class key induces. Run at elect_threshold=2 here so
+    organic sf data exercises the arithmetic; production uses the
+    2^18 default."""
+    from torcharrow_spark.operators import minhash_bucket_audit
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    a = minhash_bucket_audit(docs, shingle_k=3, num_hashes=8, bands=4,
+                             elect_threshold=2)
+    return a.select(
+        F.col("band").cast("long").alias("band"),
+        "band_key", "members", "n_classes", "largest_class",
+        "pairs_full", "pairs_elected", "cap_bound",
+    )
+
+
+@query(
     "q131_column_sort_dedup",
     oracle="""
     SELECT DISTINCT n_chars FROM documents
