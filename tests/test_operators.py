@@ -97,7 +97,7 @@ def test_multimodal_plumbing(spark):
     feat = ops.decode_features(with_meta, "img", "doc_id", fake=True).collect()[0]
     assert feat["width"] == 16 + 150 % 64
     assert len(feat["features"]) == 8
-    frames = ops.frame_sample_plan(d.withColumn("img", F.col("img")), "img", "doc_id", every_n=1)
+    frames = ops.frame_sample_plan(d.withColumn("img", F.col("img")), "img", "doc_id", every_n=1, fake=True)
     assert frames.count() >= 1
 
 
@@ -2928,3 +2928,132 @@ def test_bucket_audit_operators(spark):
     sh = simhash_bucket_audit(docs, bits=16, elect_threshold=64).collect()
     assert len(sh) >= 4
     assert all(r["n_classes"] == 1 and r["members"] == n_dup for r in sh)
+
+
+def test_mp4_sample_tables_roundtrip_and_edges():
+    """r6 frame decode: encode_mp4_video's stsz/stsc/stco tables locate
+    every frame's exact bytes; the reader honors multi-run stsc maps,
+    fixed-size stsz, co64 offsets, and rejects tables that disagree."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from torcharrow_spark.operators.imagecodec import decode_image, encode_ppm
+    from torcharrow_spark.operators.videocodec import (
+        _box,
+        _fullbox,
+        encode_mp4_video,
+        parse_mp4_meta,
+        parse_mp4_samples,
+    )
+
+    frames = [
+        encode_ppm((np.arange(4 * 3 * 3, dtype=np.int64) * (i + 1) % 256)
+                   .astype(np.uint8).reshape(3, 4, 3))
+        for i in range(4)
+    ]
+    mp4 = encode_mp4_video(frames, timescale=600, frame_duration=30)
+    # container meta still coherent for the q143 walker
+    meta = parse_mp4_meta(mp4)
+    assert meta["n_tracks"] == 1 and meta["duration"] == 120
+    (tr,) = parse_mp4_samples(mp4)
+    assert tr["handler"] == "vide" and tr["timescale"] == 600
+    assert len(tr["samples"]) == 4
+    for f, (off, sz) in zip(frames, tr["samples"]):
+        assert mp4[off: off + sz] == f
+        w, h, _ = decode_image(mp4[off: off + sz])
+        assert (w, h) == (4, 3)
+
+    # hand-built track: multi-run stsc (chunks of 2,2,1 samples),
+    # fixed-size stsz, co64 offsets
+    payload = b"".join(bytes([i]) * 3 for i in range(5))   # 5 samples, 3B each
+    stsd = _fullbox(b"stsd", struct.pack(">I", 1)
+                    + _box(b"raw ", b"\x00" * 6 + struct.pack(">H", 1)))
+    stsz = _fullbox(b"stsz", struct.pack(">II", 3, 5))     # fixed size 3
+    stsc = _fullbox(b"stsc", struct.pack(">I", 2)
+                    + struct.pack(">III", 1, 2, 1)          # chunks 1-2: 2 each
+                    + struct.pack(">III", 3, 1, 1))         # chunk 3: 1
+    def co64(base):
+        return _fullbox(b"co64", struct.pack(">I", 3)
+                        + struct.pack(">QQQ", base, base + 6, base + 12))
+    mdhd = _fullbox(b"mdhd", struct.pack(">II", 0, 0)
+                    + struct.pack(">II", 90000, 450)
+                    + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _fullbox(b"hdlr", struct.pack(">I", 0) + b"vide"
+                    + b"\x00" * 12 + b"\x00")
+
+    def build(co):
+        stbl = _box(b"stbl", stsd + stsc + stsz + co)
+        trak = _box(b"trak", _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+        moov = _box(b"moov", trak)
+        return moov
+
+    moov_len = len(build(co64(0)))
+    base = moov_len + 8
+    data = build(co64(base)) + _box(b"mdat", payload)
+    (t2,) = parse_mp4_samples(data)
+    assert t2["samples"] == [
+        (base, 3), (base + 3, 3), (base + 6, 3), (base + 9, 3), (base + 12, 3)
+    ]
+    for i, (off, sz) in enumerate(t2["samples"]):
+        assert data[off: off + sz] == bytes([i]) * 3
+
+    # stsc covering fewer samples than stsz declares: rejected
+    bad_stsc = _fullbox(b"stsc", struct.pack(">I", 1)
+                        + struct.pack(">III", 1, 1, 1))     # 3 chunks x 1 = 3 < 5
+    def build_bad(co):
+        stbl = _box(b"stbl", stsd + bad_stsc + stsz + co)
+        trak = _box(b"trak", _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+        return _box(b"moov", trak)
+    bad_len = len(build_bad(co64(0)))
+    bad = build_bad(co64(bad_len + 8)) + _box(b"mdat", payload)
+    with pytest.raises(ValueError, match="stsc/stco cover"):
+        parse_mp4_samples(bad)
+
+    # sample past EOF: rejected
+    trunc = build(co64(base)) + _box(b"mdat", payload[:7])
+    with pytest.raises(ValueError, match="EOF|malformed"):
+        parse_mp4_samples(trunc)
+
+
+def test_video_frame_decode_on_spark(spark):
+    """decode_video_frames_stats end-to-end: per-frame exact checksums
+    through mapInPandas, frame_sample_plan's real stsz-driven count,
+    and every_n sampling."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import (
+        decode_video_frames_stats,
+        frame_sample_plan,
+    )
+    from torcharrow_spark.operators.imagecodec import encode_ppm
+    from torcharrow_spark.operators.videocodec import encode_mp4_video
+
+    def synth(d, n):
+        frames = []
+        for fi in range(n):
+            px = ((d * 7 + fi * 13 + np.arange(2 * 2 * 3, dtype=np.int64))
+                  % 256).astype(np.uint8).reshape(2, 2, 3)
+            frames.append(encode_ppm(px))
+        return bytearray(encode_mp4_video(frames))
+
+    rows = [(1, synth(1, 5)), (2, synth(2, 1)), (3, None)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([T.StructField("doc_id", T.LongType(), False),
+                      T.StructField("vid", T.BinaryType(), True)]),
+    )
+    out = decode_video_frames_stats(df, "vid", "doc_id", every_n=2).collect()
+    got = {(r["doc_id"], r["frame_index"]): r for r in out}
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    for (d, fi), r in got.items():
+        want = sum((d * 7 + fi * 13 + j) % 256 for j in range(12))
+        assert (r["width"], r["height"], r["fmt"]) == (2, 2, "ppm")
+        assert r["n_px"] == 12 and r["px_sum"] == want
+        assert r["px_mean"] == want / 12
+
+    plan = frame_sample_plan(df, "vid", "doc_id", every_n=2).collect()
+    assert {(r["doc_id"], r["frame_index"]) for r in plan} == \
+        {(1, 0), (1, 2), (1, 4), (2, 0)}

@@ -180,17 +180,126 @@ def frame_sample_plan(
     bytes_col: str,
     id_col: str,
     every_n: int = 30,
+    fake: bool = False,
 ) -> SDF:
-    """Video frame-sampling *plan*: emits (id, frame_index) rows for a
-    downstream decoder, sized from metadata only — no bytes touched. The
-    explode keeps each video's frames in one partition's batch."""
-    n_frames = (F.length(F.col(bytes_col)) / 1000).cast("int")  # stub: 1 frame/KB
-    return df.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))).alias(
-            "frame_index"
-        ),
+    """Video frame-sampling plan: (id, frame_index) rows for every
+    ``every_n``-th frame, with the REAL frame count read from the
+    container's stsz sample table (r6 — formerly a 1-frame/KB stub).
+    Container-metadata parse only: sample payloads are never touched,
+    so the pass costs a box walk per video, not a decode. Videos with
+    no video track emit no rows. mapInPandas (the sample-table walk is
+    imperative), Arrow-batched; each video's frame rows are generated
+    inside one batch.
+
+    ``fake=True`` keeps the deterministic 1-frame/KB length stub for
+    non-container media (the `decode_features(fake=True)` twin for
+    plumbing tests), a zero-Python codegen projection."""
+    if fake:
+        n_frames = (F.length(F.col(bytes_col)) / 1000).cast("int")
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+                )
+            ).alias("frame_index"),
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+        ]
     )
+    src = df.select(id_col, bytes_col)
+
+    def plan_iter(batches):
+        import pandas as pd
+
+        from .videocodec import parse_mp4_samples
+
+        for pdf in batches:
+            ids, idxs = [], []
+            for i, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                for tr in parse_mp4_samples(bytes(data)):
+                    if tr["handler"] != "vide":
+                        continue
+                    for fi in range(0, len(tr["samples"]), every_n):
+                        ids.append(i)
+                        idxs.append(fi)
+                    break
+            yield pd.DataFrame({id_col: ids, "frame_index": idxs})
+
+    return src.mapInPandas(plan_iter, out_schema)
+
+
+def decode_video_frames_stats(
+    df: SDF,
+    bytes_col: str,
+    id_col: str,
+    every_n: int = 1,
+) -> SDF:
+    """REAL video FRAME decode -> one row per sampled frame: ``(id,
+    frame_index, width, height, fmt, n_px, px_sum, px_mean)`` — the r6
+    close of the last multimodal planning stub. The first video track's
+    sample table (videocodec.parse_mp4_samples: stsz/stsc/stco walked
+    exactly) locates each frame's bytes inside mdat; frames stored as
+    stdlib-decodable images (PNG/BMP/PPM — the contract
+    `encode_mp4_video` documents) decode through `imagecodec` with the
+    same exact-pixel arithmetic q126 proves for still images. A frame
+    in an entropy-coded format (H.264 etc.) raises at executor time —
+    decoding those needs codec libraries the container doesn't ship,
+    and a silent skip would misreport corpus stats. mapInPandas,
+    Arrow-batched, no shuffle; stats per frame are exact integers so an
+    external SQL oracle replays them arithmetically (q147)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("fmt", T.StringType(), True),
+            T.StructField("n_px", T.LongType(), True),
+            T.StructField("px_sum", T.LongType(), True),
+            T.StructField("px_mean", T.DoubleType(), True),
+        ]
+    )
+    src = df.select(id_col, bytes_col)
+
+    def frames_iter(batches):
+        import pandas as pd
+
+        from .imagecodec import decode_image, sniff_format
+        from .videocodec import parse_mp4_samples
+
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                b = bytes(data)
+                for tr in parse_mp4_samples(b):
+                    if tr["handler"] != "vide":
+                        continue
+                    for fi in range(0, len(tr["samples"]), every_n):
+                        off, sz = tr["samples"][fi]
+                        fb = b[off: off + sz]
+                        w, h, px = decode_image(fb)
+                        total = int(px.astype("int64").sum())
+                        n = int(px.size)
+                        rows.append(
+                            (i, fi, w, h, sniff_format(fb), n, total,
+                             total / n)
+                        )
+                    break
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_index", "width", "height", "fmt",
+                         "n_px", "px_sum", "px_mean"],
+            )
+
+    return src.mapInPandas(frames_iter, out_schema)
 
 
 def resize_media(

@@ -2168,7 +2168,7 @@ def q60_multimodal_decode_plan(spark: SparkSession, sf_dir: str) -> SDF:
     dec = decode_features(media, "media", "doc_id", fake=True).select(
         "doc_id", "width", "height"
     )
-    frames = frame_sample_plan(media, "media", "doc_id", every_n=7)
+    frames = frame_sample_plan(media, "media", "doc_id", every_n=7, fake=True)
     return dec.join(frames, "doc_id").select("doc_id", "width", "height", "frame_index")
 
 
@@ -5629,6 +5629,81 @@ def q143_video_container(spark: SparkSession, sf_dir: str) -> SDF:
     )
     with_mp4 = docs.mapInPandas(_synth, schema)
     return video_container_stats(with_mp4, "vid", "doc_id")
+
+
+@query(
+    "q147_video_frame_decode",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id,
+             (1 + doc_id % 4)::INT AS n_frames,
+             (4 + doc_id % 3)::INT AS w,
+             (2 + doc_id % 2)::INT AS h
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, w * h * 3 AS n_px,
+             unnest(range(0, n_frames, 2)) AS fi
+      FROM geo
+    )
+    SELECT doc_id, fi::INT AS frame_index, w AS width, h AS height,
+           'ppm' AS fmt, n_px::BIGINT AS n_px,
+           CAST(list_sum(list_transform(
+                 range(0, n_px),
+                 j -> (doc_id * 7 + fi * 13 + j * 3) % 256)) AS BIGINT)
+             AS px_sum,
+           CAST(list_sum(list_transform(
+                 range(0, n_px),
+                 j -> (doc_id * 7 + fi * 13 + j * 3) % 256)) AS DOUBLE)
+             / n_px AS px_mean
+    FROM fr
+    """,
+)
+def q147_video_frame_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    """REAL video FRAME decode on Spark (operators/multimodal.
+    decode_video_frames_stats + operators/videocodec sample tables —
+    r6, closing the last multimodal planning stub): a single-track MP4
+    is synthesized per document with 1-4 PPM-coded frames (pixel j of
+    frame fi = (doc_id*7 + fi*13 + j*3) % 256), the stsz/stsc/stco
+    sample tables are walked back to locate each frame inside mdat,
+    every 2nd frame is decoded through the same exact-pixel path as
+    q126, and the SQL oracle reproduces each frame's checksum
+    arithmetically — image (q126), audio (q142), container (q143) and
+    now frames, all four multimodal decode families bit-exact."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import decode_video_frames_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from torcharrow_spark.operators.imagecodec import encode_ppm
+        from torcharrow_spark.operators.videocodec import encode_mp4_video
+
+        for pdf in batches:
+            ids, vids = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, w, h = 1 + d % 4, 4 + d % 3, 2 + d % 2
+                frames = []
+                for fi in range(n):
+                    px = ((d * 7 + fi * 13
+                           + np.arange(w * h * 3, dtype=np.int64) * 3)
+                          % 256).astype(np.uint8).reshape(h, w, 3)
+                    frames.append(encode_ppm(px))
+                ids.append(d)
+                vids.append(bytearray(encode_mp4_video(frames)))
+            yield pd.DataFrame({"doc_id": ids, "vid": vids})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("vid", T.BinaryType(), True)]
+    )
+    with_mp4 = docs.mapInPandas(_synth, schema)
+    return decode_video_frames_stats(with_mp4, "vid", "doc_id", every_n=2)
 
 
 @query(
