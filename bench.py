@@ -608,9 +608,22 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
     out["ivf_trained"] = {
         16: _recall(ivf_topk_df(emb, q, centdf, k=k, n_probe=16))
     }
+    # r6: kmeans++-seeded cells at the SAME 16-probe budget (r5 verdict
+    # ask #5) — D^2 seeding spreads the 64 seeds across the embedding
+    # density instead of md5-luck, the standard next recall increment
+    # over r5's md5-init 0.77.
+    _asg2, cents_pp = kmeans(emb, k=64, max_iter=3, init="kmeans++")
+    centdf_pp = spark_.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents_pp)],
+        "cell int, centroid array<double>",
+    )
+    out["ivf_trained_pp"] = {
+        16: _recall(ivf_topk_df(emb, q, centdf_pp, k=k, n_probe=16))
+    }
     print(
         f"# recall_sf1: lsh {out['lsh']} ivf {out['ivf']} "
-        f"multitable {out['lsh_multitable']} ivf_trained {out['ivf_trained']}",
+        f"multitable {out['lsh_multitable']} ivf_trained {out['ivf_trained']} "
+        f"ivf_trained_pp {out['ivf_trained_pp']}",
         file=sys.stderr,
     )
     return out

@@ -3057,3 +3057,46 @@ def test_video_frame_decode_on_spark(spark):
     plan = frame_sample_plan(df, "vid", "doc_id", every_n=2).collect()
     assert {(r["doc_id"], r["frame_index"]) for r in plan} == \
         {(1, 0), (1, 2), (1, 4), (2, 0)}
+
+
+def test_kmeans_pp_init_deterministic_and_spreads(spark):
+    """init='kmeans++' (r6): bit-deterministic under repartitioning
+    (md5-priority weighted draw, never an RNG), seeds REPEL — on three
+    well-separated blobs, k=3 D^2 seeding lands one seed per blob even
+    when md5-order luck would stack two in one blob — and exact
+    duplicates of a chosen seed can never be re-picked (d2=0 -> -inf
+    key)."""
+    from torcharrow_spark.operators.clustering import (
+        _init_centroids,
+        _init_centroids_pp,
+        kmeans,
+    )
+
+    # 3 tight blobs at x = 0 / 1000 / 2000; ids interleaved
+    pts = [(i, [float((i % 3) * 1000) + (i % 7) * 0.1, 0.0])
+           for i in range(300)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+
+    pp1 = _init_centroids_pp(df, 3, "vec_id", "embedding")
+    pp2 = _init_centroids_pp(df.repartition(11), 3, "vec_id", "embedding")
+    assert pp1 == pp2
+    blobs = {round(c[0], -2) for c in pp1}
+    assert blobs == {0.0, 1000.0, 2000.0}
+
+    # the fitted model is deterministic end-to-end too
+    _a1, c1 = kmeans(df, k=3, max_iter=2, init="kmeans++")
+    _a2, c2 = kmeans(df.repartition(7), k=3, max_iter=2, init="kmeans++")
+    assert c1 == c2
+    assert {round(c[0], -2) for c in c1} == {0.0, 1000.0, 2000.0}
+
+    # duplicate-heavy corpus: k > distinct points stops early, no dupes
+    dup = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(50)] + [(99, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = _init_centroids_pp(dup, 4, "vec_id", "embedding")
+    assert len(seeds) == 2 and [0.0, 0.0] in seeds and [5.0, 5.0] in seeds
+
+    # md5 init on the blob corpus is genuinely what ++ improves on:
+    # it picks by id-hash luck, not spread (sanity: still 3 seeds)
+    assert len(_init_centroids(df, 3, "vec_id", "embedding")) == 3

@@ -77,6 +77,62 @@ def _init_centroids(df: SDF, k: int, id_col: str, vec_col: str):
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def _init_centroids_pp(df: SDF, k: int, id_col: str, vec_col: str,
+                       rounds: int = 4):
+    """Deterministic kmeans++-style D^2 seeding (r6, r5 verdict ask
+    #5): seeds are drawn with probability proportional to squared
+    distance from the chosen set — the standard init that stops two
+    seeds landing in one dense blob — but the "randomness" is the md5
+    priority device the engine uses everywhere, so the fit stays
+    bit-reproducible across engines and partitionings.
+
+    Mechanics: each point carries a fixed deterministic uniform
+    u = (md5(id) 60-bit prefix + 1) / 2^60; a weighted draw by weight
+    w picks argmax u^(1/w), i.e. argmax ln(u)/w (Efraimidis-Spirakis
+    weighted sampling, public) — evaluated as ONE TakeOrderedAndProject
+    per round, never a driver-side scan. Points at distance 0 from the
+    chosen set (exact duplicates of a seed) get -inf keys and can never
+    be re-picked. Batching ~(k-1)/rounds picks per round trades a
+    little seeding quality (in-round picks don't repel each other) for
+    a 4-scan cost — the k-means|| oversampling idea (Bahmani et al.,
+    public) at its cheapest."""
+    first = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(1)
+        .collect()
+    )
+    cents = [[float(x) for x in first[0]["v"]]]
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / float(1 << 60)
+    per_round = max(1, -(-(k - 1) // rounds))
+    while len(cents) < k:
+        take = min(per_round, k - len(cents))
+        d2 = F.array_min(_sq_dists(F.col(vec_col), cents))["d"]
+        key = F.when(d2 > 0, F.log(u) / d2).otherwise(
+            F.lit(float("-inf"))
+        )
+        rows = (
+            df.select(F.col(id_col), F.col(vec_col), key.alias("__key__"))
+            .orderBy(F.col("__key__").desc(), F.col(id_col))
+            .limit(take)
+            .collect()
+        )
+        got = 0
+        for r in rows:
+            v = [float(x) for x in r[vec_col]]
+            if v not in cents:  # k x dim driver-side check, bytes
+                cents.append(v)
+                got += 1
+        if got == 0:  # fewer distinct points than k: stop early
+            break
+    return cents
+
+
 def kmeans(
     df: SDF,
     k: int = 8,
@@ -84,18 +140,31 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache: bool = True,
+    init: str = "md5",
 ) -> _ty.Tuple[SDF, _ty.List[_ty.List[float]]]:
     """Fit k-means and return ``(assignments, centroids)`` where
     assignments is a DataFrame ``[id_col, cluster:int]`` under the FINAL
     centroids. ``max_iter`` update steps are performed; each is one scan
     plus a k x dim aggregate. Centroids are plain Python floats (k x dim
-    — bytes on the driver, never data)."""
+    — bytes on the driver, never data).
+
+    ``init='md5'`` (default) seeds from the k md5-smallest ids — the
+    cheapest deterministic sample, and the form external SQL oracles
+    replay (q67/q138). ``init='kmeans++'`` seeds by deterministic D^2
+    weighting (`_init_centroids_pp`) — better-spread seeds, fewer
+    Lloyd steps to a good fit, the standard recall lever for trained
+    IVF cells; costs ~4 extra scans and stays bit-deterministic."""
     dim = _infer_dim(df, vec_col)
     feat = df.select(F.col(id_col), F.col(vec_col))
     if cache:
         feat = feat.persist()
     try:
-        cents = _init_centroids(feat, k, id_col, vec_col)
+        if init == "kmeans++":
+            cents = _init_centroids_pp(feat, k, id_col, vec_col)
+        elif init == "md5":
+            cents = _init_centroids(feat, k, id_col, vec_col)
+        else:
+            raise ValueError(f"unknown init {init!r} (md5 | kmeans++)")
         for _ in range(max_iter):
             asg = feat.select(
                 F.col(vec_col),

@@ -6606,7 +6606,13 @@ _KM_DIM = 64
 _KM_K = 8
 
 
-def _kmeans_cents_sql(dim: int, k: int) -> str:
+def _kmeans_cents_sql(dim: int, k: int, iters: int = 1) -> str:
+    """Per-iteration Lloyd CTE chain (r6 generalizes the r5 one-step
+    form): c0 = md5-order init, then for each step t: a{t} assignment
+    against c{t-1}, u{t} decimal-exact per-cluster sums, c{t} coalesced
+    update — the same exact arithmetic `clustering.kmeans` runs, so the
+    trained centroids (and everything downstream) stay bit-identical
+    however many steps are chained."""
     cols = ", ".join(f"v[{i + 1}] AS c{i}" for i in range(dim))
     dist = " + ".join(f"(v[{i + 1}]-c{i})*(v[{i + 1}]-c{i})" for i in range(dim))
     sums = ", ".join(
@@ -6614,31 +6620,41 @@ def _kmeans_cents_sql(dim: int, k: int) -> str:
         f" / COUNT(*) AS c{i}"
         for i in range(dim)
     )
-    coal = ", ".join(f"COALESCE(upd.c{i}, c0.c{i}) AS c{i}" for i in range(dim))
     clist = ", ".join(f"c{i}" for i in range(dim))
-    return f"""
+    parts = [
+        f"""
     emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cl,
              {cols}
       FROM (SELECT * FROM emb ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k})
-    ),
-    a1 AS (
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        coal = ", ".join(
+            f"COALESCE(u{t}.c{i}, prev.c{i}) AS c{i}" for i in range(dim)
+        )
+        parts.append(f"""
+    a{t} AS (
       SELECT id, cl FROM (
-        SELECT emb.id, c0.cl,
-               ROW_NUMBER() OVER (PARTITION BY emb.id ORDER BY {dist}, c0.cl) AS rn
-        FROM emb CROSS JOIN c0
+        SELECT emb.id, prev.cl,
+               ROW_NUMBER() OVER (PARTITION BY emb.id ORDER BY {dist}, prev.cl) AS rn
+        FROM emb CROSS JOIN c{t - 1} prev
       ) WHERE rn = 1
     ),
-    upd AS (
+    u{t} AS (
       SELECT cl, {sums}
-      FROM a1 JOIN emb USING (id) GROUP BY cl
+      FROM a{t} JOIN emb USING (id) GROUP BY cl
     ),
-    cfin AS (
-      SELECT c0.cl, {coal} FROM c0 LEFT JOIN upd ON c0.cl = upd.cl
-    ),
-    cents AS (SELECT cl AS cell, [{clist}] AS cv FROM cfin)
+    c{t} AS (
+      SELECT prev.cl, {coal} FROM c{t - 1} prev LEFT JOIN u{t} ON prev.cl = u{t}.cl
+    )""")
+    parts.append(
+        f"""
+    cents AS (SELECT cl AS cell, [{clist}] AS cv FROM c{iters})
     """
+    )
+    return ",".join(parts)
 
 
 @query("q140_logreg_quality", oracle=_logreg_oracle_sql(iters=3, lr=1.0))
@@ -6699,7 +6715,7 @@ def q139_term_stats(spark: SparkSession, sf_dir: str) -> SDF:
 @query(
     "q138_kmeans_semantic_dedup",
     oracle=f"""
-    WITH {_kmeans_cents_sql(_KM_DIM, _KM_K)},
+    WITH {_kmeans_cents_sql(_KM_DIM, _KM_K, iters=2)},
     assigned AS (
       SELECT e.id AS vec_id, e.v,
              sqrt({_DDOT}(e.v, e.v)) AS nv,
@@ -6723,11 +6739,12 @@ def q139_term_stats(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def q138_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     """TRAINED cells wired into semantic dedup (r4 verdict ask #6): fit
-    kmeans (operators/clustering.kmeans — one Lloyd step, md5 init,
+    kmeans (operators/clustering.kmeans — two Lloyd steps, md5 init,
     DECIMAL(38,12) exact centroid sums so the fit is bit-deterministic
     across engines AND partitionings) and run semantic_dedup with the
     trained centroids via its ``centroids=`` hook instead of the
-    md5-pick cells. Trained cells follow the embedding density, so
+    md5-pick cells (TWO chained Lloyd steps since r6 — the oracle
+    replays each step as its own CTE round). Trained cells follow the embedding density, so
     cluster populations tighten around true neighborhoods — bench.py's
     recall table measures the uplift at equal probe budget. The oracle
     replays the whole pipeline — Lloyd step included — in SQL."""
@@ -6735,7 +6752,7 @@ def q138_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     from torcharrow_spark.operators.clustering import kmeans
 
     emb = _load(spark, sf_dir, "embeddings").to_spark()
-    _asg, cents = kmeans(emb, k=_KM_K, max_iter=1)
+    _asg, cents = kmeans(emb, k=_KM_K, max_iter=2)
     return semantic_dedup(emb, threshold=0.2, centroids=cents)
 
 
