@@ -364,3 +364,32 @@ def test_rand_size_factory_signature(spark):
         fn.rand(size=-1)
     with pytest.raises(ValueError, match="device"):
         fn.rand(size=5, device="gpu")
+
+
+def test_reduce_associative_distributed(spark):
+    """reduce(associative=True) — r6: two-level fold (partition-local
+    mapInPandas + driver fold over partials) equals the sequential
+    reference fold for associative fns, honors initializer/finalizer
+    ONCE, survives many partitions, ignores the driver-stream cap, and
+    keeps empty-no-initializer semantics."""
+    import operator
+
+    import pytest as _pt
+
+    import torcharrow_spark as ts
+    from torcharrow_spark import me
+
+    d = ts.dataframe({"x": list(range(1, 101))}, spark=spark)
+    seq = d["x"].reduce(operator.add)
+    assert d["x"].reduce(operator.add, associative=True) == seq == 5050
+    # partition count > 1 and an initializer applied exactly once
+    dd = ts.DataFrame(d.to_spark().repartition(16))
+    assert dd["x"].reduce(operator.add, associative=True, initializer=7) == 5057
+    assert dd["x"].reduce(min, associative=True) == 1
+    assert dd["x"].reduce(max, associative=True, finalizer=lambda v: -v) == -100
+    # the cap does not apply: max_rows tiny yet the fold succeeds
+    assert dd["x"].reduce(operator.add, associative=True, max_rows=5) == 5050
+    empty = ts.dataframe({"x": [1]}, spark=spark).where(me["x"] > 9)
+    assert empty["x"].reduce(operator.add, associative=True, initializer=3) == 3
+    with _pt.raises(TypeError):
+        empty["x"].reduce(operator.add, associative=True)

@@ -220,3 +220,54 @@ def test_compact_parquet_merges_drifted_schemas(spark, tmp_path):
     rows = {r["id"]: (r["a"], r["b"]) for r in back.collect()}
     assert len(rows) == 100
     assert rows[10] == (20, None) and rows[60] == (None, 180)
+
+
+def test_write_webdataset_exact_uniform_shards(spark, sf_dir, tmp_path):
+    """exact=True: shard sizes are uniform regardless of adversarial
+    upstream partitioning — every shard exactly samples_per_shard
+    except one global tail, keys in global order across shard ids, and
+    the read_webdataset round-trip is lossless."""
+    import glob
+    import os
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.sources import read_webdataset, write_webdataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    n = docs.count()
+    # adversarial layout: skewed hash partitioning + a near-empty task
+    lumpy = docs.repartition(9, F.col("doc_id") % 2)
+    out = str(tmp_path / "wds_exact")
+    manifest = write_webdataset(
+        lumpy, out, "doc_id", {"text": "txt", "lang": "cls"},
+        samples_per_shard=64, exact=True,
+    ).collect()
+
+    shards = sorted(glob.glob(f"{out}/shard-*.tar"))
+    assert len(shards) == -(-n // 64)
+    sizes = []
+    keys_by_shard = []
+    for s in shards:
+        with tarfile.open(s) as tf:
+            keys = sorted({m.name.rsplit(".", 1)[0] for m in tf.getmembers()})
+        sizes.append(len(keys))
+        keys_by_shard.append(keys)
+    # uniform: every shard full except the single tail
+    assert sizes[:-1] == [64] * (len(shards) - 1)
+    assert sizes[-1] == n - 64 * (len(shards) - 1)
+    # global key order across shard ids (native order of the long
+    # doc_id column, compared numerically — tar names are strings)
+    flat = [int(k) for ks in keys_by_shard for k in sorted(ks, key=int)]
+    assert flat == sorted(flat)
+    man = {r["shard"]: r["n_samples"] for r in manifest}
+    assert man == {os.path.basename(s): sz for s, sz in zip(shards, sizes)}
+
+    back = read_webdataset(f"{out}/shard-*.tar", {"text": "txt", "lang": "cls"})
+    got = {r["key"]: (bytes(r["text"]).decode(), bytes(r["lang"]).decode())
+           for r in back.to_spark().collect()}
+    want = {str(r["doc_id"]): (r["text"], r["lang"]) for r in docs.collect()}
+    assert got == want

@@ -545,22 +545,58 @@ class Column:
         return owner.filter(predicate, columns=[name])
 
     def reduce(self, fun, initializer=None, finalizer=None,
-               max_rows: int | None = 1_000_000):
+               max_rows: int | None = 1_000_000, associative: bool = False):
         """Sequential binary fold to one scalar with an arbitrary Python
         fn (reference icolumn.py:729-770). Inherently order-dependent and
-        driver-bound: values stream one partition at a time via
-        toLocalIterator (bounded memory, never a full collect), folded in
-        construction order when the owning frame carries its index. Not a
-        distributed aggregate — use the built-in aggs (sum/min/...) in
-        hot paths; this exists for API parity with arbitrary folds.
-        Guarded: streaming past ``max_rows`` raises instead of silently
-        folding an unbounded dataset through the driver one row at a
-        time — pass ``max_rows=None`` to opt in explicitly."""
+        driver-bound BY DEFAULT: values stream one partition at a time
+        via toLocalIterator (bounded memory, never a full collect),
+        folded in construction order when the owning frame carries its
+        index — the exact reference fold semantics, and the ``max_rows``
+        guard (below) is the cap that order-dependence forces.
+
+        ``associative=True`` (r6, r5 verdict ask #7) removes the cap for
+        fns the CALLER asserts are associative (+, min, max, merge-style
+        combines): a two-level aggregation — partition-local fold inside
+        one Arrow-batched mapInPandas pass, then a driver fold over the
+        <= n_partitions partial results in partition order — the
+        treeAggregate shape without dropping to RDDs. Same result as the
+        sequential fold for genuinely associative fns (pytest-pinned);
+        an fn whose result type differs from the column type, or that
+        is NOT associative, must use the default path. The fn must also
+        tolerate NULLs exactly as the sequential path feeds them (raw
+        values, None included). ``initializer`` is applied ONCE (ahead
+        of the first partial), never per partition; ``max_rows`` is
+        ignored — nothing row-scale crosses the driver.
+        Not the hot path either way — built-in aggs (sum/min/...) stay
+        the distributed spelling; this exists for arbitrary folds."""
         owner, name = self._named_owner("reduce")
         from .frame import INDEX_COL
 
         sdf = owner._sdf
         e, _ = self._resolve(owner)
+        if associative:
+            vals = sdf.select(e.alias("__v__"))
+
+            def _fold_part(batches):
+                import pandas as pd
+
+                acc, started = None, False
+                for pdf in batches:
+                    for v in pdf["__v__"]:
+                        acc = v if not started else fun(acc, v)
+                        started = True
+                if started:
+                    yield pd.DataFrame({"__v__": [acc]})
+
+            partials = vals.mapInPandas(_fold_part, vals.schema).collect()
+            value, started = initializer, initializer is not None
+            for r in partials:
+                v = r["__v__"]
+                value = v if not started else fun(value, v)
+                started = True
+            if not started:
+                raise TypeError("reduce of empty sequence with no initial value")
+            return finalizer(value) if finalizer is not None else value
         sel = sdf.select(e.alias("__v__"), *(
             [F.col(INDEX_COL)] if INDEX_COL in sdf.columns else []
         ))

@@ -492,6 +492,7 @@ def write_webdataset(
     column_extensions: _ty.Dict[str, str],
     samples_per_shard: int = 10_000,
     spark: SparkSession | None = None,
+    exact: bool = False,
 ):
     """WebDataset-style tar-shard sink — the sample-sharded layout
     multimodal training loaders stream (one tar member per sample
@@ -517,6 +518,21 @@ def write_webdataset(
     is a (shard, n_samples, n_bytes) manifest DataFrame (small — one
     row per shard) the caller can persist next to the data.
 
+    ``exact=True`` (r6, r5 verdict ask #8) makes shard sizes UNIFORM
+    regardless of upstream partitioning: every shard holds exactly
+    ``samples_per_shard`` samples (one global tail shard excepted),
+    named ``shard-{id:06d}.tar`` in key order. Default (False) rolls
+    shards per task, so shard count/size follows the upstream layout —
+    fine for ad-hoc exports, lumpy at 100 TB where a skewed upstream
+    leaves 10-row tail shards per task. Mechanics: rows with at least
+    one non-NULL member are range-partitioned and sorted by key
+    (persisted so both passes see one layout), per-partition counts
+    (P integers) become global offsets, shard_id = global_index DIV
+    samples_per_shard, and a hash repartition on shard_id lands every
+    shard wholly inside one task — two extra shuffles of the keyed
+    rows, zero driver bottleneck (the classic distributed-ranking
+    two-phase, never a single-partition window).
+
     Local-filesystem paths only (same contract as `compact_parquet`);
     a mounted object store works, a raw ``s3a://`` URI does not."""
     import io
@@ -533,6 +549,107 @@ def write_webdataset(
     sdf = sdf.select(*cols)
     os.makedirs(path, exist_ok=True)
     exts = dict(column_extensions)
+
+    def _payloads(row):
+        for col, ext in exts.items():
+            v = row[col]
+            if v is None:
+                continue
+            if isinstance(v, str):
+                payload = v.encode("utf-8")
+            elif isinstance(v, (bytes, bytearray)):
+                payload = bytes(v)
+            else:
+                payload = _json.dumps(v, sort_keys=True).encode("utf-8")
+            yield ext, payload
+
+    if exact:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        present = [F.col(c).isNotNull() for c in exts]
+        has_member = present[0] if len(present) == 1 else F.greatest(*present)
+        keyed = (
+            sdf.where(has_member)
+            .repartitionByRange(F.col(key_col))
+            .sortWithinPartitions(key_col)
+            .withColumn("__pid__", F.spark_partition_id())
+            .persist()
+        )
+        s = _spark(spark)
+        try:
+            counts = {
+                r["__pid__"]: r["n"]
+                for r in keyed.groupBy("__pid__")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            total = sum(counts.values())
+            if total == 0:
+                return s.createDataFrame(
+                    [], "shard string, n_samples long, n_bytes long"
+                )
+            offs, acc = {}, 0
+            for p in sorted(counts):
+                offs[p] = acc
+                acc += counts[p]
+            off_map = F.create_map(
+                *[x for p in sorted(counts) for x in (F.lit(p), F.lit(offs[p]))]
+            )
+            w = Window.partitionBy("__pid__").orderBy(key_col)
+            gidx = (
+                F.row_number().over(w) - 1
+                + F.element_at(off_map, F.col("__pid__"))
+            )
+            tagged = keyed.select(*cols, gidx.alias("__gidx__")).withColumn(
+                "__shard__",
+                (F.col("__gidx__") / F.lit(samples_per_shard)).cast("long"),
+            )
+            n_shards = -(-total // samples_per_shard)
+            spread = tagged.repartition(n_shards, "__shard__") \
+                .sortWithinPartitions("__shard__", "__gidx__")
+
+            def _write_exact(rows):
+                out = []
+                tar = None
+                tar_path = None
+                cur_shard = None
+                n_in_shard = 0
+
+                def _close():
+                    nonlocal tar, n_in_shard
+                    if tar is not None:
+                        tar.close()
+                        out.append(
+                            (os.path.basename(tar_path), n_in_shard,
+                             os.path.getsize(tar_path))
+                        )
+                        tar = None
+                        n_in_shard = 0
+
+                for row in rows:
+                    sid = row["__shard__"]
+                    if sid != cur_shard:
+                        _close()
+                        cur_shard = sid
+                        tar_path = os.path.join(path, f"shard-{sid:06d}.tar")
+                        tar = tarfile.open(tar_path, "w")
+                    key = str(row[key_col])
+                    for ext, payload in _payloads(row):
+                        info = tarfile.TarInfo(name=f"{key}.{ext}")
+                        info.size = len(payload)
+                        info.mtime = 0
+                        tar.addfile(info, io.BytesIO(payload))
+                    n_in_shard += 1
+                _close()
+                return iter(out)
+
+            manifest_rows = spread.rdd.mapPartitions(_write_exact).collect()
+        finally:
+            keyed.unpersist()
+        return s.createDataFrame(
+            manifest_rows or [], "shard string, n_samples long, n_bytes long"
+        )
 
     def _write(pidx: int, rows):
         shard_seq = 0
