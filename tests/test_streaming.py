@@ -769,3 +769,68 @@ def test_dedup_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     # most windows (all but the watermark tail) must have been emitted
     assert got and all(want[k] == v for k, v in got.items())
     assert len(got) >= len(want) * 0.5, (len(got), len(want))
+
+
+def test_quality_scores_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Online classifier refresh (r6): single-batch stream must be
+    BIT-identical to quality_scores_batch (decimal-exact training makes
+    weights partitioning-independent), and the scored sink must be
+    exactly-once under batch replay (overwrite-by-batch_id: re-running
+    a batch id replaces, never appends)."""
+    import os
+
+    from torcharrow_spark.streaming import (
+        quality_scores_batch,
+        quality_scores_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {r["doc_id"]: (r["label"], r["score"])
+            for r in quality_scores_batch(docs).collect()}
+    assert len(want) > 100
+
+    src = str(tmp_path / "docs_q")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    dest = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt_q")
+    q = quality_scores_stream(spark, src, docs.schema, dest, ckpt,
+                              query_name="t_quality_scores")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.read.parquet(dest)
+    got = {r["doc_id"]: (r["label"], r["score"]) for r in landed.collect()}
+    assert got == want  # bit-identical, scores included
+    assert landed.select("batch_id").distinct().count() == 1
+
+    # exactly-once: replay the same source into the same dest with a
+    # FRESH checkpoint (forcing foreachBatch to re-run batch 0) — the
+    # batch overwrites its own partition, so no duplicates appear
+    q2 = quality_scores_stream(spark, src, docs.schema, dest,
+                               str(tmp_path / "ckpt_q2"),
+                               query_name="t_quality_scores2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    re = spark.read.parquet(dest)
+    assert re.count() == len(want)
+    got2 = {r["doc_id"]: (r["label"], r["score"]) for r in re.collect()}
+    assert got2 == want
+
+    # multi-batch drift semantics: each batch scored by its OWN model
+    # — every landed row's doc still gates+scores, count matches the
+    # union of per-batch survivor sets
+    dest3 = str(tmp_path / "scored3")
+    q3 = quality_scores_stream(spark, src, docs.schema, dest3,
+                               str(tmp_path / "ckpt_q3"),
+                               query_name="t_quality_scores3",
+                               max_files_per_trigger=1)
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    landed3 = spark.read.parquet(dest3)
+    assert landed3.select("batch_id").distinct().count() >= 2
+    assert sorted(r["doc_id"] for r in landed3.collect()) == sorted(want)

@@ -928,3 +928,106 @@ def dedup_windowed_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quality_scores_batch(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lr: float = 1.0,
+    iters: int = 3,
+    min_words: int = 30,
+    max_dup_word_frac: float = 0.6,
+) -> SDF:
+    """Batch reference semantics for `quality_scores_stream`: Gopher-
+    gate the corpus, fit the q140-shape logistic quality model on the
+    SURVIVORS (features: bias, log word count, mean word length; label:
+    document is English), and score every survivor. Returns (doc_id,
+    label, score). The decimal-exact training (`classifier.logreg_train`)
+    makes the weights — hence every score — bit-identical under any
+    partitioning, which is what lets the streaming twin prove
+    stream == batch exactly for the single-batch case."""
+    from torcharrow_spark.operators import (
+        gopher_filter,
+        logreg_score,
+        logreg_train,
+    )
+    from torcharrow_spark.operators.relevance import _round8, _words
+
+    gated = gopher_filter(
+        df, text_col, id_col,
+        min_words=min_words, max_dup_word_frac=max_dup_word_frac,
+        keep_columns=True,
+    ).where(F.col("keep"))
+    nw = F.size(_words(F.col(text_col))).cast("double")
+    feat = gated.where(nw > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(1.0).alias("x0"),
+        _round8(F.log(F.lit(1.0) + nw)).alias("x1"),
+        _round8(F.length(F.col(text_col)).cast("double") / nw).alias("x2"),
+        F.when(F.col(lang_col) == "en", F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("y"),
+    )
+    w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=lr, iters=iters)
+    return logreg_score(feat, ["x0", "x1", "x2"], w).select(
+        "doc_id", F.col("y").cast("long").alias("label"), "score"
+    )
+
+
+def quality_scores_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    dest_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lr: float = 1.0,
+    iters: int = 3,
+    min_words: int = 30,
+    max_dup_word_frac: float = 0.6,
+    query_name: str = "quality_scores_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """ONLINE quality-classifier refresh (r6, r5 verdict ask #6): the
+    learned filter was the one batch-bound link in the q145 curation
+    shape; this closes it. Each micro-batch is Gopher-gated and the
+    logistic quality model is RE-FIT on that batch's survivors
+    (`foreachBatch` over `logreg_train`/`logreg_score` — training is
+    iters scans of the bounded batch + a dim-sized exact-decimal
+    aggregate each, so fit cost is bounded by the trigger size), then
+    every survivor is scored with the fresh weights and landed in its
+    own ``batch_id=<n>`` parquet partition with mode('overwrite') —
+    the same idempotent exactly-once sink as `stream_to_parquet`
+    (a replayed batch id overwrites its own directory, never appends).
+
+    Semantics by design: weights drift WITH the stream — each batch is
+    scored by the model of its own data, which is the production
+    "refresh at ingest" behavior (catch quality drift as it lands),
+    not a frozen global model. For the single-batch case this is
+    bit-identical to `quality_scores_batch` (paired test); a pinned
+    global model is `logreg_train` once + `logreg_score` inside any
+    sink. Readers of ``dest_path`` see (doc_id, label, score) plus the
+    batch_id partition column."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        scored = quality_scores_batch(
+            batch_df, text_col, id_col, lang_col,
+            lr=lr, iters=iters,
+            min_words=min_words, max_dup_word_frac=max_dup_word_frac,
+        )
+        scored.write.mode("overwrite").parquet(f"{dest_path}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
