@@ -160,7 +160,12 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q16_event_windows": 116103,
     "q17_sessionize": 2070362,
     "q18_exact_dedup": 157440,
-    "q19_minhash_pairs": 875550,
+    # RE-ANCHORED r6 (was 875550): band-bucket members widened from a
+    # bare id to an (id, full-signature-hash) struct — the election
+    # class key that bounds a pathological bucket's total pair work
+    # (_emit_pairs elect_key; VERDICT r5 ask #1). +8 bytes/member on
+    # the one bucket shuffle, a deliberate scale trade.
+    "q19_minhash_pairs": 1101543,
     "q21_ngram_jaccard": 16928635,
     "q22_ann_brute_force": 448,
     "q23_ann_lsh": 446,
@@ -184,13 +189,18 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q112_grouped_heavy_hitters": 10303,
     "q113_forecast_revenue": 222,
     "q119_min_cost_supplier": 18812039,
-    "q43_jaccard_prefix": 15205163,
+    # RE-ANCHORED r6 (was 15205163, +11%): prefix rows carry the
+    # doc's shingle-set hash (__ck__) — the election class key (same
+    # trade as q19; stars verify to jaccard exactly 1.0).
+    "q43_jaccard_prefix": 16924567,
     "q126_multimodal_decode": 0,
     "q127_lm_quality": 169237,
     "q128_gopher_filter": 0,
     "q129_curation_pipeline": 121646,
     "q130_grouped_cdf": 915,
-    "q138_kmeans_semantic_dedup": 579870,
+    # r6: +1.6% from the election branch plan shape (zero rows on
+    # organic data) + the second Lloyd step
+    "q138_kmeans_semantic_dedup": 588954,
     "q139_term_stats": 1641449,
     "q140_logreg_quality": 380,
     "q141_decontaminate": 315580,
@@ -298,6 +308,9 @@ def measure_calibration(spark) -> float:
 
 
 STRESS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".stress_sf1")
+STRESS10_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".stress_sf10"
+)
 
 # sf1 steady-state anchors (seconds, local[32], r3 noop-sink
 # measurement) for the pair machinery — the quadratic-creep canary
@@ -410,6 +423,154 @@ def _build_stress_sf1(spark, sf01_dir: str) -> None:
     e.write.mode("overwrite").parquet(f"{STRESS_DIR}/embeddings.parquet")
     with open(done, "w") as fh:
         fh.write("ok\n")
+
+
+def _build_stress_sf10(spark) -> None:
+    """Second scale decade (r6, r5 verdict ask #2): 10x the sf1 stress
+    corpus = 100x sf0.1 (500k docs / 200k vectors), built from sf1 by
+    the SAME copy-tagging scheme — copy tag 'y{copy}' composes with
+    sf1's 'x{copy}' so no shingle crosses any of the 100 effective
+    copies and true near-dup structure stays exactly linear; embeddings
+    get a second independent Rademacher sign pattern (within-copy
+    cosines exact, cross-copy ~0). Built once, gitignored."""
+    from pyspark.sql import functions as F
+
+    done = os.path.join(STRESS10_DIR, "_BUILT_v1")
+    if os.path.exists(done):
+        return
+    docs = spark.read.parquet(f"{STRESS_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{STRESS_DIR}/embeddings.parquet")
+    copies = spark.range(10).select(F.col("id").cast("int").alias("copy"))
+
+    d = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * F.lit(1_000_000_000)).alias(
+                "doc_id"
+            ),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), w -> concat(w, 'y', copy))"
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    d.write.mode("overwrite").parquet(f"{STRESS10_DIR}/documents.parquet")
+
+    e = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * F.lit(1_000_000_000)).alias(
+                "vec_id"
+            ),
+            F.when(F.col("copy") == 0, F.col("embedding"))
+            .otherwise(
+                F.expr(
+                    "transform(embedding, (x, d) -> CAST(x * "
+                    "(CASE WHEN pmod(xxhash64(concat('t2:', copy, ',', d)), 2) = 0 "
+                    "THEN 1.0 ELSE -1.0 END) AS FLOAT))"
+                )
+            )
+            .alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    e.write.mode("overwrite").parquet(f"{STRESS10_DIR}/embeddings.parquet")
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+
+
+# r6: sf10 machine-independent byte anchors (first r6 measurement;
+# property of plan + data). Wall at this tier is informational — one
+# steady run after a cold warmup (the byte gate, not wall, is the
+# trigger, and bytes are deterministic in one capture).
+STRESS_SF10_SHUFFLE_ANCHOR: dict[str, int] = {}
+
+
+def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
+                    metrics=None) -> dict:
+    """sf10 tier over the five pair-machinery queries whose 100x claims
+    previously extrapolated from one measured decade: vs_sf1_ratio ~10
+    = linear across the SECOND decade too (this is where the salted
+    emitter and AQE skew handling first see organic data at 500k docs).
+    Regression trigger = STRESS_SF10_SHUFFLE_ANCHOR growth or any
+    spill. Wall is single-steady (cold warmup first); opt out with
+    SPARK_GRAFT_NO_SF10 when iterating locally."""
+    from torcharrow_spark.operators import (
+        cosine_pairs,
+        minhash_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        strip_duplicate_spans,
+    )
+
+    _build_stress_sf10(spark)
+    sdir = STRESS10_DIR
+
+    def docs():
+        return spark.read.parquet(f"{sdir}/documents.parquet")
+
+    def emb():
+        return spark.read.parquet(f"{sdir}/embeddings.parquet")
+
+    cases = {
+        "q19_minhash_pairs": lambda: minhash_pairs(
+            docs(), shingle_k=3, num_hashes=8, bands=4
+        ),
+        "q46_simhash_pairs": lambda: simhash_pairs(
+            docs(), bits="auto", max_hamming=3
+        ),
+        "q86_strip_spans": lambda: strip_duplicate_spans(docs(), k=8),
+        "q21_ngram_jaccard_auto": lambda: ngram_jaccard_pairs(
+            docs(), shingle_k=3, threshold=0.3, mode="auto"
+        ),
+        "q42_cosine_dedup": lambda: cosine_pairs(
+            emb(), threshold=0.2, n_planes=11
+        ),
+    }
+    out: dict[str, dict] = {}
+    for name, build in cases.items():
+        _sink(build())  # cold: codegen/broadcast spin-up
+        wm = metrics.snapshot() if metrics else None
+        t0 = time.perf_counter()
+        _sink(build())
+        sec = round(time.perf_counter() - t0, 3)
+        bytes_ = metrics.since(wm) if metrics else None
+        n = build().count()
+        b1 = (sf1_out.get(name) or {}).get("sec")
+        out[name] = {
+            "sec": sec,
+            "rows": n,
+            "vs_sf1_ratio": round(sec / b1, 2) if b1 else None,
+        }
+        if bytes_ is not None:
+            out[name]["shuffle_bytes"] = bytes_["shuffle_write"]
+            out[name]["spill_bytes"] = bytes_["spill"]
+            byte_anchor = STRESS_SF10_SHUFFLE_ANCHOR.get(name)
+            if byte_anchor:
+                ratio = round(bytes_["shuffle_write"] / byte_anchor, 2)
+                out[name]["vs_shuffle_anchor"] = ratio
+                if ratio > 1.25 or bytes_["spill"] > 0:
+                    out[name]["regression"] = True
+                    print(
+                        f"# STRESS-SF10 REGRESSION {name}: shuffle "
+                        f"{bytes_['shuffle_write']}B vs anchor {byte_anchor}B "
+                        f"({ratio}x), spill {bytes_['spill']}B",
+                        file=sys.stderr,
+                    )
+        print(
+            f"# stress sf10 {name}: {sec:.3f}s ({n} rows, "
+            f"shuffle {bytes_['shuffle_write'] if bytes_ else '?'}B, "
+            f"vs_sf1 {out[name]['vs_sf1_ratio']}x)",
+            file=sys.stderr,
+        )
+    return out
 
 
 def run_stress(
@@ -885,8 +1046,11 @@ def main() -> None:
                 )
 
     stress: dict = {}
+    stress10: dict = {}
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         stress = run_stress(spark, warm, sf_dir, cal_ratio, metrics)
+        if not os.environ.get("SPARK_GRAFT_NO_SF10"):
+            stress10 = run_stress_sf10(spark, stress, cal_ratio, metrics)
 
     bpe_real: dict = {}
     recall: dict = {}
@@ -909,6 +1073,7 @@ def main() -> None:
                 "regressions": regressions,
                 "byte_regressions": byte_regressions,
                 "stress_sf1": stress,
+                "stress_sf10": stress10,
                 "bpe_real_vocab": bpe_real,
                 "recall_sf1": recall,
                 "tensor_export": tensor_export,

@@ -77,10 +77,15 @@ def test_driver_window_coverage():
         "q138_kmeans_semantic_dedup", "q24_text_stats", "q72_redact_pii",
         # relevance family's streaming-twin batch side (r5)
         "q139_term_stats",
-        "q76_chunk_documents", "q79_dedup_lines", "q80_hll_distinct",
+        # r6 rotations: q148 replaces q80's HLL row (q105 keeps the
+        # sketch family), q147 replaces q126's still-image row (frames
+        # decode THROUGH the same image path, a strict superset) —
+        # both old rows stay driver_sim + pytest gated
+        "q76_chunk_documents", "q79_dedup_lines",
+        "q148_minhash_bucket_audit",
         "q135_semantic_dedup", "q105_heavy_hitters", "q71_deterministic_sampling",
         "q110_grouped_quantiles", "q134_pack_nosplit",
-        "q126_multimodal_decode", "q68_tfidf_top_terms", "q82_funnel",
+        "q147_video_frame_decode", "q68_tfidf_top_terms", "q82_funnel",
         "q98_market_share", "q41_bpe_tokenize",
     }
     assert must_have <= window, must_have - window

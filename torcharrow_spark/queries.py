@@ -6828,7 +6828,11 @@ DRIVER_WINDOW = [
     "q72_redact_pii",           # PII redaction
     "q76_chunk_documents",      # context-window chunking
     "q79_dedup_lines",          # line-level corpus-frequency dedup (C4)
-    "q80_hll_distinct",         # HLL sketch
+    "q148_minhash_bucket_audit",# r6 election audit (oracle derives the
+                                # exact-equivalence classes from full
+                                # signatures; q80's HLL row was
+                                # driver-green r2-r5 — q105 keeps the
+                                # sketch family in the window)
     "q82_funnel",               # funnel / event sequence
     "q135_semantic_dedup",      # SemDeDup-style paraphrase dedup
                                 # (q84 count-min was driver-green
@@ -6842,7 +6846,11 @@ DRIVER_WINDOW = [
                                 # q121 next-fit was driver-green r2-r3
                                 # and runs inside q129's composite)
     "q123_quantize_embeddings", # int8 embedding quantization
-    "q126_multimodal_decode",   # REAL image decode (png, all filters)
+    "q147_video_frame_decode",  # r6 REAL frame decode THROUGH the image
+                                # decode path (q126's still-image row
+                                # was driver-green r3-r5; q147 walks
+                                # sample tables AND decodes pixels, a
+                                # strict superset of the q126 check)
 ]
 
 
