@@ -2678,10 +2678,11 @@ def test_normalize_url_and_dedup(spark):
 
 
 def test_emit_pairs_chunk_cap_path(spark):
-    """The 256-chunk cap branch: with chunk forced tiny, a 600-element
-    group wants 300 chunks and is capped at 256 (csz recomputed as
-    ceil(m/256)=3, trailing slices empty) — the pair set must still be
-    exactly C(600, 2) with the ordering contract intact."""
+    """The csz-scaling branch (r6: csz = max(chunk, ceil(m/256)), so
+    nch <= 256 without empty trailing slices): with chunk forced tiny,
+    a 600-element group scales csz up to ceil(600/256)=3 (200 chunks)
+    — the pair set must still be exactly C(600, 2) with the ordering
+    contract intact."""
     from pyspark.sql import functions as F
 
     from torcharrow_spark.operators.dedup import _emit_pairs
@@ -2693,6 +2694,31 @@ def test_emit_pairs_chunk_cap_path(spark):
     out = _emit_pairs(grouped, "ms", chunk=2)
     assert out.count() == m * (m - 1) // 2
     assert out.where(F.col("__a__") >= F.col("__b__")).count() == 0
+
+
+def test_emit_pairs_stage_buffer_bounded(spark):
+    """r6 regression test for the stage-boundary buffering cliff:
+    `_emit_pairs` returns a Union, Union is a whole-stage-codegen
+    boundary, and BufferedRowIterator buffers ONE INPUT ROW'S ENTIRE
+    generate fanout (~80 B/row of object overhead) before the consumer
+    sees anything. With the r5 chunk of 8192, four 8000-member buckets
+    rode the "small" zero-shuffle path at C(8000,2) ~ 32M buffered rows
+    ~ 2.5 GB per task and OOMed a 16 GB heap when processed
+    concurrently (measured). The r6 chunk of 1024 + csz scaling bounds
+    per-row fanout at ~1M pair rows; this emission must complete and
+    be exactly 4 * C(8000, 2)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import _emit_pairs
+
+    m, nb = 8000, 4
+    grouped = (
+        spark.range(nb)
+        .select(F.col("id"), F.sequence(F.lit(0), F.lit(m - 1)).alias("ms"))
+        .select(F.transform("ms", lambda x: x + F.col("id") * 10_000_000).alias("ms"))
+    )
+    n = _emit_pairs(grouped, "ms").count()
+    assert n == nb * m * (m - 1) // 2
 
 
 def test_skew_report_hand_values(spark):
@@ -2927,7 +2953,13 @@ def test_bucket_audit_operators(spark):
 
     sh = simhash_bucket_audit(docs, bits=16, elect_threshold=64).collect()
     assert len(sh) >= 4
-    assert all(r["n_classes"] == 1 and r["members"] == n_dup for r in sh)
+    # the organic doc may share a block value with the dup class, so a
+    # bucket is either the pure class or class + 1 organic straggler
+    assert all(
+        (r["members"], r["n_classes"]) in {(n_dup, 1), (n_dup + 1, 2)}
+        for r in sh
+    )
+    assert sum((r["members"], r["n_classes"]) == (n_dup, 1) for r in sh) >= 3
 
 
 def test_mp4_sample_tables_roundtrip_and_edges():

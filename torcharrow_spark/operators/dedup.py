@@ -42,11 +42,32 @@ def _norm_text(col):
 #: never fires on real data distributions; it exists for the cliff.
 DEFAULT_ELECT_THRESHOLD = 1 << 18
 
+#: default emission chunk, sized by SPARK'S STAGE-BOUNDARY BUFFERING,
+#: not by pair arithmetic (r6 finding, measured): `_emit_pairs` returns
+#: a UNION of its small and salted branches, and UnionExec is a
+#: whole-stage-codegen boundary — the double-Generate emission pipeline
+#: is drained through BufferedRowIterator, which buffers EVERY output
+#: row of one stage-input row in a LinkedList before the consumer sees
+#: the first one (Generate's codegen loops emit a whole input row's
+#: fanout per processNext call). Per-task peak memory is therefore
+#: fanout_per_input_row * ~80 B (UnsafeRow + list node overhead
+#: dominates the 16-byte pair payload), NO MATTER how small the pair
+#: rows are. The r5 chunk of 8192 meant C(8192,2) ~ 34M buffered rows
+#: ~ 2.7 GB per task — measured OOM at 16 GB heap with 4 concurrent
+#: emission tasks of 12k-member buckets, and GC churn tax on every
+#: surviving emission (the real source of q46's emission cost). At
+#: 1024, worst-case buffered fanout is C(1024,2) ~ 524k rows ~ 40 MB
+#: on the small branch and csz^2 <= 1M rows ~ 80 MB per salted
+#: chunk-pair — safe even on 4 GB executors, while the shuffle-byte
+#: overhead of the finer salted grid stays negligible
+#: (~8*(2*csz)/csz^2 = 0.016 B per emitted pair).
+DEFAULT_EMIT_CHUNK = 1024
+
 
 def _emit_pairs(
     grouped: SDF,
     arr_col: str,
-    chunk: int = 8192,
+    chunk: int = DEFAULT_EMIT_CHUNK,
     elect_key=None,
     elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
     link_reps: bool = True,
@@ -65,26 +86,29 @@ def _emit_pairs(
     the upstream keying (band width, prefix filter, block bits sizing).
     This function bounds two things:
 
-    * PEAK MEMORY (the tail-slice trick above), so hot groups degrade
-      to throughput, not executor death;
+    * PEAK MEMORY (the tail-slice trick above, plus — since r6 — the
+      ``chunk`` sizing itself: see DEFAULT_EMIT_CHUNK; the stage-
+      boundary buffer holds one input row's ENTIRE fanout, so the real
+      per-task memory bound is fanout-per-row, capped here at ~1M
+      pair rows ~ 80 MB), so hot groups degrade to throughput, not
+      executor death;
     * since r5, PER-TASK EMISSION: a group larger than ``chunk``
-      members (default 8192 — C(8192,2) ~ 34M pairs is the most one
-      task may emit unsalted, a few seconds of work; the threshold is
-      set so ORGANIC hot groups at 10x stress scale stay on the
-      zero-shuffle small path — measured +14-23% wall at sf1 with a
-      2048 threshold, ~0 at 8192 — while pathological duplication
-      still trips the guard) is SALTED — its sorted array is cut into equal chunks,
+      members is SALTED — its sorted array is cut into equal chunks,
       every ordered chunk-pair (ci <= cj) becomes its own row, and the
       chunk-pair rows are hash-repartitioned so the C(m, 2) emission of
       one adversarial bucket (a boilerplate text duplicated 10^5x = one
       task emitting 5*10^9 pairs) spreads across the cluster, each task
-      bounded by ~chunk^2 pairs per chunk-pair. The chunk count is
-      capped at 256 per group so the chunk-pair index array stays small
-      even for pathological groups. The common case (every group <=
-      ``chunk``) keeps today's zero-shuffle plan: the small branch is
-      untouched and the big branch's exchange carries zero rows;
-      the shared upstream aggregate's exchange is reused across the two
-      branches (ReuseExchange), so no second corpus shuffle exists.
+      bounded by ~csz^2 pairs per chunk-pair. The effective chunk size
+      grows as ceil(m / 256) past 256*chunk members so the chunk-pair
+      index array stays <= 33k structs even for pathological groups;
+      per-row fanout therefore stays <= chunk^2 up to m = 256*chunk
+      (= 2^18 at the defaults — exactly DEFAULT_ELECT_THRESHOLD, where
+      election takes over when an elect_key exists and `_elect_audit`
+      flags the rest). The common case (every group <= ``chunk``)
+      keeps the zero-shuffle plan: the small branch is untouched and
+      the big branch's exchange carries zero rows; the shared upstream
+      aggregate's exchange is reused across the two branches
+      (ReuseExchange), so no second corpus shuffle exists.
 
     Since r6 the TOTAL work of a pathological bucket is bounded too
     (r5 verdict ask #1): when ``elect_key`` is given (a Column lambda
@@ -132,62 +156,235 @@ def _emit_pairs(
     ordered by the array's sort order (``__a__`` precedes ``__b__``)."""
     if elect_key is None:
         return _emit_pairs_impl(grouped, arr_col, chunk)
+    # STRUCTURE MATTERS MORE THAN ROW COUNTS HERE (found the hard way:
+    # a first cut routed giant buckets through their own where()+union
+    # branches, and q46's sf0.1 steady went 5s -> 58-75s with ZERO
+    # electable rows — each extra union branch re-executed the ENTIRE
+    # upstream pipeline, because self-union triggers relation
+    # deduplication, the cloned lambda-heavy subtrees no longer
+    # canonicalize equal, and ReuseExchange misses; for simhash the
+    # re-executed upstream is the 16-aggregate HOF vote projection,
+    # sometimes landing in ONE task. SURVEY §4.3 case study #4.)
+    #
+    # So election is A PER-ROW EXPRESSION, not a branch: every bucket
+    # row rewrites itself to (bare anchor array, per-anchor star-target
+    # lists) behind a lazily-evaluated CASE WHEN — organic rows keep
+    # their array UNTOUCHED with NULL stars — and the pair flows
+    # through EXACTLY the r5 two-branch emission (small zero-shuffle /
+    # big salted) below. The plan keeps r5's consumer count, so no
+    # upstream re-execution exists to be slow.
+    #
+    # AND EXPRESSION SHARING MATTERS MORE THAN BIG-O (the second thing
+    # found the hard way, r6): a first cut kept the sorted (key,
+    # member) array as its own projected column `__kd__` and referenced
+    # it from several sibling expressions. Catalyst freely SUBSTITUTES
+    # a projected alias into every consumer (CollapseProject, filter
+    # pushdown) — the optimized plan carried TWENTY copies of the
+    # O(m log m) sort, and the copies inlined under per-element lambdas
+    # (`element_at(<full sort expr>, i)`) turned the bucket rewrite
+    # O(m^2): 19s at m=3000, 247s at m=12000, class count irrelevant
+    # (measured). The only substitution barrier Catalyst respects here
+    # is a LAMBDA BINDING — a NamedLambdaVariable cannot be inlined
+    # through. So the sorted array is bound exactly once per row as a
+    # lambda variable (`transform(array(kd), kd_ -> ...)`), every
+    # downstream use references the variable, and star lists are built
+    # by O(m) RUN-SLICING on the sorted array (run starts -> one slice
+    # per class) instead of a filter-per-rep scan. SURVEY §4.3 case
+    # study #5.
     arr = F.col(arr_col)
-    normal = grouped.where(F.size(arr) <= F.lit(elect_threshold)).select(arr_col)
-    giant = grouped.where(F.size(arr) > F.lit(elect_threshold))
-    # (class-key, member) pairs sorted so equal-key members are
-    # ADJACENT; each expression lands in its own projection so HOF
-    # lambdas only reference bound columns (SURVEY §4.3)
-    g1 = giant.select(
-        F.sort_array(
-            F.transform(
-                arr, lambda x: F.struct(elect_key(x).alias("k"), x.alias("m"))
-            )
-        ).alias("__kd__")
-    )
-    # representative = first element of each adjacent run (class MIN in
-    # the natural member order, because sort on (k, m) orders members
-    # within a class); i is 0-based, element_at 1-based, so
-    # element_at(__kd__, i) is the PREDECESSOR of element i. greatest(i,
-    # 1) keeps the index legal at i=0 — the when() picks True there.
-    g2 = g1.select(
-        F.col("__kd__"),
-        F.filter(
-            F.col("__kd__"),
-            lambda e, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
-                F.element_at(F.col("__kd__"), F.greatest(i, F.lit(1)))["k"]
-                != e["k"]
+
+    def _units_of(kd_):
+        # kd_: array<struct<k, m>> sorted by (k, m) — equal-key runs
+        # are adjacent, each run ascending in m. Returns struct<b, s>:
+        # b the bare rep array (one per class, rep = run head = class
+        # MIN member) sorted by m, s the per-rep star-target lists
+        # ALIGNED with b (s[i] = the tail members of b[i]'s run) — the
+        # alignment `_emit_pairs_units` indexes by anchor position.
+        n = F.size(kd_)
+        # 1-based run-start positions; i=1 short-circuits the when()
+        # and greatest() keeps the predecessor index legal even under
+        # eager branch evaluation
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                F.element_at(kd_, i)["k"]
+                != F.element_at(kd_, F.greatest(i - F.lit(1), F.lit(1)))["k"]
             ),
-        ).alias("__rk__"),
-    )
-    # class-key -> representative member map (keys distinct: one rep
-    # per class), for star emission and non-rep detection
-    g3 = g2.select(
-        F.col("__kd__"),
-        F.col("__rk__"),
-        F.map_from_entries(
-            F.transform("__rk__", lambda e: F.struct(e["k"], e["m"]))
-        ).alias("__rm__"),
-    )
-    reps = g3.select(
-        F.sort_array(F.transform("__rk__", lambda e: e["m"])).alias(arr_col)
-    )
-    base_pairs = _emit_pairs_impl(normal.unionByName(reps), arr_col, chunk)
-    if not link_reps:
-        return base_pairs
-    stars = g3.select(
-        F.col("__rm__"),
-        F.explode(
-            F.filter(
-                F.col("__kd__"),
-                lambda e: e["m"] != F.element_at(F.col("__rm__"), e["k"]),
+        )
+        # exclusive run ends: the next run's start, n+1 for the last
+        ends = F.concat(
+            F.slice(starts, 2, F.size(starts)), F.array(n + F.lit(1))
+        )
+        empty = F.transform(F.slice(kd_, 1, 0), lambda x: x["m"])
+        if link_reps:
+            units = F.zip_with(
+                starts,
+                ends,
+                lambda s, e: F.struct(
+                    F.element_at(kd_, s)["m"].alias("m"),
+                    F.transform(
+                        F.slice(kd_, s + F.lit(1), e - s - F.lit(1)),
+                        lambda x: x["m"],
+                    ).alias("s"),
+                ),
             )
-        ).alias("__e__"),
-    ).select(
-        F.element_at(F.col("__rm__"), F.col("__e__.k")).alias("__a__"),
-        F.col("__e__.m").alias("__b__"),
+        else:
+            units = F.transform(
+                starts,
+                lambda s: F.struct(
+                    F.element_at(kd_, s)["m"].alias("m"), empty.alias("s")
+                ),
+            )
+        # runs are in class-KEY order, not member order — sort by m
+        # (struct comparison is field-wise; m unique, s never
+        # tie-breaks), then split into the parallel (b, s) arrays
+        su = F.sort_array(units)
+        return F.struct(
+            F.transform(su, lambda u: u["m"]).alias("b"),
+            F.transform(su, lambda u: u["s"]).alias("s"),
+        )
+
+    # (class-key, member) sorted so equal-key runs are adjacent;
+    # evaluated only on elected rows (CASE lazy per row), and bound as
+    # a lambda variable so no optimizer rule can re-inline it per
+    # element (see the block comment above)
+    kd = F.sort_array(
+        F.transform(arr, lambda x: F.struct(elect_key(x).alias("k"), x.alias("m")))
     )
-    return base_pairs.unionByName(stars)
+    ub = F.element_at(
+        F.transform(
+            F.array(F.when(F.size(arr) > F.lit(elect_threshold), kd)),
+            lambda kd_: F.when(kd_.isNotNull(), _units_of(kd_)),
+        ),
+        1,
+    )
+    g0 = grouped.select(ub.alias("__ub__"), arr.alias("__raw__"))
+    ubc = F.col("__ub__")
+    # TWO parallel columns per bucket row: the BARE anchor array the
+    # emission posexplodes and tail-slices exactly as r5 (organic rows
+    # pass through UNTOUCHED — zero per-member wrapping, measured 14%
+    # emission tax when anchors rode as structs), plus __ss__, the
+    # star-target lists aligned with the bare array — NULL on organic
+    # rows, so the per-anchor star lookup is a null-propagating
+    # element_at that costs one null check on organic data
+    g1 = g0.select(
+        F.when(ubc.isNotNull(), ubc["b"])
+        .otherwise(F.col("__raw__"))
+        .alias(arr_col),
+        F.when(ubc.isNotNull(), ubc["s"]).alias("__ss__"),
+    )
+    return _emit_pairs_units(g1, "__ss__", arr_col, chunk)
+
+
+def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
+                      chunk: int) -> SDF:
+    """The r5 emission machinery over parallel (bare, stars) arrays:
+    the same small/big two-branch plan as `_emit_pairs_impl`, anchors
+    posexploded from ``bare_col`` EXACTLY as r5 (bare elements — no
+    per-anchor wrapper, so organic rows pay only a null check over
+    r5), plus per-anchor star targets looked up by position in
+    ``stars_col`` (array<array<elem>> aligned with the bare array;
+    NULL on organic rows, so the lookup null-propagates). An anchor
+    with stars pays one concat — on the big branch only on its
+    DIAGONAL chunk-pair, where each element anchors exactly once, so
+    star pairs never duplicate. Returns ``__a__``/``__b__`` (bare
+    element type)."""
+    bare = F.col(bare_col)
+
+    small = grouped.where(F.size(bare) <= chunk)
+    ex = small.select(
+        F.posexplode(bare_col).alias("__i__", "__a__"),
+        bare.alias("__arr__"),
+        F.col(stars_col).alias("__ss__"),
+    )
+    tail = F.slice(F.col("__arr__"), F.col("__i__") + 2, F.size("__arr__"))
+    # NULL __ss__ (organic row) or empty star list -> just the tail;
+    # the element_at index is always in-bounds (__ss__ aligned with
+    # the bare array), NULL input null-propagates
+    st = F.element_at(F.col("__ss__"), F.col("__i__") + 1)
+    targets = F.when(
+        st.isNotNull() & (F.size(st) > 0), F.concat(tail, st)
+    ).otherwise(tail)
+    small_pairs = ex.select(
+        F.col("__a__"), F.explode(targets).alias("__b__")
+    )
+
+    big = grouped.where(F.size(bare) > chunk)
+    m = F.size(bare)
+    # csz first, nch derived: the chunk size floors at ``chunk`` and
+    # grows as ceil(m/256) for pathological groups, so nch <= 256 (the
+    # chunk-pair index array stays small) AND per-row fanout stays
+    # csz^2 <= chunk^2 up to m = 256*chunk (see DEFAULT_EMIT_CHUNK)
+    csz = F.greatest(F.lit(chunk), F.ceil(m / F.lit(256))).cast("int")
+    nch = F.ceil(m / csz).cast("int")
+    idx = F.sequence(F.lit(0), nch - 1)
+    idx_pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(idx, i + 1, F.size(idx)),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    step1 = big.select(
+        bare.alias("__arr__"),
+        F.col(stars_col).alias("__ss__"),
+        csz.alias("__csz__"),
+        F.explode(idx_pairs).alias("__p__"),
+    )
+    # star slices ride only the DIAGONAL chunk-pairs (where they are
+    # consumed): off-diagonal rows carry NULL, so the star payload
+    # crosses the exchange exactly once
+    step2 = step1.select(
+        F.col("__p__.i").alias("__ci__"),
+        F.col("__p__.j").alias("__cj__"),
+        F.slice(
+            F.col("__arr__"),
+            F.col("__p__.i") * F.col("__csz__") + 1,
+            F.col("__csz__"),
+        ).alias("__ca__"),
+        F.slice(
+            F.col("__arr__"),
+            F.col("__p__.j") * F.col("__csz__") + 1,
+            F.col("__csz__"),
+        ).alias("__cb__"),
+        F.when(
+            (F.col("__p__.i") == F.col("__p__.j"))
+            & F.col("__ss__").isNotNull(),
+            F.slice(
+                F.col("__ss__"),
+                F.col("__p__.i") * F.col("__csz__") + 1,
+                F.col("__csz__"),
+            ),
+        ).alias("__cs__"),
+    )
+    # pinned partition count — AQE byte-based coalescing would
+    # re-serialize the chunk-pair explosion (see _emit_pairs_impl)
+    n_part = grouped.sparkSession.sparkContext.defaultParallelism * 2
+    spread = step2.repartition(
+        n_part, F.col("__ci__"), F.col("__cj__"), F.xxhash64(F.col("__cb__"))
+    )
+    ex2 = spread.select(
+        F.col("__ci__"),
+        F.col("__cj__"),
+        F.col("__cb__"),
+        F.col("__cs__"),
+        F.posexplode("__ca__").alias("__i__", "__a__"),
+    )
+    tail2 = F.when(
+        F.col("__ci__") == F.col("__cj__"),
+        F.slice(F.col("__cb__"), F.col("__i__") + 2, F.size("__cb__")),
+    ).otherwise(F.col("__cb__"))
+    st2 = F.element_at(F.col("__cs__"), F.col("__i__") + 1)
+    targets2 = F.when(
+        st2.isNotNull() & (F.size(st2) > 0), F.concat(tail2, st2)
+    ).otherwise(tail2)
+    big_pairs = ex2.select(
+        F.col("__a__"), F.explode(targets2).alias("__b__")
+    )
+
+    return small_pairs.unionByName(big_pairs)
 
 
 def _emit_pairs_impl(grouped: SDF, arr_col: str, chunk: int) -> SDF:
@@ -205,8 +402,12 @@ def _emit_pairs_impl(grouped: SDF, arr_col: str, chunk: int) -> SDF:
 
     big = grouped.where(F.size(arr) > chunk)
     m = F.size(arr)
-    nch = F.least(F.ceil(m / F.lit(chunk)), F.lit(256)).cast("int")
-    csz = F.ceil(m / nch).cast("int")
+    # csz first, nch derived: the chunk size floors at ``chunk`` and
+    # grows as ceil(m/256) for pathological groups, so nch <= 256 (the
+    # chunk-pair index array stays small) AND per-row fanout stays
+    # csz^2 <= chunk^2 up to m = 256*chunk (see DEFAULT_EMIT_CHUNK)
+    csz = F.greatest(F.lit(chunk), F.ceil(m / F.lit(256))).cast("int")
+    nch = F.ceil(m / csz).cast("int")
     idx = F.sequence(F.lit(0), nch - 1)
     # all ordered chunk-index pairs (i, j) with i <= j: at most
     # 256*257/2 = 32,896 small structs per group row
@@ -272,7 +473,7 @@ def _elect_audit(
     arr_col: str,
     elect_key,
     elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
-    chunk: int = 8192,
+    chunk: int = DEFAULT_EMIT_CHUNK,
 ) -> SDF:
     """skew_report-style companion to `_emit_pairs` election: one row
     per bucket the policy WOULD collapse (members > elect_threshold),
