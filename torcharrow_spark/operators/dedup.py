@@ -1055,10 +1055,31 @@ def ngram_jaccard_pairs_prefix(
     # price of no per-key buffering at 100x scale.
     dfreq = shh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = shh.join(dfreq, "h")
-    # per-doc: one sorted (df, h) buffer; the full sorted-hash array for
-    # the exact-verify step derives from it with narrow array ops
+    # Every collect_list groupBy in this operator sits behind a PINNED
+    # repartition on its group key (r6, found at the sf10 tier) for two
+    # compounding reasons. (1) ObjectHashAggregate falls back to
+    # SORT-BASED aggregation past a small key count, so a map-side
+    # partial_collect_list over the corpus-sized shingle table
+    # externally sorts each map task's full split — measured tens of
+    # GB of sort spill at sf10 — while reducing NOTHING (a partial
+    # list-collect only re-groups rows; output bytes == input bytes).
+    # With the explicit repartition the planner sees the distribution
+    # satisfied and runs the whole aggregate post-shuffle, where each
+    # task sorts bytes/n_part (in-memory at any organic scale) and the
+    # exchange carries the same bytes the partial's output would have.
+    # (2) The pinned width (8x parallelism) keeps AQE from coalescing
+    # these exchanges down to byte-proportional task counts that are
+    # blind to the consumer's generator amplification (§4.3 case study
+    # #3): the bucket exchange's consumer emits tens of millions of
+    # candidate rows per task, and at 34 coalesced tasks the candidate
+    # shuffle-write SORTER itself spilled (~430 MB of emitted pairs
+    # per map task).
+    n_wide = df.sparkSession.sparkContext.defaultParallelism * 8
+    # per-doc: one sorted (df, h) buffer; the prefix derives from it
+    # with narrow array ops
     per_doc = (
-        ranked.groupBy(id_col)
+        ranked.repartition(n_wide, F.col(id_col))
+        .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list(F.struct("df", "h"))).alias("by_rarity"),
             F.count(F.lit(1)).alias("sz"),
@@ -1090,7 +1111,8 @@ def ngram_jaccard_pairs_prefix(
         F.posexplode("prefix").alias("pos", "h"),
     )
     buckets = (
-        pref.groupBy("h")
+        pref.repartition(n_wide, F.col("h"))
+        .groupBy("h")
         .agg(
             F.sort_array(
                 F.collect_list(
@@ -1135,22 +1157,45 @@ def ngram_jaccard_pairs_prefix(
     # candidate pairs dedup on BARE id pairs (HashAggregate over two
     # longs) — carrying the docs' full hash arrays through this shuffle
     # would both multiply shuffle bytes by each pair's shared-prefix
-    # count and demote the dedup to SortAggregate (array buffers)
+    # count and demote the dedup to SortAggregate (array buffers).
+    #
     cand = (
         raw.where(length_ok & (ubound >= minoverlap))
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on the per-doc sorted hash arrays (built once above):
-    # two hash joins keyed on id attach each side's array, then ONE
-    # codegen projection computes |A ∩ B| via array_intersect on longs
-    # (hash-set intersection, O(|A|+|B|) per pair). The alternative —
-    # expanding candidates back onto the shingle TABLE and re-counting —
-    # shuffles candidates x shingles-per-doc rows (~100x more) through
-    # two joins and an aggregate; measured 5x slower at 50k docs. The
-    # arrays table is corpus-sized but joins on id (distributed build
-    # side), never broadcast-dependent.
-    arrays = per_doc.select(id_col, "sz", "all_h")
+    # exact verify on per-doc hash arrays: two hash joins keyed on id
+    # attach each side's array, then ONE codegen projection computes
+    # |A ∩ B| via array_intersect on longs (hash-set intersection,
+    # O(|A|+|B|) per pair). The alternative — expanding candidates back
+    # onto the shingle TABLE and re-counting — shuffles candidates x
+    # shingles-per-doc rows (~100x more) through two joins and an
+    # aggregate; measured 5x slower at 50k docs. The arrays table is
+    # corpus-sized but joins on id (distributed build side), never
+    # broadcast-dependent.
+    #
+    # The arrays are REBUILT from the bare hashed-shingle table, NOT
+    # projected off `per_doc` (r6, found at the sf10 tier):
+    # array_intersect is order-agnostic, so the verify side never
+    # needed per_doc's rarity ordering — and deriving it from per_doc
+    # made each verify join clone the WHOLE ranked pipeline (dfreq
+    # aggregate + join + by-rarity sort). Relation dedup gives the
+    # clones fresh expr/lambda ids and column pruning gives them
+    # different shapes (no `prefix`), so ReuseExchange can never merge
+    # them with the candidate branch: the optimized plan ran the
+    # shingle pipeline THREE times (SURVEY §4.3 case studies #4/#5,
+    # manifested as plan triplication). The rebuilt form still clones
+    # the shingle explode per side — irreducible without a
+    # benchmark-distorting cache — but drops the dfreq aggregate, the
+    # join and the sort from both clones.
+    arrays = (
+        shh.repartition(n_wide, F.col(id_col))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("h").alias("all_h"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
     a_arr = arrays.select(
         F.col(id_col).alias("id_a"),
         F.col("sz").alias("sz_a"),
