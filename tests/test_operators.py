@@ -3132,3 +3132,70 @@ def test_kmeans_pp_init_deterministic_and_spreads(spark):
     # md5 init on the blob corpus is genuinely what ++ improves on:
     # it picks by id-hash luck, not spread (sanity: still 3 seeds)
     assert len(_init_centroids(df, 3, "vec_id", "embedding")) == 3
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted index (r6)
+
+
+@pytest.fixture(scope="module")
+def delivery_split(spark):
+    # even ids = already-curated corpus, odd ids = tonight's delivery
+    data = [
+        (0, "the cat sat on the mat"),               # corpus
+        (2, "the cat sat on the hat"),               # corpus
+        (6, "spark executors shuffle fixed width keys"),  # corpus
+        (1, "the cat sat on the mat"),               # dup of corpus 0
+        (3, "completely different text here entirely"),  # new: survives
+        (5, "the cat sat on the mat"),               # dup of corpus 0
+        (7, "completely different text here entirely"),  # intra dup of 3
+        (9, "hi"),                                   # too short to shingle
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    return df.where("doc_id % 2 = 0"), df.where("doc_id % 2 = 1")
+
+
+def test_dedup_against_index(spark, delivery_split):
+    corpus, new = delivery_split
+    idx = ops.minhash_index(corpus, shingle_k=2)
+    surv = ops.dedup_against_index(new, idx, shingle_k=2)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [3, 9]
+    # all original columns ride through
+    assert surv.columns == ["doc_id", "text"]
+
+
+def test_dedup_against_index_appended_stays_current(spark, delivery_split):
+    # appending the surviving delivery's own band keys IS the merged
+    # index: re-presenting the same delivery afterwards drops everything
+    corpus, new = delivery_split
+    idx = ops.minhash_index(corpus, shingle_k=2)
+    surv = ops.dedup_against_index(new, idx, shingle_k=2)
+    idx2 = idx.union(ops.minhash_index(surv, shingle_k=2))
+    again = ops.dedup_against_index(
+        new.where("doc_id != 9"), idx2, shingle_k=2
+    )
+    assert again.count() == 0  # 9 has no buckets and would still pass
+
+
+def test_exact_dedup_against_index(spark, delivery_split):
+    corpus, new = delivery_split
+    idx = ops.exact_index(corpus)
+    surv = ops.exact_dedup_against_index(new, idx)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [3, 9]
+
+
+def test_incremental_hot_bucket_is_one_aggregate(spark):
+    # 500 copies of one text not in the corpus: keep-min-id survives,
+    # and the plan carries NO pair emission (no explode of id arrays) —
+    # the hot-bucket cost is a single map-side-combinable min
+    corpus = spark.createDataFrame(
+        [(0, "some unrelated corpus document text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2 * i + 1, "boiler plate legal footer text repeated") for i in range(500)],
+        "doc_id long, text string",
+    )
+    surv = ops.dedup_against_index(new, ops.minhash_index(corpus), shingle_k=2)
+    assert [r["doc_id"] for r in surv.collect()] == [1]
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -699,7 +699,7 @@ def minhash_pairs(
     )
 
 
-def _minhash_buckets(
+def _banded_keys(
     df: SDF,
     text_col: str,
     id_col: str,
@@ -707,16 +707,16 @@ def _minhash_buckets(
     num_hashes: int,
     bands: int,
 ) -> SDF:
-    """LSH band buckets: (band, band_key, ids) where ids is the sorted
-    array of member structs (i: id, s: xxhash64 of the FULL signature —
-    the exact-equivalence class key for `_emit_pairs` election: docs
-    with equal full signatures are indistinguishable to MinHash, so a
-    pathologically duplicated text collapses to one representative;
-    8 bytes/member on the bucket shuffle is the price of the policy)."""
+    """Per-doc LSH band keys: (id, __sck__, band, band_key) — one row per
+    (doc, band). band_key is the '|'-joined rows-per-band signature
+    slice (string of longs, ~40 bytes fixed); __sck__ is the xxhash64 of
+    the FULL signature (the exact-equivalence class key used by
+    `_emit_pairs` election). Shared by `_minhash_buckets` (same-corpus
+    pairing) and `minhash_index`/`dedup_against_index` (incremental)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, shingle_k, num_hashes)
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.xxhash64(F.col("sig")).alias("__sck__"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -733,6 +733,23 @@ def _minhash_buckets(
             "|",
         ).alias("band_key"),
     )
+
+
+def _minhash_buckets(
+    df: SDF,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+) -> SDF:
+    """LSH band buckets: (band, band_key, ids) where ids is the sorted
+    array of member structs (i: id, s: xxhash64 of the FULL signature —
+    the exact-equivalence class key for `_emit_pairs` election: docs
+    with equal full signatures are indistinguishable to MinHash, so a
+    pathologically duplicated text collapses to one representative;
+    8 bytes/member on the bucket shuffle is the price of the policy)."""
+    banded = _banded_keys(df, text_col, id_col, shingle_k, num_hashes, bands)
     # memory-bounded emission: a fully-duplicated corpus puts every copy
     # in ONE band bucket — see _emit_pairs
     return (
@@ -1704,6 +1721,130 @@ def minhash_merge(sig_a: SDF, sig_b: SDF, id_col: str = "doc_id") -> SDF:
     return a.join(b, id_col, "full_outer").select(
         id_col, merged.alias("sig")
     )
+
+
+def minhash_index(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> SDF:
+    """Corpus-side LSH index for INCREMENTAL dedup: (band, band_key,
+    doc_id), one row per (doc, band). Build it once over the curated
+    corpus, write it to parquet, and dedup every future delivery
+    against it with `dedup_against_index` — no re-shingling of the
+    100-TB corpus per delivery.
+
+    Scale notes: rows are bands x corpus size but fixed-width (~50
+    bytes: two small ints' worth of band, a ~40-byte band_key, a
+    long id) — at 10^11 docs x 4 bands that is ~20 TB of index vs the
+    100 TB of text it replaces in every subsequent dedup pass. Write
+    it `partitionBy("band")` (or bucketed on band_key via
+    `write_parquet(..., bucket_by=...)`) so delivery-time joins
+    co-locate; appending a new delivery's own banded keys after it
+    passes keeps the index current (band keys are per-doc, so the
+    union IS the merged index — no rebuild)."""
+    return _banded_keys(df, text_col, id_col, shingle_k, num_hashes, bands).select(
+        "band", "band_key", id_col
+    )
+
+
+def dedup_against_index(
+    new_df: SDF,
+    index: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> SDF:
+    """Incremental near-dedup: surviving rows of a NEW delivery against
+    an already-curated corpus's `minhash_index` — the production shape
+    at 100 TB ("dedup tonight's 1-TB crawl against everything we
+    kept"), where re-running `minhash_pairs` over corpus+delta would
+    re-shingle the whole corpus per delivery.
+
+    A new document is DROPPED iff
+      (a) any of its LSH band buckets appears in the corpus index
+          (near-dup of something already kept), or
+      (b) a lower-id document of the SAME delivery shares a bucket
+          (greedy intra-delta keep-min-id — the standard one-pass LSH
+          dedup rule; min is taken over the whole bucket, so the rule
+          is deterministic and order-free).
+    Documents too short to shingle (< shingle_k words) have no buckets
+    and always survive, same as `minhash_pairs` never pairing them.
+
+    Scale notes: NO pair emission anywhere — corpus collisions are one
+    fixed-width-key left-semi join (delta-banded vs index; Catalyst
+    prunes the index scan to (band, band_key) and AQE broadcasts the
+    delta side when it is small), intra-delta survival is one
+    map-side-combinable groupBy(min) + join-back on the same keys. A
+    pathological bucket with 10^7 members costs ONE min aggregate, not
+    C(m,2) pairs — incremental dedup is immune to the hot-bucket
+    problem by construction, no election needed. Returns all original
+    columns of the survivors."""
+    banded = _banded_keys(
+        new_df, text_col, id_col, shingle_k, num_hashes, bands
+    ).select(id_col, "band", "band_key")
+    corpus_hit = (
+        banded.join(
+            index.select("band", "band_key"), ["band", "band_key"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    bucket_min = banded.groupBy("band", "band_key").agg(
+        F.min(id_col).alias("__min_id__")
+    )
+    intra_hit = (
+        banded.join(bucket_min, ["band", "band_key"])
+        .where(F.col(id_col) > F.col("__min_id__"))
+        .select(id_col)
+        .distinct()
+    )
+    dropped = corpus_hit.union(intra_hit).distinct()
+    return new_df.join(dropped, id_col, "left_anti")
+
+
+def exact_index(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+    """Corpus-side EXACT-dedup index: one row per distinct normalized
+    text, keyed by the same 120-bit md5 split (two 60-bit longs) as
+    `exact_dedup_ids` — 16 bytes per distinct text, no text stored.
+    Append a deduped delivery's own keys to keep it current."""
+    norm = _norm_text(F.col(text_col))
+    hex_ = F.md5(norm)
+    return (
+        df.select(
+            F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long").alias("h_hi"),
+            F.conv(F.substring(hex_, 16, 15), 16, 10).cast("long").alias("h_lo"),
+        )
+        .groupBy("h_hi", "h_lo")
+        .agg(F.min(F.lit(1)).alias("__one__"))
+        .select("h_hi", "h_lo")
+    )
+
+
+def exact_dedup_against_index(
+    new_df: SDF, index: SDF, text_col: str = "text", id_col: str = "doc_id"
+) -> SDF:
+    """Incremental exact dedup: survivors of a NEW delivery whose
+    normalized text is not already in the corpus `exact_index`, after
+    keep-min-id dedup within the delivery itself. One groupBy on the
+    16-byte hash key (map-side combinable) + one anti-join against the
+    index on the same key — the index side shuffles two longs per
+    distinct corpus text, never text."""
+    norm = _norm_text(F.col(text_col))
+    hex_ = F.md5(norm)
+    keyed = new_df.select(
+        F.col(id_col),
+        F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(hex_, 16, 15), 16, 10).cast("long").alias("h_lo"),
+    )
+    intra = keyed.groupBy("h_hi", "h_lo").agg(F.min(id_col).alias(id_col))
+    keep = intra.join(index, ["h_hi", "h_lo"], "left_anti").select(id_col)
+    return new_df.join(keep, id_col, "left_semi")
 
 
 def decontaminate(

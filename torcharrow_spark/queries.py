@@ -6578,6 +6578,94 @@ def q148_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q149_incremental_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5((seed // 4)::VARCHAR || '|' || sh),
+                                 (seed % 4) * 8 + 1, 8))::UBIGINT::BIGINT) AS minh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(minh::VARCHAR, '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, band
+    ),
+    corpus_keys AS (
+      SELECT DISTINCT band, band_key FROM sig WHERE doc_id % 2 = 0
+    ),
+    newsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+    corpus_hit AS (
+      SELECT DISTINCT doc_id FROM newsig JOIN corpus_keys USING (band, band_key)
+    ),
+    bmin AS (
+      SELECT band, band_key, MIN(doc_id) AS min_id
+      FROM newsig GROUP BY band, band_key
+    ),
+    intra_hit AS (
+      SELECT DISTINCT n.doc_id FROM newsig n JOIN bmin USING (band, band_key)
+      WHERE n.doc_id > bmin.min_id
+    )
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM corpus_hit)
+      AND d.doc_id NOT IN (SELECT doc_id FROM intra_hit)
+    """,
+)
+def q149_incremental_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Incremental near-dedup against a persisted corpus LSH index
+    (operators/dedup.minhash_index + dedup_against_index — r6): even
+    doc_ids play the already-curated corpus, odd ids the new delivery.
+    A new doc is dropped iff any of its band buckets collides with the
+    corpus index OR a lower-id delivery doc shares a bucket. The
+    production 100-TB shape: the corpus is never re-shingled, and no
+    pair is ever emitted — collisions are one fixed-width semi-join,
+    intra-delta survival one map-side-combinable min aggregate."""
+    from torcharrow_spark.operators import dedup_against_index, minhash_index
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(corpus, shingle_k=3, num_hashes=8, bands=4)
+    surv = dedup_against_index(new, idx, shingle_k=3, num_hashes=8, bands=4)
+    return surv.select("doc_id", "n_chars")
+
+
+@query(
+    "q150_incremental_exact_dedup",
+    oracle=f"""
+    WITH k AS (SELECT doc_id, {_NORM} AS h FROM documents),
+    ck AS (SELECT DISTINCT h FROM k WHERE doc_id % 2 = 0),
+    nk AS (
+      SELECT MIN(doc_id) AS doc_id, h FROM k WHERE doc_id % 2 = 1 GROUP BY h
+    ),
+    keep AS (SELECT doc_id FROM nk WHERE h NOT IN (SELECT h FROM ck))
+    SELECT d.doc_id, d.n_chars FROM documents d JOIN keep USING (doc_id)
+    """,
+)
+def q150_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Incremental EXACT dedup against a persisted 120-bit hash index
+    (operators/dedup.exact_index + exact_dedup_against_index — r6):
+    delivery docs whose normalized text is new to the corpus, keep-min-
+    id within the delivery. The index holds two longs per distinct
+    corpus text (16 bytes per 100-TB-corpus document class); the oracle
+    groups by the normalized text itself — identical partitioning."""
+    from torcharrow_spark.operators import (
+        exact_dedup_against_index,
+        exact_index,
+    )
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = exact_index(corpus)
+    surv = exact_dedup_against_index(new, idx)
+    return surv.select("doc_id", "n_chars")
+
+
+@query(
     "q131_column_sort_dedup",
     oracle="""
     SELECT DISTINCT n_chars FROM documents
