@@ -396,7 +396,15 @@ STRESS_SHUFFLE_ANCHOR: dict[str, int] = {
     "q86_strip_spans": 66247984,
     "q21_ngram_jaccard_auto": 164026296,
     "q42_cosine_dedup": 5533789,
-    "q105_heavy_hitters": 12777,
+    # RE-ANCHORED r7 (was 12777): r6's scale-aware AQE start width
+    # (initialPartitionNum 32 -> 256, session.py — the change that
+    # removed 36 GB of sf10 spill) multiplies per-partition shuffle
+    # FRAMING on this tiny exchange (~29 kB total; the candidate
+    # verify-aggregate's payload is a few hundred rows, so framing
+    # dominates). The r6 capture flagged 2.25x on ~16 kB of absolute
+    # growth — overhead bytes, not pair volume; re-anchor to the r6
+    # measured value.
+    "q105_heavy_hitters": 28765,
 }
 
 # Spill bytes at the bench scales are expected to be ZERO everywhere
@@ -533,7 +541,15 @@ def _build_stress_sf10(spark) -> None:
 # property of plan + data). Wall at this tier is informational — one
 # steady run after a cold warmup (the byte gate, not wall, is the
 # trigger, and bytes are deterministic in one capture).
-STRESS_SF10_SHUFFLE_ANCHOR: dict[str, int] = {}
+# Populated r7 from the driver's r6 capture (BENCH_full_r06.json
+# stress_sf10.*.shuffle_bytes) so the gate is live, per ADVICE r6.
+STRESS_SF10_SHUFFLE_ANCHOR: dict[str, int] = {
+    "q19_minhash_pairs": 116_348_489,
+    "q46_simhash_pairs": 579_481_965,
+    "q86_strip_spans": 943_221_883,
+    "q21_ngram_jaccard_auto": 17_435_942_041,
+    "q42_cosine_dedup": 54_983_694,
+}
 
 
 def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
@@ -596,17 +612,22 @@ def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
             out[name]["shuffle_bytes"] = bytes_["shuffle_write"]
             out[name]["spill_bytes"] = bytes_["spill"]
             byte_anchor = STRESS_SF10_SHUFFLE_ANCHOR.get(name)
+            ratio = None
             if byte_anchor:
                 ratio = round(bytes_["shuffle_write"] / byte_anchor, 2)
                 out[name]["vs_shuffle_anchor"] = ratio
-                if ratio > 1.25 or bytes_["spill"] > 0:
-                    out[name]["regression"] = True
-                    print(
-                        f"# STRESS-SF10 REGRESSION {name}: shuffle "
-                        f"{bytes_['shuffle_write']}B vs anchor {byte_anchor}B "
-                        f"({ratio}x), spill {bytes_['spill']}B",
-                        file=sys.stderr,
-                    )
+            # spill check runs regardless of anchor availability: any
+            # spill at this tier is a sizing regression on its own
+            # (ADVICE r6: this was nested under `if byte_anchor` and
+            # could never fire while the anchor dict was empty)
+            if (ratio is not None and ratio > 1.25) or bytes_["spill"] > 0:
+                out[name]["regression"] = True
+                print(
+                    f"# STRESS-SF10 REGRESSION {name}: shuffle "
+                    f"{bytes_['shuffle_write']}B vs anchor {byte_anchor}B "
+                    f"({ratio}x), spill {bytes_['spill']}B",
+                    file=sys.stderr,
+                )
         print(
             f"# stress sf10 {name}: {sec:.3f}s ({n} rows, "
             f"shuffle {bytes_['shuffle_write'] if bytes_ else '?'}B, "
@@ -976,6 +997,72 @@ def run_bpe_real_vocab(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
     return out
 
 
+def compact_line(payload: dict, full_name: str | None) -> str:
+    """The ONE-line stdout summary the driver records: required fields
+    (metric/value/unit/queries/sf) + one-number rollups of everything
+    else, with the detail living in BENCH_full_r{N}.json. The driver
+    keeps only the LAST 2000 chars of stdout and json-parses the final
+    line — r6 printed the full payload (~12 kB) and the round recorded
+    `parsed: null`, losing every bench number. Guaranteed <= 1900 chars
+    by progressive field-dropping (never drops the required five)."""
+    stress = payload.get("stress_sf1") or {}
+    stress10 = payload.get("stress_sf10") or {}
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": {k: round(v, 2) for k, v in payload["queries"].items()},
+        "sf": payload["sf"],
+        "spill_bytes_total": sum(payload.get("spill_bytes", {}).values()),
+        "regressions": payload.get("regressions", {}),
+        "regressions_drift_adjusted": payload.get(
+            "regressions_drift_adjusted", {}
+        ),
+        "byte_regressions": sorted(payload.get("byte_regressions", {})),
+        "stress_sf1_sec": round(
+            sum(v.get("sec", 0) for v in stress.values()), 1
+        ),
+        "stress_sf10_sec": round(
+            sum(v.get("sec", 0) for v in stress10.values()), 1
+        ),
+        "stress_spill_bytes": sum(
+            v.get("spill_bytes", 0)
+            for v in (*stress.values(), *stress10.values())
+        ),
+        "stress_regressions": sorted(
+            k
+            for k, v in {**stress, **stress10}.items()
+            if v.get("regression")
+        ),
+        "machine_factor": payload.get("machine_factor"),
+        "full": full_name,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in (
+        "regressions_drift_adjusted",
+        "byte_regressions",
+        "regressions",
+    ):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    # `queries` is driver-required — never dropped; if the line still
+    # overflows, compress it (1-decimal, then slowest-N) instead
+    if len(line) > 1900:
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and len(compact["queries"]) > 5:
+        keep = sorted(
+            compact["queries"].items(), key=lambda kv: -kv[1]
+        )[: max(5, len(compact["queries"]) - 8)]
+        compact["queries"] = dict(sorted(keep))
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import torcharrow_spark as ts
@@ -1154,10 +1241,12 @@ def main() -> None:
                 "machine_factor": round(cal_ratio, 3),
                 "sf": sf_val,
             }
-    print(json.dumps(payload))
-    # the driver's BENCH_r{N} artifact keeps only the tail of stdout
-    # (r5's truncated delta_vs_r1 dict); persist the FULL json to a repo
-    # file so every per-query field survives the round
+    # The driver's BENCH_r{N} artifact keeps only the LAST 2000 chars of
+    # stdout and json-parses the final line — r6's full payload blew past
+    # that and the round recorded `parsed: null`. So: persist the FULL
+    # payload to a repo file, and print a COMPACT line (required driver
+    # fields + one-number summaries) guaranteed to fit the tail window.
+    full_name = None
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         rounds = [
@@ -1166,10 +1255,14 @@ def main() -> None:
             if f.startswith("BENCH_r") and f.endswith(".json") and f[7:-5].isdigit()
         ]
         n = (max(rounds) + 1) if rounds else 0
-        with open(os.path.join(repo, f"BENCH_full_r{n:02d}.json"), "w") as fh:
+        full_name = f"BENCH_full_r{n:02d}.json"
+        with open(os.path.join(repo, full_name), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
-    except OSError as e:  # read-only checkout: stdout copy still exists
+    except OSError as e:  # read-only checkout: stderr note, no full copy
+        full_name = None
         print(f"# BENCH_full write skipped: {e}", file=sys.stderr)
+
+    print(compact_line(payload, full_name))
     if (regressions or byte_regressions) and os.environ.get(
         "SPARK_GRAFT_BENCH_STRICT"
     ):

@@ -58,3 +58,49 @@ def test_drift_adjust_no_drift_keeps_raw():
     # drift at/below 1.0 never weakens the raw gate
     assert drift_adjust({"q1": 1.3}, 1.0) == {"q1": 1.3}
     assert drift_adjust({"q1": 1.3}, 0.8) == {"q1": 1.3}
+
+
+def test_compact_line_fits_driver_tail_window():
+    """r7: the driver json-parses the LAST line of the LAST 2000 chars
+    of bench stdout — r6's full-payload print blew past that and the
+    round recorded parsed:null. The compact line must always fit and
+    always keep the five driver-required fields."""
+    import json
+
+    from bench import compact_line
+
+    payload = {
+        "metric": "headline_queries_total_steady_state",
+        "value": 71.5,
+        "unit": "sec",
+        "queries": {f"q{i:03d}_some_longish_query_name": i * 1.234
+                    for i in range(46)},
+        "sf": 0.1,
+        "spill_bytes_total": 0,
+        "spill_bytes": {f"q{i:03d}": 0 for i in range(46)},
+        "regressions": {},
+        "regressions_drift_adjusted": {},
+        "byte_regressions": {},
+        "stress_sf1": {"q19": {"sec": 10.0, "spill_bytes": 0}},
+        "stress_sf10": {"q19": {"sec": 100.0, "spill_bytes": 7,
+                                "regression": True}},
+        "machine_factor": 5.1,
+    }
+    line = compact_line(payload, "BENCH_full_r07.json")
+    assert len(line) <= 1900
+    d = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in d
+    assert d["stress_regressions"] == ["q19"]
+    assert d["stress_spill_bytes"] == 7
+    assert d["stress_sf10_sec"] == 100.0
+
+    # adversarial: huge regressions dicts must be dropped before the
+    # required fields ever are
+    payload["regressions"] = {f"q{i}_padpadpadpadpad": 1.5
+                              for i in range(200)}
+    payload["regressions_drift_adjusted"] = dict(payload["regressions"])
+    line = compact_line(payload, None)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert "queries" in d and "metric" in d

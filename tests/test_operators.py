@@ -2795,6 +2795,42 @@ def test_emit_pairs_election_generic(spark):
     assert comps(got, nodes) == comps(full_pairs, nodes)
 
 
+def test_emit_pairs_star_overflow_chunked(spark):
+    """r7 (ADVICE r6): a collapsed class whose star list exceeds
+    ``chunk`` must emit through the chunk-bounded overflow branch —
+    same pair SET as a chunk large enough to inline the stars, so the
+    bounding is pure plan shape, never semantics. Covers both the
+    small-bare-branch (n_classes <= chunk) and big-bare-branch
+    (n_classes > chunk) homes of an oversize star list."""
+    from torcharrow_spark.operators.dedup import _emit_pairs
+
+    # one giant class (40 members) + 5 singleton classes
+    members = [(i, 10) for i in range(40)] + \
+              [(40 + j, 100 + j) for j in range(5)]
+    grouped = spark.createDataFrame(
+        [(1, sorted(members))],
+        "g long, ms array<struct<i:long,k:long>>",
+    )
+
+    def pairs(chunk):
+        out = _emit_pairs(
+            grouped, "ms", chunk=chunk,
+            elect_key=lambda x: x["k"], elect_threshold=8,
+        )
+        return sorted((r["__a__"]["i"], r["__b__"]["i"])
+                      for r in out.collect())
+
+    inline = pairs(chunk=64)    # star list (39) fits inline
+    # chunk=16: bare array (6 reps) on the small branch, stars overflow
+    # chunk=4:  bare array (6 reps) on the big salted branch too
+    assert pairs(chunk=16) == inline
+    assert pairs(chunk=4) == inline
+    reps = {0, 40, 41, 42, 43, 44}
+    want = sorted({(a, b) for a in reps for b in reps if a < b}
+                  | {(0, i) for i in range(1, 40)})
+    assert inline == want
+
+
 def test_elect_audit_counts(spark):
     """_elect_audit: members / n_classes / largest_class / pair math,
     bucket keys passed through, sub-threshold buckets absent."""

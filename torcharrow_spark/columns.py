@@ -557,14 +557,22 @@ class Column:
         ``associative=True`` (r6, r5 verdict ask #7) removes the cap for
         fns the CALLER asserts are associative (+, min, max, merge-style
         combines): a two-level aggregation — partition-local fold inside
-        one Arrow-batched mapInPandas pass, then a driver fold over the
-        <= n_partitions partial results in partition order — the
-        treeAggregate shape without dropping to RDDs. Same result as the
-        sequential fold for genuinely associative fns (pytest-pinned);
-        an fn whose result type differs from the column type, or that
-        is NOT associative, must use the default path. The fn must also
-        tolerate NULLs exactly as the sequential path feeds them (raw
-        values, None included). ``initializer`` is applied ONCE (ahead
+        one Arrow-batched mapInArrow pass, then a driver fold over the
+        <= n_partitions partial results — the treeAggregate shape
+        without dropping to RDDs. When the owning frame carries its
+        construction index, the pass range-repartitions + sorts on it
+        and the driver merges partials in index order, so the fold
+        visits values in EXACTLY the sequential path's order
+        (associativity alone then suffices, commutativity is NOT
+        required even post-shuffle). Without an index (bare plan, no
+        hidden order column) partials fold in physical partition order
+        — for a frame that has been reordered since construction, an
+        associative-but-non-commutative fn (e.g. concat) additionally
+        needs order-insensitivity; use the sequential path otherwise.
+        NULLs arrive as Python None on both paths (Arrow-level
+        iteration — never pandas NaN coercion); genuine float NaN stays
+        NaN. An fn whose result type differs from the column type must
+        use the default path. ``initializer`` is applied ONCE (ahead
         of the first partial), never per partition; ``max_rows`` is
         ignored — nothing row-scale crosses the driver.
         Not the hot path either way — built-in aggs (sum/min/...) stay
@@ -575,20 +583,45 @@ class Column:
         sdf = owner._sdf
         e, _ = self._resolve(owner)
         if associative:
-            vals = sdf.select(e.alias("__v__"))
+            has_idx = INDEX_COL in sdf.columns
+            if has_idx:
+                # range exchange on the construction index → partitions
+                # cover disjoint index ranges; within-partition sort →
+                # batch order IS index order; the per-partition min
+                # index rides along so the driver can merge partials in
+                # global index order. Exact sequential-fold semantics.
+                vals = (
+                    sdf.select(e.alias("__v__"), F.col(INDEX_COL))
+                    .repartitionByRange(F.col(INDEX_COL))
+                    .sortWithinPartitions(INDEX_COL)
+                )
+            else:
+                vals = sdf.select(e.alias("__v__"))
 
             def _fold_part(batches):
-                import pandas as pd
+                import pyarrow as pa
 
-                acc, started = None, False
-                for pdf in batches:
-                    for v in pdf["__v__"]:
+                acc, started, first_idx, schema = None, False, None, None
+                for rb in batches:
+                    schema = rb.schema
+                    if has_idx and first_idx is None and rb.num_rows:
+                        first_idx = rb.column(1)[0].as_py()
+                    # to_pylist: null → None, float NaN → nan — the
+                    # same values toLocalIterator feeds sequentially
+                    for v in rb.column(0).to_pylist():
                         acc = v if not started else fun(acc, v)
                         started = True
                 if started:
-                    yield pd.DataFrame({"__v__": [acc]})
+                    arrs = [pa.array([acc], type=schema.field(0).type)]
+                    if has_idx:
+                        arrs.append(
+                            pa.array([first_idx], type=schema.field(1).type)
+                        )
+                    yield pa.record_batch(arrs, schema=schema)
 
-            partials = vals.mapInPandas(_fold_part, vals.schema).collect()
+            partials = vals.mapInArrow(_fold_part, vals.schema).collect()
+            if has_idx:
+                partials.sort(key=lambda r: r[INDEX_COL])
             value, started = initializer, initializer is not None
             for r in partials:
                 v = r["__v__"]

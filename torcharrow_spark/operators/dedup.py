@@ -287,9 +287,28 @@ def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
     NULL on organic rows, so the lookup null-propagates). An anchor
     with stars pays one concat — on the big branch only on its
     DIAGONAL chunk-pair, where each element anchors exactly once, so
-    star pairs never duplicate. Returns ``__a__``/``__b__`` (bare
-    element type)."""
+    star pairs never duplicate.
+
+    Star lists are themselves CHUNK-BOUNDED (r7, ADVICE r6): a
+    collapsed class of m members puts m-1 star targets on its single
+    rep anchor, so the inline ``concat(tail, st)`` would make one
+    input row's Generate fanout m-1 — ~800 MB buffered at the union
+    boundary for a 10^7-member class, past the ~80 MB bound ``chunk``
+    was sized to guarantee. A star list longer than ``chunk`` is
+    therefore NULLed out of the inline lookup on both branches and
+    emitted by the dedicated overflow branch below: slice into
+    <= ``chunk`` segments (one row each, fanout <= ceil(m/chunk)
+    segment rows), hash-spread the segments across the cluster, then
+    explode each segment (fanout <= ``chunk``) — the same two-stage
+    shape as the salted chunk-pair path, with the exchange as the
+    pipeline breaker between the two explodes. Organic rows (NULL
+    stars) cost the overflow branch zero rows, and its upstream scan
+    reuses the grouped aggregate's exchange like the small/big pair
+    branches do. Returns ``__a__``/``__b__`` (bare element type)."""
     bare = F.col(bare_col)
+    inline_ok = lambda s: s.isNotNull() & (F.size(s) > 0) & (  # noqa: E731
+        F.size(s) <= F.lit(chunk)
+    )
 
     small = grouped.where(F.size(bare) <= chunk)
     ex = small.select(
@@ -298,13 +317,11 @@ def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
         F.col(stars_col).alias("__ss__"),
     )
     tail = F.slice(F.col("__arr__"), F.col("__i__") + 2, F.size("__arr__"))
-    # NULL __ss__ (organic row) or empty star list -> just the tail;
-    # the element_at index is always in-bounds (__ss__ aligned with
-    # the bare array), NULL input null-propagates
+    # NULL __ss__ (organic row) or empty/oversize star list -> just the
+    # tail; the element_at index is always in-bounds (__ss__ aligned
+    # with the bare array), NULL input null-propagates
     st = F.element_at(F.col("__ss__"), F.col("__i__") + 1)
-    targets = F.when(
-        st.isNotNull() & (F.size(st) > 0), F.concat(tail, st)
-    ).otherwise(tail)
+    targets = F.when(inline_ok(st), F.concat(tail, st)).otherwise(tail)
     small_pairs = ex.select(
         F.col("__a__"), F.explode(targets).alias("__b__")
     )
@@ -352,10 +369,15 @@ def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
         F.when(
             (F.col("__p__.i") == F.col("__p__.j"))
             & F.col("__ss__").isNotNull(),
-            F.slice(
-                F.col("__ss__"),
-                F.col("__p__.i") * F.col("__csz__") + 1,
-                F.col("__csz__"),
+            # oversize star lists go NULL here (the overflow branch
+            # owns them) so they never cross the chunk-pair exchange
+            F.transform(
+                F.slice(
+                    F.col("__ss__"),
+                    F.col("__p__.i") * F.col("__csz__") + 1,
+                    F.col("__csz__"),
+                ),
+                lambda s: F.when(F.size(s) <= F.lit(chunk), s),
             ),
         ).alias("__cs__"),
     )
@@ -384,7 +406,34 @@ def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
         F.col("__a__"), F.explode(targets2).alias("__b__")
     )
 
-    return small_pairs.unionByName(big_pairs)
+    # overflow branch: (rep, star-segment) rows for star lists the
+    # inline paths refused. zip first (one Generate row per anchor —
+    # the bare array never rides along duplicated), filter to the rare
+    # oversize lists, two-stage explode with the exchange in between.
+    zipped = (
+        grouped.where(F.col(stars_col).isNotNull())
+        .select(F.col(bare_col).alias("__mm__"), F.col(stars_col).alias("__sl__"))
+        .select(F.explode(F.arrays_zip("__mm__", "__sl__")).alias("__z__"))
+        .select(
+            F.col("__z__.__mm__").alias("__a__"),
+            F.col("__z__.__sl__").alias("__st__"),
+        )
+        .where(F.size("__st__") > chunk)
+    )
+    nseg = F.ceil(F.size("__st__") / F.lit(chunk)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda c: F.slice(F.col("__st__"), c * F.lit(chunk) + 1, F.lit(chunk)),
+    )
+    seg_rows = zipped.select(F.col("__a__"), F.explode(segments).alias("__sc__"))
+    seg_spread = seg_rows.repartition(
+        n_part, F.col("__a__"), F.xxhash64(F.col("__sc__"))
+    )
+    star_pairs = seg_spread.select(
+        F.col("__a__"), F.explode("__sc__").alias("__b__")
+    )
+
+    return small_pairs.unionByName(big_pairs).unionByName(star_pairs)
 
 
 def _emit_pairs_impl(grouped: SDF, arr_col: str, chunk: int) -> SDF:

@@ -520,6 +520,13 @@ def q14_map_dict(spark: SparkSession, sf_dir: str) -> SDF:
 # streaming — SURVEY §1.2, §2.14)
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# q148's cap_bound threshold must track the engine's (ADVICE r6: a
+# hardcoded 2097152 drifted when DEFAULT_EMIT_CHUNK dropped 8192→1024);
+# interpolating chunk*256 from the operator module makes drift impossible.
+from torcharrow_spark.operators.dedup import DEFAULT_EMIT_CHUNK as _EMIT_CHUNK
+
+_CAP_BOUND_NCLASSES = _EMIT_CHUNK * 256
 _SHINGLES_CTE = f"""
 norm AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
@@ -6551,7 +6558,7 @@ def q146_skew_report(spark: SparkSession, sf_dir: str) -> SDF:
            (members * (members - 1) // 2)::BIGINT AS pairs_full,
            (n_classes * (n_classes - 1) // 2
             + (members - n_classes))::BIGINT AS pairs_elected,
-           (n_classes > 2097152) AS cap_bound
+           (n_classes > {_CAP_BOUND_NCLASSES}) AS cap_bound
     FROM b WHERE members > 2
     """,
 )
