@@ -559,8 +559,12 @@ def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
     = linear across the SECOND decade too (this is where the salted
     emitter and AQE skew handling first see organic data at 500k docs).
     Regression trigger = STRESS_SF10_SHUFFLE_ANCHOR growth or any
-    spill. Wall is single-steady (cold warmup first); opt out with
-    SPARK_GRAFT_NO_SF10 when iterating locally."""
+    spill. Wall is BEST-OF-2 steady (cold warmup first) — r6 recorded
+    q21 at vs_sf1_ratio 19.9 from one noisy steady run; a clean-host
+    r7 re-measurement of the identical plan (byte-identical shuffle)
+    put it at 9.9, i.e. linear. One extra steady run per query keeps a
+    single host hiccup from fabricating a superlinearity claim. Opt
+    out with SPARK_GRAFT_NO_SF10 when iterating locally."""
     from torcharrow_spark.operators import (
         cosine_pairs,
         minhash_pairs,
@@ -601,10 +605,14 @@ def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
         _sink(build())
         sec = round(time.perf_counter() - t0, 3)
         bytes_ = metrics.since(wm) if metrics else None
+        t0 = time.perf_counter()
+        _sink(build())
+        sec = min(sec, round(time.perf_counter() - t0, 3))
         n = build().count()
         b1 = (sf1_out.get(name) or {}).get("sec")
         out[name] = {
             "sec": sec,
+            "best_of": 2,
             "rows": n,
             "vs_sf1_ratio": round(sec / b1, 2) if b1 else None,
         }

@@ -1103,7 +1103,28 @@ def ngram_jaccard_pairs_prefix(
     buy a candidate set that scales with the number of true near-dups
     instead of with sum-over-shingles C(df, 2). Use this form when the
     corpus has heavy shingle reuse; the direct form wins on small or
-    low-duplication corpora."""
+    low-duplication corpora.
+
+    100x audit (r7, measured at the sf10 stress tier): every stage is
+    LINEAR in the corpus — buckets 234,853 -> 2,348,941, raw pairs
+    6.95M -> 69.5M, filtered candidates 3.25M -> 32.5M, wall 14.6 s ->
+    144.9 s (9.9x at 10x rows; the 19.9 recorded in BENCH_r06 was one
+    noisy steady run of the byte-identical plan). The dominant exchange
+    (~86% of the query's shuffle) is the verify intermediate: one full
+    sorted hash array (~52 longs, incompressible 64-bit values — lz4
+    lands at ~the 416 B/row entropy floor) crosses the wire per
+    surviving candidate, which is the information-theoretic minimum
+    for exact intersection of pair-distributed sets (each pair needs
+    both arrays co-located; one side must move). Measured rejects:
+    shuffle_hash hints on the verify joins (+12% wall, +19% bytes —
+    SMJ's sort is cheaper than SHJ's build at this shape), and an
+    accumulated-overlap positional filter (k + min(sz - last shared
+    prefix pos) >= minoverlap — prunes ZERO extra pairs here: at
+    t=0.3 on ~52-shingle docs, candidates overwhelmingly share exactly
+    one prefix shingle, and the single-row bound already encodes
+    that). Low-threshold set-similarity join is candidate-bound by
+    nature; the scale lever is the threshold and shingle width, not
+    the plan."""
     sh = _shingles(df, text_col, id_col, shingle_k)
     # 64-bit hash of each shingle: arrays of longs intersect much faster
     # than arrays of strings, and 2^64 makes collisions negligible; the
