@@ -127,7 +127,13 @@ ANCHOR = {
     # cost ~0.8s at sf0.1 and buy the only plan shape that survives a
     # 10^9-doc boilerplate shingle — a deliberate scale trade, see
     # VERDICT r3 item 1 and tests/test_plans.py (no-WindowExec pin).
-    "q43_jaccard_prefix": 3.3,
+    # RE-ANCHORED r7 (was 3.3, pre-election): r6's election rewrite
+    # prices the per-bucket (key, member) sort + star-list slicing into
+    # the prefix plan's bucket rows (see the q43 byte re-anchor below);
+    # r7 measured 5.081 s at factor 1.169 = 4.35 anchor-era seconds,
+    # byte-stable vs r6. The trade bounds a duplicated text's total
+    # pair work (VERDICT r5 ask #1) — deliberate work, not drift.
+    "q43_jaccard_prefix": 4.35,
     "q126_multimodal_decode": 0.898,
     "q127_lm_quality": 1.047,
     "q128_gopher_filter": 0.609,
@@ -205,7 +211,14 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # RE-ANCHORED r6 (was 15205163, +11%): prefix rows carry the
     # doc's shingle-set hash (__ck__) — the election class key (same
     # trade as q19; stars verify to jaccard exactly 1.0).
-    "q43_jaccard_prefix": 16924567,
+    # RE-ANCHORED r7 (was 16924567, an r5-era pin): r6's election-in-
+    # _emit_pairs landed the __ck__ full-signature class key + aligned
+    # star columns on the prefix-bucket shuffle (the policy that bounds
+    # a pathologically duplicated text's TOTAL pair work — same trade
+    # as q19's r6 re-anchor above), and r6's 1-turn round measured the
+    # new volume (24265816, flagged in BENCH_full_r06.byte_regressions)
+    # without re-pinning. r7 re-measures BIT-IDENTICAL bytes.
+    "q43_jaccard_prefix": 24265816,
     "q126_multimodal_decode": 0,
     "q127_lm_quality": 240651,
     "q128_gopher_filter": 0,
@@ -390,21 +403,25 @@ STRESS_SHUFFLE_ANCHOR: dict[str, int] = {
     # already-small exchanges (2.3 MB / 19 MB at sf1) buys bounded
     # per-task memory at ANY duplication level. Bytes scale linearly;
     # wall was flat (q19 12.1 s, q46 30.4 s vs 28-33 s anchors).
-    "q19_minhash_pairs": 10854572,
-    "q18_exact_dedup": 1544960,
-    "q46_simhash_pairs": 55803399,
-    "q86_strip_spans": 66247984,
-    "q21_ngram_jaccard_auto": 164026296,
-    "q42_cosine_dedup": 5533789,
-    # RE-ANCHORED r7 (was 12777): r6's scale-aware AQE start width
-    # (initialPartitionNum 32 -> 256, session.py — the change that
-    # removed 36 GB of sf10 spill) multiplies per-partition shuffle
-    # FRAMING on this tiny exchange (~29 kB total; the candidate
-    # verify-aggregate's payload is a few hundred rows, so framing
-    # dominates). The r6 capture flagged 2.25x on ~16 kB of absolute
-    # growth — overhead bytes, not pair volume; re-anchor to the r6
-    # measured value.
-    "q105_heavy_hitters": 28765,
+    # q18/q21/q105 (and smaller drifts on the rest) RE-ANCHORED r7 for
+    # the corpus-v3 multi-file layout (see _build_stress_sf1): byte
+    # anchors are a property of (plan, data, PARTITIONING) — with 32
+    # scan partitions instead of one file's row-group splits,
+    # partial-aggregate map-side combines see fewer rows per task (more
+    # partial-state rows cross the wire: q18 +42%, q21 +30%) and
+    # heavy_hitters' per-partition candidate superset grows with the
+    # partition count by design (q105 30x on an 872 KB absolute —
+    # the pigeonhole candidate bound is per-partition). Volumes
+    # re-measured stable on the new layout; walls dropped across the
+    # tier (the single-file corpus scan-gated every stress query on
+    # one straggler task).
+    "q19_minhash_pairs": 11349750,
+    "q18_exact_dedup": 2196089,
+    "q46_simhash_pairs": 67760383,
+    "q86_strip_spans": 71474498,
+    "q21_ngram_jaccard_auto": 213110089,
+    "q42_cosine_dedup": 6135460,
+    "q105_heavy_hitters": 871654,
 }
 
 # Spill bytes at the bench scales are expected to be ZERO everywhere
@@ -429,7 +446,14 @@ def _build_stress_sf1(spark, sf01_dir: str) -> None:
     to ~0)."""
     from pyspark.sql import functions as F
 
-    done = os.path.join(STRESS_DIR, "_BUILT_v2")
+    # v3 (r7): corpora are REPARTITIONED before write. v2 wrote ONE
+    # parquet file per table; Spark then capped the scan stage at its
+    # row-group split count with heavily skewed splits — profiling q19
+    # at sf10 showed ONE straggler scan task owning ~90 of the 107
+    # wall seconds (total executor time across all stages was ~143 s,
+    # i.e. the box ran 35% utilized). A multi-file corpus is also the
+    # honest shape: no 100 TB table is one file.
+    done = os.path.join(STRESS_DIR, "_BUILT_v3")
     if os.path.exists(done):
         return
     docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
@@ -453,7 +477,9 @@ def _build_stress_sf1(spark, sf01_dir: str) -> None:
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
     )
-    d.write.mode("overwrite").parquet(f"{STRESS_DIR}/documents.parquet")
+    d.repartition(32, "doc_id").write.mode("overwrite").parquet(
+        f"{STRESS_DIR}/documents.parquet"
+    )
 
     e = (
         emb.crossJoin(copies)
@@ -471,7 +497,9 @@ def _build_stress_sf1(spark, sf01_dir: str) -> None:
             *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         )
     )
-    e.write.mode("overwrite").parquet(f"{STRESS_DIR}/embeddings.parquet")
+    e.repartition(32, "vec_id").write.mode("overwrite").parquet(
+        f"{STRESS_DIR}/embeddings.parquet"
+    )
     with open(done, "w") as fh:
         fh.write("ok\n")
 
@@ -486,7 +514,10 @@ def _build_stress_sf10(spark) -> None:
     cosines exact, cross-copy ~0). Built once, gitignored."""
     from pyspark.sql import functions as F
 
-    done = os.path.join(STRESS10_DIR, "_BUILT_v1")
+    # v2 (r7): multi-file write — see _build_stress_sf1's v3 note (the
+    # single-file v1 corpus scan-gated every sf10 stress query on one
+    # straggler task)
+    done = os.path.join(STRESS10_DIR, "_BUILT_v2")
     if os.path.exists(done):
         return
     docs = spark.read.parquet(f"{STRESS_DIR}/documents.parquet")
@@ -512,7 +543,9 @@ def _build_stress_sf10(spark) -> None:
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
     )
-    d.write.mode("overwrite").parquet(f"{STRESS10_DIR}/documents.parquet")
+    d.repartition(64, "doc_id").write.mode("overwrite").parquet(
+        f"{STRESS10_DIR}/documents.parquet"
+    )
 
     e = (
         emb.crossJoin(copies)
@@ -532,7 +565,9 @@ def _build_stress_sf10(spark) -> None:
             *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         )
     )
-    e.write.mode("overwrite").parquet(f"{STRESS10_DIR}/embeddings.parquet")
+    e.repartition(64, "vec_id").write.mode("overwrite").parquet(
+        f"{STRESS10_DIR}/embeddings.parquet"
+    )
     with open(done, "w") as fh:
         fh.write("ok\n")
 

@@ -393,3 +393,34 @@ def test_reduce_associative_distributed(spark):
     assert empty["x"].reduce(operator.add, associative=True, initializer=3) == 3
     with _pt.raises(TypeError):
         empty["x"].reduce(operator.add, associative=True)
+
+
+def test_reduce_associative_exact_index_order(spark):
+    """r7 (ADVICE r6): when the frame carries its construction index,
+    associative=True must fold in EXACT index order even after the
+    frame has been reordered — probed with right-projection
+    (f(a,b) = b), which is associative but maximally order-sensitive:
+    the fold returns the LAST value in visit order. Also pins the
+    null-delivery contract: fn sees Python None (Arrow-level), never
+    pandas NaN."""
+    import torcharrow_spark as ts
+
+    vals = [float(v) for v in range(500)]
+    d = ts.dataframe({"x": vals}, spark=spark)
+    # reorder physically: descending sort, then many partitions
+    shuffled = d.sort(by=["x"], ascending=False)
+    last = lambda a, b: b  # noqa: E731
+    assert shuffled["x"].reduce(last) == shuffled["x"].reduce(
+        last, associative=True
+    ) == 499.0
+    first = lambda a, b: a  # noqa: E731
+    assert shuffled["x"].reduce(first, associative=True) == 0.0
+
+    # nulls arrive as Python None on the distributed path too: a
+    # null-SKIPPING sum returns 4.0 iff nulls are None — if the pass
+    # fed pandas NaN instead, `b is None` would be False and the sum
+    # would come back NaN
+    dn = ts.dataframe({"x": [1.0, None, 3.0, None]}, spark=spark)
+    nsum = lambda a, b: a if b is None else (b if a is None else a + b)  # noqa: E731
+    assert dn["x"].reduce(nsum, associative=True) == 4.0
+    assert dn["x"].reduce(nsum) == 4.0

@@ -85,7 +85,11 @@ def test_driver_window_coverage():
         "q148_minhash_bucket_audit",
         "q135_semantic_dedup", "q105_heavy_hitters", "q71_deterministic_sampling",
         "q110_grouped_quantiles", "q134_pack_nosplit",
-        "q147_video_frame_decode", "q68_tfidf_top_terms", "q82_funnel",
+        # r7 rotation: q149 (cross-run MinHash index probe) replaces
+        # q82's funnel row — events keep q16/q17/q98 in-window, and
+        # q82 stays driver_sim + pytest gated
+        "q147_video_frame_decode", "q68_tfidf_top_terms",
+        "q149_incremental_dedup",
         "q98_market_share", "q41_bpe_tokenize",
     }
     assert must_have <= window, must_have - window

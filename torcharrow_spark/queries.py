@@ -6928,7 +6928,12 @@ DRIVER_WINDOW = [
                                 # signatures; q80's HLL row was
                                 # driver-green r2-r5 — q105 keeps the
                                 # sketch family in the window)
-    "q82_funnel",               # funnel / event sequence
+    "q149_incremental_dedup",   # r7 rotation: cross-run MinHash index
+                                # probe (new corpus vs standing index),
+                                # the r6 incremental-curation family's
+                                # first driver-hash row (q82 funnel was
+                                # driver-green r2-r6; the event family
+                                # keeps q16/q17/q98 rows in-window)
     "q135_semantic_dedup",      # SemDeDup-style paraphrase dedup
                                 # (q84 count-min was driver-green
                                 # r2-r3; q80/q105 keep sketches covered)
