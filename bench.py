@@ -96,7 +96,15 @@ ANCHOR = {
     "q16_event_windows": 0.295,
     "q17_sessionize": 0.471,
     "q18_exact_dedup": 0.289,
-    "q19_minhash_pairs": 1.858,
+    # RE-ANCHORED r7 (was 1.858, an r3-era pre-election pin): r6's
+    # election machinery re-anchored q19's BYTES (+26%, the __sck__
+    # full-signature class key on every bucket member — see the byte
+    # anchor note below) but never the wall; wall follows the same
+    # trade (xxhash64(sig) per doc + struct members + per-anchor star
+    # null-checks). r7 measured 2.64/2.61 s across two runs with
+    # byte-stable plan (1.11x anchor, under gate); 2.61 at true drift
+    # ~1.07 (wall_drift_median of byte-clean queries) = 2.4 anchor-era.
+    "q19_minhash_pairs": 2.4,
     "q21_ngram_jaccard": 1.594,
     "q22_ann_brute_force": 0.454,
     "q23_ann_lsh": 0.912,
