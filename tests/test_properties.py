@@ -294,3 +294,54 @@ def test_bmp_ppm_roundtrip_property(w, h, seed):
     for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
         dw, dh, out = dec(enc(img))
         assert (dw, dh) == (w, h) and np.array_equal(out, img)
+
+
+@given(
+    # a bucket as class sizes: up to 12 classes of up to 40 members
+    sizes=st.lists(st.integers(min_value=1, max_value=40),
+                   min_size=1, max_size=12),
+    chunk=st.sampled_from([2, 3, 7, 64]),
+    elect_threshold=st.sampled_from([2, 8, 10_000]),
+)
+@settings(max_examples=12, deadline=None)
+def test_emit_pairs_property_vs_model(spark, sizes, chunk, elect_threshold):
+    """_emit_pairs under randomized bucket shapes x chunking x election
+    must match a pure-Python model: without election, exactly the
+    C(m,2) ordered pairs; with election active, exactly {rep-rep pairs}
+    + {(rep, member) stars} where rep = class min. Exercises the small
+    zero-shuffle branch, the salted chunk-pair branch, inline stars,
+    and the r7 star-overflow branch in one sweep."""
+    from torcharrow_spark.operators.dedup import _emit_pairs
+
+    members = []
+    mid = 0
+    for k, sz in enumerate(sizes):
+        for _ in range(sz):
+            members.append((mid, k * 1000))
+            mid += 1
+    m = len(members)
+    grouped = spark.createDataFrame(
+        [(1, sorted(members))], "g long, ms array<struct<i:long,k:long>>"
+    )
+
+    plain = {(r["__a__"]["i"], r["__b__"]["i"])
+             for r in _emit_pairs(grouped, "ms", chunk=chunk).collect()}
+    want_plain = {(a, b) for a in range(m) for b in range(m) if a < b}
+    assert plain == want_plain
+
+    elected = {(r["__a__"]["i"], r["__b__"]["i"])
+               for r in _emit_pairs(
+                   grouped, "ms", chunk=chunk,
+                   elect_key=lambda x: x["k"],
+                   elect_threshold=elect_threshold).collect()}
+    if m <= elect_threshold:
+        assert elected == want_plain
+    else:
+        reps, stars = [], set()
+        base = 0
+        for sz in sizes:
+            reps.append(base)
+            stars |= {(base, i) for i in range(base + 1, base + sz)}
+            base += sz
+        want = {(a, b) for a in reps for b in reps if a < b} | stars
+        assert elected == want

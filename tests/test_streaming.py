@@ -834,3 +834,110 @@ def test_quality_scores_stream_matches_batch(spark, sf_dir, tmp_path):
     landed3 = spark.read.parquet(dest3)
     assert landed3.select("batch_id").distinct().count() >= 2
     assert sorted(r["doc_id"] for r in landed3.collect()) == sorted(want)
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Ingest-time near-dedup twin (r7): single-batch stream against a
+    standing base index must equal dedup_against_index exactly; later
+    batches must dedup against earlier batches' survivors through the
+    index deltas; and both the survivor sink and the index delta must
+    be exactly-once under batch replay (including the replayed batch
+    NOT colliding with its own previously-written delta)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import dedup_against_index, minhash_index
+    from torcharrow_spark.streaming import incremental_dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 3 == 0)           # already kept
+    delivery = docs.where(F.col("doc_id") % 3 != 0)
+
+    idx_root = str(tmp_path / "idx")
+    minhash_index(corpus).write.mode("overwrite").parquet(f"{idx_root}/base")
+    base_idx = spark.read.parquet(f"{idx_root}/base")
+    want = {r["doc_id"]
+            for r in dedup_against_index(delivery, base_idx).collect()}
+    assert 0 < len(want) < delivery.count()
+
+    src = str(tmp_path / "delivery")
+    delivery.coalesce(1).write.mode("overwrite").parquet(src)
+    dest = str(tmp_path / "kept")
+    q = incremental_dedup_stream(
+        spark, src, delivery.schema, dest, idx_root,
+        str(tmp_path / "ckpt"), query_name="t_incdedup")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(dest).collect()}
+    assert got == want  # single batch == the q149 batch shape
+
+    # survivors' keys landed as the batch's own delta
+    delta = spark.read.parquet(f"{idx_root}/delta")
+    assert delta.select("doc_id").distinct().count() == len(want)
+
+    # replay batch 0 (fresh checkpoint, same dest/index): the batch
+    # must not collide with its own delta, and neither output grows
+    q2 = incremental_dedup_stream(
+        spark, src, delivery.schema, dest, idx_root,
+        str(tmp_path / "ckpt2"), query_name="t_incdedup2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {r["doc_id"] for r in spark.read.parquet(dest).collect()}
+    assert got2 == want
+    assert (spark.read.parquet(f"{idx_root}/delta")
+            .select("doc_id").distinct().count() == len(want))
+
+    # cross-batch: APPEND the same delivery as new files to the same
+    # source and RESUME the original checkpoint (one long-lived
+    # checkpoint per index root is the operator's contract — batch ids
+    # stay monotone, so the replay filter keys correctly). Every
+    # SHINGLEABLE doc now collides with batch 0's survivors (or the
+    # base); only sub-shingle_k docs (no band keys, documented
+    # always-survive semantics) come through. Expectation computed by
+    # the BATCH op against base + delta — the twin contract at batch 1.
+    full_idx = base_idx.select("band", "band_key").unionByName(
+        spark.read.parquet(f"{idx_root}/delta").select("band", "band_key")
+    )
+    want2 = {r["doc_id"]
+             for r in dedup_against_index(delivery, full_idx).collect()}
+    delivery.coalesce(1).write.mode("append").parquet(src)
+    q3 = incremental_dedup_stream(
+        spark, src, delivery.schema, dest, idx_root,
+        str(tmp_path / "ckpt"), query_name="t_incdedup3")
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    kept = spark.read.parquet(dest)
+    got2b = {r["doc_id"]
+             for r in kept.where(F.col("batch_id") == 1).collect()}
+    assert got2b == want2
+    # every shingleable survivor of batch 0 collides with itself now
+    assert want2.isdisjoint(
+        {r["doc_id"]
+         for r in spark.read.parquet(f"{idx_root}/delta")
+         .where(F.col("batch_id") == 0)
+         .select("doc_id").distinct().collect()}
+    )
+    # batch 0's landed survivors are untouched by the second batch
+    assert {r["doc_id"]
+            for r in kept.where(F.col("batch_id") == 0).collect()} == want
+
+    # cold start: no base, fresh index root — intra-batch rule alone
+    idx2 = str(tmp_path / "idx_cold")
+    dest3 = str(tmp_path / "kept3")
+    q4 = incremental_dedup_stream(
+        spark, src, delivery.schema, dest3, idx2,
+        str(tmp_path / "ckpt4"), query_name="t_incdedup4")
+    try:
+        q4.processAllAvailable()
+    finally:
+        q4.stop()
+    empty_idx = spark.createDataFrame([], "band int, band_key string")
+    want_cold = {r["doc_id"]
+                 for r in dedup_against_index(delivery, empty_idx).collect()}
+    got_cold = {r["doc_id"] for r in spark.read.parquet(dest3).collect()}
+    assert got_cold == want_cold

@@ -1031,3 +1031,109 @@ def quality_scores_stream(
         .queryName(query_name)
         .start()
     )
+
+
+def _try_read_parquet(spark: SparkSession, path: str):
+    """Parquet read that returns None when the path does not exist yet
+    (works on any filesystem — no driver-side os.path probing)."""
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so a missing path raises HERE
+        return df
+    except Exception:
+        return None
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    dest_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    query_name: str = "incremental_dedup_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """INGEST-TIME near-dedup (r7): the streaming twin of
+    `operators.dedup_against_index` (q149's batch shape) — the
+    production loop at 100 TB is "dedup tonight's delivery against
+    everything we kept, then make what survived part of 'everything we
+    kept'". Each micro-batch:
+
+    1. reads the STANDING MinHash index: `{index_path}/base` (the
+       curated corpus's `minhash_index`, written once by the caller —
+       absent is fine: cold start) plus every `{index_path}/delta/
+       batch_id=N` written by earlier batches;
+    2. drops batch docs that collide with the index or with a
+       lower-id doc of the same batch (`dedup_against_index` verbatim —
+       same no-pair-emission plan, immune to hot buckets by
+       construction);
+    3. lands survivors in `{dest_path}/batch_id=N` and the survivors'
+       OWN band keys in `{index_path}/delta/batch_id=N`, both with
+       mode('overwrite') into the batch's own directory — the same
+       idempotent exactly-once discipline as `stream_to_parquet`: a
+       replayed batch id overwrites its own output and its own index
+       delta, never appends a duplicate, and the standing index is the
+       UNION of base + deltas (band keys are per-doc, so union IS the
+       merged index — `minhash_index` scale notes).
+
+    Later batches therefore dedup against earlier batches' survivors
+    with no recomputation of anything already indexed. For the
+    single-batch case this is bit-identical to
+    `dedup_against_index(batch, base_index)` (paired pytest), which is
+    what makes the twin oracle-checkable through its batch side."""
+    from torcharrow_spark.operators.dedup import (
+        _banded_keys,
+        dedup_against_index,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        base = _try_read_parquet(spark, f"{index_path}/base")
+        delta = _try_read_parquet(spark, f"{index_path}/delta")
+        if delta is not None:
+            # a REPLAYED batch (crash after its delta landed but before
+            # the checkpoint committed) must not see its own keys — it
+            # would collide with itself and drop every doc; partition
+            # pruning makes this a directory-level filter
+            delta = delta.where(F.col("batch_id") < F.lit(int(batch_id)))
+        parts = [
+            d.select("band", "band_key")
+            for d in (base, delta)
+            if d is not None
+        ]
+        if parts:
+            index = parts[0] if len(parts) == 1 else parts[0].unionByName(
+                parts[1]
+            )
+        else:  # cold start: nothing kept yet
+            index = spark.createDataFrame([], "band int, band_key string")
+        survivors = dedup_against_index(
+            batch_df, index, text_col, id_col,
+            shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{dest_path}/batch_id={batch_id}"
+        )
+        _banded_keys(
+            survivors, text_col, id_col, shingle_k, num_hashes, bands
+        ).select("band", "band_key", id_col).write.mode("overwrite").parquet(
+            f"{index_path}/delta/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
