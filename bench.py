@@ -96,19 +96,21 @@ ANCHOR = {
     "q16_event_windows": 0.295,
     "q17_sessionize": 0.471,
     "q18_exact_dedup": 0.289,
-    # RE-ANCHORED r7 (was 1.858, an r3-era pre-election pin): r6's
-    # election machinery re-anchored q19's BYTES (+26%, the __sck__
-    # full-signature class key on every bucket member — see the byte
-    # anchor note below) but never the wall; wall follows the same
-    # trade (xxhash64(sig) per doc + struct members + per-anchor star
-    # null-checks). r7 measured 2.64/2.61 s across two runs with
-    # byte-stable plan (1.11x anchor, under gate); 2.61 at true drift
-    # ~1.07 (wall_drift_median of byte-clean queries) = 2.4 anchor-era.
-    "q19_minhash_pairs": 2.4,
-    "q21_ngram_jaccard": 1.594,
+    # RE-ANCHORED r7 twice. First (1.858 -> 2.4): r6's election
+    # machinery re-anchored q19's BYTES (+26%, the __sck__ full-
+    # signature class key on every bucket member) but never the wall.
+    # Then DOWN (2.4 -> 1.75) with the r7 spread_narrow_source change:
+    # the sf0.1 table is one row group, so shingling+md5 previously ran
+    # fused into a single scan task; spreading the narrow source cut
+    # the wall 33% (2.61 -> 1.76 measured) for one small text-bytes
+    # exchange (byte anchor re-pinned below). Text-family anchors
+    # q21/q24/q86/q127/q128/q141 re-pinned downward for the same
+    # change, ~10% above the r7 normalized measurement each.
+    "q19_minhash_pairs": 1.75,
+    "q21_ngram_jaccard": 1.6,
     "q22_ann_brute_force": 0.454,
     "q23_ann_lsh": 0.912,
-    "q24_text_stats": 0.911,
+    "q24_text_stats": 0.52,
     "q27_rec_ops": 0.734,
     "q37_asof_join": 0.336,
     "q41_bpe_tokenize": 0.917,
@@ -117,7 +119,7 @@ ANCHOR = {
     "q80_hll_distinct": 0.462,
     "q81_local_supplier_volume": 0.913,
     "q82_funnel": 0.49,
-    "q86_strip_duplicate_spans": 0.982,
+    "q86_strip_duplicate_spans": 0.57,
     "q92_order_priority_exists": 0.517,
     "q98_market_share": 0.979,
     "q100_returned_top_customers": 0.568,
@@ -143,8 +145,8 @@ ANCHOR = {
     # pair work (VERDICT r5 ask #1) — deliberate work, not drift.
     "q43_jaccard_prefix": 4.35,
     "q126_multimodal_decode": 0.898,
-    "q127_lm_quality": 1.047,
-    "q128_gopher_filter": 0.609,
+    "q127_lm_quality": 1.05,
+    "q128_gopher_filter": 0.55,
     "q129_curation_pipeline": 2.185,
     "q130_grouped_cdf": 0.342,
     # r5 additions: first (r5) measurement normalized to anchor-era
@@ -158,7 +160,7 @@ ANCHOR = {
     "q138_kmeans_semantic_dedup": 5.49,
     "q139_term_stats": 0.337,
     "q140_logreg_quality": 0.716,
-    "q141_decontaminate": 1.156,
+    "q141_decontaminate": 0.77,
     "q142_audio_decode": 0.277,
     "q143_video_container": 0.241,
     "q144_url_dedup": 0.187,
@@ -178,6 +180,14 @@ ANCHOR = {
 # framing. The same change cut headline wall 62.0 -> 49.8 s (15
 # queries >20% faster, none slower) and removes the sf10 sort-spill
 # cliff — bytes remain deterministic per (plan, data, conf).
+# r7: q19/q21/q24/q43/q45/q86/q128/q141 re-anchored for
+# spread_narrow_source (operators/preprocess.py): text/decode
+# operators now widen a narrow (single-row-group) file source before
+# scan-fused per-row compute — one extra exchange of the source's
+# text bytes (tens of KB to ~2 MB here) buys 7-56% wall on every
+# text-family query; a no-op at any healthy layout, so 100 TB plans
+# carry zero of these bytes. q126's byte anchor re-pins in the same
+# round (multimodal decode spread landed after the capture run).
 HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q01_pricing_summary": 756,
     "q03_join_topk": 534878,
@@ -192,20 +202,20 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # class key that bounds a pathological bucket's total pair work
     # (_emit_pairs elect_key; VERDICT r5 ask #1). +8 bytes/member on
     # the one bucket shuffle, a deliberate scale trade.
-    "q19_minhash_pairs": 1101543,
-    "q21_ngram_jaccard": 16928635,
+    "q19_minhash_pairs": 2271686,
+    "q21_ngram_jaccard": 17965944,
     "q22_ann_brute_force": 448,
     "q23_ann_lsh": 446,
-    "q24_text_stats": 0,
+    "q24_text_stats": 851481,
     "q27_rec_ops": 263,
     "q37_asof_join": 806733,
     "q41_bpe_tokenize": 0,
     "q42_cosine_dedup": 557556,
-    "q45_llm_pipeline": 116407,
+    "q45_llm_pipeline": 713249,
     "q80_hll_distinct": 146270,
     "q81_local_supplier_volume": 531,
     "q82_funnel": 1932570,
-    "q86_strip_duplicate_spans": 6235481,
+    "q86_strip_duplicate_spans": 8353868,
     "q92_order_priority_exists": 373,
     "q98_market_share": 2257007,
     "q100_returned_top_customers": 247667,
@@ -226,10 +236,10 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # as q19's r6 re-anchor above), and r6's 1-turn round measured the
     # new volume (24265816, flagged in BENCH_full_r06.byte_regressions)
     # without re-pinning. r7 re-measures BIT-IDENTICAL bytes.
-    "q43_jaccard_prefix": 24265816,
+    "q43_jaccard_prefix": 29805475,
     "q126_multimodal_decode": 0,
     "q127_lm_quality": 240651,
-    "q128_gopher_filter": 0,
+    "q128_gopher_filter": 851481,
     "q129_curation_pipeline": 121646,
     "q130_grouped_cdf": 915,
     # r6: +1.6% from the election branch plan shape (zero rows on
@@ -237,7 +247,7 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q138_kmeans_semantic_dedup": 588954,
     "q139_term_stats": 1641449,
     "q140_logreg_quality": 380,
-    "q141_decontaminate": 315580,
+    "q141_decontaminate": 1776788,
     "q142_audio_decode": 0,
     "q143_video_container": 0,
     "q144_url_dedup": 7372,

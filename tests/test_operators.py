@@ -3235,3 +3235,28 @@ def test_incremental_hot_bucket_is_one_aggregate(spark):
     assert [r["doc_id"] for r in surv.collect()] == [1]
     plan = surv._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_spread_narrow_source_adaptive(spark, sf_dir):
+    """r7: spread_narrow_source widens ONLY a narrow bare file scan —
+    no-op for an in-memory df (no input files), a post-exchange plan,
+    and a source whose file count is already near the parallelism."""
+    from torcharrow_spark.operators import spread_narrow_source
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(docs.inputFiles()) < max(1, par // 4)  # single-file bench table
+
+    wide = spread_narrow_source(docs)
+    assert wide.rdd.getNumPartitions() == par
+    # values untouched (same rows, any order)
+    assert wide.count() == docs.count()
+    assert wide.exceptAll(docs).count() == 0
+
+    # post-exchange df: untouched (no double repartition)
+    pre = docs.repartition(8)
+    assert spread_narrow_source(pre) is pre
+
+    # in-memory df: untouched
+    mem = spark.range(10)
+    assert spread_narrow_source(mem) is mem

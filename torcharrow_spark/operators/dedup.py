@@ -650,7 +650,15 @@ def _shingles(df: SDF, text_col: str, id_col: str, k: int) -> SDF:
     The word array is materialized in its own projection BEFORE the
     higher-order transform: lambda bodies are interpreted (not codegen),
     and an inline `split(regexp_replace(...))` inside the lambda is
-    re-evaluated per shingle position — measured 6.5x slower at sf0.1."""
+    re-evaluated per shingle position — measured 6.5x slower at sf0.1.
+
+    The source is spread first when its file layout under-parallelizes
+    (preprocess.spread_narrow_source — a no-op at any healthy layout):
+    shingling is the heaviest scan-fused compute in the dedup family,
+    and a single-row-group source would run it all in one task."""
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    df = spread_narrow_source(df)
     words = F.split(_norm_text(F.col(text_col)), " ")
     return df.select(F.col(id_col), words.alias("__w__")).select(
         F.col(id_col), F.explode(_shingle_array(F.col("__w__"), k)).alias("shingle")
@@ -847,7 +855,12 @@ def simhash(df: SDF, text_col: str = "text", id_col: str = "doc_id", bits: int =
 
     Entirely higher-order functions over a per-row token-hash array —
     zero shuffles (an explode+groupBy formulation would shuffle every
-    token of the corpus)."""
+    token of the corpus). The source is spread first when its file
+    layout under-parallelizes (see `_shingles`): the per-token md5 +
+    per-bit vote is the whole cost and it fuses into the scan."""
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    df = spread_narrow_source(df)
     assert bits <= 32
     hashes = F.transform(F.split(_norm_text(F.col(text_col)), " "), F.md5)
 
@@ -1583,6 +1596,9 @@ def duplicate_spans(
     n_tokens rows per doc, same order as the corpus itself."""
     from pyspark.sql import Window
 
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    df = spread_narrow_source(df)
     words = F.split(_norm_text(F.col(text_col)), " ")
     n = F.size(F.col("__w__"))
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
@@ -1622,14 +1638,19 @@ def strip_duplicate_spans(
     (two-arg filter HOF; per-doc cost O(tokens x dup_spans), and dup
     spans are few for any corpus worth keeping).  Output: id, cleaned
     ``text``, ``n_tokens`` (original), ``n_removed``."""
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
     dups = duplicate_spans(df, k, text_col, id_col)
     starts = dups.groupBy(id_col).agg(
         F.array_distinct(F.collect_list("span_start")).alias("__starts__")
     )
     words = F.split(_norm_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), words.alias("__w__")).join(
-        starts, id_col, "left"
-    )
+    # spread the mask branch too: if `starts` broadcasts, this side
+    # would otherwise keep the source's (possibly single-task) width
+    # through the per-token mask
+    base = spread_narrow_source(df).select(
+        F.col(id_col), words.alias("__w__")
+    ).join(starts, id_col, "left")
     st = F.coalesce(F.col("__starts__"), F.array().cast("array<int>"))
     kept = F.filter(
         F.col("__w__"),

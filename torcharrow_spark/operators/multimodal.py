@@ -106,7 +106,12 @@ def decode_features(
             T.StructField("features", T.ArrayType(T.FloatType(), False), True),
         ]
     )
-    src = df.select(id_col, bytes_col)
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    # decode is per-row Python: a narrow (single-row-group) source
+    # would run every decode in ONE task — spread first (no-op at any
+    # healthy file layout; see spread_narrow_source)
+    src = spread_narrow_source(df.select(id_col, bytes_col))
 
     def decode_iter(batches):
         import pandas as pd
@@ -146,7 +151,11 @@ def decode_image_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
             T.StructField("px_mean", T.DoubleType(), True),
         ]
     )
-    src = df.select(id_col, bytes_col)
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    # per-row Python decode: spread a narrow source first (no-op at
+    # any healthy layout; see spread_narrow_source)
+    src = spread_narrow_source(df.select(id_col, bytes_col))
 
     def stats_iter(batches):
         import pandas as pd
@@ -210,6 +219,12 @@ def frame_sample_plan(
             T.StructField("frame_index", T.IntegerType(), False),
         ]
     )
+    # NO spread here (r7, measured): this pass is a cheap metadata/
+    # checksum walk whose payload bytes dominate any exchange — at
+    # sf0.1 spreading cost 1.75x wall on audio (moving 1.5 MB of WAV
+    # to save a sub-0.2s single-task walk); the heavy PIXEL-decode
+    # paths (decode_features/decode_image_stats/decode_video_frames_
+    # stats/resize_media) do spread
     src = df.select(id_col, bytes_col)
 
     def plan_iter(batches):
@@ -265,7 +280,11 @@ def decode_video_frames_stats(
             T.StructField("px_mean", T.DoubleType(), True),
         ]
     )
-    src = df.select(id_col, bytes_col)
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    # per-row Python decode: spread a narrow source first (no-op at
+    # any healthy layout; see spread_narrow_source)
+    src = spread_narrow_source(df.select(id_col, bytes_col))
 
     def frames_iter(batches):
         import pandas as pd
@@ -326,7 +345,11 @@ def resize_media(
             T.StructField("meta", MEDIA_META_SCHEMA, False),
         ]
     )
-    src = df.select(id_col, bytes_col)
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    # per-row Python decode: spread a narrow source first (no-op at
+    # any healthy layout; see spread_narrow_source)
+    src = spread_narrow_source(df.select(id_col, bytes_col))
 
     def resize_iter(batches):
         import pandas as pd
@@ -387,6 +410,12 @@ def decode_audio_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
             T.StructField("amp_mean", T.DoubleType(), True),
         ]
     )
+    # NO spread here (r7, measured): this pass is a cheap metadata/
+    # checksum walk whose payload bytes dominate any exchange — at
+    # sf0.1 spreading cost 1.75x wall on audio (moving 1.5 MB of WAV
+    # to save a sub-0.2s single-task walk); the heavy PIXEL-decode
+    # paths (decode_features/decode_image_stats/decode_video_frames_
+    # stats/resize_media) do spread
     src = df.select(id_col, bytes_col)
 
     def stats_iter(batches):
@@ -439,6 +468,12 @@ def video_container_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
             T.StructField("n_tracks", T.IntegerType(), True),
         ]
     )
+    # NO spread here (r7, measured): this pass is a cheap metadata/
+    # checksum walk whose payload bytes dominate any exchange — at
+    # sf0.1 spreading cost 1.75x wall on audio (moving 1.5 MB of WAV
+    # to save a sub-0.2s single-task walk); the heavy PIXEL-decode
+    # paths (decode_features/decode_image_stats/decode_video_frames_
+    # stats/resize_media) do spread
     src = df.select(id_col, bytes_col)
 
     def stats_iter(batches):

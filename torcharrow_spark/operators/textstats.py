@@ -114,7 +114,9 @@ def _with_words(df: SDF, text_col: str, id_col: str) -> SDF:
     of each re-running split(regexp_replace(...)) — the same rule as
     dedup._shingles (measured 6.5x there, ~2x across the fused stats
     here)."""
-    return df.select(
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    return spread_narrow_source(df).select(
         F.col(id_col), F.col(text_col), _words(F.col(text_col)).alias("__w__")
     )
 
@@ -363,8 +365,10 @@ def chunk_documents(
     )
     out_cols = [c for c in df.columns if c not in (text_col,)]
     chunk_tokens = F.slice(F.col("__w__"), F.col("__k__") * stride + 1, chunk_size)
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
     return (
-        df.withColumn("__w__", words)
+        spread_narrow_source(df).withColumn("__w__", words)
         .withColumn("__k__", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
         .select(
             *out_cols,
@@ -398,7 +402,9 @@ def dedup_lines(
     unwanted)."""
     if max_copies < 1:
         raise ValueError("max_copies must be >= 1")
-    lines = df.select(
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    lines = spread_narrow_source(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__line__"),
     )
