@@ -5,8 +5,24 @@ plans.plan_stats/formatted_plan."""
 
 import re
 
+from contextlib import contextmanager
+
 from torcharrow_spark.plans import formatted_plan, plan_stats
 from torcharrow_spark.queries import QUERIES
+
+
+@contextmanager
+def _no_spread(spark):
+    """Pin the ORGANIC-SCALE plan: at a healthy (multi-file) layout
+    spread_narrow_source never fires, so zero-exchange pins hold; the
+    bench tables are single-row-group, so tests that assert those
+    shapes disable the spread for the build. The spread exchange
+    itself is pinned by test_spread_narrow_source_plan."""
+    spark.conf.set("spark.torcharrow.spreadNarrowSource", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.torcharrow.spreadNarrowSource", "true")
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -47,9 +63,10 @@ def test_groupby_is_hash_aggregate(spark, sf_dir):
 def test_narrow_ops_have_no_shuffle(spark, sf_dir):
     """Pure projections (text stats, fingerprints) must be scan->project,
     zero exchanges."""
-    for q in ("q24_text_stats", "q25_fingerprint"):
-        stats = plan_stats(QUERIES[q](spark, sf_dir))
-        assert stats["exchanges"] == 0, (q, stats)
+    with _no_spread(spark):
+        for q in ("q24_text_stats", "q25_fingerprint"):
+            stats = plan_stats(QUERIES[q](spark, sf_dir))
+            assert stats["exchanges"] == 0, (q, stats)
 
 
 def test_whole_stage_codegen_present(spark, sf_dir):
@@ -103,7 +120,8 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
 
 def test_text_stats_is_single_projection(spark, sf_dir):
     """Fused text_stats must plan with zero exchanges (was: two joins)."""
-    stats = plan_stats(QUERIES["q24_text_stats"](spark, sf_dir))
+    with _no_spread(spark):
+        stats = plan_stats(QUERIES["q24_text_stats"](spark, sf_dir))
     assert stats["exchanges"] == 0, stats
 
 
@@ -265,7 +283,8 @@ def test_gopher_filter_is_zero_shuffle(spark, sf_dir):
     """q128's composite quality gate must plan as scan->project — every
     signal (incl. both repetition fractions) is a per-row HOF, so the
     100 TB filter pass costs exactly one scan."""
-    stats = plan_stats(QUERIES["q128_gopher_filter"](spark, sf_dir))
+    with _no_spread(spark):
+        stats = plan_stats(QUERIES["q128_gopher_filter"](spark, sf_dir))
     assert stats["exchanges"] == 0, stats
 
 
@@ -320,9 +339,10 @@ def test_curation_pipeline_plan(spark, sf_dir):
     shuffle) + packing (per-shard windows): hash aggregates only, and
     the whole pipeline stays within a handful of exchanges — no stage
     re-reads or re-shuffles the corpus."""
-    text = formatted_plan(QUERIES["q129_curation_pipeline"](spark, sf_dir))
-    assert "SortAggregate" not in text
-    stats = plan_stats(QUERIES["q129_curation_pipeline"](spark, sf_dir))
+    with _no_spread(spark):
+        text = formatted_plan(QUERIES["q129_curation_pipeline"](spark, sf_dir))
+        assert "SortAggregate" not in text
+        stats = plan_stats(QUERIES["q129_curation_pipeline"](spark, sf_dir))
     assert stats["exchanges"] <= 6, stats
 
 
@@ -347,19 +367,21 @@ def test_shuffle_payloads_are_narrow(spark, sf_dir):
     row where 16 do."""
     from torcharrow_spark.plans import shuffle_payloads
 
-    # exact dedup: every exchange payload is hash halves + bounded aggs
-    ex = shuffle_payloads(QUERIES["q18_exact_dedup"](spark, sf_dir))
-    assert len(ex) >= 1
-    for e in ex:
-        assert "text" not in e["columns"], e
-    # minhash LSH banding: band-key exchanges carry signatures/ids only
-    for e in shuffle_payloads(QUERIES["q19_minhash_pairs"](spark, sf_dir)):
-        assert "text" not in e["columns"], e
-    # prefix jaccard: the shingle table shuffles 64-bit hashes, never
-    # shingle STRINGS or document text
-    for e in shuffle_payloads(QUERIES["q43_jaccard_prefix"](spark, sf_dir)):
-        assert "text" not in e["columns"], e
-        assert "shingle" not in e["columns"], e
+    with _no_spread(spark):
+        # exact dedup: every exchange payload is hash halves + bounded
+        # aggs
+        ex = shuffle_payloads(QUERIES["q18_exact_dedup"](spark, sf_dir))
+        assert len(ex) >= 1
+        for e in ex:
+            assert "text" not in e["columns"], e
+        # minhash LSH banding: band-key exchanges carry signatures/ids
+        for e in shuffle_payloads(QUERIES["q19_minhash_pairs"](spark, sf_dir)):
+            assert "text" not in e["columns"], e
+        # prefix jaccard: the shingle table shuffles 64-bit hashes,
+        # never shingle STRINGS or document text
+        for e in shuffle_payloads(QUERIES["q43_jaccard_prefix"](spark, sf_dir)):
+            assert "text" not in e["columns"], e
+            assert "shingle" not in e["columns"], e
 
 
 def test_curation_pipeline_shuffles_hashes_not_text(spark, sf_dir):
@@ -413,3 +435,19 @@ def test_r5_operator_plan_shapes(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in p3, p3
+
+
+def test_spread_narrow_source_plan(spark, sf_dir):
+    """The r7 narrow-source spread, pinned at the plan level: when it
+    fires (single-row-group bench table), the ONLY exchange it adds is
+    a ROUND-ROBIN repartition — never a key-ed shuffle, so no skew and
+    no text ever rides a partitioning KEY — and with the conf off the
+    zero-exchange organic shape returns."""
+    stats = plan_stats(QUERIES["q24_text_stats"](spark, sf_dir))
+    assert stats["exchanges"] >= 1, stats  # fires on the 1-row-group table
+    text = formatted_plan(QUERIES["q24_text_stats"](spark, sf_dir))
+    assert "RoundRobinPartitioning" in text
+    assert "hashpartitioning(text" not in text.lower()
+    with _no_spread(spark):
+        stats_off = plan_stats(QUERIES["q24_text_stats"](spark, sf_dir))
+    assert stats_off["exchanges"] == 0, stats_off

@@ -35,8 +35,19 @@ def spread_narrow_source(df: SDF) -> SDF:
     `sparkPlan` is planning-only, safe to inspect, never executes).
     When it fires it pays one exchange of the source's bytes — exactly
     the trade a 100 GB single-file delivery wants, and invisible at
-    any healthy layout."""
+    any healthy layout. Disable with the session conf
+    ``spark.torcharrow.spreadNarrowSource=false`` (the plan-pin tests
+    do, to pin the organic-scale zero-exchange shapes; the spread
+    exchange itself is pinned by its own test as a ROUND-ROBIN
+    repartition — never a key-ed shuffle, so no skew and no text ever
+    rides a partitioning KEY)."""
     try:
+        if (
+            df.sparkSession.conf.get(
+                "spark.torcharrow.spreadNarrowSource", "true"
+            ).lower() != "true"
+        ):
+            return df
         files = df.inputFiles()
     except Exception:
         return df
