@@ -683,10 +683,15 @@ def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
             # could never fire while the anchor dict was empty)
             if (ratio is not None and ratio > 1.25) or bytes_["spill"] > 0:
                 out[name]["regression"] = True
+                vs = (
+                    f"vs anchor {byte_anchor}B ({ratio}x)"
+                    if byte_anchor
+                    else "(no anchor yet)"
+                )
                 print(
                     f"# STRESS-SF10 REGRESSION {name}: shuffle "
-                    f"{bytes_['shuffle_write']}B vs anchor {byte_anchor}B "
-                    f"({ratio}x), spill {bytes_['spill']}B",
+                    f"{bytes_['shuffle_write']}B {vs}, "
+                    f"spill {bytes_['spill']}B",
                     file=sys.stderr,
                 )
         print(
@@ -1090,10 +1095,12 @@ def compact_line(payload: dict, full_name: str | None) -> str:
             v.get("spill_bytes", 0)
             for v in (*stress.values(), *stress10.values())
         ),
+        # per-tier names: five queries exist in BOTH tiers, and a
+        # {**a, **b} merge would let a clean sf10 entry mask its sf1
+        # twin's flag on the one channel the driver records (r7 review)
         "stress_regressions": sorted(
-            k
-            for k, v in {**stress, **stress10}.items()
-            if v.get("regression")
+            [k for k, v in stress.items() if v.get("regression")]
+            + [f"{k}@sf10" for k, v in stress10.items() if v.get("regression")]
         ),
         "machine_factor": payload.get("machine_factor"),
         "full": full_name,

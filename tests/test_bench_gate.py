@@ -91,7 +91,7 @@ def test_compact_line_fits_driver_tail_window():
     d = json.loads(line)
     for k in ("metric", "value", "unit", "queries", "sf"):
         assert k in d
-    assert d["stress_regressions"] == ["q19"]
+    assert d["stress_regressions"] == ["q19@sf10"]
     assert d["stress_spill_bytes"] == 7
     assert d["stress_sf10_sec"] == 100.0
 

@@ -424,3 +424,12 @@ def test_reduce_associative_exact_index_order(spark):
     nsum = lambda a, b: a if b is None else (b if a is None else a + b)  # noqa: E731
     assert dn["x"].reduce(nsum, associative=True) == 4.0
     assert dn["x"].reduce(nsum) == 4.0
+
+    # ordered=False: the zero-shuffle commutative fast path — same
+    # value for order-insensitive fns, no index machinery
+    import operator
+
+    assert shuffled["x"].reduce(
+        operator.add, associative=True, ordered=False
+    ) == sum(vals)
+    assert dn["x"].reduce(nsum, associative=True, ordered=False) == 4.0

@@ -3239,13 +3239,15 @@ def test_incremental_hot_bucket_is_one_aggregate(spark):
 
 def test_spread_narrow_source_adaptive(spark, sf_dir):
     """r7: spread_narrow_source widens ONLY a narrow bare file scan —
-    no-op for an in-memory df (no input files), a post-exchange plan,
-    and a source whose file count is already near the parallelism."""
+    no-op for an in-memory df, a post-exchange plan, and a source
+    whose PLANNED SCAN SPLITS (row-group level, not file count)
+    already use more than half the parallelism."""
     from torcharrow_spark.operators import spread_narrow_source
 
     par = spark.sparkContext.defaultParallelism
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    assert len(docs.inputFiles()) < max(1, par // 4)  # single-file bench table
+    # the bench table is one row group -> one planned scan split
+    assert docs.rdd.getNumPartitions() * 2 <= par
 
     wide = spread_narrow_source(docs)
     assert wide.rdd.getNumPartitions() == par
@@ -3257,6 +3259,18 @@ def test_spread_narrow_source_adaptive(spark, sf_dir):
     pre = docs.repartition(8)
     assert spread_narrow_source(pre) is pre
 
-    # in-memory df: untouched
+    # in-memory df: untouched (LocalTableScan/Range are not FileScans)
     mem = spark.range(10)
     assert spread_narrow_source(mem) is mem
+    loc = spark.createDataFrame([(1, "a")], "id long, t string")
+    assert spread_narrow_source(loc) is loc
+
+    # healthy wide layout: untouched even though it is ONE directory
+    # (narrowness keys on scan splits, not file count)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs.repartition(par).write.mode("overwrite").parquet(f"{d}/wide")
+    wide_src = spark.read.parquet(f"{d}/wide")
+    assert wide_src.rdd.getNumPartitions() * 2 > par
+    assert spread_narrow_source(wide_src) is wide_src

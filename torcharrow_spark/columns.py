@@ -545,7 +545,8 @@ class Column:
         return owner.filter(predicate, columns=[name])
 
     def reduce(self, fun, initializer=None, finalizer=None,
-               max_rows: int | None = 1_000_000, associative: bool = False):
+               max_rows: int | None = 1_000_000, associative: bool = False,
+               ordered: bool = True):
         """Sequential binary fold to one scalar with an arbitrary Python
         fn (reference icolumn.py:729-770). Inherently order-dependent and
         driver-bound BY DEFAULT: values stream one partition at a time
@@ -575,6 +576,15 @@ class Column:
         use the default path. ``initializer`` is applied ONCE (ahead
         of the first partial), never per partition; ``max_rows`` is
         ignored — nothing row-scale crosses the driver.
+
+        ``ordered=False`` (with ``associative=True``) skips the
+        exact-order machinery — the range exchange + sort on the
+        construction index — for fns that are also COMMUTATIVE
+        (sum/min/max/merge), which cannot observe visit order: the
+        fold then runs partition-local in physical order with ZERO
+        added shuffle. The default stays ordered=True because
+        correctness-by-default beats a silent wrong answer for
+        non-commutative fns; flip it on big commutative folds.
         Not the hot path either way — built-in aggs (sum/min/...) stay
         the distributed spelling; this exists for arbitrary folds."""
         owner, name = self._named_owner("reduce")
@@ -583,7 +593,7 @@ class Column:
         sdf = owner._sdf
         e, _ = self._resolve(owner)
         if associative:
-            has_idx = INDEX_COL in sdf.columns
+            has_idx = ordered and INDEX_COL in sdf.columns
             if has_idx:
                 # range exchange on the construction index → partitions
                 # cover disjoint index ranges; within-partition sort →

@@ -27,20 +27,25 @@ def spread_narrow_source(df: SDF) -> SDF:
     cut minhash 48%, simhash 41%, span-stripping 56% wall.
 
     The widening is ADAPTIVE, keyed on what the plan already shows:
-    a no-op unless the df is (a) file-backed (`inputFiles` non-empty),
-    (b) narrow (fewer files than a quarter of the cluster's
-    parallelism — at organic 100 TB scale, file counts are thousands
-    and this never fires), and (c) still scan-shaped (no Exchange in
-    the pre-AQE physical plan — a post-shuffle df is already spread;
-    `sparkPlan` is planning-only, safe to inspect, never executes).
-    When it fires it pays one exchange of the source's bytes — exactly
-    the trade a 100 GB single-file delivery wants, and invisible at
-    any healthy layout. Disable with the session conf
-    ``spark.torcharrow.spreadNarrowSource=false`` (the plan-pin tests
-    do, to pin the organic-scale zero-exchange shapes; the spread
-    exchange itself is pinned by its own test as a ROUND-ROBIN
-    repartition — never a key-ed shuffle, so no skew and no text ever
-    rides a partitioning KEY)."""
+    a no-op unless the df is (a) still scan-shaped and file-backed
+    (a FileScan leaf and no Exchange in the pre-AQE physical plan —
+    a post-shuffle df is already spread; ``sparkPlan`` is
+    planning-only, safe to inspect, never executes), and (b) narrow
+    in its ACTUAL planned scan splits — ``df.rdd.getNumPartitions()``,
+    which counts row-group/maxPartitionBytes splits, not files, so a
+    healthy 100 GB single file with ~800 row groups is correctly left
+    alone (r7 review: a file-count test would have exchanged all
+    100 GB to save nothing) and a million-file organic table never
+    materializes its path list on the driver. Narrow = the scan uses
+    at most half the cluster's parallelism; the widening fires down
+    to 2-core clusters. When it fires it pays one exchange of the
+    source's bytes — exactly the trade a single-row-group vendor dump
+    wants, and invisible at any healthy layout. Disable with the
+    session conf ``spark.torcharrow.spreadNarrowSource=false`` (the
+    plan-pin tests do, to pin the organic-scale zero-exchange shapes;
+    the spread exchange itself is pinned by its own test as a
+    ROUND-ROBIN repartition — never a key-ed shuffle, so no skew and
+    no text ever rides a partitioning KEY)."""
     try:
         if (
             df.sparkSession.conf.get(
@@ -48,17 +53,21 @@ def spread_narrow_source(df: SDF) -> SDF:
             ).lower() != "true"
         ):
             return df
-        files = df.inputFiles()
-    except Exception:
-        return df
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if not files or len(files) >= max(1, par // 4):
-        return df
-    try:
         plan = df._jdf.queryExecution().sparkPlan().toString()
     except Exception:
         return df
-    if "Exchange" in plan:
+    if "Exchange" in plan or not (
+        "FileScan" in plan or "BatchScan" in plan
+    ):
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # safe here: the plan has no Exchange, so converting to an RDD
+        # plans the scan splits without executing any query stage
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts * 2 > par:
         return df
     return df.repartition(par)
 

@@ -1034,14 +1034,26 @@ def quality_scores_stream(
 
 
 def _try_read_parquet(spark: SparkSession, path: str):
-    """Parquet read that returns None when the path does not exist yet
-    (works on any filesystem — no driver-side os.path probing)."""
+    """Parquet read that returns None ONLY when the path does not exist
+    yet (cold start / no deltas). Any OTHER failure — permissions, a
+    corrupt footer, a transient FS error — re-raises: silently treating
+    a broken standing index as 'nothing kept yet' would dedup the batch
+    against nothing and permanently pollute the corpus with duplicates
+    (r7 review finding)."""
     try:
         df = spark.read.parquet(path)
         df.schema  # force analysis so a missing path raises HERE
         return df
-    except Exception:
-        return None
+    except Exception as e:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException) and (
+            getattr(e, "getErrorClass", lambda: None)() == "PATH_NOT_FOUND"
+            or "PATH_NOT_FOUND" in str(e)
+            or "Path does not exist" in str(e)
+        ):
+            return None
+        raise
 
 
 def incremental_dedup_stream(
@@ -1124,8 +1136,14 @@ def incremental_dedup_stream(
         survivors.write.mode("overwrite").parquet(
             f"{dest_path}/batch_id={batch_id}"
         )
+        # derive the index delta from the JUST-WRITTEN survivors file,
+        # not the survivors plan: re-evaluating the uncached plan would
+        # run shingling + both index joins a second time per batch
+        # (r7 review), and the read-back is also exactly what a
+        # replayed batch must key on
+        landed = spark.read.parquet(f"{dest_path}/batch_id={batch_id}")
         _banded_keys(
-            survivors, text_col, id_col, shingle_k, num_hashes, bands
+            landed, text_col, id_col, shingle_k, num_hashes, bands
         ).select("band", "band_key", id_col).write.mode("overwrite").parquet(
             f"{index_path}/delta/batch_id={batch_id}"
         )
