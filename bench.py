@@ -251,7 +251,19 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q142_audio_decode": 0,
     "q143_video_container": 0,
     "q144_url_dedup": 7372,
-    "q145_modern_curation": 61465,
+    # RE-PINNED r8 (was 61465 — the one byte flag in the driver's
+    # official BENCH_r07 artifact; VERDICT r7 "what's wrong" #2): the r7
+    # narrow-source spread re-pinned the text-family byte anchors but
+    # MISSED q145's. Decomposition (the ADVICE r7 re-pin discipline —
+    # justify as anchor_old + expected delta, not a wholesale re-pin):
+    # q145's first stage is URL dedup over documents, whose scan is now
+    # widened by ONE round-robin spread exchange carrying the gated
+    # source columns (~28 KB of url+text bytes at sf0.1) before any
+    # per-row compute. 61465 + 27932 (measured spread-exchange write,
+    # matching the source's column bytes) = 89397, bit-identical across
+    # the r7 driver run and two local re-measurements of the unchanged
+    # plan.
+    "q145_modern_curation": 89397,
 }
 
 
@@ -1221,11 +1233,22 @@ def main() -> None:
             # calibration probe so host-speed shifts between rounds
             # don't fabricate (or hide) regressions
             bar = anchor * cal_ratio
-            if warm[name] > bar * 1.25:
-                # damp one-off noise (GC pause, compilation) with a re-run
+            # damp one-off noise (GC pause, compilation, a noisy host
+            # minute) with re-runs — r8 extends the single damping
+            # re-run to the stress tier's best-of-3 discipline for
+            # flagged walls (VERDICT r7 "what's wrong" #3: the driver's
+            # official BENCH_r07 recorded q42 at 1.35x on a
+            # byte-IDENTICAL plan — one host hiccup survived the single
+            # re-run and landed a phantom flag in the round artifact).
+            # Re-runs stop as soon as the query is back under the bar,
+            # so a clean run pays nothing and a REAL regression still
+            # reports (a genuinely slower plan is slower on every run).
+            reruns = 0
+            while warm[name] > bar * 1.25 and reruns < 2:
                 t0 = time.perf_counter()
                 _sink(QUERIES[name](spark, sf_dir))
                 warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
+                reruns += 1
             delta_vs_r1[name] = round(warm[name] - anchor, 3)
             if wall_regression(
                 warm[name],

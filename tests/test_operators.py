@@ -3218,6 +3218,86 @@ def test_exact_dedup_against_index(spark, delivery_split):
     idx = ops.exact_index(corpus)
     surv = ops.exact_dedup_against_index(new, idx)
     assert sorted(r["doc_id"] for r in surv.collect()) == [3, 9]
+    # r8: the index carries the class WITNESS (min doc_id per text) so
+    # retirement can key on document ids
+    assert set(idx.columns) == {"h_hi", "h_lo", "doc_id"}
+
+
+def test_retire_from_index_minhash(spark, delivery_split):
+    """r8 (VERDICT r7 ask #6): retiring a corpus doc drops ALL its band
+    rows, so a delivery doc that collided ONLY with retired docs now
+    survives — takedowns must actually re-admit."""
+    corpus, new = delivery_split
+    idx = ops.minhash_index(corpus, shingle_k=2)
+    retired = spark.createDataFrame([(0,), (2,)], "doc_id long")
+    idx2 = ops.retire_from_index(idx, retired)
+    # every band row of docs 0 and 2 is gone; doc 6's rows remain
+    assert idx2.where("doc_id in (0, 2)").count() == 0
+    assert idx2.where("doc_id = 6").count() > 0
+    surv = ops.dedup_against_index(new, idx2, shingle_k=2)
+    # doc 1 collided only with retired 0/2 -> now survives (and wins
+    # the intra-delivery keep-min-id against its own dup, doc 5)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [1, 3, 9]
+
+
+def test_retire_from_index_exact(spark, delivery_split):
+    """Exact-index retirement: the witness IS the kept corpus copy, so
+    retiring it retires the text class and a future copy re-admits."""
+    corpus, new = delivery_split
+    idx = ops.exact_index(corpus)
+    retired = spark.createDataFrame([(0,)], "doc_id long")
+    idx2 = ops.retire_from_index(idx, retired)
+    surv = ops.exact_dedup_against_index(new, idx2)
+    # doc 1 ("the cat sat on the mat") was exact-dup of retired doc 0
+    assert sorted(r["doc_id"] for r in surv.collect()) == [1, 3, 9]
+
+
+def test_compact_index_merges_and_releases_root(spark, delivery_split, tmp_path):
+    """r8: compact_index folds delta partitions (and retirements) into
+    one fresh base, clears the deltas and the stream's owner marker,
+    and the compacted base answers dedup_against_index exactly like
+    the uncompacted base+delta union."""
+    corpus, new = delivery_split
+    root = str(tmp_path / "idx")
+    base = ops.minhash_index(corpus, shingle_k=2)
+    base.write.parquet(f"{root}/base")
+    surv = ops.dedup_against_index(new, base, shingle_k=2)
+    delta = ops.minhash_index(surv, shingle_k=2)
+    delta.write.parquet(f"{root}/delta/batch_id=0")
+    # a stream's ownership marker (same layout _claim_index_root writes)
+    spark.createDataFrame([("ckpt-a",)], "value string").coalesce(1) \
+        .write.text(f"{root}/_owner_checkpoint")
+
+    want = {
+        r["doc_id"]
+        for r in ops.dedup_against_index(
+            new, base.unionByName(delta), shingle_k=2
+        ).collect()
+    }
+    report = ops.compact_index(root, spark)
+    assert report["had_base"] and report["had_delta"]
+    assert report["merged_rows"] == base.count() + delta.count()
+    import os as _os
+
+    assert not _os.path.exists(f"{root}/delta")
+    assert not _os.path.exists(f"{root}/_owner_checkpoint")
+    compacted = spark.read.parquet(f"{root}/base")
+    got = {
+        r["doc_id"]
+        for r in ops.dedup_against_index(new, compacted, shingle_k=2).collect()
+    }
+    assert got == want
+
+    # retirement applied in the same pass: retire everything, and the
+    # whole delivery's shingleable docs resolve intra-delivery only
+    report2 = ops.compact_index(
+        root, spark,
+        retired=spark.createDataFrame(
+            [(i,) for i in range(10)], "doc_id long"
+        ),
+    )
+    assert report2["retired_applied"]
+    assert spark.read.parquet(f"{root}/base").count() == 0
 
 
 def test_incremental_hot_bucket_is_one_aggregate(spark):

@@ -59,7 +59,9 @@ def test_driver_window_coverage():
     must_have = {
         "q01_pricing_summary",    # §2.6 aggregation
         "q02_select_where",       # §2.2 projection
-        "q31_map_udf",            # §2.3 functional
+        "q51_transform_batch",    # §2.3 functional (q31/q50 rotated out
+                                  # r8 for the q145/q150 capstone rows;
+                                  # both stay driver_sim + pytest gated)
         "q03_join_topk",          # §2.4/§2.5 joins+topk
         "q07_arith_semantics",    # §2.7
         "q08_string_ops",         # §2.8
@@ -91,5 +93,9 @@ def test_driver_window_coverage():
         "q147_video_frame_decode", "q68_tfidf_top_terms",
         "q149_incremental_dedup",
         "q98_market_share", "q41_bpe_tokenize",
+        # r8 rotations (VERDICT r7 ask #2): the modern-curation capstone
+        # and the exact half of the incremental-index family get their
+        # first driver-hash rows
+        "q145_modern_curation", "q150_incremental_exact_dedup",
     }
     assert must_have <= window, must_have - window

@@ -1,6 +1,10 @@
 """Structured Streaming wrappers: the streaming plan must agree with the
 batch plan on the same data (availableNow + memory sink)."""
 
+import os
+
+import pytest
+
 from torcharrow_spark.sources import read_parquet_ns
 from torcharrow_spark.streaming import (
     sessionize,
@@ -876,11 +880,21 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     delta = spark.read.parquet(f"{idx_root}/delta")
     assert delta.select("doc_id").distinct().count() == len(want)
 
-    # replay batch 0 (fresh checkpoint, same dest/index): the batch
-    # must not collide with its own delta, and neither output grows
+    # replay batch 0 (SAME checkpoint, commit removed — the crash
+    # window between the delta landing and the commit): the batch must
+    # not collide with its own delta, and neither output grows. r8:
+    # this used to simulate replay with a FRESH checkpoint, which the
+    # owner-marker guard now rejects (below) — a fresh checkpoint
+    # restarting at batch 0 would silently ignore every prior delta
+    # (ADVICE r7 medium), so the only legitimate replay is the same
+    # checkpoint re-running its uncommitted batch.
+    os.remove(str(tmp_path / "ckpt" / "commits" / "0"))
+    crc = str(tmp_path / "ckpt" / "commits" / ".0.crc")
+    if os.path.exists(crc):  # Hadoop local-FS checksum sidecar
+        os.remove(crc)
     q2 = incremental_dedup_stream(
         spark, src, delivery.schema, dest, idx_root,
-        str(tmp_path / "ckpt2"), query_name="t_incdedup2")
+        str(tmp_path / "ckpt"), query_name="t_incdedup2")
     try:
         q2.processAllAvailable()
     finally:
@@ -889,6 +903,18 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got2 == want
     assert (spark.read.parquet(f"{idx_root}/delta")
             .select("doc_id").distinct().count() == len(want))
+
+    # a FRESH checkpoint pointed at the claimed root must fail fast
+    # with the compaction remediation, not silently dedup vs base only
+    q_bad = incremental_dedup_stream(
+        spark, src, delivery.schema, str(tmp_path / "kept_bad"), idx_root,
+        str(tmp_path / "ckpt_fresh"), query_name="t_incdedup_bad")
+    with pytest.raises(Exception, match="owned by checkpoint"):
+        try:
+            q_bad.processAllAvailable()
+        finally:
+            q_bad.stop()
+    assert not os.path.exists(str(tmp_path / "kept_bad"))
 
     # cross-batch: APPEND the same delivery as new files to the same
     # source and RESUME the original checkpoint (one long-lived
@@ -926,11 +952,18 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert {r["doc_id"]
             for r in kept.where(F.col("batch_id") == 0).collect()} == want
 
-    # cold start: no base, fresh index root — intra-batch rule alone
+    # cold start: no base, fresh index root — intra-batch rule alone.
+    # r8 (ADVICE r7): the source is a fresh SINGLE-COPY dir — `src` has
+    # the delivery appended twice by now, and dedup_against_index
+    # assumes unique ids within a delivery (keep-min-id lets equal-id
+    # duplicates through), so the old set-based assertion could not see
+    # doubled survivor ROWS; the count assertion below now would.
+    src2 = str(tmp_path / "delivery_single")
+    delivery.coalesce(1).write.mode("overwrite").parquet(src2)
     idx2 = str(tmp_path / "idx_cold")
     dest3 = str(tmp_path / "kept3")
     q4 = incremental_dedup_stream(
-        spark, src, delivery.schema, dest3, idx2,
+        spark, src2, delivery.schema, dest3, idx2,
         str(tmp_path / "ckpt4"), query_name="t_incdedup4")
     try:
         q4.processAllAvailable()
@@ -939,5 +972,7 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     empty_idx = spark.createDataFrame([], "band int, band_key string")
     want_cold = {r["doc_id"]
                  for r in dedup_against_index(delivery, empty_idx).collect()}
-    got_cold = {r["doc_id"] for r in spark.read.parquet(dest3).collect()}
+    landed_cold = spark.read.parquet(dest3)
+    got_cold = {r["doc_id"] for r in landed_cold.collect()}
     assert got_cold == want_cold
+    assert landed_cold.count() == len(want_cold)  # no doubled rows

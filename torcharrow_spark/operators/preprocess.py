@@ -45,7 +45,23 @@ def spread_narrow_source(df: SDF) -> SDF:
     plan-pin tests do, to pin the organic-scale zero-exchange shapes;
     the spread exchange itself is pinned by its own test as a
     ROUND-ROBIN repartition — never a key-ed shuffle, so no skew and
-    no text ever rides a partitioning KEY)."""
+    no text ever rides a partitioning KEY).
+
+    Exchange matching (r8, ADVICE r7): "already spread" means a SHUFFLE
+    exchange — ``Exchange hashpartitioning/rangepartitioning/
+    RoundRobinPartitioning/SinglePartition`` — not the bare substring
+    "Exchange", which also matched ``BroadcastExchange``. Plans whose
+    only exchange IS a broadcast (a broadcast-joined filter over a
+    still-narrow probe scan) are INTENTIONALLY left unspread, now as a
+    documented decision rather than a substring accident: probing
+    their split count (`df.rdd`) would fire the broadcast-side job at
+    PLANNING time — a side effect this helper's no-op guarantee
+    forbids — and none of this engine's heavy per-row operators put
+    compute after a broadcast join without an aggregation (which
+    spreads on its own shuffle) in between. An operator that does can
+    repartition explicitly before the heavy projection."""
+    import re
+
     try:
         if (
             df.sparkSession.conf.get(
@@ -56,8 +72,15 @@ def spread_narrow_source(df: SDF) -> SDF:
         plan = df._jdf.queryExecution().sparkPlan().toString()
     except Exception:
         return df
-    if "Exchange" in plan or not (
-        "FileScan" in plan or "BatchScan" in plan
+    shuffle_exchange = re.search(
+        r"Exchange (hashpartitioning|rangepartitioning"
+        r"|RoundRobinPartitioning|SinglePartition)",
+        plan,
+    )
+    if (
+        shuffle_exchange
+        or "BroadcastExchange" in plan  # documented skip, see docstring
+        or not ("FileScan" in plan or "BatchScan" in plan)
     ):
         return df
     par = df.sparkSession.sparkContext.defaultParallelism

@@ -6877,8 +6877,15 @@ DRIVER_WINDOW = [
     "q27_rec_ops",              # §2.13 bucketize/sigrid_hash/z-scale
     "q127_lm_quality",          # bigram LM perplexity quality filter
                                 # (q30 flatmap was driver-green in r2;
-                                # §2.3 keeps q31/q50/q51/q66 rows)
-    "q31_map_udf",              # §2.3 map(callable) + type inference
+                                # §2.3 keeps q51/q66 rows)
+    "q145_modern_curation",     # r8 rotation (VERDICT r7 ask #2): the
+                                # MODERN-curation capstone — URL dedup
+                                # -> Gopher gate -> LEARNED logreg
+                                # filter -> exact dedup -> packing —
+                                # gets its first driver-hash row
+                                # (q31 map(callable) was driver-green
+                                # r2-r7; §2.3 stays covered by q51's
+                                # mapInArrow + q66's reduce rows)
     "q35_set_ops",              # §2.5 union/intersect/except
     "q128_gopher_filter",       # Gopher composite quality gate
                                 # (q36 rollup was driver-green in r2;
@@ -6888,7 +6895,12 @@ DRIVER_WINDOW = [
     "q136_rolling_quantiles",   # §2.5 rolling windows (quantile/median/
                                 # std form; q47's sum/mean was driver-
                                 # green r2-r3 and stays pytest+sim-gated)
-    "q50_filter_udf",           # §2.3 filter(callable)
+    "q150_incremental_exact_dedup", # r8 rotation (VERDICT r7 ask #2):
+                                # the exact half of the incremental-
+                                # index family driver-hashed alongside
+                                # q149's minhash half (q50
+                                # filter(callable) was driver-green
+                                # r2-r7; §2.3 keeps q51/q66 in-window)
     "q51_transform_batch",      # §2.3 transform over mapInArrow
     "q52_describe",             # §2.6 describe(percentiles)
     "q53_bool_aggs",            # §2.6 all/any/is_unique

@@ -1033,6 +1033,73 @@ def quality_scores_stream(
     )
 
 
+def _claim_index_root(
+    spark: SparkSession, index_path: str, checkpoint_path: str
+) -> None:
+    """Bind an incremental-dedup index root to ONE streaming checkpoint
+    (r8, ADVICE r7 medium): the delta replay guard
+    (``batch_id < current``) is only correct while batch ids are
+    monotone over the root's lifetime — i.e. under the SAME checkpoint.
+    A fresh/recreated checkpoint restarts at batch 0, so the guard
+    would silently exclude EVERY prior delta and dedup new deliveries
+    against base only — duplicates admitted permanently, the exact
+    failure `_try_read_parquet`'s error discipline exists to prevent.
+
+    The contract is enforced with an owner marker
+    (``{index_path}/_owner_checkpoint``, written when a checkpoint
+    processes its batch 0): a later batch-0 run whose checkpoint path
+    differs from the recorded owner FAILS FAST with the remediation —
+    compact the deltas into ``{index_path}/base`` (see
+    ``operators.dedup.compact_index``) before pointing a fresh
+    checkpoint at the root. An unmarked root that already has delta
+    partitions (assembled by hand, or by a pre-r8 run) also fails:
+    there is no way to tell its deltas' batch ids relate to THIS
+    checkpoint. A genuine same-checkpoint replay of batch 0 (crash
+    after the delta landed, before the commit) re-reads its OWN marker
+    and proceeds — replay idempotence is unchanged."""
+    marker = f"{index_path}/_owner_checkpoint"
+    owner = None
+    try:
+        rows = spark.read.text(marker).collect()
+        owner = rows[0]["value"].strip() if rows else ""
+    except Exception as e:
+        from pyspark.errors import AnalysisException
+
+        if not (
+            isinstance(e, AnalysisException)
+            and (
+                getattr(e, "getErrorClass", lambda: None)() == "PATH_NOT_FOUND"
+                or "PATH_NOT_FOUND" in str(e)
+                or "Path does not exist" in str(e)
+            )
+        ):
+            raise
+    if owner is not None:
+        if owner != checkpoint_path:
+            raise ValueError(
+                f"index root {index_path!r} is owned by checkpoint "
+                f"{owner!r}, but this stream runs with checkpoint "
+                f"{checkpoint_path!r}. A fresh checkpoint restarts at "
+                "batch 0 and would silently ignore every existing delta "
+                "(deduping against base only — duplicates admitted). "
+                "Either resume the original checkpoint, or compact the "
+                "deltas into the base index first "
+                "(operators.dedup.compact_index) and start clean."
+            )
+        return
+    if _try_read_parquet(spark, f"{index_path}/delta") is not None:
+        raise ValueError(
+            f"index root {index_path!r} has existing delta partitions "
+            "but no owner marker — its deltas' batch ids cannot be "
+            "related to this (new) checkpoint's. Compact the deltas "
+            "into the base index first (operators.dedup.compact_index), "
+            "then start the fresh checkpoint."
+        )
+    spark.createDataFrame(
+        [(checkpoint_path,)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(marker)
+
+
 def _try_read_parquet(spark: SparkSession, path: str):
     """Parquet read that returns None ONLY when the path does not exist
     yet (cold start / no deltas). Any OTHER failure — permissions, a
@@ -1098,7 +1165,17 @@ def incremental_dedup_stream(
     with no recomputation of anything already indexed. For the
     single-batch case this is bit-identical to
     `dedup_against_index(batch, base_index)` (paired pytest), which is
-    what makes the twin oracle-checkable through its batch side."""
+    what makes the twin oracle-checkable through its batch side.
+
+    CONTRACT (r8, ADVICE r7): one long-lived checkpoint per index
+    root. The replay guard keys deltas on the streaming batch id,
+    which is only monotone within a single checkpoint — so batch 0
+    CLAIMS the root with an owner marker, and a later run that points
+    a DIFFERENT (fresh) checkpoint at the same root fails fast instead
+    of silently deduping against base only (see `_claim_index_root`).
+    To rotate checkpoints, compact the deltas into the base first
+    (`operators.dedup.compact_index`), which clears both the deltas
+    and the marker."""
     from torcharrow_spark.operators.dedup import (
         _banded_keys,
         dedup_against_index,
@@ -1110,6 +1187,10 @@ def incremental_dedup_stream(
     stream = reader.parquet(path)
 
     def _sink(batch_df, batch_id: int) -> None:
+        if batch_id == 0:
+            # fail fast if a FRESH checkpoint points at a root whose
+            # deltas belong to another checkpoint's batch-id sequence
+            _claim_index_root(spark, index_path, checkpoint_path)
         base = _try_read_parquet(spark, f"{index_path}/base")
         delta = _try_read_parquet(spark, f"{index_path}/delta")
         if delta is not None:
