@@ -658,8 +658,10 @@ def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
         "q21_ngram_jaccard_auto": lambda: ngram_jaccard_pairs(
             docs(), shingle_k=3, threshold=0.3, mode="auto"
         ),
+        # r8: auto sizing picks 11 planes at 200k vectors — the pre-r8
+        # manual pin, byte anchor carries over
         "q42_cosine_dedup": lambda: cosine_pairs(
-            emb(), threshold=0.2, n_planes=11
+            emb(), threshold=0.2, n_planes="auto"
         ),
     }
     out: dict[str, dict] = {}
@@ -767,10 +769,13 @@ def run_stress(
         "q21_ngram_jaccard_auto": lambda: ngram_jaccard_pairs(
             docs(), shingle_k=3, threshold=0.3, mode="auto"
         ),
-        # sizing rule applied: corpus 10x => +log2(10)~3-4 planes keeps
-        # per-bucket occupancy (and the quadratic step) constant
+        # sizing rule SELF-APPLIED since r8 (VERDICT r7 ask #3):
+        # n_planes='auto' counts the corpus and picks ceil(log2(n/128))
+        # — 8 planes at 20k vectors, exactly the pre-r8 manual pin, so
+        # the byte anchor carries over (+ one count-job exchange, bytes
+        # negligible); the manual +log2(10) bump per decade is gone
         "q42_cosine_dedup": lambda: cosine_pairs(
-            emb(), threshold=0.2, n_planes=8
+            emb(), threshold=0.2, n_planes="auto"
         ),
         "q105_heavy_hitters": lambda: QUERIES["q105_heavy_hitters"](
             spark, sdir
@@ -879,6 +884,23 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
         out["lsh"][n_probe] = _recall(
             lsh_topk(emb, q, k=k, n_planes=5, n_probe=n_probe)
         )
+    # r8 (VERDICT r7 ask #3): the AUTO-sized table at the SAME 25%
+    # scanned-fraction budget as lsh@8/32 — auto picks 8 planes at the
+    # 20k-vector corpus (256 buckets), so equal coverage = 64 probes;
+    # finer buckets + deeper perturbation probing at identical scan
+    # budget is the trade auto sizing makes as the corpus grows
+    from torcharrow_spark.operators.similarity import auto_n_planes
+
+    auto_planes = auto_n_planes(emb.count())
+    auto_probes = max(1, (1 << auto_planes) // 4)  # 25% of buckets
+    out["lsh_auto"] = {
+        "planes": auto_planes,
+        f"{auto_probes}probe_25pct": _recall(
+            lsh_topk(
+                emb, q, k=k, n_planes="auto", n_probe=auto_probes
+            )
+        ),
+    }
     for n_probe in (1, 4, 16):  # 16/64 cells = 25%
         out["ivf"][n_probe] = _recall(
             ivf_topk(emb, q, k=k, n_cells=64, n_probe=n_probe)
@@ -924,7 +946,8 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
         16: _recall(ivf_topk_df(emb, q, centdf_pp, k=k, n_probe=16))
     }
     print(
-        f"# recall_sf1: lsh {out['lsh']} ivf {out['ivf']} "
+        f"# recall_sf1: lsh {out['lsh']} lsh_auto {out['lsh_auto']} "
+        f"ivf {out['ivf']} "
         f"multitable {out['lsh_multitable']} ivf_trained {out['ivf_trained']} "
         f"ivf_trained_pp {out['ivf_trained_pp']}",
         file=sys.stderr,

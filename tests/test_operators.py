@@ -1732,6 +1732,34 @@ def test_lsh_bucket_occupancy_follows_sizing_rule(spark, sf_dir):
     assert biggest <= 8 * expected, (biggest, expected)
 
 
+def test_auto_n_planes_sizing(spark, sf_dir):
+    """r8 (VERDICT r7 ask #3): the hyperplane sizing rule as code —
+    ceil(log2(n / 128)) clamped to [1, 30] — must reproduce every pin
+    this repo ever measured, and n_planes='auto' must be plan-identical
+    to the explicit value it resolves to."""
+    from torcharrow_spark.operators.similarity import (
+        auto_n_planes,
+        cosine_pairs,
+    )
+
+    # the historical manual pins across three decades + the clamps
+    assert auto_n_planes(2_000) == 4       # sf0.1 headline pin
+    assert auto_n_planes(20_000) == 8      # sf1 stress pin
+    assert auto_n_planes(200_000) == 11    # sf10 stress pin
+    assert auto_n_planes(2_000_000) == 14  # sf100 (+log2(10) per decade)
+    assert auto_n_planes(500) == 2         # sf0.01/0.001 corpora
+    assert auto_n_planes(1) == 1           # lower clamp
+    assert auto_n_planes(10 ** 12) == 30   # upper clamp (int bucket ids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    explicit = auto_n_planes(emb.count())
+    a = cosine_pairs(emb, threshold=0.2, n_planes="auto")
+    b = cosine_pairs(emb, threshold=0.2, n_planes=explicit)
+    got_a = {(r["id_a"], r["id_b"]) for r in a.collect()}
+    got_b = {(r["id_a"], r["id_b"]) for r in b.collect()}
+    assert got_a == got_b and len(got_a) > 0
+
+
 def test_driver_bound_guards(spark):
     """GroupedDataFrame.__iter__ and Column.reduce must refuse silent
     large driver pulls (opt-in via iter_groups(max_groups)/max_rows)."""

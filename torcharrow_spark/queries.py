@@ -1568,11 +1568,41 @@ def _lsh_bucket_sql(n_planes: int) -> str:
     return f"({terms})::INT"
 
 
+#: planes CTE for `n_planes='auto'` oracles — the EXACT
+#: similarity.auto_n_planes arithmetic (ceil(log2(n / 128)) clamped to
+#: [1, 30]; DuckDB's log2 and CPython's math.log2 are both
+#: correctly-rounded IEEE, so the chosen count is identical)
+_AUTO_PLANES_CTE = """np AS (
+      SELECT GREATEST(1, LEAST(30,
+               CAST(ceil(log2(GREATEST(COUNT(*), 1) / 128.0)) AS INT))) AS planes
+      FROM embeddings
+    )"""
+
+
+def _lsh_bucket_auto_sql(plane_offset: int = 0) -> str:
+    """Dynamic-plane-count twin of `_lsh_bucket_sql`: bit i = sign of
+    hyperplane (plane_offset + i) for i in [0, planes), with `planes`
+    read from the `np` CTE — so one static SQL string reproduces the
+    corpus-size-driven sizing at EVERY scale factor. ``plane_offset``
+    selects the table's plane-id namespace (t * 100, matching
+    similarity._table_planes)."""
+    seed = (
+        f"(p + {plane_offset})::VARCHAR" if plane_offset else "p::VARCHAR"
+    )
+    return f"""CAST(list_sum(list_transform(range(0, (SELECT planes FROM np)), p ->
+      CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+             d -> (strpos('0123456789abcdef', substr(md5({seed} || ',' || d::VARCHAR), 1, 1)) - 1 - 7.5)
+                  * embedding[d + 1]::DOUBLE)) >= 0
+           THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS INT)"""
+
+
 @query(
     "q42_cosine_dedup",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, {_lsh_bucket_sql(4)} AS bucket
+    WITH {_AUTO_PLANES_CTE},
+    b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_lsh_bucket_auto_sql()} AS bucket
       FROM embeddings
     )
     , s AS (
@@ -1592,11 +1622,15 @@ def q42_cosine_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join +
     exact cosine filter (operators/similarity.py:cosine_pairs) — the
     embedding analog of minhash dedup; quadratic work confined to each
-    of the 2^4 buckets."""
+    bucket. r8 (VERDICT r7 ask #3): plane sizing is AUTO — ceil(log2(
+    corpus / 128)) planes, the rule the oracle's `np` CTE replays — so
+    the bucket structure tracks the corpus across every SF (4 planes at
+    sf0.1's 2k vectors, exactly the pre-r8 pin, so the bench anchors
+    carry over)."""
     from torcharrow_spark.operators.similarity import cosine_pairs
 
     emb = _load(spark, sf_dir, "embeddings").to_spark()
-    return cosine_pairs(emb, threshold=0.2, n_planes=4)
+    return cosine_pairs(emb, threshold=0.2, n_planes="auto")
 
 
 @query(
@@ -6012,26 +6046,14 @@ def q130_grouped_cdf(spark: SparkSession, sf_dir: str) -> SDF:
     return out.select("doc_id", "lang", F.col("n_chars_cdf").alias("cdf"))
 
 
-def _lsh_bucket_sql(plane_ids) -> str:
-    """DuckDB bucket arithmetic for one LSH table: bit i = sign of the
-    md5-derived hyperplane plane_ids[i] (same nibble arithmetic as
-    similarity._plane_weights / the q23 oracle)."""
-    terms = [
-        f"""(CASE WHEN list_sum(list_transform(range(0, len(embedding)),
-              d -> (strpos('0123456789abcdef', substr(md5('{pid},' || d), 1, 1)) - 1 - 7.5)
-                   * embedding[d + 1]::DOUBLE)) >= 0 THEN 1 ELSE 0 END) * {2 ** i}"""
-        for i, pid in enumerate(plane_ids)
-    ]
-    return "( " + "\n         + ".join(terms) + " )::INT"
-
-
 @query(
     "q133_ann_lsh_multitable",
     oracle=f"""
-    WITH b AS (
+    WITH {_AUTO_PLANES_CTE},
+    b AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-        {_lsh_bucket_sql([0, 1, 2, 3])} AS b0,
-        {_lsh_bucket_sql([100, 101, 102, 103])} AS b1
+        {_lsh_bucket_auto_sql(0)} AS b0,
+        {_lsh_bucket_auto_sql(100)} AS b1
       FROM embeddings
     ),
     q AS (SELECT vec_id AS query_id, v AS qv, b0, b1 FROM b WHERE vec_id < 5),
@@ -6062,17 +6084,17 @@ def _lsh_bucket_sql(plane_ids) -> str:
 )
 def q133_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> SDF:
     """Multi-TABLE LSH ANN (operators/similarity.lsh_topk_multitable —
-    r4): two independent 4-plane hyperplane tables, candidates unioned,
-    deduped by map-side-combined groupBy-max, exact cosine + per-query
-    top-3. The orthodox recall lever past multi-probe saturation: a
-    neighbor is missed only if EVERY table splits it (1-(1-p)^L).
-    Table 0 is exactly q23's table, so this output is a superset-
-    quality refinement of q23's."""
+    r4): two independent hyperplane tables, candidates unioned, deduped
+    by map-side-combined groupBy-max, exact cosine + per-query top-3.
+    The orthodox recall lever past multi-probe saturation: a neighbor
+    is missed only if EVERY table splits it (1-(1-p)^L). r8: per-table
+    plane count is AUTO (similarity.auto_n_planes — the oracle's `np`
+    CTE replays ceil(log2(corpus / 128)) for both tables' buckets)."""
     from torcharrow_spark.operators import lsh_topk_multitable
 
     emb = _load(spark, sf_dir, "embeddings").to_spark()
     q = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk_multitable(emb, q, k=3, n_planes=4, n_tables=2)
+    out = lsh_topk_multitable(emb, q, k=3, n_planes="auto", n_tables=2)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
