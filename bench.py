@@ -143,7 +143,14 @@ ANCHOR = {
     # r7 measured 5.081 s at factor 1.169 = 4.35 anchor-era seconds,
     # byte-stable vs r6. The trade bounds a duplicated text's total
     # pair work (VERDICT r5 ask #1) — deliberate work, not drift.
-    "q43_jaccard_prefix": 4.35,
+    # RE-ANCHORED r8 (was 4.35): the verify pass now rides 32-bit hash
+    # arrays with a survivor-sized exact re-verify (VERDICT r7 ask #4)
+    # — at sf0.1 the fixed additions (localCheckpoint of the survivor
+    # pairs, the pass-2 stages) cost ~0.6 s while the candidate volume
+    # is too small to repay them; the same change is -24% wall at sf1
+    # and -37% shuffle bytes at sf10, where the candidate volume
+    # dominates. Measured 8.498 s at factor 1.721 = 4.94 anchor-era.
+    "q43_jaccard_prefix": 4.95,
     "q126_multimodal_decode": 0.898,
     "q127_lm_quality": 1.05,
     "q128_gopher_filter": 0.55,
@@ -236,7 +243,15 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # as q19's r6 re-anchor above), and r6's 1-turn round measured the
     # new volume (24265816, flagged in BENCH_full_r06.byte_regressions)
     # without re-pinning. r7 re-measures BIT-IDENTICAL bytes.
-    "q43_jaccard_prefix": 29805475,
+    # RE-PINNED r8 (was 29805475, +1.2%): decomposition — the 32-bit
+    # verify pass (VERDICT r7 ask #4) REMOVES bytes from the candidate
+    # intermediates (4 B/hash instead of 8) but ADDS the survivor-sized
+    # pass-2 exchanges (exact 64-bit arrays for ~2x25 surviving docs +
+    # the survivor-pair localCheckpoint-adjacent broadcast); at sf0.1
+    # the candidate volume is tiny, so the additions (+369 KB) outweigh
+    # the 32-bit savings. At sf10 the same plan is -37% total bytes
+    # (see STRESS_SF10_SHUFFLE_ANCHOR).
+    "q43_jaccard_prefix": 30174718,
     "q126_multimodal_decode": 0,
     "q127_lm_quality": 240651,
     "q128_gopher_filter": 851481,
@@ -411,7 +426,12 @@ STRESS_ANCHOR: dict[str, float] = {
     # 17.9s at machine factor ~1.86 => ~9.6 anchor-era seconds; r5
     # best-of-3 measurement confirms (see BENCH_r5). Without this the
     # stress gate cries wolf at ~1.4x every round.
-    "q21_ngram_jaccard_auto": 9.6,
+    # RE-ANCHORED r8 (was 9.6): the 32-bit verify pass-1 shrinks the
+    # candidate-join sorts; measured 12.615 s at factor 1.721 = 7.33
+    # anchor-era (-24% vs the r5 pin). Re-pinned DOWNWARD so the gate
+    # keeps teeth — a later round regressing back to 9.6-era cost
+    # should flag.
+    "q21_ngram_jaccard_auto": 7.5,
     "q42_cosine_dedup": 4.774,
     "q105_heavy_hitters": 3.052,
 }
@@ -449,7 +469,12 @@ STRESS_SHUFFLE_ANCHOR: dict[str, int] = {
     "q18_exact_dedup": 2196089,
     "q46_simhash_pairs": 67760383,
     "q86_strip_spans": 71474498,
-    "q21_ngram_jaccard_auto": 213110089,
+    # RE-PINNED r8 (was 213110089, +1.2%): same decomposition as the
+    # q43 headline byte re-pin — 32-bit candidate arrays save less at
+    # sf1 than the survivor-sized pass-2 exchanges add (candidates are
+    # few on the election-bounded corpus); the sf10 decade is where the
+    # intermediate dominates and the same plan measures -37%.
+    "q21_ngram_jaccard_auto": 215683097,
     "q42_cosine_dedup": 6135460,
     "q105_heavy_hitters": 871654,
 }
@@ -612,7 +637,16 @@ STRESS_SF10_SHUFFLE_ANCHOR: dict[str, int] = {
     "q19_minhash_pairs": 116_348_489,
     "q46_simhash_pairs": 579_481_965,
     "q86_strip_spans": 943_221_883,
-    "q21_ngram_jaccard_auto": 17_435_942_041,
+    # RE-PINNED r8 (was 17_435_942_041, -37.4%): the verify
+    # intermediate owned ~86% of the old volume (~15.0 GB — one full
+    # 64-bit sorted hash array per surviving candidate riding the
+    # second verify join); the 32-bit pass-1 (VERDICT r7 ask #4)
+    # halves that array payload (expected ~-7 GB -> ~10.4 GB total)
+    # and the survivor-sized exact pass-2 adds back only output-scale
+    # bytes. Measured 10_911_099_791 — within 5% of the decomposition
+    # estimate, zero spill, oracle output identical (pinned vs direct
+    # mode incl. forced 32-bit collisions in pytest).
+    "q21_ngram_jaccard_auto": 10_911_099_791,
     "q42_cosine_dedup": 54_983_694,
 }
 

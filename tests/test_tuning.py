@@ -1,0 +1,132 @@
+"""torcharrow_spark.tuning — the published ops surface (r8, VERDICT r7
+ask #8). Every documented knob must (a) exist where the registry says,
+(b) carry the documented default, and (c) actually gate its behavior."""
+
+import inspect
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from torcharrow_spark import tuning
+
+
+def test_registry_structure():
+    assert len(tuning.REGISTRY) >= 10
+    for e in tuning.REGISTRY:
+        for key in ("name", "kind", "location", "default", "effect",
+                    "trade", "override"):
+            assert e.get(key), (e.get("name"), key)
+        assert e["kind"] in ("session-conf", "module-constant", "parameter")
+    # describe() renders every knob
+    text = tuning.describe()
+    for e in tuning.REGISTRY:
+        assert e["name"] in text
+
+
+def test_constants_match_their_modules():
+    """The registry imports defaults instead of transcribing them, so a
+    drift here means a knob moved without its docs."""
+    from torcharrow_spark.operators import dedup, similarity
+
+    by_loc = {e["location"]: e for e in tuning.REGISTRY}
+    assert (
+        by_loc["operators.dedup.DEFAULT_EMIT_CHUNK"]["default"]
+        == dedup.DEFAULT_EMIT_CHUNK
+    )
+    assert (
+        by_loc["operators.dedup.DEFAULT_ELECT_THRESHOLD"]["default"]
+        == dedup.DEFAULT_ELECT_THRESHOLD
+    )
+    assert (
+        by_loc["operators.dedup.ELECT_BYTES_BOUND"]["default"]
+        == dedup.ELECT_BYTES_BOUND
+    )
+    assert (
+        by_loc["operators.similarity.AUTO_TARGET_BUCKET"]["default"]
+        == similarity.AUTO_TARGET_BUCKET
+    )
+    assert (
+        by_loc["operators.similarity._MAX_PERTURB_PLANES"]["default"]
+        == similarity._MAX_PERTURB_PLANES
+    )
+    # parameter-kind knobs: the documented default is the live
+    # signature default
+    sig = inspect.signature(dedup.simhash_auto_bits)
+    assert sig.parameters["target_bucket"].default == 256
+    sig = inspect.signature(dedup._emit_pairs)
+    assert sig.parameters["chunk"].default == dedup.DEFAULT_EMIT_CHUNK
+    assert (
+        sig.parameters["elect_threshold"].default
+        == dedup.DEFAULT_ELECT_THRESHOLD
+    )
+    assert sig.parameters["member_bytes"].default == 16
+    sig = inspect.signature(similarity.cosine_pairs)
+    assert sig.parameters["n_planes"].default == "auto"
+
+
+def test_spread_conf_gates(spark, sf_dir):
+    """The r7 session conf must actually switch the spread off: same
+    narrow source, conf true -> widened, conf false -> untouched."""
+    from torcharrow_spark.operators import spread_narrow_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    base_parts = docs.rdd.getNumPartitions()
+    if base_parts * 2 > par:
+        import pytest
+
+        pytest.skip("source not narrow on this layout")
+    assert spread_narrow_source(docs).rdd.getNumPartitions() == par
+    spark.conf.set("spark.torcharrow.spreadNarrowSource", "false")
+    try:
+        assert (
+            spread_narrow_source(docs).rdd.getNumPartitions() == base_parts
+        )
+    finally:
+        spark.conf.set("spark.torcharrow.spreadNarrowSource", "true")
+
+
+def test_bytes_bound_arithmetic():
+    """Effective election onset = min(member threshold, bytes bound /
+    member width): narrow members keep the member onset exactly, wide
+    members elect earlier (the dim-64 and dim-1024 examples the
+    registry documents)."""
+    from torcharrow_spark.operators.dedup import (
+        DEFAULT_ELECT_THRESHOLD,
+        ELECT_BYTES_BOUND,
+    )
+
+    def effective(member_bytes):
+        return min(
+            DEFAULT_ELECT_THRESHOLD,
+            max(2, ELECT_BYTES_BOUND // max(member_bytes, 1)),
+        )
+
+    assert effective(16) == DEFAULT_ELECT_THRESHOLD          # minhash keys
+    assert effective(32) == DEFAULT_ELECT_THRESHOLD          # jaccard prefix
+    assert 100_000 < effective(32 + 4 * 64) < 130_000        # dim-64 vectors
+    assert 7_000 < effective(32 + 4 * 1024) < 9_000          # dim-1024
+
+
+def test_auto_sizing_targets():
+    from torcharrow_spark.operators.similarity import (
+        AUTO_TARGET_BUCKET,
+        auto_n_planes,
+    )
+
+    for k in (3, 8, 14):
+        assert auto_n_planes(AUTO_TARGET_BUCKET * (2 ** k)) == k
+        # one vector over a power-of-two boundary rounds up
+        assert auto_n_planes(AUTO_TARGET_BUCKET * (2 ** k) + 1) == k + 1
+    assert auto_n_planes(int(1e12)) == 30  # clamp: int bucket ids
+
+
+def test_session_confs_applied(spark):
+    """session.tune() must actually land the documented conf values."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    ) == str(cpus * 8)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

