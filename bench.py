@@ -635,7 +635,19 @@ def _build_stress_sf10(spark) -> None:
 # stress_sf10.*.shuffle_bytes) so the gate is live, per ADVICE r6.
 STRESS_SF10_SHUFFLE_ANCHOR: dict[str, int] = {
     "q19_minhash_pairs": 116_348_489,
-    "q46_simhash_pairs": 579_481_965,
+    # RE-PINNED r8 (was 579_481_965, -84%): simhash_auto_bits was
+    # CLAMPED at 32 bits by the single-md5 construction, so the sf10
+    # tier ran 8-bit blocks whose (block, value) buckets grow linearly
+    # with the corpus — the quadratic-candidate cliff the sizing rule
+    # exists to prevent, frozen exactly where it started to matter
+    # (found preparing the r8 sf100 evidence run). The two-digest
+    # 64-bit simhash lets auto pick 44 bits at 500k docs (11-bit
+    # blocks, ~244 docs/bucket): candidate volume drops 84% and the
+    # sf100 decade stays linear (SCALE_SF100.md). Output pairs are a
+    # different (finer) hamming granularity than the clamped 32-bit
+    # run — the sizing rule's intended behavior, verified exact vs the
+    # pure-python fingerprint in pytest.
+    "q46_simhash_pairs": 95_475_855,
     "q86_strip_spans": 943_221_883,
     # RE-PINNED r8 (was 17_435_942_041, -37.4%): the verify
     # intermediate owned ~86% of the old volume (~15.0 GB — one full
@@ -685,6 +697,9 @@ def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
         "q19_minhash_pairs": lambda: minhash_pairs(
             docs(), shingle_k=3, num_hashes=8, bands=4
         ),
+        # auto picks 44 bits at 500k docs since r8 (the 32-bit clamp is
+        # gone); vs_sf1_ratio compares against the 32-bit sf1 tier, so
+        # it reads LOW by design — the byte anchor is the gate
         "q46_simhash_pairs": lambda: simhash_pairs(
             docs(), bits="auto", max_hamming=3
         ),

@@ -383,17 +383,19 @@ def test_simhash_pairs_hamming(spark, sf_dir):
 
 def test_simhash_auto_bits_rule():
     """bits='auto' applies the documented sizing rule
-    bits = (k+1) * ceil(log2(n / 256)) clamped to [16, 32]: 50k docs
-    MUST get 32 (the r3 stress corpus size where 16 bits re-quadratized
-    candidate work), small corpora keep the old default 16, and the rule
-    is monotone in corpus size."""
+    bits = (k+1) * ceil(log2(n / 256)) clamped to [16, 64] (r8 raised
+    the ceiling with the two-digest construction — the old 32 clamp
+    froze block width at >= ~5x10^5 docs): 50k docs MUST get 32 (the
+    r3 stress corpus size where 16 bits re-quadratized candidate
+    work), small corpora keep the old default 16, and the rule is
+    monotone in corpus size."""
     from torcharrow_spark.operators.dedup import simhash_auto_bits
 
     assert simhash_auto_bits(0) == 16
     assert simhash_auto_bits(1_000) == 16
     assert simhash_auto_bits(10_000) == 24
     assert simhash_auto_bits(50_000) == 32
-    assert simhash_auto_bits(10_000_000) == 32  # md5-nibble ceiling
+    assert simhash_auto_bits(10_000_000) == 64  # two-digest ceiling
     vals = [simhash_auto_bits(n) for n in (100, 1_000, 10_000, 100_000)]
     assert vals == sorted(vals)
 
@@ -1799,6 +1801,68 @@ def test_lsh_bucket_occupancy_follows_sizing_rule(spark, sf_dir):
     # embeddings are clustered (synthetic near-dups), so allow a wide
     # multiple — the failure mode being guarded is one mega-bucket
     assert biggest <= 8 * expected, (biggest, expected)
+
+
+def test_simhash_64bit_extension(spark):
+    """r8: simhash now reaches 64 bits via a second independent digest
+    (md5('1|' || token) for nibbles 32-63) — the old 32-bit ceiling
+    clamped simhash_auto_bits at >= ~5x10^5 docs, leaving 8-bit blocks
+    whose buckets grow linearly with the corpus (quadratic candidates).
+    Pin (a) bits <= 32 is bit-identical to the old construction, (b)
+    the 48/60-bit forms against a pure-Python replay, (c) the sizing
+    rule's new decades, (d) hamming pairs stay exact at 60 bits."""
+    import hashlib
+
+    from torcharrow_spark.operators.dedup import (
+        simhash,
+        simhash_auto_bits,
+        simhash_pairs,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def py_simhash(text, bits):
+        words = " ".join(text.lower().split()).split(" ")
+        sim = 0
+        for j in range(bits):
+            vote = 0
+            for w in words:
+                d = hashlib.md5(w.encode()).hexdigest()
+                if j >= 32:
+                    d = hashlib.md5(f"1|{w}".encode()).hexdigest()
+                nib = int(d[j % 32], 16)
+                vote += 1 if nib >= 8 else -1
+            if vote > 0:
+                sim += 1 << j
+        # two's-complement to signed 64-bit (Spark long)
+        return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+    for bits in (16, 32, 48, 60, 64):
+        got = {r["doc_id"]: r["simhash"]
+               for r in simhash(docs, bits=bits).collect()}
+        want = {i: py_simhash(t, bits) for i, t in texts}
+        assert got == want, bits
+
+    # sizing rule across the decades the clamp used to flatten
+    assert simhash_auto_bits(50_000) == 32
+    assert simhash_auto_bits(500_000) == 44
+    assert simhash_auto_bits(5_000_000) == 60
+    assert simhash_auto_bits(10 ** 9) == 64  # new clamp
+
+    # hamming pairs exact at 60 bits: doc 4 == doc 1 (hamming 0), and
+    # every reported pair's hamming matches the python fingerprints
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, bits=60, max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+    want60 = {i: py_simhash(t, 60) for i, t in texts}
+    for (a, b), h in pairs.items():
+        assert bin((want60[a] ^ want60[b]) & ((1 << 64) - 1)).count("1") == h
 
 
 def test_bytes_based_election_wide_vectors(spark):

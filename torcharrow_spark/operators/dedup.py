@@ -878,9 +878,17 @@ def minhash_bucket_audit(
 
 
 def simhash(df: SDF, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> SDF:
-    """SimHash over word tokens. Bit j of a token's hash is the top bit of
-    hex nibble j of md5(token) (bits <= 32); the doc's simhash sets bit j
-    iff the sum over tokens of (+-1) votes is positive.
+    """SimHash over word tokens. Bit j of a token's hash is the top bit
+    of hex nibble j of its digest string; the doc's simhash sets bit j
+    iff the sum over tokens of (+-1) votes is positive. The digest is
+    md5(token) for bits <= 32, extended (r8) with a second independent
+    digest md5('1|' || token) for bits 32-63 — one md5 yields only 32
+    nibbles, and the old ``bits <= 32`` ceiling forced
+    ``simhash_auto_bits`` to CLAMP at 5x10^5+ docs: at 5M docs a
+    32-bit/4-block split leaves 8-bit blocks whose (block, value)
+    buckets hold >= corpus/256 docs by pigeonhole — quadratic candidate
+    growth the sizing rule exists to prevent. 64 bits keeps block
+    width growing to ~10^8 docs (15-bit blocks at 5M).
 
     Entirely higher-order functions over a per-row token-hash array —
     zero shuffles (an explode+groupBy formulation would shuffle every
@@ -890,8 +898,17 @@ def simhash(df: SDF, text_col: str = "text", id_col: str = "doc_id", bits: int =
     from torcharrow_spark.operators.preprocess import spread_narrow_source
 
     df = spread_narrow_source(df)
-    assert bits <= 32
-    hashes = F.transform(F.split(_norm_text(F.col(text_col)), " "), F.md5)
+    assert bits <= 64
+    if bits <= 32:
+        digest = F.md5
+    else:
+        # 64 hex nibbles: digest = md5(w) || md5('1|' || w); nibble j
+        # of the concat feeds bit j, so bits <= 32 reproduce the old
+        # construction exactly
+        digest = lambda w: F.concat(  # noqa: E731
+            F.md5(w), F.md5(F.concat(F.lit("1|"), w))
+        )
+    hashes = F.transform(F.split(_norm_text(F.col(text_col)), " "), digest)
 
     def vote(j: int):
         return F.aggregate(
@@ -903,7 +920,12 @@ def simhash(df: SDF, text_col: str = "text", id_col: str = "doc_id", bits: int =
 
     sim = None
     for j in range(bits):
-        bit = F.when(vote(j) > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        # shiftleft, not a 2**j literal: bit 63 (2^63) exceeds signed
+        # long as a Python literal; shiftleft(1, 63) is min-long and
+        # the wrapping sum still composes the exact 64-bit pattern
+        bit = F.when(
+            vote(j) > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
     return df.select(F.col(id_col), hashes.alias("__h__")).select(
         id_col, sim.alias("simhash")
@@ -1454,12 +1476,17 @@ def simhash_auto_bits(
     """The documented SimHash sizing rule as code: each of the
     (max_hamming + 1) pigeonhole blocks should hold ~target_bucket docs,
     so bits = (k + 1) * ceil(log2(n / target_bucket)), clamped to
-    [16, 32] (the md5-nibble construction in `simhash` yields <= 32
-    bits). 50k docs at k=3 -> 32; <= ~10^4 docs -> the old default 16."""
+    [16, 64] (r8: the two-digest construction in `simhash` yields 64
+    nibbles; the old 32-bit ceiling CLAMPED the rule at >= ~5x10^5
+    docs — at 5M docs it left 8-bit blocks whose buckets hold
+    corpus/256 docs by pigeonhole, exactly the quadratic cliff the
+    rule exists to prevent; found preparing the r8 sf100 evidence
+    run). 50k docs at k=3 -> 32; 500k -> 44; 5M -> 60; <= ~10^4 docs
+    -> the old default 16."""
     import math
 
     per_block = max(1, math.ceil(math.log2(max(n_docs, 1) / target_bucket)))
-    return max(16, min(32, (max_hamming + 1) * per_block))
+    return max(16, min(64, (max_hamming + 1) * per_block))
 
 
 def simhash_pairs(
