@@ -1149,6 +1149,7 @@ def ngram_jaccard_pairs_prefix(
     shingle_k: int = 3,
     threshold: float = 0.5,
     elect_threshold: int = DEFAULT_ELECT_THRESHOLD,
+    checkpoint_survivors: bool = True,
 ) -> SDF:
     """Prefix-filtered exact Jaccard join (PPJoin-family, public
     algorithm): identical output to `ngram_jaccard_pairs`, asymptotically
@@ -1366,13 +1367,20 @@ def ngram_jaccard_pairs_prefix(
     #    only from this pass — bit-identical to the pre-r8 plan and
     #    the SQL oracles (pinned in pytest with forced 32-bit
     #    collisions).
+    # low 32 bits as a SIGNED int via pmod-shift — pure arithmetic, so
+    # it cannot overflow-throw under an ANSI session (a bare
+    # long->int cast does; operators must run under either mode —
+    # tests/test_operators.py::test_operators_ansi_session_smoke);
+    # injectivity on the low 32 bits is all pass 1 needs
+    h32 = (
+        F.pmod(F.col("h"), F.lit(4294967296)) - F.lit(2147483648)
+    ).cast("int")
     arrays32 = (
         shh.repartition(n_wide, F.col(id_col))
         .groupBy(id_col)
         .agg(
-            # low 32 bits (non-ANSI long->int cast wraps); sz stays the
-            # 64-bit distinct-shingle count
-            F.collect_list(F.col("h").cast("int")).alias("h32"),
+            # sz stays the 64-bit distinct-shingle count
+            F.collect_list(h32).alias("h32"),
             F.count(F.lit(1)).alias("sz"),
         )
         .select(
@@ -1417,7 +1425,12 @@ def ngram_jaccard_pairs_prefix(
     # consumers read the stored blocks; laziness keeps the operator's
     # build side-effect-free (bench cold/steady timings stay honest —
     # every action still pays pass 1 exactly once).
-    survivors = survivors.localCheckpoint(eager=False)
+    # ``checkpoint_survivors=False`` opts out (plan-inspection tests:
+    # the checkpoint boundary hides the emission subplan from the
+    # final DF's physical plan text — the double-execution cost is
+    # then the caller's to accept).
+    if checkpoint_survivors:
+        survivors = survivors.localCheckpoint(eager=False)
     # pass 2: exact 64-bit verify, survivor-sized on every EXCHANGE and
     # every SHINGLE — the raw docs are semi-filtered by survivor id
     # BEFORE re-shingling (surv_ids is output-sized, AQE broadcasts

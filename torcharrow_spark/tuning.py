@@ -251,6 +251,37 @@ REGISTRY: list[dict] = [
         "override": "Module constant; raise only with tiny query sets.",
     },
     {
+        "name": "scan-split width under generator amplification",
+        "kind": "session-conf",
+        "location": "spark.sql.files.maxPartitionBytes (+ openCostInBytes)",
+        "default": "Spark defaults (128 MB / 4 MB)",
+        "effect": (
+            "Bounds per-MAP-task input bytes — and therefore per-task "
+            "SORT volume for exchanges whose map side is fused with a "
+            "row-amplifying generator (the shingle explode multiplies "
+            "rows 52x before the first exchange, invisible to "
+            "byte-based split sizing: the scan-side twin of the AQE "
+            "coalescing case study)."
+        ),
+        "trade": (
+            "At the sf40 evidence tier (2M docs on 32 local threads) "
+            "default splits packed the corpus into ~32 map tasks of "
+            "~33M post-explode rows each — 3.3 GB of graceful disk "
+            "spill in the map-side sorts; 4 MB splits (4x map tasks) "
+            "cut it 61% at identical bytes/rows, while wider "
+            "REDUCE-side settings changed nothing (measured both "
+            "ways; SCALE_SF100.md). On a 1000-executor cluster map "
+            "width scales with the cluster and the gated tiers' "
+            "zero-spill envelope holds."
+        ),
+        "override": (
+            "Lower maxPartitionBytes when a corpus of few large files "
+            "feeds shingle/decode-heavy dedup at high docs-per-split; "
+            "no repo default is changed (the gated tiers are "
+            "zero-spill at Spark's defaults)."
+        ),
+    },
+    {
         "name": "AQE initial shuffle width",
         "kind": "session-conf",
         "location": (
@@ -278,14 +309,17 @@ REGISTRY: list[dict] = [
         "default": "false (session.py)",
         "effect": (
             "Reference semantics are IEEE/C++-style (x/0.0 -> inf, "
-            "truncating/wrapping casts, null on invalid array index); "
-            "the 32-bit hash pack in the prefix-jaccard verify relies "
-            "on the wrapping long->int cast."
+            "truncating/wrapping casts, null on invalid array index)."
         ),
-        "trade": "Spark 4 flipped the default to ANSI (errors).",
+        "trade": (
+            "Spark 4 flipped the default to ANSI (errors). Operators "
+            "themselves stay mode-agnostic (pmod-shift instead of "
+            "wrapping casts — the ANSI smoke test pins this); the "
+            "conf governs the reference's SCALAR semantics."
+        ),
         "override": (
-            "Do not flip per-query: operators assume non-ANSI; "
-            "session.tune() re-asserts it on driver-provided sessions."
+            "session.tune() re-asserts non-ANSI on driver-provided "
+            "sessions; flip only if you want ANSI scalar errors."
         ),
     },
 ]
