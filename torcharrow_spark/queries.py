@@ -6695,6 +6695,75 @@ def q150_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q151_incremental_dedup_retired",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5((seed // 4)::VARCHAR || '|' || sh),
+                                 (seed % 4) * 8 + 1, 8))::UBIGINT::BIGINT) AS minh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(minh::VARCHAR, '|' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, band
+    ),
+    -- retirement drops ALL of a doc's band rows, so the retired index
+    -- IS the index of the corpus minus the retired docs
+    corpus_keys AS (
+      SELECT DISTINCT band, band_key FROM sig
+      WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+    ),
+    newsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+    corpus_hit AS (
+      SELECT DISTINCT doc_id FROM newsig JOIN corpus_keys USING (band, band_key)
+    ),
+    bmin AS (
+      SELECT band, band_key, MIN(doc_id) AS min_id
+      FROM newsig GROUP BY band, band_key
+    ),
+    intra_hit AS (
+      SELECT DISTINCT n.doc_id FROM newsig n JOIN bmin USING (band, band_key)
+      WHERE n.doc_id > bmin.min_id
+    )
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM corpus_hit)
+      AND d.doc_id NOT IN (SELECT doc_id FROM intra_hit)
+    """,
+)
+def q151_incremental_dedup_retired(spark: SparkSession, sf_dir: str) -> SDF:
+    """Incremental near-dedup AFTER index retirement (r8, VERDICT r7
+    ask #6 — the takedown/retention shape): even doc_ids are the
+    curated corpus, docs with doc_id % 10 == 0 are then RETIRED from
+    the standing MinHash index (`operators/dedup.retire_from_index` —
+    an anti-join by doc id that drops every band row of the retired
+    docs), and tonight's delivery (odd ids) dedups against what
+    remains. A delivery doc whose only collisions were with retired
+    docs now survives — takedowns actually re-admit. The oracle
+    replays banding with the retired docs excluded from the corpus key
+    set, which is exactly the partition the anti-join induces (band
+    rows are per-doc)."""
+    from torcharrow_spark.operators import (
+        dedup_against_index,
+        minhash_index,
+        retire_from_index,
+    )
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    retired = corpus.where(F.col("doc_id") % 10 == 0)
+    idx = retire_from_index(
+        minhash_index(corpus, shingle_k=3, num_hashes=8, bands=4), retired
+    )
+    surv = dedup_against_index(new, idx, shingle_k=3, num_hashes=8, bands=4)
+    return surv.select("doc_id", "n_chars")
+
+
+@query(
     "q131_column_sort_dedup",
     oracle="""
     SELECT DISTINCT n_chars FROM documents
