@@ -976,3 +976,29 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     got_cold = {r["doc_id"] for r in landed_cold.collect()}
     assert got_cold == want_cold
     assert landed_cold.count() == len(want_cold)  # no doubled rows
+
+    # the documented remediation loop end-to-end (r8): compact_index
+    # folds the deltas into base and releases the owner marker, after
+    # which the previously-rejected FRESH checkpoint succeeds and
+    # dedups against the full (compacted) history
+    from torcharrow_spark.operators import compact_index
+
+    report = compact_index(idx_root, spark)
+    assert report["had_base"] and report["had_delta"]
+    compacted = spark.read.parquet(f"{idx_root}/base")
+    want_fresh = {r["doc_id"]
+                  for r in dedup_against_index(delivery, compacted).collect()}
+    q5 = incremental_dedup_stream(
+        spark, src2, delivery.schema, str(tmp_path / "kept5"), idx_root,
+        str(tmp_path / "ckpt5"), query_name="t_incdedup5")
+    try:
+        q5.processAllAvailable()
+    finally:
+        q5.stop()
+    got_fresh = {r["doc_id"]
+                 for r in spark.read.parquet(str(tmp_path / "kept5")).collect()}
+    assert got_fresh == want_fresh
+    # the compacted index is STRICTER than batch 0's base-only view
+    # (it also holds batch 0/1 survivors' keys), so the fresh run's
+    # survivors are a subset of the original batch-0 survivors
+    assert want_fresh <= want
