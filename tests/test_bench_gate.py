@@ -32,6 +32,26 @@ def test_floor_is_absolute_not_relative():
     assert wall_regression(13.0, 10.0, byte_clean=True)
 
 
+def test_damped_wall_median_catches_intermittent():
+    """r9 (ADVICE r8): a flagged wall re-runs BOTH extra samples and
+    gates on the median — one-off noise is still absorbed (median of
+    {noisy, fast, fast} = fast), but an intermittent regression can no
+    longer hide behind a single lucky fast run the way best-of-3 with
+    early stop allowed."""
+    from bench import damped_wall
+
+    # one-off noise: first sample noisy, both re-runs fast -> damped
+    fast = iter([1.0, 1.05])
+    assert damped_wall(5.0, lambda: next(fast)) == 1.05
+    # intermittent: one re-run also slow -> the median REPORTS slow
+    # (old min-keeping logic would have returned 1.0 and never flagged)
+    mixed = iter([4.8, 1.0])
+    assert damped_wall(5.0, lambda: next(mixed)) == 4.8
+    # persistent regression: slow on every run -> reported
+    slow = iter([4.9, 5.1])
+    assert damped_wall(5.0, lambda: next(slow)) == 5.0
+
+
 def test_median_drift_empty_and_odd():
     from bench import median_drift
 

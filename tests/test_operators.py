@@ -1864,6 +1864,14 @@ def test_simhash_64bit_extension(spark):
     for (a, b), h in pairs.items():
         assert bin((want60[a] ^ want60[b]) & ((1 << 64) - 1)).count("1") == h
 
+    # ADVICE r8: bits=64 with max_hamming=0 makes ONE 64-bit block —
+    # the old F.lit((1 << 64) - 1) mask overflowed a signed long at
+    # PLAN time (never reached an executor). The all-ones mask is a
+    # no-op, so the plan now skips it; semantics = exact-hash equality.
+    exact = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, bits=64, max_hamming=0).collect()}
+    assert exact == {(1, 4): 0}
+
 
 def test_bytes_based_election_wide_vectors(spark):
     """r8 (VERDICT r7 ask #5): the election onset is bytes-aware —

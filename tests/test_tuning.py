@@ -65,6 +65,29 @@ def test_constants_match_their_modules():
     assert sig.parameters["n_planes"].default == "auto"
 
 
+def test_simhash_clamp_bounds_cannot_drift():
+    """r9 (VERDICT r8 ask #7 / ADVICE): the r8 un-clamp to 64 bits left
+    two prose sites still saying '[16, 32]'. The bounds are now module
+    constants; this pins (a) the sizing function honors them, (b) the
+    registry text and the simhash_pairs docstring render the LIVE
+    values, so a future re-clamp cannot hide in prose."""
+    from torcharrow_spark.operators import dedup
+
+    lo, hi = dedup.SIMHASH_MIN_BITS, dedup.SIMHASH_MAX_BITS
+    assert dedup.simhash_auto_bits(1) == lo
+    assert dedup.simhash_auto_bits(10**12) == hi
+    live = f"[{lo}, {hi}]"
+    entry = next(
+        e for e in tuning.REGISTRY if e["name"] == "simhash auto-sizing target"
+    )
+    assert live in entry["effect"]
+    assert "[16, 32]" not in entry["effect"]
+    doc = dedup.simhash_pairs.__doc__
+    assert live in doc
+    assert "[16, 32]" not in doc
+    assert live in dedup.simhash_auto_bits.__doc__
+
+
 def test_spread_conf_gates(spark, sf_dir):
     """The r7 session conf must actually switch the spread off: same
     narrow source, conf true -> widened, conf false -> untouched."""

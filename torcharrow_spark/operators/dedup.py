@@ -77,6 +77,16 @@ ELECT_BYTES_BOUND = 1 << 25
 #: (~8*(2*csz)/csz^2 = 0.016 B per emitted pair).
 DEFAULT_EMIT_CHUNK = 1024
 
+#: simhash auto-sizing clamp bounds (r9: module constants so the docs
+#: in simhash_pairs / tuning.REGISTRY derive from the code — ADVICE r8
+#: found both texts still said "[16, 32]" after the r8 un-clamp).
+#: The 64 ceiling is what the two-digest construction in `simhash`
+#: physically provides (one signed long); the 16 floor is the smallest
+#: width whose block keyspace doesn't funnel a 10^4-doc corpus into a
+#: handful of buckets (r3 stress finding).
+SIMHASH_MIN_BITS = 16
+SIMHASH_MAX_BITS = 64
+
 
 def _emit_pairs(
     grouped: SDF,
@@ -1499,7 +1509,9 @@ def simhash_auto_bits(
     import math
 
     per_block = max(1, math.ceil(math.log2(max(n_docs, 1) / target_bucket)))
-    return max(16, min(64, (max_hamming + 1) * per_block))
+    return max(
+        SIMHASH_MIN_BITS, min(SIMHASH_MAX_BITS, (max_hamming + 1) * per_block)
+    )
 
 
 def simhash_pairs(
@@ -1524,7 +1536,10 @@ def simhash_pairs(
     ~corpus / 2^(bits/(k+1)) docs and candidate work is quadratic in
     that. ``bits='auto'`` (default) applies the rule itself — ONE cheap
     count() (id-column scan) sizes bits = (k+1)*log2(corpus/256) clamped
-    to [16, 32] — mirroring what ``ngram_jaccard_pairs(mode='auto')``
+    to [SIMHASH_MIN_BITS, SIMHASH_MAX_BITS] = [16, 64] (r8 raised the
+    ceiling from 32; the 32 clamp bound auto sizing at ~5x10^5 docs —
+    the exact quadratic cliff the rule exists to prevent) — mirroring
+    what ``ngram_jaccard_pairs(mode='auto')``
     does for algorithm choice, so a caller moving from 10^3 to 10^5 docs
     cannot silently keep an undersized hash. Pass an explicit int to pin
     the width (oracle queries do, for determinism across SFs). Candidate
@@ -1576,13 +1591,14 @@ def _simhash_buckets(
     offset = 0
     block_exprs = []
     for i, w in enumerate(widths):
+        # w == 64 only when max_hamming == 0 at the full 64-bit width
+        # (one block = the whole hash): (1 << 64) - 1 overflows a
+        # signed long literal at plan time (ADVICE r8), and the all-
+        # ones mask is a no-op anyway — skip the AND.
+        shifted = F.shiftrightunsigned(F.col("simhash"), offset)
+        masked = shifted if w >= 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
         block_exprs.append(
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), offset).bitwiseAND(
-                    F.lit((1 << w) - 1)
-                ).alias("val"),
-            )
+            F.struct(F.lit(i).alias("blk"), masked.alias("val"))
         )
         offset += w
     banded = s.select(

@@ -177,9 +177,10 @@ REGISTRY: list[dict] = [
         "default": 256,
         "effect": (
             "bits='auto' picks (max_hamming+1) * ceil(log2(corpus / "
-            "this)) simhash bits clamped [16, 32], keeping each "
-            "pigeonhole block's bucket occupancy ~this at any corpus "
-            "size."
+            "this)) simhash bits clamped "
+            f"[{_dedup.SIMHASH_MIN_BITS}, {_dedup.SIMHASH_MAX_BITS}], "
+            "keeping each pigeonhole block's bucket occupancy ~this "
+            "at any corpus size."
         ),
         "trade": (
             "Fixed 16 bits OOMed at 50k docs (small block keyspace "
