@@ -1,0 +1,259 @@
+"""Crash-recovery matrix for the rename-free versioned index store
+(r9, VERDICT r8 ask #2 + ADVICE r8 high).
+
+The pre-r9 `compact_index` rmtree'd the old base then RENAMED a scratch
+dir into place — a crash between the two left the only copy of the
+index in a dir the next run deleted unconditionally (ADVICE r8, high:
+silent total index loss), and the rename meant object stores were out
+of reach entirely. These tests pin the replacement protocol
+(`operators/indexstore.py`): every mutation is list / read / create-
+only put / delete — NO rename anywhere in the protocol layer — and a
+crash at any step either rolls forward (commit landed) or back (it
+didn't) with zero data loss, zero duplicate re-merge, and zero
+resurrection of retired rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from torcharrow_spark.operators import (
+    compact_index,
+    dedup_against_index,
+    exact_index,
+    minhash_index,
+    publish_index,
+    read_index,
+    resolve_index_base,
+)
+from torcharrow_spark.operators import indexstore as ixs
+
+
+@pytest.fixture
+def corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat tonight"),
+        (2, "a completely different corpus document here"),
+        (4, "yet another unrelated corpus text body"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture
+def delivery(spark):
+    rows = [
+        (1, "the cat sat on the mat tonight"),      # dup of corpus 0
+        (3, "fresh delivery document nothing like the corpus"),
+        (5, "fresh delivery document nothing like the corpus"),  # dup of 3
+        (9, "a third genuinely novel delivery text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _forbid_renames(monkeypatch):
+    def boom(*a, **k):
+        raise AssertionError("the index protocol must never rename")
+
+    monkeypatch.setattr(os, "rename", boom)
+    monkeypatch.setattr(os, "replace", boom)
+    monkeypatch.setattr(shutil, "move", boom)
+
+
+def test_publish_read_roundtrip_rename_free(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """publish -> manifest-resolved read, with every Python-side rename
+    primitive forbidden (Spark's JVM parquet committer is out of scope:
+    on object stores that is the cloud committer's job, and the
+    protocol never depends on the parquet write being atomic — an
+    unreferenced snapshot dir is garbage by construction)."""
+    _forbid_renames(monkeypatch)
+    root = str(tmp_path / "idx")
+    idx = exact_index(corpus)
+    m = publish_index(idx, root, spark)
+    assert m["version"] == 1 and m["rows"] == idx.count()
+    got = read_index(spark, root)
+    assert got.count() == idx.count()
+    assert resolve_index_base(root).endswith(ixs.base_dir_name(1))
+    # commits are immutable: re-publishing makes v2, never overwrites
+    m2 = publish_index(idx, root, spark)
+    assert m2["version"] == 2
+    assert resolve_index_base(root).endswith(ixs.base_dir_name(2))
+
+
+def test_compact_is_rename_free(spark, corpus, delivery, tmp_path, monkeypatch):
+    _forbid_renames(monkeypatch)
+    root = str(tmp_path / "idx")
+    publish_index(minhash_index(corpus, shingle_k=2), root, spark)
+    delta = minhash_index(delivery, shingle_k=2)
+    delta.write.parquet(f"{root}/delta/batch_id=0")
+    report = compact_index(root, spark)
+    assert report["protocol"] == "manifest"
+    assert report["merged_rows"] == read_index(spark, root).count()
+    assert not os.path.exists(f"{root}/delta")
+
+
+def test_torn_manifest_falls_back_and_never_reuses_version(
+    spark, corpus, tmp_path
+):
+    """A crash mid-manifest-write (local FS; object PUTs are atomic)
+    leaves a torn file: readers must skip it via the checksum and
+    resolve the previous commit, and the version allocator must not
+    hand its number out again."""
+    root = str(tmp_path / "idx")
+    publish_index(exact_index(corpus), root, spark)
+    mdir = os.path.join(root, ixs.MANIFEST_DIR)
+    with open(os.path.join(mdir, "v0000000002.json"), "w") as f:
+        f.write('{"version": 2, "base": "base_v00000')  # torn
+    good = json.load(open(os.path.join(mdir, "v0000000001.json")))
+    bad = dict(good, version=3, base=ixs.base_dir_name(3))  # stale checksum
+    with open(os.path.join(mdir, "v0000000003.json"), "w") as f:
+        json.dump(bad, f)
+
+    assert resolve_index_base(root).endswith(ixs.base_dir_name(1))
+    assert read_index(spark, root).count() == exact_index(corpus).count()
+    # the next commit skips past every attempted number
+    m = publish_index(exact_index(corpus), root, spark)
+    assert m["version"] == 4
+
+
+def test_crash_before_commit_loses_nothing_and_rerun_succeeds(
+    spark, corpus, delivery, tmp_path, monkeypatch
+):
+    """Snapshot written, commit never lands (the window where the OLD
+    swap had already rmtree'd the base): the root still resolves to the
+    old base, the deltas are untouched, and a plain re-run completes
+    the compaction without reusing the orphan's version number."""
+    root = str(tmp_path / "idx")
+    base = minhash_index(corpus, shingle_k=2)
+    publish_index(base, root, spark)
+    delta = minhash_index(delivery, shingle_k=2)
+    delta.write.parquet(f"{root}/delta/batch_id=0")
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(ixs, "commit_manifest", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_index(root, spark)
+    monkeypatch.undo()
+
+    # rolled back: old pointer intact, delta intact, orphan present
+    assert resolve_index_base(root).endswith(ixs.base_dir_name(1))
+    assert read_index(spark, root).count() == base.count()
+    assert os.path.isdir(f"{root}/delta/batch_id=0")
+    assert os.path.isdir(os.path.join(root, ixs.base_dir_name(2)))
+
+    report = compact_index(root, spark)  # re-run rolls forward
+    assert report["version"] == 3  # orphan v2 never reused
+    assert report["merged_rows"] == base.count() + delta.count()
+    assert not os.path.exists(f"{root}/delta")
+    # the superseded orphan is GC'd once a later commit exists
+    compact_index(root, spark)
+    assert not os.path.isdir(os.path.join(root, ixs.base_dir_name(2)))
+
+
+def test_crash_after_commit_never_remerges_or_resurrects(
+    spark, corpus, delivery, tmp_path, monkeypatch
+):
+    """The commit lands but cleanup is interrupted before the folded
+    deltas are deleted. A re-run must NOT merge those deltas again —
+    under a `retired=` pass a re-merge would RESURRECT rows the
+    takedown just removed (the subtle half of ADVICE r8)."""
+    root = str(tmp_path / "idx")
+    publish_index(minhash_index(corpus, shingle_k=2), root, spark)
+    minhash_index(delivery, shingle_k=2).write.parquet(
+        f"{root}/delta/batch_id=0"
+    )
+    retired = spark.createDataFrame([(1,)], "doc_id long")  # a delta doc
+
+    real_delete = ixs._LocalFS.delete
+
+    def crash_on_delta(self, path):
+        if "/delta/batch_id=" in path:
+            raise RuntimeError("simulated crash during cleanup")
+        return real_delete(self, path)
+
+    monkeypatch.setattr(ixs._LocalFS, "delete", crash_on_delta)
+    with pytest.raises(RuntimeError, match="during cleanup"):
+        compact_index(root, spark, retired=retired)
+    monkeypatch.undo()
+
+    # the commit IS the correctness point: doc 1 already gone
+    committed = read_index(spark, root)
+    assert committed.where("doc_id = 1").count() == 0
+    rows_after_retire = committed.count()
+    assert os.path.isdir(f"{root}/delta/batch_id=0")  # cleanup pending
+
+    report = compact_index(root, spark)  # plain re-run, no retired arg
+    assert report["new_batches"] == []  # merged_batches guard held
+    final = read_index(spark, root)
+    assert final.where("doc_id = 1").count() == 0  # NOT resurrected
+    assert final.count() == rows_after_retire
+    assert not os.path.exists(f"{root}/delta")
+
+
+def test_legacy_base_layout_resolves_and_migrates(
+    spark, corpus, delivery, tmp_path
+):
+    """Pre-r9 roots (bare `base` dir, no manifest) keep reading, and the
+    first compaction migrates them into the versioned layout."""
+    root = str(tmp_path / "idx")
+    base = minhash_index(corpus, shingle_k=2)
+    base.write.parquet(f"{root}/base")
+    assert resolve_index_base(root) == f"{root}/base"
+    assert read_index(spark, root).count() == base.count()
+
+    report = compact_index(root, spark)
+    assert report["version"] == 1
+    assert not os.path.exists(f"{root}/base")
+    got = read_index(spark, root)
+    assert got.count() == base.count()
+    # dedup answers are identical through the migrated snapshot
+    want = {r["doc_id"]
+            for r in dedup_against_index(delivery, base, shingle_k=2).collect()}
+    assert {
+        r["doc_id"]
+        for r in dedup_against_index(delivery, got, shingle_k=2).collect()
+    } == want
+
+
+def test_gc_keeps_grace_window(spark, corpus, tmp_path):
+    root = str(tmp_path / "idx")
+    for _ in range(4):  # v1..v4
+        publish_index(exact_index(corpus), root, spark)
+    ixs.gc_index_versions(root, keep=1)
+    names = sorted(n for n in os.listdir(root) if n.startswith("base_v"))
+    assert names == [ixs.base_dir_name(3), ixs.base_dir_name(4)]
+    # current + grace version both still readable
+    assert read_index(spark, root).count() == exact_index(corpus).count()
+
+
+def test_hadoop_fs_via_file_uri(spark, corpus, delivery, tmp_path):
+    """The object-store code path (_HadoopFS: list/read/create-only
+    put/delete through the session's Hadoop connectors) end-to-end via
+    a file:// URI — the same code that runs against s3a://."""
+    root = "file://" + str(tmp_path / "idx")
+    fs = ixs.fs_for(root, spark)
+    assert isinstance(fs, ixs._HadoopFS)
+
+    publish_index(minhash_index(corpus, shingle_k=2), root, spark)
+    minhash_index(delivery, shingle_k=2).write.parquet(
+        f"{root}/delta/batch_id=0"
+    )
+    report = compact_index(root, spark)
+    assert report["protocol"] == "manifest" and report["had_delta"]
+    got = read_index(spark, root)
+    assert got.count() == report["merged_rows"]
+    assert not fs.exists(f"{root}/delta")
+    # create-only put: a second write to the same manifest must fail
+    with pytest.raises(Exception):
+        fs.put_text(
+            f"{root}/{ixs.MANIFEST_DIR}/" + ixs._manifest_name(report["version"]),
+            "overwrite attempt",
+        )

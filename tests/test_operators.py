@@ -3494,7 +3494,10 @@ def test_compact_index_merges_and_releases_root(spark, delivery_split, tmp_path)
 
     assert not _os.path.exists(f"{root}/delta")
     assert not _os.path.exists(f"{root}/_owner_checkpoint")
-    compacted = spark.read.parquet(f"{root}/base")
+    # r9: the compacted snapshot is manifest-resolved (base_v{N}); the
+    # legacy bare base dir is migrated away
+    assert not _os.path.exists(f"{root}/base")
+    compacted = ops.read_index(spark, root)
     got = {
         r["doc_id"]
         for r in ops.dedup_against_index(new, compacted, shingle_k=2).collect()
@@ -3510,7 +3513,8 @@ def test_compact_index_merges_and_releases_root(spark, delivery_split, tmp_path)
         ),
     )
     assert report2["retired_applied"]
-    assert spark.read.parquet(f"{root}/base").count() == 0
+    assert ops.read_index(spark, root).count() == 0
+    assert report2["version"] > report["version"]
 
 
 def test_incremental_hot_bucket_is_one_aggregate(spark):

@@ -985,7 +985,10 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
 
     report = compact_index(idx_root, spark)
     assert report["had_base"] and report["had_delta"]
-    compacted = spark.read.parquet(f"{idx_root}/base")
+    # r9: the compacted snapshot is manifest-resolved (indexstore)
+    from torcharrow_spark.operators import read_index
+
+    compacted = read_index(spark, idx_root)
     want_fresh = {r["doc_id"]
                   for r in dedup_against_index(delivery, compacted).collect()}
     q5 = incremental_dedup_stream(

@@ -46,6 +46,12 @@ def test_constants_match_their_modules():
         by_loc["operators.similarity.AUTO_TARGET_BUCKET"]["default"]
         == similarity.AUTO_TARGET_BUCKET
     )
+    from torcharrow_spark.operators import indexstore
+
+    assert (
+        by_loc["operators.indexstore.DEFAULT_KEEP_VERSIONS"]["default"]
+        == indexstore.DEFAULT_KEEP_VERSIONS
+    )
     assert (
         by_loc["operators.similarity._MAX_PERTURB_PLANES"]["default"]
         == similarity._MAX_PERTURB_PLANES

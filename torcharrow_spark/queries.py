@@ -6651,13 +6651,30 @@ def q149_incremental_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     corpus index OR a lower-id delivery doc shares a bucket. The
     production 100-TB shape: the corpus is never re-shingled, and no
     pair is ever emitted — collisions are one fixed-width semi-join,
-    intra-delta survival one map-side-combinable min aggregate."""
-    from torcharrow_spark.operators import dedup_against_index, minhash_index
+    intra-delta survival one map-side-combinable min aggregate.
+
+    r9: the index ROUND-TRIPS through the rename-free versioned store
+    (`operators.indexstore` — publish a `base_v{N}` snapshot, commit a
+    manifest, read it back pointer-resolved), so this oracle checks
+    the full persisted-index path a real pipeline runs, not just the
+    in-memory plan."""
+    import tempfile
+
+    from torcharrow_spark.operators import (
+        dedup_against_index,
+        minhash_index,
+        publish_index,
+        read_index,
+    )
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
-    idx = minhash_index(corpus, shingle_k=3, num_hashes=8, bands=4)
+    root = tempfile.mkdtemp(prefix="q149_idx_")
+    publish_index(
+        minhash_index(corpus, shingle_k=3, num_hashes=8, bands=4), root, spark
+    )
+    idx = read_index(spark, root)
     surv = dedup_against_index(new, idx, shingle_k=3, num_hashes=8, bands=4)
     return surv.select("doc_id", "n_chars")
 
@@ -6680,16 +6697,24 @@ def q150_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     delivery docs whose normalized text is new to the corpus, keep-min-
     id within the delivery. The index holds two longs per distinct
     corpus text (16 bytes per 100-TB-corpus document class); the oracle
-    groups by the normalized text itself — identical partitioning."""
+    groups by the normalized text itself — identical partitioning.
+    r9: the index round-trips through the pointer-resolved versioned
+    store (see q149)."""
+    import tempfile
+
     from torcharrow_spark.operators import (
         exact_dedup_against_index,
         exact_index,
+        publish_index,
+        read_index,
     )
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
-    idx = exact_index(corpus)
+    root = tempfile.mkdtemp(prefix="q150_idx_")
+    publish_index(exact_index(corpus), root, spark)
+    idx = read_index(spark, root)
     surv = exact_dedup_against_index(new, idx)
     return surv.select("doc_id", "n_chars")
 
@@ -6745,20 +6770,34 @@ def q151_incremental_dedup_retired(spark: SparkSession, sf_dir: str) -> SDF:
     docs now survives — takedowns actually re-admit. The oracle
     replays banding with the retired docs excluded from the corpus key
     set, which is exactly the partition the anti-join induces (band
-    rows are per-doc)."""
+    rows are per-doc).
+
+    r9: the retirement runs through the PERSISTED lifecycle — the
+    corpus index is published to a versioned root
+    (`operators.indexstore.publish_index`), the takedown is applied by
+    `compact_index(retired=)` (which commits a new manifest-resolved
+    snapshot), and the delivery dedups against the re-read root — the
+    exact sequence a production takedown executes, oracle-checked."""
+    import tempfile
+
     from torcharrow_spark.operators import (
+        compact_index,
         dedup_against_index,
         minhash_index,
-        retire_from_index,
+        publish_index,
+        read_index,
     )
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
     retired = corpus.where(F.col("doc_id") % 10 == 0)
-    idx = retire_from_index(
-        minhash_index(corpus, shingle_k=3, num_hashes=8, bands=4), retired
+    root = tempfile.mkdtemp(prefix="q151_idx_")
+    publish_index(
+        minhash_index(corpus, shingle_k=3, num_hashes=8, bands=4), root, spark
     )
+    compact_index(root, spark, retired=retired)
+    idx = read_index(spark, root)
     surv = dedup_against_index(new, idx, shingle_k=3, num_hashes=8, bands=4)
     return surv.select("doc_id", "n_chars")
 

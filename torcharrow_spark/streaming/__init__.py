@@ -1144,10 +1144,11 @@ def incremental_dedup_stream(
     everything we kept, then make what survived part of 'everything we
     kept'". Each micro-batch:
 
-    1. reads the STANDING MinHash index: `{index_path}/base` (the
-       curated corpus's `minhash_index`, written once by the caller —
-       absent is fine: cold start) plus every `{index_path}/delta/
-       batch_id=N` written by earlier batches;
+    1. reads the STANDING MinHash index: the manifest-resolved base
+       snapshot (`operators.indexstore.read_index` — `base_v{N}`
+       published by `publish_index`/`compact_index`, or a legacy bare
+       `{index_path}/base` dir; absent is fine: cold start) plus every
+       `{index_path}/delta/batch_id=N` written by earlier batches;
     2. drops batch docs that collide with the index or with a
        lower-id doc of the same batch (`dedup_against_index` verbatim —
        same no-pair-emission plan, immune to hot buckets by
@@ -1191,7 +1192,13 @@ def incremental_dedup_stream(
             # fail fast if a FRESH checkpoint points at a root whose
             # deltas belong to another checkpoint's batch-id sequence
             _claim_index_root(spark, index_path, checkpoint_path)
-        base = _try_read_parquet(spark, f"{index_path}/base")
+        # r9: the standing base is MANIFEST-RESOLVED (the rename-free
+        # versioned layout of operators.indexstore — compact_index
+        # publishes base_v{N} snapshots; the legacy bare `base` dir
+        # still resolves for pre-r9 roots)
+        from torcharrow_spark.operators.indexstore import read_index
+
+        base = read_index(spark, index_path)
         delta = _try_read_parquet(spark, f"{index_path}/delta")
         if delta is not None:
             # a REPLAYED batch (crash after its delta landed but before

@@ -31,6 +31,7 @@ from __future__ import annotations
 import os as _os
 
 from .operators import dedup as _dedup
+from .operators import indexstore as _indexstore
 from .operators import similarity as _similarity
 
 #: one entry per owned knob:
@@ -189,6 +190,30 @@ REGISTRY: list[dict] = [
             "rows (sf1/sf10 ratios 4.3-8.6x, sublinear)."
         ),
         "override": "Pin bits=<int> for strict reproducibility.",
+    },
+    {
+        "name": "index GC grace versions",
+        "kind": "module-constant",
+        "location": "operators.indexstore.DEFAULT_KEEP_VERSIONS",
+        "default": _indexstore.DEFAULT_KEEP_VERSIONS,
+        "effect": (
+            "How many superseded committed base_v{N} snapshots "
+            "compact_index's GC keeps readable behind the current one "
+            "(r9 rename-free pointer protocol): a reader that resolved "
+            "the previous manifest just before a commit must not have "
+            "its snapshot deleted mid-scan."
+        ),
+        "trade": (
+            "1 version doubles index storage transiently but makes "
+            "reader/compactor races benign without any locking; "
+            "orphan (never-committed) snapshots below the current "
+            "version are deleted regardless — they were never "
+            "referenced by any manifest."
+        ),
+        "override": (
+            "compact_index(keep_versions=N) per call, or "
+            "gc_index_versions(root, keep=N) standalone."
+        ),
     },
     {
         "name": "semantic-dedup auto cell count",
