@@ -52,6 +52,15 @@ def test_constants_match_their_modules():
         by_loc["operators.indexstore.DEFAULT_KEEP_VERSIONS"]["default"]
         == indexstore.DEFAULT_KEEP_VERSIONS
     )
+    from torcharrow_spark.operators import preprocess
+
+    assert (
+        by_loc[
+            "operators.preprocess.AMPLIFIED_SORT_ROWS_BUDGET "
+            "(+ SHINGLE_ROWS_PER_INPUT_BYTE)"
+        ]["default"]
+        == preprocess.AMPLIFIED_SORT_ROWS_BUDGET
+    )
     assert (
         by_loc["operators.similarity._MAX_PERTURB_PLANES"]["default"]
         == similarity._MAX_PERTURB_PLANES
