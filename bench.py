@@ -384,13 +384,15 @@ class StageMetrics:
     def since(self, watermark: int) -> dict:
         """Shuffle write/read + spill bytes over stages newer than the
         watermark."""
-        w = r = sp = 0
+        w = r = sp = dsp = 0
         for s in self._stages():
             if s.stageId() > watermark:
                 w += s.shuffleWriteBytes()
                 r += s.shuffleReadBytes()
                 sp += s.memoryBytesSpilled() + s.diskBytesSpilled()
-        return {"shuffle_write": int(w), "shuffle_read": int(r), "spill": int(sp)}
+                dsp += s.diskBytesSpilled()
+        return {"shuffle_write": int(w), "shuffle_read": int(r),
+                "spill": int(sp), "disk_spill": int(dsp)}
 
 
 # Machine-speed calibration (added r4): the container's absolute speed

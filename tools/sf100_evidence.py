@@ -47,6 +47,28 @@ def _build_tagged(spark, src_dir, dest_dir, n_copies, id_stride, n_files):
 
 def measure(spark, name, build, reps=2):
     m = StageMetrics(spark)
+    if os.environ.get("SF_EVIDENCE_ONESHOT"):
+        # r9: disk-budget mode — the big tiers' shuffle files from
+        # cold+steady+count runs ACCUMULATE faster than the async
+        # ContextCleaner reclaims them (the r9 q21_sf40 re-run filled
+        # 79 GB of /tmp this way and crashed). One measured execution
+        # gives rows + bytes + spill (the machine-independent claims);
+        # wall is cold-start and labeled as such.
+        wm = m.snapshot()
+        t0 = time.perf_counter()
+        n = build().count()
+        wall = time.perf_counter() - t0
+        by = m.since(wm)
+        cal = measure_calibration(spark)
+        ratio = cal / CAL_ANCHOR_SEC
+        print(
+            f"RESULT {name}: COLD oneshot {wall:.3f}s (factor {ratio:.3f}, "
+            f"norm {wall / ratio:.3f}s), rows {n}, shuffle "
+            f"{by['shuffle_write']}B, spill {by['spill']}B "
+            f"(disk {by.get('disk_spill', 'n/a')}B)",
+            flush=True,
+        )
+        return
     _sink(build())  # cold
     best = float("inf")
     by = None

@@ -259,12 +259,13 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:2] in (b"P6", b"P3"):
         return "ppm"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
 def decode_image(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
-    """Sniff + decode. Raises ValueError for unsupported formats (JPEG
-    etc. — plug a real library into the same slot)."""
+    """Sniff + decode. Raises ValueError for unsupported formats."""
     fmt = sniff_format(data)
     if fmt == "png":
         return decode_png(data)
@@ -272,7 +273,15 @@ def decode_image(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
         return decode_bmp(data)
     if fmt == "ppm":
         return decode_ppm(data)
-    raise ValueError("unsupported image format (supported: png, bmp, ppm)")
+    if fmt == "jpeg":
+        # r9: pure-stdlib baseline-sequential decoder (jpegcodec);
+        # progressive/arithmetic streams raise with the feature named
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError(
+        "unsupported image format (supported: png, bmp, ppm, jpeg)"
+    )
 
 
 def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:

@@ -132,30 +132,38 @@ def decode_features(
     return src.mapInPandas(decode_iter, out_schema)
 
 
-def decode_image_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
+def decode_image_stats(
+    df: SDF, bytes_col: str, id_col: str, squares: bool = False
+) -> SDF:
     """REAL image decode -> exact pixel statistics:
     ``(id, width, height, fmt, n_px, px_sum, px_mean)``.
 
     The integer ``px_sum`` over all decoded samples makes the decode
     independently verifiable (a checksum an external system — or the
     driver's SQL oracle — can reproduce arithmetically for synthetic
-    images); mapInPandas streams Arrow batches, outputs are tiny."""
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("width", T.IntegerType(), True),
-            T.StructField("height", T.IntegerType(), True),
-            T.StructField("fmt", T.StringType(), True),
-            T.StructField("n_px", T.LongType(), True),
-            T.StructField("px_sum", T.LongType(), True),
-            T.StructField("px_mean", T.DoubleType(), True),
-        ]
-    )
+    images); mapInPandas streams Arrow batches, outputs are tiny.
+    ``squares=True`` (r9, for the JPEG oracle q152) appends the exact
+    integer ``px_sq_sum`` — a second moment that a structured error
+    (e.g. a sign flip in an AC basis) cannot leave invariant the way
+    it can leave a plain sum."""
+    fields = [
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+    ]
+    if squares:
+        fields.append(T.StructField("px_sq_sum", T.LongType(), True))
+    out_schema = T.StructType(fields)
     from torcharrow_spark.operators.preprocess import spread_narrow_source
 
     # per-row Python decode: spread a narrow source first (no-op at
     # any healthy layout; see spread_narrow_source)
     src = spread_narrow_source(df.select(id_col, bytes_col))
+    cols = [f.name for f in fields]
 
     def stats_iter(batches):
         import pandas as pd
@@ -166,20 +174,18 @@ def decode_image_stats(df: SDF, bytes_col: str, id_col: str) -> SDF:
             rows = []
             for i, data in zip(pdf[id_col], pdf[bytes_col]):
                 if data is None:
-                    rows.append((i, None, None, None, None, None, None))
+                    rows.append((i,) + (None,) * (len(cols) - 1))
                     continue
                 b = bytes(data)
                 w, h, px = decode_image(b)
-                total = int(px.astype("int64").sum())
+                px64 = px.astype("int64")
+                total = int(px64.sum())
                 n = int(px.size)
-                rows.append(
-                    (i, w, h, sniff_format(b), n, total, total / n)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "width", "height", "fmt", "n_px", "px_sum",
-                         "px_mean"],
-            )
+                row = (i, w, h, sniff_format(b), n, total, total / n)
+                if squares:
+                    row += (int((px64 * px64).sum()),)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(stats_iter, out_schema)
 

@@ -5748,6 +5748,118 @@ def q147_video_frame_decode(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q152_jpeg_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (1 + doc_id % 3)::BIGINT AS nbx,
+             (1 + doc_id % 2)::BIGINT AS nby,
+             CASE WHEN doc_id % 2 = 0 THEN NULL
+                  ELSE 108 + (doc_id % 3) * 10 END AS cb,
+             CASE WHEN doc_id % 2 = 0 THEN NULL
+                  ELSE 118 + (doc_id % 5) * 5 END AS cr
+      FROM documents
+    ), s AS (
+      SELECT doc_id, nbx, nby, cb, cr, nbx * nby AS nb,
+             CAST(list_sum(list_transform(range(0, nbx * nby),
+                 i -> 64 * (70 + (doc_id * 7 + i * 13) % 116)))
+               AS BIGINT) AS y_sum,
+             CAST(list_sum(list_transform(range(0, nbx * nby),
+                 i -> 64 * ((70 + (doc_id * 7 + i * 13) % 116)
+                            * (70 + (doc_id * 7 + i * 13) % 116)
+                          + ((doc_id * 3 + i * 5) % 49 - 24)
+                            * ((doc_id * 3 + i * 5) % 49 - 24))))
+               AS BIGINT) AS y_sq
+      FROM p
+    ), o AS (
+      SELECT *,
+             CASE WHEN cb IS NULL THEN 0
+                  ELSE CAST(floor(1.402 * (cr - 128) + 0.5) AS BIGINT)
+             END AS off_r,
+             CASE WHEN cb IS NULL THEN 0
+                  ELSE CAST(floor(-0.344136 * (cb - 128)
+                                  - 0.714136 * (cr - 128) + 0.5) AS BIGINT)
+             END AS off_g,
+             CASE WHEN cb IS NULL THEN 0
+                  ELSE CAST(floor(1.772 * (cb - 128) + 0.5) AS BIGINT)
+             END AS off_b
+      FROM s
+    )
+    SELECT doc_id,
+           (nbx * 8)::INT AS width,
+           (nby * 8)::INT AS height,
+           'jpeg' AS fmt,
+           (CASE WHEN cb IS NULL THEN 64 * nb ELSE 192 * nb END)::BIGINT
+             AS n_px,
+           (CASE WHEN cb IS NULL THEN y_sum
+                 ELSE 3 * y_sum + 64 * nb * (off_r + off_g + off_b)
+            END)::BIGINT AS px_sum,
+           (CASE WHEN cb IS NULL THEN y_sq
+                 ELSE 3 * y_sq + 2 * (off_r + off_g + off_b) * y_sum
+                      + 64 * nb * (off_r * off_r + off_g * off_g
+                                   + off_b * off_b)
+            END)::BIGINT AS px_sq_sum
+    FROM o
+    """,
+)
+def q152_jpeg_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    """REAL baseline JPEG decode on Spark (r9, VERDICT r8 ask #6 —
+    operators/jpegcodec + multimodal.decode_image_stats(squares=True)):
+    a spec-valid JFIF stream is synthesized per document with
+    per-block quantized DC ``70 + (doc_id*7 + i*13) % 116 - 128`` and
+    an AC coefficient at zigzag 14 ``(doc_id*3 + i*5) % 49 - 24``,
+    grayscale for even doc_ids and 4:4:4 YCbCr with constant
+    doc_id-derived chroma for odd ones, restart markers every 2 MCUs
+    when doc_id % 3 == 0 — so Huffman DC+AC decode, dequantization,
+    the IDCT, restart handling, and the color conversion ALL run on
+    every batch. The u=4 cosine basis is exactly +-1/sqrt(2), which
+    cancels the C(0) normalization: every decoded pixel is an exact
+    integer function of doc_id (jpegcodec module docstring), and the
+    SQL oracle replays the full first AND second moment of the pixels
+    arithmetically. Coefficient ranges keep every sample inside
+    [0, 255], so no clamp ever binds and floor(x + 0.5) rounding is
+    shared exactly between numpy and the oracle."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import decode_image_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from torcharrow_spark.operators.jpegcodec import encode_jpeg_blocks
+
+        for pdf in batches:
+            ids, imgs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nbx, nby = 1 + d % 3, 1 + d % 2
+                i = np.arange(nby * nbx, dtype=np.int64)
+                dc = ((70 + (d * 7 + i * 13) % 116) - 128).reshape(nby, nbx)
+                ac = ((d * 3 + i * 5) % 49 - 24).reshape(nby, nbx)
+                color = None if d % 2 == 0 else (
+                    108 + (d % 3) * 10, 118 + (d % 5) * 5
+                )
+                blob = encode_jpeg_blocks(
+                    dc, ac, quant=8, color=color,
+                    restart_interval=2 if d % 3 == 0 else 0,
+                )
+                ids.append(d)
+                imgs.append(bytearray(blob))
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("img", T.BinaryType(), True)]
+    )
+    with_jpeg = docs.mapInPandas(_synth, schema)
+    stats = decode_image_stats(with_jpeg, "img", "doc_id", squares=True)
+    return stats.drop("px_mean")
+
+
+@query(
     "q142_audio_decode",
     oracle="""
     SELECT doc_id,
