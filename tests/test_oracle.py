@@ -83,19 +83,29 @@ def test_driver_window_coverage():
         # sketch family), q147 replaces q126's still-image row (frames
         # decode THROUGH the same image path, a strict superset) —
         # both old rows stay driver_sim + pytest gated
-        "q76_chunk_documents", "q79_dedup_lines",
+        "q76_chunk_documents",
         "q148_minhash_bucket_audit",
         "q135_semantic_dedup", "q105_heavy_hitters", "q71_deterministic_sampling",
         "q110_grouped_quantiles", "q134_pack_nosplit",
         # r7 rotation: q149 (cross-run MinHash index probe) replaces
         # q82's funnel row — events keep q16/q17/q98 in-window, and
         # q82 stays driver_sim + pytest gated
-        "q147_video_frame_decode", "q68_tfidf_top_terms",
+        "q147_video_frame_decode",
         "q149_incremental_dedup",
         "q98_market_share", "q41_bpe_tokenize",
         # r8 rotations (VERDICT r7 ask #2): the modern-curation capstone
         # and the exact half of the incremental-index family get their
         # first driver-hash rows
         "q145_modern_curation", "q150_incremental_exact_dedup",
+        # r9 rotations (VERDICT r8 ask #3): the never-driver-hashed
+        # q151 (takedown re-admission over the r9 pointer-resolved
+        # index lifecycle), q132 (stream==batch curate+pack twin),
+        # q146 (skew diagnostic), plus the new q152 JPEG oracle.
+        # Rotated out (all driver-green r2-r8, still driver_sim +
+        # pytest gated): q52/q53 (§2.6 covered by q01/q12/q66/q110),
+        # q68 (TF-IDF family keeps q139), q79 (span/line family keeps
+        # q86, exact dedup runs inside q129).
+        "q151_incremental_dedup_retired", "q132_curate_pack_twin",
+        "q146_skew_report", "q152_jpeg_decode",
     }
     assert must_have <= window, must_have - window

@@ -7144,8 +7144,20 @@ DRIVER_WINDOW = [
                                 # filter(callable) was driver-green
                                 # r2-r7; §2.3 keeps q51/q66 in-window)
     "q51_transform_batch",      # §2.3 transform over mapInArrow
-    "q52_describe",             # §2.6 describe(percentiles)
-    "q53_bool_aggs",            # §2.6 all/any/is_unique
+    "q151_incremental_dedup_retired", # r9 rotation (VERDICT r8 ask
+                                # #3): the r8 takedown flagship —
+                                # retirement re-admission over the r9
+                                # POINTER-RESOLVED index lifecycle
+                                # (publish -> compact(retired) ->
+                                # read) — was sim/judge-verified only;
+                                # q52_describe was driver-green r2-r8
+                                # (§2.6 stays covered by
+                                # q01/q12/q66/q110)
+    "q152_jpeg_decode",         # r9: NEW baseline JPEG decoder's
+                                # exact first+second pixel moments
+                                # (q53_bool_aggs was driver-green
+                                # r2-r8; same §2.6 coverage rationale
+                                # as q52's swap)
     "q54_interop_roundtrip",    # §2.1 to_arrow/to_pandas/to_pylist
     "q139_term_stats",          # vocab/df table — batch twin of the
                                 # r5 term_stats_stream complete-mode
@@ -7172,11 +7184,23 @@ DRIVER_WINDOW = [
                                 # (q67's bare kmeans was driver-green
                                 # r2-r4; q138's oracle re-proves the
                                 # same per-dim decimal arithmetic)
-    "q68_tfidf_top_terms",      # TF-IDF / relevance
+    "q132_curate_pack_twin",    # r9 rotation (VERDICT r8 ask #3): the
+                                # stream==batch curate+pack twin's
+                                # batch side — never driver-hashed
+                                # (q68_tfidf_top_terms was driver-green
+                                # r2-r8; the TF-IDF/vocab family keeps
+                                # q139_term_stats' df/tf aggregate row
+                                # in-window)
     "q71_deterministic_sampling", # hash/stratified sampling
     "q72_redact_pii",           # PII redaction
     "q76_chunk_documents",      # context-window chunking
-    "q79_dedup_lines",          # line-level corpus-frequency dedup (C4)
+    "q146_skew_report",         # r9 rotation (VERDICT r8 ask #3): the
+                                # partition-skew diagnostic — never
+                                # driver-hashed (q79_dedup_lines was
+                                # driver-green r2-r8; the span/line
+                                # dedup family keeps
+                                # q86_strip_duplicate_spans in-window
+                                # and exact dedup runs inside q129)
     "q148_minhash_bucket_audit",# r6 election audit (oracle derives the
                                 # exact-equivalence classes from full
                                 # signatures; q80's HLL row was
