@@ -52,6 +52,26 @@ def test_damped_wall_median_catches_intermittent():
     assert damped_wall(5.0, lambda: next(slow)) == 5.0
 
 
+def test_probe_envelope_and_agreement():
+    """r9 (VERDICT r8 ask #4): the artifact quantifies its own wall
+    uncertainty — interleaved probes -> min/median/max factor envelope,
+    and the plan-vouched raw wall drift either agrees with it or the
+    disagreement is flagged."""
+    from bench import CAL_ANCHOR_SEC, envelope_agrees, probe_envelope
+
+    # the r8 failure mode: a 2.195x start probe amid ~0.66x-drift
+    # queries — the median of interleaved probes absorbs the outlier
+    env = probe_envelope([2.195 * CAL_ANCHOR_SEC, 0.9 * CAL_ANCHOR_SEC,
+                          1.0 * CAL_ANCHOR_SEC])
+    assert env == {"min": 0.9, "median": 1.0, "max": 2.195}
+    assert envelope_agrees(1.05, env)        # inside
+    assert envelope_agrees(0.75, env)        # within the 25% slack
+    assert not envelope_agrees(0.5, env)     # genuinely outside -> flag
+    assert not envelope_agrees(3.2, env)
+    # probe-fluke floor matches the gating scalar's
+    assert probe_envelope([0.001, 0.001, 0.001])["median"] == 0.25
+
+
 def test_median_drift_empty_and_odd():
     from bench import median_drift
 

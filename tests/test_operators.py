@@ -3577,6 +3577,16 @@ def test_cap_amplified_scan(spark, tmp_path):
     assert capped.sparkSession.conf.get(
         "spark.sql.session.timeZone"
     ) == spark.conf.get("spark.sql.session.timeZone")
+    # ... except the two amplified-regime sizings (map cap + the 4x
+    # reduce-side AQE advisory target — the sf40 zero-spill pair)
+    cap_bytes = int(
+        capped.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+    )
+    assert int(
+        capped.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        )
+    ) == cap_bytes * 4
     assert capped.count() == scan.count()
     assert (
         _shingles(capped, "text", "doc_id", 3).count()

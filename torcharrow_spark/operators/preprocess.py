@@ -161,15 +161,31 @@ def _bare_scan_parquet_paths(df: SDF):
 
 def _scan_session(parent, max_partition_bytes: int):
     """A conf-scoped CHILD SparkSession (same SparkContext, isolated
-    SQLConf) whose only difference from the parent is a capped
-    ``spark.sql.files.maxPartitionBytes``. Split planning reads the
-    conf of the session that CREATED the file relation (measured — a
-    per-read option is ignored and rebinding a plan to another session
-    does not re-plan its splits), so a scan created here carries the
-    cap for its whole life while the parent session's conf is never
-    touched. Cached per (parent, cap) — sessions are cheap but not
-    free. Runtime confs (session timezone, shuffle width, AQE, ANSI)
-    are cloned from the parent so the child plans identically in every
+    SQLConf) that differs from the parent in exactly two confs sized
+    for the amplified regime. Split planning reads the conf of the
+    session that CREATED the file relation (measured — a per-read
+    option is ignored and rebinding a plan to another session does not
+    re-plan its splits), so a scan created here carries the sizing for
+    its whole life while the parent session's conf is never touched:
+
+    * ``spark.sql.files.maxPartitionBytes`` = the cap — bounds the
+      MAP side (the fused explode's per-task sort);
+    * ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` = 4x the cap
+      — bounds the REDUCE side: AQE coalesces every post-shuffle stage
+      of a query built over this scan toward this many bytes per task,
+      and the amplified family's reduce stages carry wide array
+      payloads (sorted shingle-hash arrays) whose in-memory rows run
+      ~6-8x their shuffle bytes. Measured at the sf40 evidence tier
+      (r9): the scan cap alone left 1.18 GB of disk spill in ONE
+      35-task reduce stage coalesced to 64 MB targets; 16 MB targets
+      drive disk spill to ZERO at identical rows, +1.3% shuffle bytes
+      (pure partition framing). On a real cluster the same targets
+      just mean proportionally more reduce tasks — the provisioning
+      direction that holds at 100 TB.
+
+    Cached per (parent, cap) — sessions are cheap but not free.
+    Runtime confs (session timezone, shuffle width, AQE, ANSI) are
+    cloned from the parent so the child plans identically in every
     other respect."""
     cache = getattr(parent, "_torcharrow_scan_sessions", None)
     if cache is None:
@@ -190,6 +206,10 @@ def _scan_session(parent, max_partition_bytes: int):
             pass  # static / non-settable conf
     child.conf.set(
         "spark.sql.files.maxPartitionBytes", str(max_partition_bytes)
+    )
+    child.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        str(max_partition_bytes * 4),
     )
     return child
 

@@ -294,19 +294,24 @@ REGISTRY: list[dict] = [
             "post-amplification rows per map task is re-read through "
             "a conf-scoped child session with "
             "spark.sql.files.maxPartitionBytes capped at "
-            "budget/density — more, narrower map tasks; zero new "
-            "exchanges; bit-identical shuffle bytes; no plan-time "
+            "budget/density (MAP side) and AQE "
+            "advisoryPartitionSizeInBytes at 4x the cap (REDUCE "
+            "side) — more, narrower tasks on both sides of the "
+            "amplified exchanges; zero new exchanges; no plan-time "
             "jobs; the user session's conf untouched."
         ),
         "trade": (
             "At the sf40 evidence tier (2M docs on 32 local threads) "
             "default splits packed the corpus into ~32 map tasks of "
-            "~33M post-explode rows each — 3.3 GB of graceful disk "
-            "spill in the map-side sorts (the only spill this engine "
-            "ever measured); the cap's 2^21-row budget reproduces the "
-            "hand-measured 4 MB split fix at identical bytes/rows, "
-            "while wider REDUCE-side settings changed nothing "
-            "(measured both ways; SCALE_SF100.md). Only binds when "
+            "~33M post-explode rows each — 3.3 GB of disk spill in "
+            "the map-side sorts (the only spill this engine ever "
+            "measured); the cap's 2^21-row budget reproduces the "
+            "hand-measured 4 MB split fix, and the 4x-cap advisory "
+            "target removes the residual 1.18 GB reduce-side spill "
+            "(one 35-task stage coalesced to 64 MB targets whose "
+            "array payloads run ~6-8x in memory) — ZERO disk spill "
+            "at sf40 with default confs, identical rows, +1.3% "
+            "shuffle bytes of partition framing. Only binds when "
             "total_bytes/parallelism exceeds the cap, so bench-SF "
             "plans and their byte anchors never change."
         ),
