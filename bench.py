@@ -77,6 +77,8 @@ HEADLINE = [
     "q143_video_container",
     "q144_url_dedup",
     "q145_modern_curation",  # the r5 capstone composition
+    # r9 addition (first measurement = the anchor, probe-normalized)
+    "q152_jpeg_decode",
 ]
 
 # Steady-state seconds at sf0.1 on local[32] — the regression anchor.
@@ -181,6 +183,10 @@ ANCHOR = {
     "q143_video_container": 0.241,
     "q144_url_dedup": 0.187,
     "q145_modern_curation": 4.551,
+    # r9 first measurement: 1.501 s steady best-of-3 at probe factor
+    # 1.240 -> 1.211 normalized (synth + baseline JPEG decode of 5k
+    # documents' streams through the Arrow batch path)
+    "q152_jpeg_decode": 1.211,
 }
 
 
@@ -280,7 +286,18 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # the 32-bit savings. At sf10 the same plan is -37% total bytes
     # (see STRESS_SF10_SHUFFLE_ANCHOR).
     "q43_jaccard_prefix": 30174718,
-    "q126_multimodal_decode": 0,
+    # r9 re-pin (was 0, an r5-era pin that predates the r7 narrow-
+    # source spread): decode_image_stats spreads its scan-shaped input
+    # with ONE round-robin exchange carrying (doc_id, synthesized PNG
+    # bytes) — 457928 B at sf0.1, stable r7->r8->r9 in the BENCH_full
+    # history. It never flagged because a 0-anchor only alarms past
+    # 1 MB ("appeared" threshold); pinning the real value restores
+    # sub-MB sensitivity for the decode family.
+    "q126_multimodal_decode": 457928,
+    # r9 first measurement: the same decode-family spread exchange,
+    # JPEG payloads (q145 anchor discipline — the spread component is
+    # the whole number; the decode itself shuffles nothing).
+    "q152_jpeg_decode": 210188,
     "q127_lm_quality": 240651,
     "q128_gopher_filter": 851481,
     # RE-PINNED r9, TWO decomposed components (measured this round by
