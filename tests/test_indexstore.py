@@ -234,6 +234,47 @@ def test_gc_keeps_grace_window(spark, corpus, tmp_path):
     assert read_index(spark, root).count() == exact_index(corpus).count()
 
 
+def test_streaming_incremental_dedup_over_uri_root(
+    spark, corpus, delivery, tmp_path
+):
+    """The STREAMING half of the object-store story: the ingest-time
+    incremental dedup loop (publish -> stream against the manifest-
+    resolved base -> compact) runs end-to-end with the index root,
+    source, sink and checkpoint all behind file:// URIs — the same
+    Hadoop-connector code path an s3a:// root takes."""
+    from torcharrow_spark.operators import dedup_against_index
+    from torcharrow_spark.streaming import incremental_dedup_stream
+
+    root = "file://" + str(tmp_path / "idx")
+    publish_index(minhash_index(corpus, shingle_k=2), root, spark)
+    src = "file://" + str(tmp_path / "delivery")
+    delivery.coalesce(1).write.parquet(src)
+    dest = "file://" + str(tmp_path / "kept")
+    q = incremental_dedup_stream(
+        spark, src, delivery.schema, dest, root,
+        "file://" + str(tmp_path / "ckpt"),
+        shingle_k=2, query_name="t_uri_incdedup",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]
+        for r in dedup_against_index(
+            delivery, read_index(spark, root), shingle_k=2
+        ).collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(dest).collect()}
+    assert got == want and len(got) > 0
+    # the stream's delta landed under the URI root; compaction folds it
+    fs = ixs.fs_for(root, spark)
+    assert fs.exists(f"{root}/delta/batch_id=0")
+    report = compact_index(root, spark)
+    assert report["had_delta"] and not fs.exists(f"{root}/delta")
+    assert read_index(spark, root).count() == report["merged_rows"]
+
+
 def test_hadoop_fs_via_file_uri(spark, corpus, delivery, tmp_path):
     """The object-store code path (_HadoopFS: list/read/create-only
     put/delete through the session's Hadoop connectors) end-to-end via

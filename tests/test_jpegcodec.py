@@ -242,3 +242,23 @@ def test_dispatch_and_stats_integration(spark):
     assert row["fmt"] == "jpeg"
     assert (row["width"], row["height"]) == (24, 8)
     assert row["px_sum"] == int(exp.sum())
+
+    # JPEG input flows through resize_media unchanged (decode_image
+    # dispatch): nearest-neighbor downsample of the exactly-known
+    # pixels, re-encoded as PPM
+    from torcharrow_spark.operators import resize_media
+    from torcharrow_spark.operators.imagecodec import (
+        decode_ppm,
+        resize_nearest,
+    )
+
+    out = resize_media(df, "img", "doc_id", target_w=12, target_h=4).collect()[0]
+    w2, h2, px2 = decode_ppm(bytes(out["resized"]))
+    # compare against the decoder's own resize of the decoded pixels
+    # (gray JPEG re-encodes via 3-channel PPM)
+    _, _, dec = decode_image(blob)
+    expected = resize_nearest(dec, 12, 4)
+    if expected.ndim == 2:
+        expected = np.stack([expected] * 3, axis=-1)
+    assert (w2, h2) == (12, 4)
+    assert np.array_equal(px2, expected)

@@ -54,6 +54,16 @@ write being atomic; it only ever publishes a manifest AFTER verifying
 the written snapshot, and unreferenced dirs are garbage by
 construction.
 
+SINGLE-WRITER CONTRACT (documented limit, not a silent hazard): one
+compactor/publisher at a time per index root. Two concurrent writers
+that both list before either commits can allocate the same version
+number and interleave files under one snapshot prefix on stores
+without atomic create-exclusive. This is the same ownership
+discipline the streaming side already enforces with its
+`_owner_checkpoint` marker (one long-lived checkpoint per root);
+compaction runs while the stream is stopped. Readers are unlimited
+and never coordinate — that is the point of the manifest.
+
 Reference parity note: the reference engine has no persistent index
 lifecycle at all (its dedup surface is in-memory columns); this module
 is part of the beyond-reference 100-TB curation story

@@ -339,11 +339,12 @@ def resize_media(
     meta struct) via mapInPandas — binary in, binary out, metadata updated,
     one Arrow-batched Python pass, no shuffle.
 
-    fake=False (default) REALLY resizes: png/bmp/ppm decode
-    (imagecodec.py), vectorized nearest-neighbor resample, re-encode as
-    P6 PPM (deterministic, bit-exact, library-free); unsupported input
-    formats raise ValueError at executor time. fake=True keeps the
-    deterministic byte-stub for formats without an in-container decoder."""
+    fake=False (default) REALLY resizes: png/bmp/ppm/baseline-jpeg
+    decode (imagecodec.py dispatch; jpegcodec.py since r9), vectorized
+    nearest-neighbor resample, re-encode as P6 PPM (deterministic,
+    bit-exact, library-free); unsupported input formats raise
+    ValueError at executor time. fake=True keeps the deterministic
+    byte-stub for formats without an in-container decoder."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),

@@ -388,10 +388,17 @@ def compact_parquet(
     if "://" in path:
         # os.walk over an s3a://.. URI silently yields nothing — an
         # all-zero report would read as "already compact"; fail fast.
+        # Generic IN-PLACE compaction cannot be made crash-safe on a
+        # rename-less store because arbitrary readers point at the
+        # directory itself; datasets whose readers this engine OWNS
+        # (the incremental dedup index) use the rename-free manifest
+        # protocol instead (operators.indexstore / compact_index,
+        # object-store-ready since r9).
         raise ValueError(
             "compact_parquet walks the LOCAL filesystem; for object "
-            "stores run it on a mounted path or use a transactional "
-            f"table format (got {path!r})"
+            "stores run it on a mounted path, use a transactional "
+            "table format, or — for engine-owned dedup indexes — "
+            f"operators.compact_index (manifest protocol) (got {path!r})"
         )
     s = _spark(spark)
     small = small_file_bytes if small_file_bytes is not None else target_file_bytes // 2
