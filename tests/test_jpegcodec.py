@@ -187,11 +187,46 @@ def test_q152_offset_identity_exhaustive():
                     assert np.array_equal(got, ys + off), (cb, cr, k, eps)
 
 
+def test_progressive_equals_sequential():
+    """r9: SOF2 decode — the four-scan successive-approximation script
+    codes the SAME coefficients, so progressive pixels must equal the
+    sequential ones EXACTLY, across gray/color, the newly-nonzero
+    (|ac|==1) vs correction-bit (|ac|>=2) refinement paths, and
+    restart markers inside every scan type."""
+    dc = RNG.randint(-58, 58, size=(3, 4))
+    ac = RNG.randint(-24, 25, size=(3, 4))
+    ac[0, 0], ac[0, 1], ac[0, 2], ac[0, 3] = 0, 1, -1, 2  # force all paths
+    exp = expected_blocks(dc, ac, 8)
+    w, h, px = decode_jpeg(encode_jpeg_blocks(dc, ac, progressive=True))
+    assert np.array_equal(px, exp)
+    seq = decode_jpeg(encode_jpeg_blocks(dc, ac, color=(108, 148)))[2]
+    prog = decode_jpeg(
+        encode_jpeg_blocks(dc, ac, color=(108, 148), progressive=True)
+    )[2]
+    assert np.array_equal(prog, seq)
+    for ri in (1, 3):
+        p = decode_jpeg(
+            encode_jpeg_blocks(
+                dc, ac, color=(112, 144), progressive=True,
+                restart_interval=ri,
+            )
+        )[2]
+        s = decode_jpeg(encode_jpeg_blocks(dc, ac, color=(112, 144)))[2]
+        assert np.array_equal(p, s), ri
+    # truncation inside a progressive scan still raises, never a hang
+    blob = encode_jpeg_blocks(dc, ac, progressive=True)
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(blob[: len(blob) - 6])
+
+
 def test_error_discipline():
     dc = np.array([[1, 2], [3, 4]])
     good = encode_jpeg_blocks(dc, quant=8)
 
-    with pytest.raises(ValueError, match="progressive"):
+    # r9: SOF2 itself now decodes; a sequential-shaped scan header
+    # under an SOF2 frame is still malformed (a progressive DC scan
+    # must have Se == 0) and raises rather than mis-decoding
+    with pytest.raises(ValueError, match="Se == 0"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError, match="SOF marker"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc9", 1))  # arithmetic

@@ -4,18 +4,24 @@ real multimodal corpus is actually made of (r9, VERDICT r8 ask #6).
 Scope (documented, enforced with clear errors — the same error
 discipline as `imagecodec`):
 
-* DECODE: baseline & extended sequential Huffman DCT (SOF0/SOF1),
-  8-bit precision, grayscale or 3-component YCbCr, any sampling
-  factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals, multiple
-  DQT/DHT segments, 16-bit quant entries. Progressive (SOF2),
-  arithmetic coding (SOF9/10), lossless and 12-bit streams raise
+* DECODE: baseline & extended sequential Huffman DCT (SOF0/SOF1) AND
+  progressive Huffman DCT (SOF2, r9 — spectral selection + successive
+  approximation per T.81 Annex G: interleaved/non-interleaved DC
+  first+refinement scans, single-component AC first scans with EOB
+  runs, AC refinement with correction bits, restart intervals inside
+  every scan type), 8-bit precision, grayscale or 3-component YCbCr,
+  any sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), multiple
+  DQT/DHT segments, 16-bit quant entries. Arithmetic coding
+  (SOF9/10), lossless/hierarchical and 12-bit streams raise
   ``ValueError`` naming the unsupported feature — never a wrong-pixel
   fallback.
 * ENCODE (`encode_jpeg_blocks`): a deliberately RESTRICTED spec-valid
   encoder for oracle/test synthesis — per-block quantized DC plus an
   optional single AC coefficient at zigzag index 14 (v=0, u=4), flat
   quantization, T.81 Annex K Huffman tables, grayscale / 4:4:4 color
-  with constant chroma / 4:2:0 luma grids, optional restart markers.
+  with constant chroma / 4:2:0 luma grids, optional restart markers,
+  and (r9) a four-scan progressive script that codes the SAME
+  coefficients through every SOF2 scan type.
   The restriction is the POINT: the IDCT of {DC, F(0,4)} is exactly
   c ± b per pixel (the u=4 cosine basis is ±1/sqrt(2), which cancels
   the C(0)/sqrt(2) normalization), so the decoded image is an exact
@@ -216,8 +222,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
-    """Decode a baseline/extended-sequential Huffman JFIF stream to
-    (width, height, uint8 array — (h, w) gray or (h, w, 3) RGB)."""
+    """Decode a baseline/extended-sequential or progressive Huffman
+    JFIF stream to (width, height, uint8 array — (h, w) gray or
+    (h, w, 3) RGB). Progressive coefficients accumulate across scans
+    and reconstruct at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict = {}
@@ -225,6 +233,8 @@ def decode_jpeg(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
     huff_ac: dict = {}
     dri = 0
     frame = None
+    progressive = False
+    coefs: dict = {}  # progressive: cid -> int64 (by, bx, 64) zigzag store
     pos = 2
     while True:
         if pos + 2 > len(data):
@@ -233,7 +243,9 @@ def decode_jpeg(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
             raise ValueError(f"bad JPEG marker byte at {pos}")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if progressive and coefs:
+                return _reconstruct(frame, coefs, qt)
             raise ValueError("JPEG has no scan (EOI before SOS)")
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG: missing segment length")
@@ -285,11 +297,20 @@ def decode_jpeg(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
                     {"id": cid, "h": samp >> 4, "v": samp & 15, "q": qid}
                 )
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise ValueError(
-                "progressive JPEG (SOF2) unsupported — baseline "
-                "sequential only"
-            )
+        elif marker == 0xC2:  # SOF2 — progressive Huffman (r9)
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec} (8 only)")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            comps = []
+            for c in range(seg[5]):
+                cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 15, "q": qid}
+                )
+            frame = (h, w, comps)
+            progressive = True
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise ValueError(
@@ -298,18 +319,29 @@ def decode_jpeg(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
             )
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS — decode the scan and finish
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            scan_comps = []
             scan_tabs = {}
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_comps.append(cid)
                 scan_tabs[cid] = (tabs >> 4, tabs & 15)
-            return _decode_scan(
-                data, pos + seg_len, frame, scan_tabs, qt, huff_dc, huff_ac,
-                dri,
+            if not progressive:
+                # baseline/extended sequential: one scan IS the image
+                return _decode_scan(
+                    data, pos + seg_len, frame, scan_tabs, qt, huff_dc,
+                    huff_ac, dri,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + seg_len, frame, coefs, scan_comps, scan_tabs,
+                huff_dc, huff_ac, dri, ss, se, ahal >> 4, ahal & 15,
             )
+            continue  # more scans (or EOI) follow
         # APPn / COM / anything else: skip
         pos += seg_len
 
@@ -398,6 +430,234 @@ def _decode_scan(data, pos, frame, scan_tabs, qt, huff_dc, huff_ac, dri):
 
 
 # ---------------------------------------------------------------------------
+# progressive (SOF2) scans — r9. Coefficients accumulate across scans
+# in per-component zigzag-indexed stores; reconstruction happens once
+# at EOI. Algorithms per T.81 Annex G (spectral selection + successive
+# approximation, Huffman); the refinement bit discipline follows the
+# spec's figures G.7/G.10 (the same flow libjpeg documents publicly).
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First non-stuffing, non-RST marker at/after pos (end of an
+    entropy-coded segment)."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: no marker after entropy data")
+
+
+def _comp_block_grid(frame, c) -> _ty.Tuple[int, int]:
+    """Non-interleaved block grid of one component (its OWN scaled
+    dims, not the MCU-padded grid)."""
+    h, w, comps = frame
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    data, pos, frame, coefs, scan_comps, scan_tabs, huff_dc, huff_ac,
+    dri, ss, se, ah, al,
+):
+    """Decode ONE progressive scan into the coefficient stores; returns
+    the position of the next marker."""
+    h, w, comps = frame
+    byid = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for cid in scan_comps:
+        c = byid[cid]
+        if cid not in coefs:
+            coefs[cid] = np.zeros(
+                (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+            )
+    r = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    preds = {cid: 0 for cid in scan_comps}
+    rst = {"idx": 0, "mcu": 0}
+
+    def _maybe_restart():
+        if dri and rst["mcu"] and rst["mcu"] % dri == 0:
+            r.restart(rst["idx"])
+            rst["idx"] += 1
+            state["eobrun"] = 0
+            for cid in preds:
+                preds[cid] = 0
+        rst["mcu"] += 1
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+
+        def dc_block(cid, by, bx):
+            blk = coefs[cid][by, bx]
+            if ah == 0:
+                tab = huff_dc[scan_tabs[cid][0]]
+                s = _decode_symbol(r, tab)
+                diff = _extend(r.read_bits(s), s) if s else 0
+                preds[cid] += diff
+                blk[0] = preds[cid] << al
+            else:  # refinement: one bit, OR'd in (raws are 2^al-aligned)
+                if r.read_bit():
+                    blk[0] |= 1 << al
+
+        if len(scan_comps) > 1:  # interleaved over MCUs
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    _maybe_restart()
+                    for cid in scan_comps:
+                        c = byid[cid]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(cid, my * c["v"] + by,
+                                         mx * c["h"] + bx)
+        else:  # single component: its own grid, one block per MCU
+            cid = scan_comps[0]
+            bh, bw = _comp_block_grid(frame, byid[cid])
+            for by in range(bh):
+                for bx in range(bw):
+                    _maybe_restart()
+                    dc_block(cid, by, bx)
+        return _next_marker_pos(data, r.pos)
+
+    # AC scan: exactly one component, non-interleaved (T.81 G.1.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid = scan_comps[0]
+    ac_tab = huff_ac[scan_tabs[cid][1]]
+    bh, bw = _comp_block_grid(frame, byid[cid])
+
+    def ac_first(blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(r, ac_tab)
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << rr) - 1
+                if rr:
+                    state["eobrun"] += r.read_bits(rr)
+                break
+            k += rr
+            if k > se:
+                raise ValueError("JPEG AC coefficient index overflow")
+            blk[k] = _extend(r.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk):
+        p1 = 1 << al
+        m1 = -p1
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_symbol(r, ac_tab)
+                rr, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if rr < 15:  # EOB run
+                        state["eobrun"] = 1 << rr
+                        if rr:
+                            state["eobrun"] += r.read_bits(rr)
+                        break
+                    # rr == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "progressive refinement size must be 1"
+                        )
+                    val = p1 if r.read_bit() else m1
+                # advance: correction bits for nonzero-history coeffs,
+                # zero-history positions consume the run
+                while k <= se:
+                    if blk[k] != 0:
+                        if r.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:  # EOB: remaining history gets its bits
+                if blk[k] != 0:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    body = ac_first if ah == 0 else ac_refine
+    for by in range(bh):
+        for bx in range(bw):
+            _maybe_restart()
+            body(coefs[cid][by, bx])
+    return _next_marker_pos(data, r.pos)
+
+
+def _reconstruct(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the image (same sampling/color tail as the sequential
+    path)."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        if c["q"] not in qt:
+            raise ValueError(f"JPEG references missing quant table {c['q']}")
+        store = coefs.get(c["id"])
+        if store is None:
+            raise ValueError(f"JPEG component {c['id']} has no scan data")
+        q = qt[c["q"]]
+        by, bx = store.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        for i in range(by):
+            for j in range(bx):
+                F_ = np.zeros((8, 8))
+                zz = store[i, j]
+                for k, (vv, uu) in enumerate(ZIGZAG):
+                    F_[vv, uu] = zz[k]
+                plane[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = (
+                    _A.T @ (F_ * q) @ _A + 128.0
+                )
+        planes[c["id"]] = plane
+    if len(comps) == 1:
+        return w, h, _sample(planes[comps[0]["id"]][:h, :w])
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(
+            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(p[:h, :w])
+    y, cb, cr = full
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return w, h, _sample(rgb)
+
+
+# ---------------------------------------------------------------------------
 # restricted encoder for oracle/test synthesis
 
 
@@ -439,6 +699,121 @@ def _write_coef(wtr: _BitWriter, codes: dict, run: int, value: int) -> None:
         wtr.write(value if value >= 0 else value + (1 << s) - 1, s)
 
 
+def _encode_progressive_scans(
+    dc, ac14, color, restart_interval, quant
+) -> bytearray:
+    """The four-scan SOF2 entropy body for `encode_jpeg_blocks(
+    progressive=True)` — see its docstring for the scan script."""
+    by, bx = dc.shape
+    dc_l = _huff_codes(*K3_DC_LUMA)
+    ac_l = _huff_codes(*K3_AC_LUMA)
+    dc_c = _huff_codes(*K3_DC_CHROMA)
+    ac_c = _huff_codes(*K3_AC_CHROMA)
+    plan = [(1, dc_l, ac_l, None)]  # (cid, dc codes, ac codes, const dc)
+    if color is not None:
+        cbq = (color[0] - 128) * 8 // quant
+        crq = (color[1] - 128) * 8 // quant
+        if cbq * quant != (color[0] - 128) * 8 or crq * quant != (
+            color[1] - 128
+        ) * 8:
+            raise ValueError("chroma values not exactly representable")
+        plan += [(2, dc_c, ac_c, cbq), (3, dc_c, ac_c, crq)]
+
+    out = bytearray()
+
+    def _sos(comp_specs, ss, se, ah, al) -> None:
+        sos = bytearray([len(comp_specs)])
+        for cid, tabs in comp_specs:
+            sos += bytes([cid, tabs])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos)
+
+    def _dcv(cid, i, j) -> int:
+        for pcid, _d, _a, const in plan:
+            if pcid == cid:
+                return int(dc[i, j]) if const is None else const
+        raise AssertionError(cid)
+
+    def _dc_scan(ah: int, al: int) -> None:
+        # DC scans reference only a DC table id (high nibble); luma
+        # uses table 0, chroma table 1
+        _sos([(cid, 0x00 if cid == 1 else 0x10) for cid, *_ in plan],
+             0, 0, ah, al)
+        wtr = _BitWriter()
+        preds = {cid: 0 for cid, *_ in plan}
+        rst = 0
+        for m, (i, j) in enumerate(
+            (i, j) for i in range(by) for j in range(bx)
+        ):
+            if restart_interval and m and m % restart_interval == 0:
+                wtr.align()
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = {cid: 0 for cid, *_ in plan}
+            for cid, dcodes, _a, _c in plan:
+                v = _dcv(cid, i, j)
+                if ah == 0:  # first: diff-code the point-transformed DC
+                    hi = v >> al
+                    _write_coef(wtr, dcodes, 0, hi - preds[cid])
+                    preds[cid] = hi
+                else:  # refinement: the low bit
+                    wtr.write(v & 1, 1)
+        wtr.align()
+        out.extend(wtr.out)
+
+    _dc_scan(0, 1)
+    _dc_scan(1, 0)
+
+    for cid, _d, acodes, const in plan:
+        # AC first (Al=1): the single coefficient at zigzag 14
+        _sos([(cid, 0x00 if cid == 1 else 0x01)], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        rst = 0
+        for m, (i, j) in enumerate(
+            (i, j) for i in range(by) for j in range(bx)
+        ):
+            if restart_interval and m and m % restart_interval == 0:
+                wtr.align()
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+            a = 0 if const is not None or cid != 1 else int(ac14[i, j])
+            a1 = (abs(a) >> 1) * (1 if a >= 0 else -1)
+            if a1:
+                _write_coef(wtr, acodes, 13, a1)  # 13 zeros, coef at 14
+            _write_coef(wtr, acodes, 0, 0)  # EOB (run 1)
+        wtr.align()
+        out.extend(wtr.out)
+
+        # AC refinement (Ah=1, Al=0)
+        _sos([(cid, 0x00 if cid == 1 else 0x01)], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        rst = 0
+        for m, (i, j) in enumerate(
+            (i, j) for i in range(by) for j in range(bx)
+        ):
+            if restart_interval and m and m % restart_interval == 0:
+                wtr.align()
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+            a = 0 if const is not None or cid != 1 else int(ac14[i, j])
+            aval = abs(a)
+            if aval == 1:
+                # newly nonzero: 13 zero-history run, size 1, sign bit
+                code, length = acodes[(13 << 4) | 1]
+                wtr.write(code, length)
+                wtr.write(1 if a > 0 else 0, 1)
+                _write_coef(wtr, acodes, 0, 0)  # EOB for the tail
+            elif aval >= 2:
+                # history coefficient only: EOB, then its correction bit
+                _write_coef(wtr, acodes, 0, 0)
+                wtr.write(aval & 1, 1)
+            else:
+                _write_coef(wtr, acodes, 0, 0)
+        wtr.align()
+        out.extend(wtr.out)
+    return out
+
+
 def encode_jpeg_blocks(
     dc: "np.ndarray",
     ac14: "np.ndarray | None" = None,
@@ -446,6 +821,7 @@ def encode_jpeg_blocks(
     color: _ty.Optional[_ty.Tuple[int, int]] = None,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Synthesize a spec-valid baseline JFIF stream whose decode is an
     EXACT integer function of the inputs (module docstring): luma block
@@ -455,7 +831,15 @@ def encode_jpeg_blocks(
     ``sign4 = (+,-,-,+,+,-,-,+)``, exact when ``quant`` is a multiple
     of 8. ``color=(cb, cr)`` adds constant chroma planes (4:4:4, or
     2x2-subsampled luma when ``subsample`` — dc dims must then be
-    even). ``restart_interval`` inserts DRI/RSTn every n MCUs."""
+    even). ``restart_interval`` inserts DRI/RSTn every n MCUs.
+
+    ``progressive=True`` (r9) emits the SAME coefficients as an SOF2
+    stream with the canonical four-scan successive-approximation
+    script — DC first at Al=1 (interleaved), DC refinement (the low
+    bit), per-component AC first at Al=1, per-component AC refinement
+    at Al=0 — so every progressive scan type (including newly-nonzero
+    vs correction-bit refinement paths, exercised by |ac14| == 1 vs
+    >= 2) decodes to EXACTLY the sequential pixels."""
     dc = np.asarray(dc, dtype=np.int64)
     by, bx = dc.shape
     if ac14 is None:
@@ -463,6 +847,8 @@ def encode_jpeg_blocks(
     ac14 = np.asarray(ac14, dtype=np.int64)
     if subsample and (by % 2 or bx % 2):
         raise ValueError("subsample=True needs even block dims")
+    if progressive and subsample:
+        raise ValueError("progressive synthesis supports 4:4:4/gray only")
     h, w = by * 8, bx * 8
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -471,7 +857,7 @@ def encode_jpeg_blocks(
     # DQT: one flat table, id 0
     zz = bytes([quant] * 64)
     out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + zz
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     comps = 1 if color is None else 3
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof.append(comps)
@@ -479,7 +865,8 @@ def encode_jpeg_blocks(
     sof += bytes([1, luma_samp, 0])
     if color is not None:
         sof += bytes([2, 0x11, 0, 3, 0x11, 0])
-    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + (2 + len(sof)).to_bytes(2, "big") + sof
     # DHT: Annex K tables
     for cls, tid, (bits, vals) in (
         (0, 0, K3_DC_LUMA), (1, 0, K3_AC_LUMA),
@@ -490,7 +877,17 @@ def encode_jpeg_blocks(
     if restart_interval:
         out += b"\xff\xdd" + (4).to_bytes(2, "big")
         out += restart_interval.to_bytes(2, "big")
-    # SOS
+
+    if progressive:
+        return bytes(
+            out
+            + _encode_progressive_scans(
+                dc, ac14, color, restart_interval, quant
+            )
+            + b"\xff\xd9"
+        )
+
+    # SOS (sequential: the one interleaved full scan)
     sos = bytearray([comps, 1, 0x00])
     if color is not None:
         sos += bytes([2, 0x11, 3, 0x11])

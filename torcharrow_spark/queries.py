@@ -5747,9 +5747,10 @@ def q147_video_frame_decode(spark: SparkSession, sf_dir: str) -> SDF:
     return decode_video_frames_stats(with_mp4, "vid", "doc_id", every_n=2)
 
 
-@query(
-    "q152_jpeg_decode",
-    oracle="""
+# Shared by q152 (baseline) and q153 (progressive): the two codings
+# carry IDENTICAL coefficients, so their decoded pixels — and this
+# integer-arithmetic replay of the first+second moments — are the same.
+_JPEG_STATS_ORACLE = """
     WITH p AS (
       SELECT doc_id,
              (1 + doc_id % 3)::BIGINT AS nbx,
@@ -5800,25 +5801,13 @@ def q147_video_frame_decode(spark: SparkSession, sf_dir: str) -> SDF:
                                    + off_b * off_b)
             END)::BIGINT AS px_sq_sum
     FROM o
-    """,
-)
-def q152_jpeg_decode(spark: SparkSession, sf_dir: str) -> SDF:
-    """REAL baseline JPEG decode on Spark (r9, VERDICT r8 ask #6 —
-    operators/jpegcodec + multimodal.decode_image_stats(squares=True)):
-    a spec-valid JFIF stream is synthesized per document with
-    per-block quantized DC ``70 + (doc_id*7 + i*13) % 116 - 128`` and
-    an AC coefficient at zigzag 14 ``(doc_id*3 + i*5) % 49 - 24``,
-    grayscale for even doc_ids and 4:4:4 YCbCr with constant
-    doc_id-derived chroma for odd ones, restart markers every 2 MCUs
-    when doc_id % 3 == 0 — so Huffman DC+AC decode, dequantization,
-    the IDCT, restart handling, and the color conversion ALL run on
-    every batch. The u=4 cosine basis is exactly +-1/sqrt(2), which
-    cancels the C(0) normalization: every decoded pixel is an exact
-    integer function of doc_id (jpegcodec module docstring), and the
-    SQL oracle replays the full first AND second moment of the pixels
-    arithmetically. Coefficient ranges keep every sample inside
-    [0, 255], so no clamp ever binds and floor(x + 0.5) rounding is
-    shared exactly between numpy and the oracle."""
+    """
+
+
+def _synth_jpeg_stats(spark, sf_dir, progressive: bool):
+    """Shared Spark body of q152/q153: synthesize the doc_id-derived
+    JFIF stream (baseline or the four-scan progressive script), decode
+    through the Arrow plumbing, return exact pixel moments."""
     from pyspark.sql import types as T
 
     from torcharrow_spark.operators import decode_image_stats
@@ -5837,14 +5826,15 @@ def q152_jpeg_decode(spark: SparkSession, sf_dir: str) -> SDF:
                 d = int(d)
                 nbx, nby = 1 + d % 3, 1 + d % 2
                 i = np.arange(nby * nbx, dtype=np.int64)
-                dc = ((70 + (d * 7 + i * 13) % 116) - 128).reshape(nby, nbx)
-                ac = ((d * 3 + i * 5) % 49 - 24).reshape(nby, nbx)
+                dcq = ((70 + (d * 7 + i * 13) % 116) - 128).reshape(nby, nbx)
+                acq = ((d * 3 + i * 5) % 49 - 24).reshape(nby, nbx)
                 color = None if d % 2 == 0 else (
                     108 + (d % 3) * 10, 118 + (d % 5) * 5
                 )
                 blob = encode_jpeg_blocks(
-                    dc, ac, quant=8, color=color,
+                    dcq, acq, quant=8, color=color,
                     restart_interval=2 if d % 3 == 0 else 0,
+                    progressive=progressive,
                 )
                 ids.append(d)
                 imgs.append(bytearray(blob))
@@ -5857,6 +5847,43 @@ def q152_jpeg_decode(spark: SparkSession, sf_dir: str) -> SDF:
     with_jpeg = docs.mapInPandas(_synth, schema)
     stats = decode_image_stats(with_jpeg, "img", "doc_id", squares=True)
     return stats.drop("px_mean")
+
+
+@query("q152_jpeg_decode", oracle=_JPEG_STATS_ORACLE)
+def q152_jpeg_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    """REAL baseline JPEG decode on Spark (r9, VERDICT r8 ask #6 —
+    operators/jpegcodec + multimodal.decode_image_stats(squares=True)):
+    a spec-valid JFIF stream is synthesized per document with
+    per-block quantized DC ``70 + (doc_id*7 + i*13) % 116 - 128`` and
+    an AC coefficient at zigzag 14 ``(doc_id*3 + i*5) % 49 - 24``,
+    grayscale for even doc_ids and 4:4:4 YCbCr with constant
+    doc_id-derived chroma for odd ones, restart markers every 2 MCUs
+    when doc_id % 3 == 0 — so Huffman DC+AC decode, dequantization,
+    the IDCT, restart handling, and the color conversion ALL run on
+    every batch. The u=4 cosine basis is exactly +-1/sqrt(2), which
+    cancels the C(0) normalization: every decoded pixel is an exact
+    integer function of doc_id (jpegcodec module docstring), and the
+    SQL oracle replays the full first AND second moment of the pixels
+    arithmetically. Coefficient ranges keep every sample inside
+    [0, 255], so no clamp ever binds and floor(x + 0.5) rounding is
+    shared exactly between numpy and the oracle."""
+    return _synth_jpeg_stats(spark, sf_dir, progressive=False)
+
+
+@query("q153_progressive_jpeg", oracle=_JPEG_STATS_ORACLE)
+def q153_progressive_jpeg(spark: SparkSession, sf_dir: str) -> SDF:
+    """PROGRESSIVE (SOF2) JPEG decode on Spark (r9): the SAME
+    doc_id-derived coefficients as q152, coded through the canonical
+    four-scan successive-approximation script (interleaved DC first at
+    Al=1, DC refinement bits, per-component AC first with EOB runs,
+    AC refinement with correction bits — |ac| == 1 blocks exercise the
+    newly-nonzero refinement path, |ac| >= 2 the correction-bit path,
+    and doc_id % 3 == 0 threads restart markers through every scan
+    type). Because the scan script reconstructs coefficients
+    EXACTLY, the oracle is q152's integer arithmetic verbatim — one
+    SQL text checking two entirely different entropy-decoding paths
+    against each other and against the formula."""
+    return _synth_jpeg_stats(spark, sf_dir, progressive=True)
 
 
 @query(
