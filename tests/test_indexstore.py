@@ -223,6 +223,32 @@ def test_legacy_base_layout_resolves_and_migrates(
     } == want
 
 
+def test_index_status_reports_lifecycle(spark, corpus, delivery, tmp_path):
+    """index_status answers the on-call questions: committed version,
+    new vs merged-pending-cleanup deltas, snapshot dirs, owner."""
+    from torcharrow_spark.operators import index_status
+
+    root = str(tmp_path / "idx")
+    publish_index(minhash_index(corpus, shingle_k=2), root, spark)
+    minhash_index(delivery, shingle_k=2).write.parquet(
+        f"{root}/delta/batch_id=0"
+    )
+    spark.createDataFrame([("ckpt-z",)], "value string").coalesce(1) \
+        .write.text(f"{root}/_owner_checkpoint")
+    st = index_status(root)
+    assert st["version"] == 1 and st["rows"] > 0
+    assert st["delta_batches_new"] == [0]
+    assert st["delta_batches_merged_pending_cleanup"] == []
+    assert st["owner_checkpoint"] == "ckpt-z"
+    assert st["base_versions_on_disk"] == [1] and not st["legacy_base"]
+
+    compact_index(root, spark)
+    st2 = index_status(root)
+    assert st2["version"] == 2
+    assert st2["delta_batches_new"] == []
+    assert st2["owner_checkpoint"] is None  # marker released
+
+
 def test_gc_keeps_grace_window(spark, corpus, tmp_path):
     root = str(tmp_path / "idx")
     for _ in range(4):  # v1..v4

@@ -352,6 +352,47 @@ def publish_index(
     return manifest
 
 
+def index_status(index_root: str, spark=None, fs=None) -> dict:
+    """Operator-facing snapshot of an index root's lifecycle state —
+    what an on-call person asks before compacting or pointing a fresh
+    stream at it: the committed version and its row count, how many
+    base snapshots exist on disk (committed + grace + orphans), the
+    pending delta batch ids (split into merged-but-not-yet-deleted vs
+    genuinely new), and which checkpoint (if any) owns the root."""
+    fs = fs or fs_for(index_root, spark)
+    committed = committed_manifest(index_root, fs=fs)
+    merged = set(committed.get("merged_batches", [])) if committed else set()
+    deltas = sorted(
+        int(n.split("=", 1)[1])
+        for n in fs.list(_join(index_root, "delta"))
+        if n.startswith("batch_id=")
+    )
+    bases = sorted(
+        int(m.group(1))
+        for m in (_BASE_RE.match(n) for n in fs.list(index_root))
+        if m
+    )
+    owner = None
+    marker = _join(index_root, "_owner_checkpoint")
+    if fs.exists(marker):
+        for n in fs.list(marker):
+            if n.startswith("part-"):
+                owner = fs.read_text(_join(marker, n)).strip()
+                break
+    legacy = fs.exists(_join(index_root, "base"))
+    return {
+        "version": committed["version"] if committed else None,
+        "rows": committed.get("rows") if committed else None,
+        "base_versions_on_disk": bases,
+        "legacy_base": legacy,
+        "delta_batches_new": [b for b in deltas if b not in merged],
+        "delta_batches_merged_pending_cleanup": [
+            b for b in deltas if b in merged
+        ],
+        "owner_checkpoint": owner,
+    }
+
+
 def gc_index_versions(
     index_root: str,
     spark=None,
