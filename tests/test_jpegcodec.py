@@ -213,6 +213,25 @@ def test_progressive_equals_sequential():
         )[2]
         s = decode_jpeg(encode_jpeg_blocks(dc, ac, color=(112, 144)))[2]
         assert np.array_equal(p, s), ri
+    # progressive 4:2:0 — the real-world default shape: interleaved DC
+    # scans carry four 2x2-ordered luma blocks per MCU while AC scans
+    # run non-interleaved over each component's OWN (halved for
+    # chroma) grid; decoder paths unreachable from 4:4:4 streams
+    dc4 = RNG.randint(-50, 50, size=(4, 6))
+    ac4 = RNG.randint(-20, 21, size=(4, 6))
+    ac4[0, 0], ac4[0, 1], ac4[0, 2] = 1, -1, 0
+    s420 = decode_jpeg(
+        encode_jpeg_blocks(dc4, ac4, color=(120, 136), subsample=True)
+    )[2]
+    for ri in (0, 1, 3):
+        p420 = decode_jpeg(
+            encode_jpeg_blocks(
+                dc4, ac4, color=(120, 136), subsample=True,
+                progressive=True, restart_interval=ri,
+            )
+        )[2]
+        assert np.array_equal(p420, s420), ri
+
     # truncation inside a progressive scan still raises, never a hang
     blob = encode_jpeg_blocks(dc, ac, progressive=True)
     with pytest.raises(ValueError, match="truncated|marker"):

@@ -700,10 +700,14 @@ def _write_coef(wtr: _BitWriter, codes: dict, run: int, value: int) -> None:
 
 
 def _encode_progressive_scans(
-    dc, ac14, color, restart_interval, quant
+    dc, ac14, color, restart_interval, quant, subsample=False
 ) -> bytearray:
     """The four-scan SOF2 entropy body for `encode_jpeg_blocks(
-    progressive=True)` — see its docstring for the scan script."""
+    progressive=True)` — see its docstring for the scan script.
+    ``subsample`` emits the real-world 4:2:0 shape: interleaved DC
+    scans carry four 2x2-ordered luma blocks per MCU, AC scans stay
+    non-interleaved over each component's OWN block grid (luma full,
+    chroma halved) in raster order."""
     by, bx = dc.shape
     dc_l = _huff_codes(*K3_DC_LUMA)
     ac_l = _huff_codes(*K3_AC_LUMA)
@@ -734,6 +738,10 @@ def _encode_progressive_scans(
                 return int(dc[i, j]) if const is None else const
         raise AssertionError(cid)
 
+    # interleaved-MCU grid and per-MCU luma block order (2x2 at 4:2:0)
+    mcuy, mcux = (by // 2, bx // 2) if subsample else (by, bx)
+    lsamp = 2 if subsample else 1
+
     def _dc_scan(ah: int, al: int) -> None:
         # DC scans reference only a DC table id (high nibble); luma
         # uses table 0, chroma table 1
@@ -742,8 +750,8 @@ def _encode_progressive_scans(
         wtr = _BitWriter()
         preds = {cid: 0 for cid, *_ in plan}
         rst = 0
-        for m, (i, j) in enumerate(
-            (i, j) for i in range(by) for j in range(bx)
+        for m, (mi, mj) in enumerate(
+            (mi, mj) for mi in range(mcuy) for mj in range(mcux)
         ):
             if restart_interval and m and m % restart_interval == 0:
                 wtr.align()
@@ -751,13 +759,19 @@ def _encode_progressive_scans(
                 rst += 1
                 preds = {cid: 0 for cid, *_ in plan}
             for cid, dcodes, _a, _c in plan:
-                v = _dcv(cid, i, j)
-                if ah == 0:  # first: diff-code the point-transformed DC
-                    hi = v >> al
-                    _write_coef(wtr, dcodes, 0, hi - preds[cid])
-                    preds[cid] = hi
-                else:  # refinement: the low bit
-                    wtr.write(v & 1, 1)
+                blocks = (
+                    [(mi * 2 + si, mj * 2 + sj)
+                     for si in range(2) for sj in range(2)]
+                    if (cid == 1 and subsample) else [(mi, mj)]
+                )
+                for i, j in blocks:
+                    v = _dcv(cid, i, j)
+                    if ah == 0:  # first: diff-code the shifted DC
+                        hi = v >> al
+                        _write_coef(wtr, dcodes, 0, hi - preds[cid])
+                        preds[cid] = hi
+                    else:  # refinement: the low bit
+                        wtr.write(v & 1, 1)
         wtr.align()
         out.extend(wtr.out)
 
@@ -765,12 +779,16 @@ def _encode_progressive_scans(
     _dc_scan(1, 0)
 
     for cid, _d, acodes, const in plan:
+        # non-interleaved grids: luma full, chroma halved at 4:2:0
+        cby, cbx = (by, bx) if cid == 1 else (
+            (by // 2, bx // 2) if subsample else (by, bx)
+        )
         # AC first (Al=1): the single coefficient at zigzag 14
         _sos([(cid, 0x00 if cid == 1 else 0x01)], 1, 63, 0, 1)
         wtr = _BitWriter()
         rst = 0
         for m, (i, j) in enumerate(
-            (i, j) for i in range(by) for j in range(bx)
+            (i, j) for i in range(cby) for j in range(cbx)
         ):
             if restart_interval and m and m % restart_interval == 0:
                 wtr.align()
@@ -789,7 +807,7 @@ def _encode_progressive_scans(
         wtr = _BitWriter()
         rst = 0
         for m, (i, j) in enumerate(
-            (i, j) for i in range(by) for j in range(bx)
+            (i, j) for i in range(cby) for j in range(cbx)
         ):
             if restart_interval and m and m % restart_interval == 0:
                 wtr.align()
@@ -847,8 +865,6 @@ def encode_jpeg_blocks(
     ac14 = np.asarray(ac14, dtype=np.int64)
     if subsample and (by % 2 or bx % 2):
         raise ValueError("subsample=True needs even block dims")
-    if progressive and subsample:
-        raise ValueError("progressive synthesis supports 4:4:4/gray only")
     h, w = by * 8, bx * 8
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -882,7 +898,8 @@ def encode_jpeg_blocks(
         return bytes(
             out
             + _encode_progressive_scans(
-                dc, ac14, color, restart_interval, quant
+                dc, ac14, color, restart_interval, quant,
+                subsample=(color is not None and subsample),
             )
             + b"\xff\xd9"
         )
