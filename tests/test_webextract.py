@@ -1,0 +1,110 @@
+"""HTML -> text extraction (operators/webextract): pure-parser exactness,
+boilerplate gating, malformed-markup tolerance, and the Spark operator's
+end-to-end schema + values."""
+
+from __future__ import annotations
+
+import pytest
+
+from torcharrow_spark.operators.webextract import (
+    extract_blocks,
+    extract_text,
+    html_extract,
+)
+
+
+def test_block_segmentation_and_entities():
+    html = (
+        "<html><head><title>T &amp; t</title><style>p{}</style></head>"
+        "<body><h1>A &#8212; B</h1><p>hello &lt;world&gt;</p></body></html>"
+    )
+    title, blocks = extract_blocks(html)
+    assert title == "T & t"
+    assert [b.text for b in blocks] == ["A — B", "hello <world>"]
+    assert all(b.link_chars == 0 for b in blocks)
+
+
+def test_script_style_noscript_skipped():
+    html = (
+        "<body><script>var x = '<p>not text</p>';</script>"
+        "<style>div{color:red}</style><noscript>nope</noscript>"
+        "<p>real</p></body>"
+    )
+    _, blocks = extract_blocks(html)
+    assert [b.text for b in blocks] == ["real"]
+
+
+def test_link_chars_counted_only_inside_anchors():
+    html = '<body><p>pre <a href="/x">link text</a> post</p></body>'
+    _, blocks = extract_blocks(html)
+    assert len(blocks) == 1
+    assert blocks[0].text == "pre link text post"
+    assert blocks[0].link_chars == len("link text")
+
+
+def test_boilerplate_gate_drops_short_link_heavy_blocks():
+    html = (
+        '<body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<p>a substantial paragraph of content text here</p>"
+        '<footer><a href="/tos">Terms</a></footer></body>'
+    )
+    r = extract_text(html)
+    assert r["n_blocks"] == 3
+    assert r["n_kept"] == 1
+    assert r["text"] == "a substantial paragraph of content text here"
+    # ratio = anchor chars / all chars over ALL blocks (pre-filter)
+    total = len("Home About") + len(r["text"]) + len("Terms")
+    links = len("Home") + len("About") + len("Terms")
+    assert r["link_char_ratio"] == pytest.approx(links / total)
+
+
+def test_long_link_heavy_block_survives():
+    words = " ".join(f"ref{i}" for i in range(20))
+    html = f'<body><p><a href="/r">{words}</a></p></body>'
+    r = extract_text(html)
+    assert r["n_kept"] == 1  # >10 words: a references section, not chrome
+
+
+def test_malformed_markup_never_raises():
+    # unclosed tags, stray end tags, bad nesting, unterminated entity
+    html = "<body><p>one<p>two</div></span><b>three &amp broken"
+    r = extract_text(html)
+    assert "one" in r["text"] and "two" in r["text"]
+
+
+def test_inline_tags_do_not_split_blocks():
+    html = "<body><p>a <b>bold</b> and <em>em</em> run</p></body>"
+    _, blocks = extract_blocks(html)
+    assert [b.text for b in blocks] == ["a bold and em run"]
+
+
+def test_br_and_startend_flush():
+    html = "<body><p>first<br/>second</p></body>"
+    _, blocks = extract_blocks(html)
+    assert [b.text for b in blocks] == ["first", "second"]
+
+
+def test_whitespace_only_blocks_dropped():
+    html = "<body><div>   \n </div><p>x</p></body>"
+    _, blocks = extract_blocks(html)
+    assert [b.text for b in blocks] == ["x"]
+
+
+def test_html_extract_spark(spark):
+    rows = [
+        (0, "<body><h1>Hi</h1><p>text body here</p>"
+            '<nav><a href="/">Home</a></nav></body>'),
+        (1, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = html_extract(df).orderBy("doc_id").collect()
+    assert [f.name for f in html_extract(df).schema.fields] == [
+        "doc_id", "title", "text", "n_blocks", "n_kept",
+        "extracted_chars", "link_char_ratio",
+    ]
+    r0 = out[0]
+    assert r0.text == "Hi\ntext body here"
+    assert r0.n_blocks == 3 and r0.n_kept == 2
+    assert r0.extracted_chars == len("Hi\ntext body here")
+    r1 = out[1]
+    assert r1.text is None and r1.n_blocks is None

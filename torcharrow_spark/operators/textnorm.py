@@ -1,0 +1,126 @@
+"""Unicode hygiene for raw web text: normalization, control-character
+stripping, and mojibake (encoding-corruption) repair.
+
+Web-scale corpora arrive with a measurable fraction of text that was
+UTF-8-encoded but decoded as Latin-1/CP1252 somewhere upstream ("Ã©"
+where "é" was meant). The classic repair (the core of the public
+``ftfy`` approach) is to re-encode with the wrong codec and re-decode
+as UTF-8, applied ONLY when it round-trips cleanly and strictly reduces
+a badness score — so clean text is never harmed by the attempt.
+
+Everything here is per-row, zero-shuffle, Arrow-batched — the same
+ingest-primitive contract as webextract: the operator is deterministic
+and exactly replayable, normalization policy beyond it belongs to
+downstream textstats ops.
+"""
+
+from __future__ import annotations
+
+import typing as _ty
+import unicodedata
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Characters that signal a UTF-8-as-Latin1 double decode: the Latin-1
+# lead bytes of 2/3-byte UTF-8 sequences plus the CP1252 artifacts that
+# ride along with them. Individually each is legitimate text; scoring
+# counts them so repair only fires when it strictly helps.
+_SUSPECTS = frozenset("ÃÂâ€šžŸ�")
+
+
+def badness(s: str) -> int:
+    """Count of mojibake-suspect characters + replacement chars. The
+    repair fires only when this STRICTLY decreases, so genuine uses
+    (a French sentence with 'à' is fine — 'à' is not a suspect) are
+    untouched."""
+    return sum(1 for ch in s if ch in _SUSPECTS)
+
+
+def repair_mojibake(s: str) -> _ty.Tuple[str, bool]:
+    """Undo one layer of UTF-8-read-as-Latin-1 corruption. Returns
+    ``(text, was_repaired)``. The attempt is made only if the string
+    is Latin-1-encodable AND its bytes are valid UTF-8 AND the result
+    scores strictly better — any failure leaves the input unchanged."""
+    before = badness(s)
+    if before == 0:
+        return s, False
+    try:
+        candidate = s.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return s, False
+    if badness(candidate) < before:
+        return candidate, True
+    return s, False
+
+
+# C0/C1 controls minus the whitespace the corpus needs (tab, LF, CR).
+_CTRL = {c: None for c in range(0x20) if chr(c) not in "\t\n\r"}
+_CTRL.update({c: None for c in range(0x7F, 0xA0)})
+
+
+def clean_text(s: str, form: str = "NFC") -> _ty.Tuple[str, bool, bool]:
+    """Full hygiene pass: mojibake repair -> unicode normalization ->
+    control-character strip. Returns ``(text, was_mojibake,
+    had_controls)``."""
+    s, was_mojibake = repair_mojibake(s)
+    s = unicodedata.normalize(form, s)
+    stripped = s.translate(_CTRL)
+    return stripped, was_mojibake, len(stripped) != len(s)
+
+
+def normalize_text(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> SDF:
+    """Unicode hygiene on Spark: ``(id, text, was_mojibake,
+    had_controls, n_chars)``.
+
+    Arrow-batched ``mapInPandas`` (unicodedata + codec round-trips are
+    genuinely Python); zero shuffle; output is the cleaned text plus
+    the two per-document audit flags a curation run reports upstream
+    ("0.4% of this crawl was double-encoded"). ``n_chars`` is the
+    cleaned length — the arithmetic handle for external verification."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("was_mojibake", T.BooleanType(), True),
+            T.StructField("had_controls", T.BooleanType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    src = spread_narrow_source(df.select(id_col, text_col))
+    cols = [f.name for f in out_schema.fields]
+
+    def clean_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    rows.append((i, None, None, None, None))
+                    continue
+                t, moji, ctrl = clean_text(s, form=form)
+                rows.append((i, t, moji, ctrl, len(t)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(clean_iter, out_schema)
+
+
+def corrupt_as_latin1(col: F.Column) -> F.Column:
+    """Synthesize one layer of UTF-8-read-as-Latin-1 mojibake JVM-side
+    (encode the string's UTF-8 bytes, reinterpret each byte as its
+    Latin-1 codepoint = decode('latin-1')). Spark's decode('ISO-8859-1')
+    does exactly that byte->codepoint lift, so test corruption never
+    leaves Catalyst."""
+    return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")

@@ -7121,6 +7121,112 @@ def q138_kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# Web-corpus ingest (r9: HTML -> text extraction, operators/webextract)
+
+
+@query(
+    "q154_html_extract",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           CAST(4 AS INT) AS n_blocks,
+           CAST(2 AS INT) AS n_kept,
+           (14 + length(doc_id::VARCHAR) + length(text))::BIGINT
+             AS extracted_chars,
+           floor((14 + 2 * (doc_id % 3))::DOUBLE
+                 / (28 + 3 * (doc_id % 3) + length(doc_id::VARCHAR)
+                    + length(text)) * 10000 + 0.5) / 10000
+             AS link_char_ratio,
+           md5('Doc ' || doc_id || ' & more ' || chr(8212) || chr(10) || text)
+             AS text_md5
+    FROM documents
+    """,
+)
+def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
+    """REAL HTML -> text extraction on Spark (r9, operators/webextract
+    .html_extract): a spec-valid page is synthesized per document
+    ENTIRELY in Catalyst (escape_html_text + concat — no Python until
+    the extractor itself) with <title>, a <style> and a <script> block
+    that must be skipped, a <nav> with ``2 + doc_id % 3`` links, an
+    <h1> carrying a named entity (&amp;) AND a numeric character
+    reference (&#8212;), the document text in a <p>, and an all-link
+    <footer>. The extractor must segment blocks, decode both entity
+    forms, skip non-text payloads, capture the title out-of-band, and
+    drop the nav/footer chrome via the link-density boilerplate gate
+    (the h1 + text survive). Every output — block counts, extracted
+    char count, the page-level link-char ratio, and the md5 of the
+    kept text — is an exact arithmetic function of (doc_id, text) the
+    SQL oracle replays, so a single flipped character anywhere in the
+    parse round-trip breaks the hash. No shuffle: synthesis, parse,
+    and stats are one fused projection over one scan."""
+    from torcharrow_spark.operators.webextract import escape_html_text, html_extract
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title><style>p{margin:0}</style><script>var d=1;</script>"),
+        F.lit('</head><body><nav><a href="/">Home</a> <a href="/a">About</a>'),
+        F.expr("repeat(' <a href=\"/p\">L0</a>', cast(doc_id % 3 as int))"),
+        F.lit("</nav><h1>Doc "), sid, F.lit(" &amp; more &#8212;</h1><p>"),
+        escape_html_text(F.col("text")),
+        F.lit('</p><footer><a href="/tos">Terms</a></footer></body></html>'),
+    )
+    out = html_extract(
+        docs.select("doc_id", page.alias("html")), html_col="html", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "title", "n_blocks", "n_kept", "extracted_chars",
+        "link_char_ratio", F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+@query(
+    "q155_unicode_clean",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 2 = 0) AS was_mojibake,
+           TRUE AS had_controls,
+           (length(text) + 13)::BIGINT AS n_chars,
+           md5(text || ' caf' || chr(233) || ' ' || chr(8212) || ' na'
+               || chr(239) || 've') AS text_md5
+    FROM documents
+    """,
+)
+def q155_unicode_clean(spark: SparkSession, sf_dir: str) -> SDF:
+    """Unicode hygiene on Spark (r9, operators/textnorm.normalize_text):
+    every document gets a 13-char accented suffix (" café — naïve" —
+    2-byte AND 3-byte UTF-8 sequences) plus a BEL control; even doc_ids
+    are then corrupted with one layer of UTF-8-read-as-Latin-1 mojibake
+    ENTIRELY in Catalyst (corrupt_as_latin1 = decode(encode(s,'UTF-8'),
+    'ISO-8859-1') — the exact byte->codepoint lift a buggy upstream
+    reader performs). The operator must detect the corruption via the
+    badness score, undo it by the reverse round-trip (and must NOT
+    touch the clean odd rows — same accents, zero suspects), NFC-
+    normalize, and strip the control. The md5 of the repaired text and
+    the exact char count are replayed by the oracle from (doc_id,
+    text) alone — a repair that mangles one byte, fires on a clean
+    row, or misses one corrupted row breaks the hash. Zero shuffle:
+    synthesis + repair + stats fuse into one projection."""
+    from torcharrow_spark.operators.textnorm import corrupt_as_latin1, normalize_text
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    suffixed = F.concat(
+        F.col("text"), F.lit(" café — naïve"), F.lit("\x07")
+    )
+    synth = F.when(F.col("doc_id") % 2 == 0, corrupt_as_latin1(suffixed)).otherwise(
+        suffixed
+    )
+    out = normalize_text(
+        docs.select("doc_id", synth.alias("text")), text_col="text", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "was_mojibake", "had_controls", "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window
 #
 # The driver hashes only the FIRST 50 entries of queries() against their
