@@ -1,0 +1,114 @@
+"""GIF codec (operators/imagecodec): LZW exactness through code-width
+growth, table reset, and the KwKwK case; interlace positional fidelity;
+palette handling; container error discipline; dispatch integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from torcharrow_spark.operators.imagecodec import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_image,
+    encode_gif,
+    sniff_format,
+)
+
+
+def _gray(w, h, seed=0):
+    i = np.arange(w * h, dtype=np.int64)
+    return ((seed * 7 + i * 13) % 256).astype(np.uint8).reshape(h, w)
+
+
+def test_gray_roundtrip_exact():
+    px = _gray(31, 17, seed=5)
+    w, h, out = decode_gif(encode_gif(px))
+    assert (w, h) == (31, 17)
+    assert out.ndim == 2 and np.array_equal(out, px)
+
+
+def test_color_palette_roundtrip():
+    pal = [(k, (k * 3) % 256, (k * 7) % 256) for k in range(256)]
+    idx = _gray(20, 15, seed=9)
+    w, h, out = decode_gif(encode_gif(idx, palette=pal))
+    assert out.shape == (15, 20, 3)
+    expect = np.array(pal, dtype=np.uint8)[idx]
+    assert np.array_equal(out, expect)
+
+
+def test_interlace_positional_fidelity():
+    # checksums are permutation-invariant; this is the POSITIONAL check
+    # that de-interlacing puts every row back where it belongs
+    px = _gray(13, 29, seed=3)  # height hits all four pass groups
+    _, _, out = decode_gif(encode_gif(px, interlace=True))
+    assert np.array_equal(out, px)
+    # and an interlaced encode differs on the wire from a sequential one
+    assert encode_gif(px, interlace=True) != encode_gif(px)
+
+
+def test_lzw_width_growth_and_table_reset():
+    # pseudorandom bytes generate mostly-new table entries: ~20k input
+    # drives next_code past 4096, forcing the mid-stream clear + the
+    # 9->10->11->12 bit width ladder on both sides
+    rng = np.random.default_rng(42)
+    data = rng.integers(0, 256, size=20000, dtype=np.uint8).tobytes()
+    comp = _lzw_encode(8, data)
+    assert bytes(_lzw_decode(8, comp, len(data))) == data
+
+
+def test_lzw_kwkwk_case():
+    # runs of one symbol make the encoder emit codes it just created;
+    # the decoder must synthesize prev + prev[0]
+    data = b"\x07" * 500
+    comp = _lzw_encode(8, data)
+    assert bytes(_lzw_decode(8, comp, len(data))) == data
+
+
+def test_lzw_truncation_raises():
+    comp = _lzw_encode(8, b"hello world hello world")
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(8, comp[: len(comp) // 2], 1000)
+
+
+def test_container_errors_named():
+    px = _gray(8, 8)
+    blob = encode_gif(px)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + blob[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(blob[:20])
+    # trailer immediately after the color table: no image data
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gif(blob[:13] + blob[13 : 13 + 768] + b"\x3b")
+
+
+def test_extensions_skipped():
+    px = _gray(9, 7, seed=1)
+    blob = bytearray(encode_gif(px))
+    # splice a Graphic Control Extension before the image descriptor
+    gce = bytes((0x21, 0xF9, 4, 0, 0, 0, 0, 0))
+    at = blob.index(0x2C, 13 + 768)
+    spliced = bytes(blob[:at]) + gce + bytes(blob[at:])
+    _, _, out = decode_gif(spliced)
+    assert np.array_equal(out, px)
+
+
+def test_dispatch_and_sniff():
+    px = _gray(10, 6, seed=2)
+    blob = encode_gif(px)
+    assert sniff_format(blob) == "gif"
+    w, h, out = decode_image(blob)
+    assert (w, h) == (10, 6) and np.array_equal(out, px)
+
+
+def test_short_pixel_data_raises():
+    px = _gray(8, 8)
+    blob = bytearray(encode_gif(px))
+    # lie about the height: decoder must notice the LZW stream is short
+    blob[8:10] = (16).to_bytes(2, "little")   # screen height
+    at = 13 + 768 + 1 + 4 + 2                 # image descriptor height field
+    blob[at : at + 2] = (16).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="short|truncated"):
+        decode_gif(bytes(blob))

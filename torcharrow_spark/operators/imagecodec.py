@@ -250,6 +250,222 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a): indexed color through a REAL variable-width LZW codec.
+# Pure stdlib + numpy, same contract as the other decoders: exact pixels
+# or a ValueError naming the defect. Bit packing is LSB-first; code width
+# starts at min_code_size+1 and grows as the string table fills (capped
+# at 12 bits per the spec); interlaced images are de-interlaced with the
+# standard 8/8/4/2 four-pass row order.
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # the code emitted NEXT may be next_code-1, which needs one more
+        # bit once next_code exceeds 1<<width (decoder grows in lockstep
+        # when its table reaches 1<<width)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:  # table full: reset rather than defer
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(end)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nacc = pos = 0
+    n = len(data)
+    while True:
+        while nacc < width:
+            if pos >= n:
+                raise ValueError("gif: LZW stream truncated (no end code)")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code after clear is not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("gif: LZW code beyond string table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == 1 << width and width < 12:
+                width += 1
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("gif: LZW output exceeds image size")
+        prev = entry
+
+
+def encode_gif(
+    pixels: np.ndarray,
+    palette: _ty.Optional[_ty.Sequence[_ty.Tuple[int, int, int]]] = None,
+    interlace: bool = False,
+) -> bytes:
+    """GIF89a encoder over an INDEX array. 2-D uint8 ``pixels`` are
+    palette indices; ``palette=None`` means the 256-gray identity
+    palette (index k -> (k,k,k)). The synthesis half of the decode
+    oracle — tests drive richer streams through both directions."""
+    idx = np.asarray(pixels, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("encode_gif expects a 2-D index array")
+    h, w = idx.shape
+    if palette is None:
+        palette = [(k, k, k) for k in range(256)]
+    if len(palette) > 256:
+        raise ValueError("gif: palette larger than 256 entries")
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes((r, g, b))
+    gct += b"\x00" * (768 - len(gct))  # pad to 256 entries
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes((0xF7, 0, 0))  # GCT present, 256 entries
+    out += gct
+    out += b"\x2c" + b"\x00" * 4  # image at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes((0x40 if interlace else 0x00,))
+    rows = idx
+    if interlace:
+        order = [y for off, step in _GIF_PASSES for y in range(off, h, step)]
+        rows = idx[order]
+    comp = _lzw_encode(8, rows.tobytes())
+    out += bytes((8,))  # LZW minimum code size
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out += bytes((len(block),)) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
+    """GIF87a/89a decoder: global/local color table, extensions skipped,
+    full LZW with code-width growth + KwKwK + mid-stream clear, four-pass
+    de-interlacing. Grayscale palettes (r==g==b throughout) decode to a
+    2-D array, color palettes to (h, w, 3) — matching the PNG/BMP/PPM
+    contract above."""
+    try:
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("gif: bad signature")
+        packed = data[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 2 ** ((packed & 0x07) + 1)
+            gct = data[pos : pos + 3 * size]
+            pos += 3 * size
+        while True:
+            block = data[pos]
+            if block == 0x3B:
+                raise ValueError("gif: trailer before any image data")
+            if block == 0x21:  # extension: label byte + sub-blocks
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"gif: unexpected block 0x{block:02x}")
+            break
+        iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        ipacked = data[pos + 9]
+        pos += 10
+        lct = gct
+        if ipacked & 0x80:
+            size = 2 ** ((ipacked & 0x07) + 1)
+            lct = data[pos : pos + 3 * size]
+            pos += 3 * size
+        if lct is None:
+            raise ValueError("gif: no color table")
+        min_code = data[pos]
+        pos += 1
+        comp = bytearray()
+        while True:
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            comp += data[pos : pos + ln]
+            pos += ln
+    except IndexError:
+        raise ValueError("gif: container truncated") from None
+    raw = _lzw_decode(min_code, bytes(comp), iw * ih)
+    if len(raw) < iw * ih:
+        raise ValueError("gif: pixel data short of width*height")
+    idx = np.frombuffer(bytes(raw[: iw * ih]), dtype=np.uint8).reshape(ih, iw)
+    if ipacked & 0x40:  # interlaced: invert the four-pass row order
+        out = np.empty_like(idx)
+        r = 0
+        for off, step in _GIF_PASSES:
+            for y in range(off, ih, step):
+                out[y] = idx[r]
+                r += 1
+        idx = out
+    pal = np.frombuffer(lct, dtype=np.uint8)
+    pal = pal.reshape(-1, 3)
+    if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+        return iw, ih, pal[:, 0][idx]
+    return iw, ih, pal[idx]
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 
 def sniff_format(data: bytes) -> str | None:
@@ -261,6 +477,8 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:4] == b"GIF8":
+        return "gif"
     return None
 
 
@@ -279,8 +497,10 @@ def decode_image(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":
+        return decode_gif(data)
     raise ValueError(
-        "unsupported image format (supported: png, bmp, ppm, jpeg)"
+        "unsupported image format (supported: png, bmp, ppm, jpeg, gif)"
     )
 
 

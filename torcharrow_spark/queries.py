@@ -7182,6 +7182,96 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q156_gif_decode",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             (16 + doc_id % 5) AS w,
+             (12 + doc_id % 4) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           w::INT AS width,
+           h::INT AS height,
+           'gif' AS fmt,
+           (CASE WHEN doc_id % 2 = 0 THEN w * h ELSE 3 * w * h END)::BIGINT
+             AS n_px,
+           CAST(list_sum(list_transform(range(0, w * h), i ->
+                 CASE WHEN doc_id % 2 = 0
+                      THEN (doc_id * 7 + i * 13) % 256
+                      ELSE (doc_id * 7 + i * 13) % 256
+                           + ((doc_id * 7 + i * 13) % 256 * 3) % 256
+                           + ((doc_id * 7 + i * 13) % 256 * 7) % 256
+                 END)) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, w * h), i ->
+                 CASE WHEN doc_id % 2 = 0
+                      THEN ((doc_id * 7 + i * 13) % 256)
+                           * ((doc_id * 7 + i * 13) % 256)
+                      ELSE ((doc_id * 7 + i * 13) % 256)
+                           * ((doc_id * 7 + i * 13) % 256)
+                           + (((doc_id * 7 + i * 13) % 256 * 3) % 256)
+                           * (((doc_id * 7 + i * 13) % 256 * 3) % 256)
+                           + (((doc_id * 7 + i * 13) % 256 * 7) % 256)
+                           * (((doc_id * 7 + i * 13) % 256 * 7) % 256)
+                 END)) AS BIGINT) AS px_sq_sum
+    FROM g
+    """,
+)
+def q156_gif_decode(spark: SparkSession, sf_dir: str) -> SDF:
+    """REAL GIF decode on Spark (r9, operators/imagecodec.decode_gif +
+    multimodal.decode_image_stats(squares=True)): a GIF89a stream is
+    synthesized per document with palette index ``(doc_id*7 + i*13) %
+    256`` over a ``(16 + d%5) x (12 + d%4)`` grid — large enough that
+    the LZW string table crosses the 512-entry boundary, so the
+    9->10-bit code-width growth runs on EVERY document, in both the
+    encoder and the decoder under test. Even doc_ids use the identity
+    grayscale palette; odd ones a color palette ``k -> (k, 3k%256,
+    7k%256)`` whose three channels the oracle sums independently;
+    ``doc_id % 3 == 0`` streams are INTERLACED (the four-pass row
+    shuffle — checksums are permutation-invariant, so the positional
+    de-interlace proof lives in tests/test_gifcodec.py, while this
+    oracle pins entropy coding, palette mapping, and channel
+    expansion). First and second pixel moments are exact integer
+    functions of doc_id that the SQL oracle replays arithmetically."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import decode_image_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from torcharrow_spark.operators.imagecodec import encode_gif
+
+        pal = [(k, (k * 3) % 256, (k * 7) % 256) for k in range(256)]
+        for pdf in batches:
+            ids, imgs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 5, 12 + d % 4
+                i = np.arange(w * h, dtype=np.int64)
+                idx = ((d * 7 + i * 13) % 256).astype(np.uint8).reshape(h, w)
+                blob = encode_gif(
+                    idx,
+                    palette=None if d % 2 == 0 else pal,
+                    interlace=d % 3 == 0,
+                )
+                ids.append(d)
+                imgs.append(bytearray(blob))
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("img", T.BinaryType(), True)]
+    )
+    with_gif = docs.mapInPandas(_synth, schema)
+    stats = decode_image_stats(with_gif, "img", "doc_id", squares=True)
+    return stats.drop("px_mean")
+
+
+@query(
     "q155_unicode_clean",
     oracle="""
     SELECT doc_id,
