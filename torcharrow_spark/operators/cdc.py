@@ -1,0 +1,170 @@
+"""Content-defined chunking (CDC) dedup: alignment-robust chunk-level
+sharing across documents.
+
+Fixed-size chunking misses duplicates the moment one byte is inserted
+upstream (every later block shifts). Content-defined chunking cuts where
+a rolling hash of the last ``window`` characters hits a residue class,
+so boundaries travel WITH the content — two documents sharing a long
+run of text produce identical interior chunks no matter where the run
+sits. This is the storage-dedup classic (LBFS/FastCDC lineage) applied
+to corpus curation: it complements the span-level (token n-gram) and
+line-level dedup in ``operators/dedup`` with a tokenizer-free byte/char
+level signal.
+
+The rolling hash is a plain degree-``window`` polynomial in 31 over
+character codepoints — position-local (no state across cuts), which is
+what makes chunking embarrassingly parallel AND lets an external SQL
+oracle replay boundaries exactly. ``min_size``/``max_size`` add the
+practical guards real deployments use (they make boundaries stateful;
+leave both unset for the oracle-replayable pure form).
+
+Scale design: chunking is per-row map work (zero shuffle); sharing is
+one groupBy on the chunk's md5 (a 128-bit uniform key — chunk TEXT
+never rides the shuffle, per the engine-wide rule) followed by a
+hash-to-hash join back. Both exchanges key on md5, so skew is
+impossible by construction; at 100 TB the only knob that matters is
+``avg_size`` (the modulus), which divides instance count linearly.
+"""
+
+from __future__ import annotations
+
+import typing as _ty
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BASE = 31
+
+
+def chunk_boundaries(
+    codes: _ty.Sequence[int],
+    window: int = 4,
+    modulus: int = 16,
+    min_size: _ty.Optional[int] = None,
+    max_size: _ty.Optional[int] = None,
+) -> _ty.List[int]:
+    """Cut positions (1-indexed, exclusive ends) for one document.
+    A cut lands after position ``i`` (``i >= window``) when the
+    polynomial hash of codes[i-window..i) is ``0 (mod modulus)``; the
+    final position is always a boundary. ``min_size`` suppresses cuts
+    that would make a chunk shorter than it; ``max_size`` forces one."""
+    n = len(codes)
+    top = _BASE ** window
+    cuts: _ty.List[int] = []
+    last = 0
+    h = 0
+    for i in range(1, n + 1):
+        h = h * _BASE + codes[i - 1]
+        if i > window:
+            h -= codes[i - window - 1] * top
+        content_cut = i >= window and h % modulus == 0
+        if min_size is not None and (i - last) < min_size:
+            content_cut = False
+        if max_size is not None and (i - last) >= max_size:
+            content_cut = True
+        if content_cut:
+            cuts.append(i)
+            last = i
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    return cuts
+
+
+def chunk_text(
+    text: str,
+    window: int = 4,
+    modulus: int = 16,
+    min_size: _ty.Optional[int] = None,
+    max_size: _ty.Optional[int] = None,
+) -> _ty.List[str]:
+    """Split ``text`` into content-defined chunks (codepoint domain, so
+    the same text chunks identically regardless of encoding)."""
+    codes = [ord(c) for c in text]
+    out = []
+    prev = 0
+    for cut in chunk_boundaries(codes, window, modulus, min_size, max_size):
+        out.append(text[prev:cut])
+        prev = cut
+    return out
+
+
+def cdc_chunks(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    modulus: int = 16,
+    min_size: _ty.Optional[int] = None,
+    max_size: _ty.Optional[int] = None,
+) -> SDF:
+    """One row per chunk instance: ``(id, seq, h, ln)`` where ``h`` is
+    the md5 of the chunk text and ``ln`` its char length. The chunk
+    text itself is dropped before anything shuffles."""
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, False),
+            T.StructField("seq", T.IntegerType(), True),
+            T.StructField("h", T.StringType(), True),
+            T.StructField("ln", T.LongType(), True),
+        ]
+    )
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    src = spread_narrow_source(df.select(id_col, text_col))
+
+    def chunk_iter(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, seqs, hs, lns = [], [], [], []
+            for i, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    continue
+                for k, chunk in enumerate(
+                    chunk_text(s, window, modulus, min_size, max_size)
+                ):
+                    ids.append(i)
+                    seqs.append(k)
+                    hs.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                    lns.append(len(chunk))
+            yield pd.DataFrame(
+                {id_col: ids, "seq": seqs, "h": hs, "ln": lns}
+            )
+
+    return src.mapInPandas(chunk_iter, out_schema)
+
+
+def cdc_dedup_stats(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    modulus: int = 16,
+    min_size: _ty.Optional[int] = None,
+    max_size: _ty.Optional[int] = None,
+) -> SDF:
+    """Per-document chunk-sharing report: ``(id, n_chunks,
+    n_shared_chunks, shared_bytes, total_bytes)`` where a chunk
+    instance is *shared* when its content appears in more than one
+    DISTINCT document (intra-document repeats do not count).
+
+    Plan shape: map-side chunking -> groupBy(md5) with map-side
+    partial count-distinct -> join back on md5 -> per-doc agg. Two
+    shuffles, both keyed on a uniform 128-bit hash."""
+    inst = cdc_chunks(df, text_col, id_col, window, modulus, min_size, max_size)
+    freq = inst.groupBy("h").agg(F.countDistinct(id_col).alias("ndocs"))
+    shared = F.col("ndocs") > 1
+    return (
+        inst.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(shared, 1).otherwise(0)).alias("n_shared_chunks"),
+            F.sum(F.when(shared, F.col("ln")).otherwise(0)).alias("shared_bytes"),
+            F.sum("ln").alias("total_bytes"),
+        )
+    )

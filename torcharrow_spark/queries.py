@@ -7182,6 +7182,66 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q157_cdc_dedup",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_filter(range(4, length(text) + 1), i ->
+               (ascii(substr(text, (i - 3)::INT, 1)) * 29791
+                + ascii(substr(text, (i - 2)::INT, 1)) * 961
+                + ascii(substr(text, (i - 1)::INT, 1)) * 31
+                + ascii(substr(text, i::INT, 1))) % 16 = 0) AS cuts
+      FROM documents
+    ), b AS (
+      SELECT doc_id, text,
+             list_prepend(0, CASE WHEN len(cuts) > 0 AND cuts[-1] = n
+                                  THEN cuts
+                                  ELSE list_append(cuts, n) END) AS allc
+      FROM c
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(allc)), j ->
+                 substr(text, (allc[j] + 1)::INT,
+                        (allc[j + 1] - allc[j])::INT))) AS chunk
+      FROM b
+    ), inst AS (
+      SELECT doc_id, md5(chunk) AS h, length(chunk) AS ln FROM ch
+    ), freq AS (
+      SELECT h, count(DISTINCT doc_id) AS ndocs FROM inst GROUP BY h
+    )
+    SELECT i.doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_shared_chunks,
+           sum(CASE WHEN f.ndocs > 1 THEN i.ln ELSE 0 END)::BIGINT
+             AS shared_bytes,
+           sum(i.ln)::BIGINT AS total_bytes
+    FROM inst i JOIN freq f USING (h)
+    GROUP BY i.doc_id
+    """,
+)
+def q157_cdc_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Content-defined chunking dedup on Spark (r9, operators/cdc.
+    cdc_dedup_stats): every document is cut where a window-4 degree-31
+    polynomial hash of the codepoints is 0 mod 16 (avg ~16-char
+    chunks), chunks are md5'd map-side, and chunk sharing across
+    DISTINCT documents is aggregated per document — the
+    alignment-robust byte-level complement to the span/line dedup
+    family (a one-word insertion upstream shifts every fixed-size
+    block but leaves CDC chunks identical; tests/test_cdc.py pins the
+    self-synchronization property). The oracle replays the EXACT
+    boundary rule in SQL (list_filter over positions -> substr chunks
+    -> md5 group -> join back), so hash, cut rule, chunking, and the
+    sharing joins are all cross-checked end-to-end. Plan: zero-shuffle
+    chunking, then two exchanges both keyed on the 128-bit chunk md5 —
+    skew-proof by construction; chunk text never rides a shuffle."""
+    from torcharrow_spark.operators.cdc import cdc_dedup_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return cdc_dedup_stats(docs.select("doc_id", "text"))
+
+
+@query(
     "q156_gif_decode",
     oracle="""
     WITH g AS (
