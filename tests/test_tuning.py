@@ -78,6 +78,24 @@ def test_constants_match_their_modules():
     assert sig.parameters["member_bytes"].default == 16
     sig = inspect.signature(similarity.cosine_pairs)
     assert sig.parameters["n_planes"].default == "auto"
+    # r9 ingest knobs: registry renders the LIVE constants
+    from torcharrow_spark.operators import cdc, webextract
+
+    gate = by_loc[
+        "operators.webextract.LINK_DENSITY_MAX (+ BOILERPLATE_MAX_WORDS)"
+    ]
+    assert gate["default"] == "{} / {}".format(
+        webextract.LINK_DENSITY_MAX, webextract.BOILERPLATE_MAX_WORDS
+    )
+    cdc_e = by_loc["operators.cdc.DEFAULT_WINDOW (+ DEFAULT_MODULUS)"]
+    assert cdc_e["default"] == "{} / {}".format(
+        cdc.DEFAULT_WINDOW, cdc.DEFAULT_MODULUS
+    )
+    sig = inspect.signature(cdc.cdc_dedup_stats)
+    assert sig.parameters["window"].default == cdc.DEFAULT_WINDOW
+    assert sig.parameters["modulus"].default == cdc.DEFAULT_MODULUS
+    sig = inspect.signature(webextract.html_extract)
+    assert sig.parameters["drop_boilerplate"].default is True
 
 
 def test_simhash_clamp_bounds_cannot_drift():

@@ -36,11 +36,17 @@ from pyspark.sql import types as T
 
 _BASE = 31
 
+#: rolling-hash window (chars) and cut modulus (expected chunk length).
+#: Published in torcharrow_spark.tuning; the oracle for q157 replays
+#: these exact values, so changing them means re-deriving that SQL.
+DEFAULT_WINDOW = 4
+DEFAULT_MODULUS = 16
+
 
 def chunk_boundaries(
     codes: _ty.Sequence[int],
-    window: int = 4,
-    modulus: int = 16,
+    window: int = DEFAULT_WINDOW,
+    modulus: int = DEFAULT_MODULUS,
     min_size: _ty.Optional[int] = None,
     max_size: _ty.Optional[int] = None,
 ) -> _ty.List[int]:
@@ -73,8 +79,8 @@ def chunk_boundaries(
 
 def chunk_text(
     text: str,
-    window: int = 4,
-    modulus: int = 16,
+    window: int = DEFAULT_WINDOW,
+    modulus: int = DEFAULT_MODULUS,
     min_size: _ty.Optional[int] = None,
     max_size: _ty.Optional[int] = None,
 ) -> _ty.List[str]:
@@ -93,8 +99,8 @@ def cdc_chunks(
     df: SDF,
     text_col: str = "text",
     id_col: str = "doc_id",
-    window: int = 4,
-    modulus: int = 16,
+    window: int = DEFAULT_WINDOW,
+    modulus: int = DEFAULT_MODULUS,
     min_size: _ty.Optional[int] = None,
     max_size: _ty.Optional[int] = None,
 ) -> SDF:
@@ -142,8 +148,8 @@ def cdc_dedup_stats(
     df: SDF,
     text_col: str = "text",
     id_col: str = "doc_id",
-    window: int = 4,
-    modulus: int = 16,
+    window: int = DEFAULT_WINDOW,
+    modulus: int = DEFAULT_MODULUS,
     min_size: _ty.Optional[int] = None,
     max_size: _ty.Optional[int] = None,
 ) -> SDF:

@@ -75,43 +75,51 @@ def normalize_text(
     text_col: str = "text",
     id_col: str = "doc_id",
     form: str = "NFC",
+    passthrough: _ty.Sequence[str] = (),
 ) -> SDF:
     """Unicode hygiene on Spark: ``(id, text, was_mojibake,
-    had_controls, n_chars)``.
+    had_controls, n_chars, *passthrough)``.
 
     Arrow-batched ``mapInPandas`` (unicodedata + codec round-trips are
     genuinely Python); zero shuffle; output is the cleaned text plus
     the two per-document audit flags a curation run reports upstream
     ("0.4% of this crawl was double-encoded"). ``n_chars`` is the
-    cleaned length — the arithmetic handle for external verification."""
+    cleaned length — the arithmetic handle for external verification.
+    ``passthrough`` columns ride through the batch untouched, so a
+    chain (e.g. html_extract -> normalize_text) never needs a join to
+    keep its metadata."""
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form: {form!r}")
-    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    fields = {f.name: f for f in df.schema.fields}
     out_schema = T.StructType(
         [
-            T.StructField(id_col, id_field.dataType, False),
+            T.StructField(id_col, fields[id_col].dataType, False),
             T.StructField("text", T.StringType(), True),
             T.StructField("was_mojibake", T.BooleanType(), True),
             T.StructField("had_controls", T.BooleanType(), True),
             T.StructField("n_chars", T.LongType(), True),
         ]
+        + [T.StructField(c, fields[c].dataType, True) for c in passthrough]
     )
     from torcharrow_spark.operators.preprocess import spread_narrow_source
 
-    src = spread_narrow_source(df.select(id_col, text_col))
+    src = spread_narrow_source(df.select(id_col, text_col, *passthrough))
     cols = [f.name for f in out_schema.fields]
+    extras = list(passthrough)
 
     def clean_iter(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for i, s in zip(pdf[id_col], pdf[text_col]):
+            series = [pdf[id_col], pdf[text_col]] + [pdf[c] for c in extras]
+            for i, s, *tail in zip(*series):
+                tail = tuple(tail)
                 if s is None:
-                    rows.append((i, None, None, None, None))
+                    rows.append((i, None, None, None, None) + tail)
                     continue
                 t, moji, ctrl = clean_text(s, form=form)
-                rows.append((i, t, moji, ctrl, len(t)))
+                rows.append((i, t, moji, ctrl, len(t)) + tail)
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(clean_iter, out_schema)

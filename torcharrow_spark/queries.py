@@ -7182,6 +7182,114 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q158_web_ingest_curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             'Doc ' || doc_id || chr(10) || text || ' caf' || chr(233)
+               || ' ' || chr(8212) || ' na' || chr(239) || 've' AS text
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, text, string_split({{_NORM}}, ' ') AS words FROM t
+    ),
+    base AS (
+      SELECT doc_id, text,
+             len(words)::DOUBLE AS nw,
+             length(text)::DOUBLE AS nc,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS np,
+             {{h_en_d}}::DOUBLE AS h_en_d,
+             {{h_de}}::BIGINT AS h_de,
+             {{h_en}}::BIGINT AS h_en,
+             {{h_es}}::BIGINT AS h_es,
+             {{h_fr}}::BIGINT AS h_fr,
+             {{h_zh}}::BIGINT AS h_zh
+      FROM w
+    ),
+    derived AS (
+      SELECT *,
+             CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS punct_ratio_r,
+             CASE WHEN nw > 0 THEN h_en_d / nw ELSE 0.0 END AS stop_ratio_r,
+             greatest(h_de, h_en, h_es, h_fr, h_zh) AS mxh
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             floor((0.3 * (CASE WHEN nw >= 5 AND nw <= 100000
+                                THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN nc / nw >= 2.0 AND nc / nw <= 12.0
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN punct_ratio_r <= 0.2
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * least(stop_ratio_r * 4, 1.0)) * 10000.0 + 0.5)
+               / 10000.0 AS quality,
+             CASE WHEN h_de = mxh THEN 'de' WHEN h_en = mxh THEN 'en'
+                  WHEN h_es = mxh THEN 'es' WHEN h_fr = mxh THEN 'fr'
+                  WHEN h_zh = mxh THEN 'zh' END AS pred_lang
+      FROM derived
+    )
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           (doc_id % 2 = 0) AS was_mojibake,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS text_md5,
+           quality,
+           pred_lang
+    FROM scored
+    WHERE quality >= 0.75
+    """.format(
+        _NORM=_NORM,
+        h_en_d=_stopword_sql("en"),
+        h_de=_stopword_sql("de"),
+        h_en=_stopword_sql("en"),
+        h_es=_stopword_sql("es"),
+        h_fr=_stopword_sql("fr"),
+        h_zh=_stopword_sql("zh"),
+    ),
+)
+def q158_web_ingest_curation(spark: SparkSession, sf_dir: str) -> SDF:
+    """The raw-web front door end-to-end (r9, streaming.
+    web_ingest_batch — the batch half of the web_ingest_stream twin):
+    a full page is synthesized per document (nav/footer chrome, an
+    accented suffix in the body), even doc_ids are mojibake-corrupted
+    WHOLE-PAGE in Catalyst, then ONE stateless chain runs extraction
+    (boilerplate gate drops the chrome), unicode repair (must fire on
+    exactly the even rows and restore them bit-exactly), NFC + control
+    hygiene, the fused quality + language-ID projection, and a
+    ``quality >= 0.75`` gate that actually BINDS (~1/3 of the corpus
+    is dropped at sf0.01 — rows live or die on stopword and word-shape
+    evidence computed from the repaired text). The oracle
+    rebuilds the post-extraction composite from (doc_id, text) alone
+    and replays scoring + gate, so extraction, repair, scoring, and
+    the gate cross-check in one hash. Unlike q154/q155 (per-stage
+    oracles) this pins the COMPOSITION — the md5 only matches if every
+    stage hands the next exactly the right bytes. Zero shuffle start
+    to finish."""
+    from torcharrow_spark.operators.textnorm import corrupt_as_latin1
+    from torcharrow_spark.operators.webextract import escape_html_text
+    from torcharrow_spark.streaming import web_ingest_batch
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title><script>var d=1;</script></head><body>"),
+        F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav><h1>Doc '),
+        sid,
+        F.lit("</h1><p>"),
+        escape_html_text(F.col("text")),
+        F.lit(" café — naïve"),
+        F.lit('</p><footer><a href="/tos">Terms</a></footer></body></html>'),
+    )
+    synth = F.when(
+        F.col("doc_id") % 2 == 0, corrupt_as_latin1(page)
+    ).otherwise(page)
+    return web_ingest_batch(
+        docs.select("doc_id", synth.alias("html")), min_quality=0.75
+    )
+
+
+@query(
     "q157_cdc_dedup",
     oracle="""
     WITH c AS (

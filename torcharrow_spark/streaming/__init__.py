@@ -1033,6 +1033,101 @@ def quality_scores_stream(
     )
 
 
+def web_ingest_batch(
+    df: SDF,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+) -> SDF:
+    """Batch reference semantics for `web_ingest_stream`: the raw-web
+    front door of a curation pipeline as ONE stateless chain —
+    html_extract (block segmentation + link-density boilerplate drop)
+    -> textnorm.normalize_text (mojibake repair, NFC, control strip,
+    with the extracted title riding through as a passthrough column so
+    nothing joins) -> fused textstats quality + language-ID projection
+    -> quality gate. Returns (doc_id, title, was_mojibake, n_chars,
+    text_md5, quality, pred_lang) for pages clearing ``min_quality``.
+
+    Every stage is per-row (zero shuffle), so the stream twin needs no
+    state store and stream == batch holds exactly, micro-batch by
+    micro-batch."""
+    from torcharrow_spark.operators import html_extract
+    from torcharrow_spark.operators.textnorm import normalize_text
+    from torcharrow_spark.operators.textstats import (
+        _language_exprs,
+        _quality_exprs,
+        _words,
+    )
+
+    pages = html_extract(df, html_col, id_col)
+    cleaned = normalize_text(
+        pages.select(id_col, "title", "text"),
+        text_col="text",
+        id_col=id_col,
+        passthrough=("title",),
+    )
+    base = cleaned.select(
+        F.col(id_col),
+        F.col("title"),
+        F.col("was_mojibake"),
+        F.col("n_chars"),
+        F.col("text"),
+        _words(F.col("text")).alias("__w__"),
+    )
+    quality = _quality_exprs("text", words=F.col("__w__"))[-1]
+    pred_lang = _language_exprs("text", words=F.col("__w__"))[0]
+    scored = base.select(
+        id_col,
+        "title",
+        "was_mojibake",
+        "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+        quality,
+        pred_lang,
+    )
+    return scored.where(F.col("quality") >= min_quality)
+
+
+def web_ingest_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    dest_path: str,
+    checkpoint_path: str,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    query_name: str = "web_ingest_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `web_ingest_batch` (r9): raw HTML pages land
+    continuously; each micro-batch is extracted, repaired, scored, and
+    gated with the SAME stateless chain, then written to its own
+    ``batch_id=<n>`` parquet partition with mode('overwrite') — the
+    idempotent exactly-once sink shared by the other foreachBatch
+    twins (a replayed batch id overwrites its own directory, never
+    appends). Because the chain holds no state, stream == batch is
+    exact for any micro-batch split of the source."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        curated = web_ingest_batch(
+            batch_df, html_col=html_col, id_col=id_col, min_quality=min_quality
+        )
+        curated.write.mode("overwrite").parquet(f"{dest_path}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def _claim_index_root(
     spark: SparkSession, index_path: str, checkpoint_path: str
 ) -> None:

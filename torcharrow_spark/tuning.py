@@ -30,10 +30,12 @@ from __future__ import annotations
 
 import os as _os
 
+from .operators import cdc as _cdc
 from .operators import dedup as _dedup
 from .operators import indexstore as _indexstore
 from .operators import preprocess as _preprocess
 from .operators import similarity as _similarity
+from .operators import webextract as _webextract
 
 #: one entry per owned knob:
 #:   name       — what an operator would search for
@@ -320,6 +322,63 @@ REGISTRY: list[dict] = [
             "session maxPartitionBytes set STRICTER than the cap is "
             "always respected; per-call rows_budget= for operators "
             "with different fanout density."
+        ),
+    },
+    {
+        "name": "boilerplate gate (link density / words)",
+        "kind": "module-constant",
+        "location": (
+            "operators.webextract.LINK_DENSITY_MAX (+ "
+            "BOILERPLATE_MAX_WORDS)"
+        ),
+        "default": "{} / {}".format(
+            _webextract.LINK_DENSITY_MAX, _webextract.BOILERPLATE_MAX_WORDS
+        ),
+        "effect": (
+            "html_extract drops a text block as navigation/footer "
+            "chrome when MORE than LINK_DENSITY_MAX of its characters "
+            "sit inside anchors AND it has at most "
+            "BOILERPLATE_MAX_WORDS words; long link-heavy blocks "
+            "(reference sections) and short link-free blocks "
+            "(headlines) always survive."
+        ),
+        "trade": (
+            "The classic shallow-text-feature heuristic "
+            "(Kohlschuetter-style): the AND of the two conditions is "
+            "what keeps precision — density alone kills reference "
+            "lists, word count alone kills headlines. q154's oracle "
+            "replays the gate arithmetically for synthesized pages."
+        ),
+        "override": (
+            "html_extract(drop_boilerplate=False) returns every "
+            "block; the constants are module-level for corpus-wide "
+            "re-tuning."
+        ),
+    },
+    {
+        "name": "CDC chunk window / modulus",
+        "kind": "module-constant",
+        "location": "operators.cdc.DEFAULT_WINDOW (+ DEFAULT_MODULUS)",
+        "default": "{} / {}".format(_cdc.DEFAULT_WINDOW, _cdc.DEFAULT_MODULUS),
+        "effect": (
+            "cdc_chunks cuts where the degree-WINDOW rolling "
+            "polynomial hash is 0 mod MODULUS, making MODULUS the "
+            "expected chunk length in chars; chunk-instance count "
+            "(and both downstream md5-keyed shuffles) scale as "
+            "corpus_bytes / MODULUS."
+        ),
+        "trade": (
+            "16 chars suits the short-document oracle corpus; real "
+            "storage-dedup deployments run KiB-scale moduli — raise "
+            "MODULUS linearly with document size to keep instance "
+            "counts bounded. The q157 oracle replays window=4/mod=16 "
+            "verbatim, so the DEFAULTS are pinned by a correctness "
+            "gate, not just by docs."
+        ),
+        "override": (
+            "cdc_chunks/cdc_dedup_stats(window=, modulus=, min_size=, "
+            "max_size=) per call; min/max add the stateful guards the "
+            "pure form omits."
         ),
     },
     {
