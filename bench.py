@@ -79,6 +79,12 @@ HEADLINE = [
     "q145_modern_curation",  # the r5 capstone composition
     # r9 addition (first measurement = the anchor, probe-normalized)
     "q152_jpeg_decode",
+    # r9 session-2 additions (first measurement = the anchor,
+    # probe-normalized): the GIF decoder, CDC dedup, and the
+    # web-ingest composition capstone
+    "q156_gif_decode",
+    "q157_cdc_dedup",
+    "q158_web_ingest_curation",
 ]
 
 # Steady-state seconds at sf0.1 on local[32] — the regression anchor.
@@ -187,6 +193,17 @@ ANCHOR = {
     # 1.240 -> 1.211 normalized (synth + baseline JPEG decode of 5k
     # documents' streams through the Arrow batch path)
     "q152_jpeg_decode": 1.211,
+    # r9 session-2 first measurements, steady best-of-3, probe factor
+    # recorded per run (1.623-1.792 on this host):
+    # q156: GIF synth (real LZW encode) + decode of 5k streams, sized
+    # so every stream crosses the 512-entry code-width boundary.
+    # q157: CDC chunking + two md5-keyed sharing exchanges over ~430k
+    # chunk instances.
+    # q158: extract -> repair -> score -> gate composition; wall is
+    # parse-dominated (html.parser per page), exchanges tiny.
+    "q156_gif_decode": 1.633,
+    "q157_cdc_dedup": 1.174,
+    "q158_web_ingest_curation": 1.017,
 }
 
 
@@ -298,6 +315,19 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # JPEG payloads (q145 anchor discipline — the spread component is
     # the whole number; the decode itself shuffles nothing).
     "q152_jpeg_decode": 210188,
+    # r9 session-2 first measurements:
+    # q156: the decode-family spread exchange, GIF payloads (LZW-
+    # compressed index grids are larger per doc than q152's JPEG
+    # blocks — whole number is the spread, decode shuffles nothing).
+    "q156_gif_decode": 1019132,
+    # q157: chunk instances (doc_id, md5, len) through the freq
+    # groupBy + join-back — BOTH exchanges keyed on the chunk md5;
+    # volume = instances x ~44 B, linear in corpus bytes / modulus.
+    "q157_cdc_dedup": 7535289,
+    # q158: the narrow-source spread of the synthesized pages feeding
+    # the parse UDF (same component as q126/q152); extraction, repair,
+    # scoring, and the gate add ZERO keyed exchanges.
+    "q158_web_ingest_curation": 958462,
     "q127_lm_quality": 240651,
     "q128_gopher_filter": 851481,
     # RE-PINNED r9, TWO decomposed components (measured this round by

@@ -83,7 +83,6 @@ def test_driver_window_coverage():
         # sketch family), q147 replaces q126's still-image row (frames
         # decode THROUGH the same image path, a strict superset) —
         # both old rows stay driver_sim + pytest gated
-        "q76_chunk_documents",
         "q148_minhash_bucket_audit",
         "q135_semantic_dedup", "q105_heavy_hitters", "q71_deterministic_sampling",
         "q110_grouped_quantiles", "q134_pack_nosplit",
@@ -92,7 +91,7 @@ def test_driver_window_coverage():
         # q82 stays driver_sim + pytest gated
         "q147_video_frame_decode",
         "q149_incremental_dedup",
-        "q98_market_share", "q41_bpe_tokenize",
+        "q41_bpe_tokenize",
         # r8 rotations (VERDICT r7 ask #2): the modern-curation capstone
         # and the exact half of the incremental-index family get their
         # first driver-hash rows
@@ -107,5 +106,11 @@ def test_driver_window_coverage():
         # q86, exact dedup runs inside q129).
         "q151_incremental_dedup_retired", "q132_curate_pack_twin",
         "q146_skew_report", "q152_jpeg_decode",
+        # r9 session-2 rotations: the NEW web-ingest + CDC families get
+        # driver rows. Rotated out (driver-green r2-r8, still
+        # driver_sim + pytest gated): q12 (§2.6 keeps q01/q66/q110),
+        # q76 (text analysis keeps q24/q127/q128/q139), q98 (the
+        # relational core keeps q01/q02/q03/q06/q07/q35/q37).
+        "q154_html_extract", "q157_cdc_dedup", "q158_web_ingest_curation",
     }
     assert must_have <= window, must_have - window

@@ -7263,8 +7263,9 @@ def q158_web_ingest_curation(spark: SparkSession, sf_dir: str) -> SDF:
     and replays scoring + gate, so extraction, repair, scoring, and
     the gate cross-check in one hash. Unlike q154/q155 (per-stage
     oracles) this pins the COMPOSITION — the md5 only matches if every
-    stage hands the next exactly the right bytes. Zero shuffle start
-    to finish."""
+    stage hands the next exactly the right bytes. No keyed shuffle
+    anywhere: the only exchange is the narrow-source spread of the
+    synthesized pages feeding the parse UDF (bench.py pins it)."""
     from torcharrow_spark.operators.textnorm import corrupt_as_latin1
     from torcharrow_spark.operators.webextract import escape_html_text
     from torcharrow_spark.streaming import web_ingest_batch
@@ -7504,7 +7505,10 @@ DRIVER_WINDOW = [
     "q07_arith_semantics",      # §2.7 arithmetic semantics
     "q08_string_ops",           # §2.8 .str surface
     "q09_list_ops",             # §2.9/§2.10 list + map functions
-    "q12_cumsum",               # §2.6 cumulatives
+    "q154_html_extract",        # r9 session-2 rotation: the NEW web-
+                                # ingest family's extraction row (q12
+                                # cumsum was driver-green r2-r8; §2.6
+                                # stays covered by q01/q66/q110)
     "q16_event_windows",        # §2.14 streaming windows + watermark
     "q17_sessionize",           # §2.14 sessionization
     "q27_rec_ops",              # §2.13 bucketize/sigrid_hash/z-scale
@@ -7584,7 +7588,11 @@ DRIVER_WINDOW = [
                                 # in-window)
     "q71_deterministic_sampling", # hash/stratified sampling
     "q72_redact_pii",           # PII redaction
-    "q76_chunk_documents",      # context-window chunking
+    "q157_cdc_dedup",           # r9 session-2 rotation: content-
+                                # defined chunking dedup, a NEW dedup
+                                # family (q76 chunk_documents was
+                                # driver-green r3-r8; text analysis
+                                # keeps q24/q127/q128/q139 rows)
     "q146_skew_report",         # r9 rotation (VERDICT r8 ask #3): the
                                 # partition-skew diagnostic — never
                                 # driver-hashed (q79_dedup_lines was
@@ -7608,7 +7616,12 @@ DRIVER_WINDOW = [
                                 # r2-r3; q80/q105 keep sketches covered)
     "q86_strip_duplicate_spans",# substring-span dedup (Lee et al.)
     "q87_contamination",        # train/test contamination
-    "q98_market_share",         # TPC-H gauntlet representative (Q8 shape)
+    "q158_web_ingest_curation", # r9 session-2 rotation: the web-ingest
+                                # COMPOSITION capstone (extract ->
+                                # repair -> score -> gate in one hash;
+                                # q98 market_share was driver-green
+                                # r2-r8; the relational core keeps
+                                # q01/q02/q03/q06/q07/q35/q37 rows)
     "q105_heavy_hitters",       # exact heavy hitters at scale
     "q110_grouped_quantiles",   # grouped binned quantiles
     "q134_pack_nosplit",        # sequence packing (no-straddle form;
