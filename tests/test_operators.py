@@ -2721,6 +2721,61 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         decode_wav(bytes(bad))
 
 
+def test_g711_expansion_exact():
+    """r9: the mu-law/A-law segment tables must match the CCITT
+    reference for all 512 codes — checked against CPython's audioop
+    where available, plus pinned spec landmarks so the test keeps
+    teeth on Python >= 3.13 (audioop removed)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from torcharrow_spark.operators.audiocodec import (
+        alaw_to_linear,
+        decode_wav,
+        encode_wav_g711,
+        ulaw_to_linear,
+    )
+
+    try:
+        import audioop  # noqa: F401 — removed in 3.13
+
+        for b in range(256):
+            assert audioop.ulaw2lin(bytes([b]), 2) == struct.pack(
+                "<h", ulaw_to_linear(b)
+            )
+            assert audioop.alaw2lin(bytes([b]), 2) == struct.pack(
+                "<h", alaw_to_linear(b)
+            )
+    except ImportError:
+        pass
+    # spec landmarks: extremes, both zero codes, segment-1 boundaries
+    assert ulaw_to_linear(0x00) == -32124 and ulaw_to_linear(0x80) == 32124
+    assert ulaw_to_linear(0xFF) == 0 and ulaw_to_linear(0x7F) == 0
+    assert alaw_to_linear(0x2A) == -32256 and alaw_to_linear(0xAA) == 32256
+    assert alaw_to_linear(0x55) == -8 and alaw_to_linear(0xD5) == 8
+    # negate-symmetry: flipping the sign bit negates every code
+    for b in range(128):
+        assert ulaw_to_linear(b) == -ulaw_to_linear(b | 0x80)
+        assert alaw_to_linear(b) == -alaw_to_linear(b | 0x80)
+
+    # container round-trip through both laws
+    payload = bytes(range(256))
+    for law, table_fn in (("ulaw", ulaw_to_linear), ("alaw", alaw_to_linear)):
+        rate, ch, got = decode_wav(encode_wav_g711(payload, 8000, 1, law))
+        assert (rate, ch) == (8000, 1)
+        assert got.tolist() == [table_fn(b) for b in payload]
+        assert got.dtype == np.int16
+    with pytest.raises(ValueError):
+        encode_wav_g711(payload, 8000, 1, "gsm")
+    # 16-bit G.711 is spec-invalid: the decoder must refuse
+    bad = bytearray(encode_wav_g711(payload, 8000, 1, "ulaw"))
+    struct.pack_into("<H", bad, 34, 16)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
 def test_mp4_box_walker_edges():
     """ISO-BMFF walker invariants without Spark: round-trip of the
     synthesized skeleton, 64-bit largesize boxes, size-0 (to-EOF)

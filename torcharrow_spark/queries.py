@@ -7181,6 +7181,92 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
+def _g711_sql(b: str, law: str) -> str:
+    """DuckDB integer-arithmetic expansion of one G.711 byte expression
+    — the exact CCITT segment formulas from operators/audiocodec,
+    re-expressed with SQL bit ops so the oracle owns its own decoder."""
+    if law == "ulaw":
+        u = f"(255 - ({b}))"
+        t = f"(((({u} & 15) << 3) + 132) << (({u} & 112) >> 4))"
+        return f"(CASE WHEN ({u} & 128) != 0 THEN 132 - {t} ELSE {t} - 132 END)"
+    a = f"xor(({b}), 85)"
+    seg = f"(({a} & 112) >> 4)"
+    t = (
+        f"(CASE WHEN {seg} = 0 THEN (({a} & 15) << 4) + 8 "
+        f"WHEN {seg} = 1 THEN (({a} & 15) << 4) + 264 "
+        f"ELSE ((({a} & 15) << 4) + 264) << ({seg} - 1) END)"
+    )
+    return f"(CASE WHEN ({a} & 128) != 0 THEN {t} ELSE -{t} END)"
+
+
+_G711_BYTE = "(doc_id * 31 + i * 7) % 256"
+
+
+@query(
+    "q159_g711_audio",
+    oracle=f"""
+    SELECT doc_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           (50 + doc_id % 97)::BIGINT AS n_samples,
+           ((50 + doc_id % 97) * 1000 // 8000)::BIGINT AS duration_ms,
+           CAST(list_sum(list_transform(range(0, 50 + doc_id % 97), i ->
+                 abs(CASE WHEN doc_id % 2 = 0
+                          THEN {_g711_sql(_G711_BYTE, "ulaw")}
+                          ELSE {_g711_sql(_G711_BYTE, "alaw")} END)))
+             AS BIGINT) AS amp_sum,
+           CAST(list_sum(list_transform(range(0, 50 + doc_id % 97), i ->
+                 abs(CASE WHEN doc_id % 2 = 0
+                          THEN {_g711_sql(_G711_BYTE, "ulaw")}
+                          ELSE {_g711_sql(_G711_BYTE, "alaw")} END)))
+             AS DOUBLE) / (50 + doc_id % 97) AS amp_mean
+    FROM documents
+    """,
+)
+def q159_g711_audio(spark: SparkSession, sf_dir: str) -> SDF:
+    """G.711 companded-telephony decode on Spark (r9, operators/
+    audiocodec formats 6/7 + multimodal.decode_audio_stats): a WAV
+    wrapping raw companded bytes ``(doc_id*31 + i*7) % 256`` is
+    synthesized per document — mu-law for even doc_ids, A-law for odd —
+    and the decoder must expand every byte through the exact CCITT
+    piecewise-linear segment tables (validated byte-for-byte against
+    CPython's audioop reference in pytest). The oracle re-derives the
+    expansion with SQL bit arithmetic (complement/xor, mantissa shift,
+    segment scaling, the two A-law low-segment special cases), so a
+    single wrong table entry in any of the 512 codes breaks the
+    amp-sum hash. Same zero-shuffle decode plumbing as q142."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import decode_audio_stats
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+
+    def _synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from torcharrow_spark.operators.audiocodec import encode_wav_g711
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 50 + d % 97
+                i = np.arange(n, dtype=np.int64)
+                payload = ((d * 31 + i * 7) % 256).astype(np.uint8).tobytes()
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                ids.append(d)
+                blobs.append(bytearray(encode_wav_g711(payload, 8000, 1, law)))
+            yield pd.DataFrame({"doc_id": ids, "wav": blobs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("wav", T.BinaryType(), True)]
+    )
+    with_wav = docs.mapInPandas(_synth, schema)
+    return decode_audio_stats(with_wav, "wav", "doc_id")
+
+
 @query(
     "q158_web_ingest_curation",
     oracle=f"""
