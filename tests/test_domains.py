@@ -1,0 +1,59 @@
+"""Domain-level curation (operators/textstats url_host / filter_domains
+/ domain_stats): host extraction edge cases, both gate modes, broadcast
+plan shape, hand-valued rollups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from torcharrow_spark.operators import domain_stats, filter_domains, url_host
+
+
+def test_url_host_extraction(spark):
+    cases = [
+        ("https://WWW.Example.COM/path?q=1", "example.com"),
+        ("http://sub.site.org/a#frag", "sub.site.org"),
+        ("ftp://files.host.net/x", "files.host.net"),
+        ("no-scheme.com/path", "no-scheme.com"),
+        ("www.bare.io", "bare.io"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_host("url")).collect()]
+    assert got == [h for _, h in cases]
+
+
+def test_filter_domains_block_and_allow(spark):
+    rows = [
+        (0, "https://bad.com/a"),
+        (1, "https://www.bad.com/b"),   # www-variant of a listed host
+        (2, "https://good.org/c"),
+        (3, None),                       # url-less rows survive a blocklist
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = filter_domains(df, ["bad.com"], mode="block")
+    assert sorted(r.doc_id for r in blocked.collect()) == [2, 3]
+    allowed = filter_domains(df, ["bad.com"], mode="allow")
+    assert sorted(r.doc_id for r in allowed.collect()) == [0, 1]
+    with pytest.raises(ValueError):
+        filter_domains(df, ["x"], mode="drop")
+    # the gate is a BROADCAST join: the corpus side must not shuffle
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_domain_stats_hand_values(spark):
+    rows = [
+        (0, "https://a.com/1", "xxxx", "en"),
+        (1, "https://www.a.com/2", "yyyyyy", "fr"),
+        (2, "https://b.net/1", "zz", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string, lang string")
+    out = {r.domain: r for r in
+           domain_stats(df, text_col="text", lang_col="lang").collect()}
+    assert out["a.com"].n_docs == 2 and out["a.com"].total_chars == 10
+    assert out["a.com"].mean_chars == 5.0 and out["a.com"].n_langs == 2
+    assert out["b.net"].n_docs == 1 and out["b.net"].n_langs == 1
+    # minimal form: counts only
+    slim = domain_stats(df).columns
+    assert slim == ["domain", "n_docs"]

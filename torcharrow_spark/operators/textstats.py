@@ -611,3 +611,72 @@ def url_dedup_ids(df: SDF, url_col: str = "url", id_col: str = "doc_id") -> SDF:
             id_col, "canonical_url"
         )
     )
+
+
+def url_host(col) -> F.Column:
+    """Lowercased host of a URL (scheme and one leading ``www.``
+    stripped — the same host rule `normalize_url` applies), as its own
+    expression: the grouping key for every domain-level curation
+    decision. Pure regexp projection, SQL-replayable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.regexp_extract(
+            c,
+            r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[wW][wW][wW]\.)?([^/?#]*)",
+            1,
+        )
+    )
+
+
+def filter_domains(
+    df: SDF, domains: _ty.Sequence[str], url_col: str = "url",
+    mode: str = "block",
+) -> SDF:
+    """Gate a corpus by domain list: ``mode='block'`` drops rows whose
+    URL host is listed (the blocklist pass every web pipeline runs
+    first), ``mode='allow'`` keeps only listed hosts.
+
+    The list ships as a BROADCAST single-column frame and the gate is
+    a broadcast anti/semi join on the extracted host — real blocklists
+    run to 10^5-10^6 domains, far past `isin` literal limits, and a
+    broadcast join keeps the corpus side shuffle-free at any scale."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    spark = df.sparkSession
+    doms = spark.createDataFrame(
+        [(d.lower(),) for d in domains], "__dom__ string"
+    )
+    host = url_host(url_col)
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(
+        F.broadcast(doms), host == F.col("__dom__"), how
+    )
+
+
+def domain_stats(
+    df: SDF,
+    url_col: str = "url",
+    text_col: _ty.Optional[str] = None,
+    lang_col: _ty.Optional[str] = None,
+) -> SDF:
+    """Per-domain corpus report — the table a curation team reads
+    before writing domain rules: ``(domain, n_docs[, total_chars,
+    mean_chars][, n_langs])``. One hash shuffle keyed on the host
+    (domains are the natural unit of web skew; a hot domain is ONE
+    group row here, which is exactly the signal that it needs a rule).
+    ``mean_chars`` divides an exact integer sum, so the report is
+    bit-identical under any partitioning."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if text_col is not None:
+        total = F.sum(F.length(F.col(text_col)).cast("long"))
+        aggs.append(total.alias("total_chars"))
+        aggs.append(
+            (total.cast("double") / F.count(F.lit(1))).alias("mean_chars")
+        )
+    if lang_col is not None:
+        aggs.append(F.countDistinct(F.col(lang_col)).alias("n_langs"))
+    return (
+        df.select(url_host(url_col).alias("domain"), *df.columns)
+        .groupBy("domain")
+        .agg(*aggs)
+    )

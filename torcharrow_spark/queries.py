@@ -7181,6 +7181,49 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
+@query(
+    "q160_domain_curation",
+    oracle="""
+    SELECT lower(source || '.example.com') AS domain,
+           count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS total_chars,
+           sum(length(text))::DOUBLE / count(*) AS mean_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM documents
+    WHERE lower(source || '.example.com')
+          NOT IN ('src3.example.com', 'src7.example.com')
+    GROUP BY 1
+    """,
+)
+def q160_domain_curation(spark: SparkSession, sf_dir: str) -> SDF:
+    """Domain-level curation on Spark (r9, operators/textstats
+    url_host + filter_domains + domain_stats): a full URL is
+    synthesized per document (uppercase ``WWW.`` prefix and tracking
+    params included, so host extraction earns its regex), two domains
+    are BLOCKLISTED via the broadcast anti-join gate (the first pass
+    every web pipeline runs; broadcast because real blocklists are
+    10^5+ domains, past isin literal limits), and the survivors roll
+    up into the per-domain report a curation team reads before writing
+    domain rules — doc counts, exact char totals, mean length, and
+    language spread, one hash shuffle keyed on the host (a hot domain
+    becomes ONE group row: the skew signal itself). The oracle replays
+    host derivation, the blocklist, and every aggregate from
+    (source, text, lang)."""
+    from torcharrow_spark.operators import domain_stats, filter_domains
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"), F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select("doc_id", "text", "lang", url.alias("url"))
+    kept = filter_domains(
+        pages, ["src3.example.com", "src7.example.com"], mode="block"
+    )
+    return domain_stats(kept, url_col="url", text_col="text", lang_col="lang")
+
+
 def _g711_sql(b: str, law: str) -> str:
     """DuckDB integer-arithmetic expansion of one G.711 byte expression
     — the exact CCITT segment formulas from operators/audiocodec,
