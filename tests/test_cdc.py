@@ -74,6 +74,37 @@ def test_short_text_single_chunk():
     assert chunk_text("") == [""]
 
 
+def test_cdc_dedup_against_index_spark(spark, tmp_path):
+    from torcharrow_spark.operators.cdc import cdc_dedup_against_index, cdc_index
+    from torcharrow_spark.operators.indexstore import publish_index, read_index
+
+    shared = "value table part row scan merge batch window column agg " * 10
+    corpus = spark.createDataFrame([(0, shared)], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [
+            (1, "a new lead-in then " + shared),      # mostly known bytes
+            (2, "entirely fresh words nothing shared about this one at all"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = cdc_index(corpus)
+    out = {r.doc_id: r for r in cdc_dedup_against_index(delta, idx).collect()}
+    assert out[1].keep is False and out[1].shared_frac > 0.5
+    assert out[2].keep is True and out[2].shared_bytes == 0
+    assert out[1].total_bytes == len("a new lead-in then " + shared)
+
+    # the index composes with the versioned store like its minhash twin
+    root = str(tmp_path / "cdc_idx")
+    publish_index(idx, root)
+    out2 = {
+        r.doc_id: r
+        for r in cdc_dedup_against_index(delta, read_index(spark, root)).collect()
+    }
+    assert {i: (r.shared_bytes, r.keep) for i, r in out2.items()} == {
+        i: (r.shared_bytes, r.keep) for i, r in out.items()
+    }
+
+
 def test_cdc_dedup_stats_spark(spark):
     shared = "value table part row scan merge batch window column agg " * 10
     rows = [

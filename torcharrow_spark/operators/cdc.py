@@ -144,6 +144,74 @@ def cdc_chunks(
     return src.mapInPandas(chunk_iter, out_schema)
 
 
+def cdc_index(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = DEFAULT_WINDOW,
+    modulus: int = DEFAULT_MODULUS,
+    min_size: _ty.Optional[int] = None,
+    max_size: _ty.Optional[int] = None,
+) -> SDF:
+    """Distinct chunk hashes of a kept corpus: one ``(h)`` row per
+    chunk content — the standing CDC index a nightly delivery probes.
+    Persist/version it with ``operators.indexstore.publish_index``
+    like the MinHash/exact index twins (q149/q150); hashes are 32-char
+    md5 hex, ~48 B/row on disk."""
+    return (
+        cdc_chunks(df, text_col, id_col, window, modulus, min_size, max_size)
+        .select("h")
+        .distinct()
+    )
+
+
+def cdc_dedup_against_index(
+    delta: SDF,
+    index: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shared_frac: float = 0.5,
+    window: int = DEFAULT_WINDOW,
+    modulus: int = DEFAULT_MODULUS,
+    min_size: _ty.Optional[int] = None,
+    max_size: _ty.Optional[int] = None,
+) -> SDF:
+    """Incremental CDC dedup: probe a delivery against a standing
+    chunk-hash index and flag documents that are mostly already-known
+    bytes. Returns ``(id, shared_bytes, total_bytes, shared_frac,
+    keep)`` — ``keep`` is false when at least ``max_shared_frac`` of
+    the document's bytes sit in chunks the index already holds (the
+    alignment-robust complement to `dedup.dedup_against_index`, which
+    needs near-identical WHOLE documents; this catches a new page
+    that is 80% stitched from known passages).
+
+    Plan: map-side chunking of the delta only, one hash-keyed left
+    join against the index (both sides shuffle on the uniform md5 —
+    the index is typically far larger than a delivery, so no
+    broadcast), one per-doc agg. Intra-document repeats of a known
+    chunk each count as shared bytes: every copy is bytes the corpus
+    already has."""
+    inst = cdc_chunks(
+        delta, text_col, id_col, window, modulus, min_size, max_size
+    )
+    idx = index.select("h").distinct().withColumn("__hit__", F.lit(1))
+    joined = inst.join(idx, "h", "left")
+    hit = F.col("__hit__").isNotNull()
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(F.when(hit, F.col("ln")).otherwise(0)).alias("shared_bytes"),
+        F.sum("ln").alias("total_bytes"),
+    )
+    frac = F.col("shared_bytes") / F.col("total_bytes")
+    return per_doc.select(
+        id_col,
+        "shared_bytes",
+        "total_bytes",
+        # engine-independent half-up rounding, same rule as textstats
+        (F.floor(frac * 10000.0 + 0.5) / 10000.0).alias("shared_frac"),
+        (frac < max_shared_frac).alias("keep"),
+    )
+
+
 def cdc_dedup_stats(
     df: SDF,
     text_col: str = "text",

@@ -7181,6 +7181,80 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
+def _cdc_chunk_sql(pred: str) -> str:
+    """DuckDB subquery yielding one (doc_id, h, ln) row per CDC chunk
+    instance of the documents matching ``pred`` — the exact
+    operators/cdc boundary rule (window-4 degree-31 polynomial, cut at
+    0 mod 16), shared verbatim by the q157 and q161 oracles so both
+    replay ONE boundary definition."""
+    return f"""(
+      WITH c AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_filter(range(4, length(text) + 1), i ->
+                 (ascii(substr(text, (i - 3)::INT, 1)) * 29791
+                  + ascii(substr(text, (i - 2)::INT, 1)) * 961
+                  + ascii(substr(text, (i - 1)::INT, 1)) * 31
+                  + ascii(substr(text, i::INT, 1))) % 16 = 0) AS cuts
+        FROM documents WHERE {pred}
+      ), b AS (
+        SELECT doc_id, text,
+               list_prepend(0, CASE WHEN len(cuts) > 0 AND cuts[-1] = n
+                                    THEN cuts
+                                    ELSE list_append(cuts, n) END) AS allc
+        FROM c
+      ), ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(allc)), j ->
+                   substr(text, (allc[j] + 1)::INT,
+                          (allc[j + 1] - allc[j])::INT))) AS chunk
+        FROM b
+      )
+      SELECT doc_id, md5(chunk) AS h, length(chunk) AS ln FROM ch
+    )"""
+
+
+@query(
+    "q161_cdc_incremental",
+    oracle=f"""
+    WITH dchunks AS (
+      SELECT * FROM {_cdc_chunk_sql("doc_id % 2 = 1")}
+    ), ichunks AS (
+      SELECT DISTINCT h FROM {_cdc_chunk_sql("doc_id % 2 = 0")}
+    )
+    SELECT d.doc_id,
+           sum(CASE WHEN i.h IS NOT NULL THEN d.ln ELSE 0 END)::BIGINT
+             AS shared_bytes,
+           sum(d.ln)::BIGINT AS total_bytes,
+           floor(sum(CASE WHEN i.h IS NOT NULL THEN d.ln ELSE 0 END)::DOUBLE
+                 / sum(d.ln) * 10000 + 0.5) / 10000 AS shared_frac,
+           (sum(CASE WHEN i.h IS NOT NULL THEN d.ln ELSE 0 END)::DOUBLE
+            / sum(d.ln)) < 0.5 AS keep
+    FROM dchunks d LEFT JOIN ichunks i USING (h)
+    GROUP BY d.doc_id
+    """,
+)
+def q161_cdc_incremental(spark: SparkSession, sf_dir: str) -> SDF:
+    """Incremental CDC dedup (r9, operators/cdc.cdc_index +
+    cdc_dedup_against_index): even doc_ids play the kept corpus —
+    their distinct chunk hashes are the standing index (persist it
+    with indexstore.publish_index in production, exactly like the
+    MinHash/exact index twins) — and odd doc_ids play tonight's
+    delivery, each scored by the fraction of its BYTES already present
+    in index chunks. This is the alignment-robust incremental form:
+    `dedup_against_index` needs a near-identical whole document, while
+    chunk-level probing catches a new page stitched mostly from known
+    passages. One hash-keyed left join (no broadcast — the index side
+    is the big one at scale), one per-doc agg; the oracle replays
+    chunking of BOTH halves through the same boundary SQL as q157 plus
+    the join and the keep rule."""
+    from torcharrow_spark.operators.cdc import cdc_dedup_against_index, cdc_index
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    return cdc_dedup_against_index(delta, cdc_index(corpus))
+
+
 @query(
     "q160_domain_curation",
     oracle="""
@@ -7421,29 +7495,9 @@ def q158_web_ingest_curation(spark: SparkSession, sf_dir: str) -> SDF:
 
 @query(
     "q157_cdc_dedup",
-    oracle="""
-    WITH c AS (
-      SELECT doc_id, text, length(text) AS n,
-             list_filter(range(4, length(text) + 1), i ->
-               (ascii(substr(text, (i - 3)::INT, 1)) * 29791
-                + ascii(substr(text, (i - 2)::INT, 1)) * 961
-                + ascii(substr(text, (i - 1)::INT, 1)) * 31
-                + ascii(substr(text, i::INT, 1))) % 16 = 0) AS cuts
-      FROM documents
-    ), b AS (
-      SELECT doc_id, text,
-             list_prepend(0, CASE WHEN len(cuts) > 0 AND cuts[-1] = n
-                                  THEN cuts
-                                  ELSE list_append(cuts, n) END) AS allc
-      FROM c
-    ), ch AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, len(allc)), j ->
-                 substr(text, (allc[j] + 1)::INT,
-                        (allc[j + 1] - allc[j])::INT))) AS chunk
-      FROM b
-    ), inst AS (
-      SELECT doc_id, md5(chunk) AS h, length(chunk) AS ln FROM ch
+    oracle=f"""
+    WITH inst AS (
+      SELECT * FROM {_cdc_chunk_sql("TRUE")}
     ), freq AS (
       SELECT h, count(DISTINCT doc_id) AS ndocs FROM inst GROUP BY h
     )
