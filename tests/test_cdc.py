@@ -105,6 +105,74 @@ def test_cdc_dedup_against_index_spark(spark, tmp_path):
     }
 
 
+def test_cdc_incremental_stream_matches_batch(spark, tmp_path):
+    """Streaming twin: single-batch run == cdc_dedup_against_index
+    against the published base; a second-batch doc built from batch-1
+    survivor bytes is dropped THROUGH THE DELTA (cross-batch), and the
+    sinks are overwrite-by-batch-id."""
+    from torcharrow_spark.operators.cdc import cdc_dedup_against_index, cdc_index
+    from torcharrow_spark.operators.indexstore import publish_index, read_index
+    from torcharrow_spark.streaming import cdc_incremental_stream
+
+    kept = "value table part row scan merge batch window column agg " * 10
+    fresh1 = "first genuinely new content with distinct words here " * 8
+    fresh2 = "second batch brings another novel passage of text " * 8
+
+    corpus = spark.createDataFrame([(0, kept)], "doc_id long, text string")
+    index_root = str(tmp_path / "idx")
+    publish_index(cdc_index(corpus), index_root)
+
+    # batch 1: one mostly-known doc + one fresh; batch 2: one doc made
+    # of batch-1 SURVIVOR bytes (must be dropped via the delta) + fresh
+    b1 = [(10, "lead-in " + kept), (11, fresh1)]
+    b2 = [(20, "prefix " + fresh1), (21, fresh2)]
+    # stage each wave as ONE file in the source dir (file-source
+    # streams list files, not subdirectories; maxFilesPerTrigger=1
+    # then yields one micro-batch per wave, in write order)
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    src = str(tmp_path / "deliveries")
+    os.makedirs(src)
+    for i, wave in enumerate((b1, b2)):
+        scratch = str(tmp_path / f"w{i}")
+        spark.createDataFrame(
+            wave, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = glob.glob(f"{scratch}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/wave{i}.parquet")
+        _t.sleep(1.1)  # distinct mtimes fix the listing order
+    schema = spark.read.parquet(src).schema
+
+    dest = str(tmp_path / "survivors")
+    q = cdc_incremental_stream(
+        spark, src, schema, dest, index_root, str(tmp_path / "ckpt"),
+        query_name="t_cdc_inc", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = spark.read.parquet(dest)
+    survivors = sorted(r.doc_id for r in landed.collect())
+    # 10 collides with base; 20 collides with 11's delta; 11/21 survive
+    assert survivors == [11, 21]
+    assert landed.select("batch_id").distinct().count() == 2
+
+    # single-batch equivalence with the batch operator
+    batch1 = spark.createDataFrame(b1, "doc_id long, text string")
+    want = {
+        r.doc_id: r.keep
+        for r in cdc_dedup_against_index(
+            batch1, read_index(spark, index_root)
+        ).collect()
+    }
+    assert want == {10: False, 11: True}
+
+
 def test_cdc_dedup_stats_spark(spark):
     shared = "value table part row scan merge batch window column agg " * 10
     rows = [

@@ -1033,6 +1033,93 @@ def quality_scores_stream(
     )
 
 
+def cdc_incremental_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    dest_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shared_frac: float = 0.5,
+    query_name: str = "cdc_incremental_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """INGEST-TIME incremental CDC dedup (r9): the chunk-level twin of
+    `incremental_dedup_stream` — same standing-index loop ("gate
+    tonight's delivery against everything we kept, then fold the
+    survivors in"), but the index is the corpus's distinct CDC chunk
+    hashes and the gate is BYTE-FRACTION overlap
+    (`operators.cdc.cdc_dedup_against_index`), so a delivery page
+    stitched mostly from already-kept passages is dropped even though
+    no kept document resembles it as a whole. Each micro-batch:
+
+    1. resolves the standing index: manifest-resolved base snapshot
+       (`indexstore.read_index`, absent = cold start) plus every
+       earlier batch's `{index_path}/delta/batch_id=N`, with a
+       REPLAYED batch's own delta filtered out by batch id;
+    2. scores every batch doc's shared-byte fraction against that
+       index and keeps those under ``max_shared_frac``; intra-batch
+       near-dup between two NEW docs is deliberately out of scope here
+       (run `cdc_dedup_stats` downstream) — the index gate must not
+       depend on intra-batch ordering;
+    3. lands survivors in `{dest_path}/batch_id=N` and their distinct
+       chunk hashes in `{index_path}/delta/batch_id=N`, both
+       overwrite-by-batch-id (exactly-once under replay; the standing
+       index is the UNION of base + deltas because chunk-hash rows are
+       content-keyed, so union IS the merged index).
+
+    Shares `_claim_index_root`'s one-checkpoint-per-root contract and
+    the compact/publish lifecycle with the MinHash twin. Single-batch
+    case is bit-identical to `cdc_dedup_against_index(batch, base)`
+    (paired pytest), which makes the twin oracle-checkable through
+    q161's batch side."""
+    from torcharrow_spark.operators.cdc import cdc_chunks, cdc_dedup_against_index
+    from torcharrow_spark.operators.indexstore import read_index
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        if batch_id == 0:
+            _claim_index_root(spark, index_path, checkpoint_path)
+        base = read_index(spark, index_path)
+        delta = _try_read_parquet(spark, f"{index_path}/delta")
+        if delta is not None:
+            delta = delta.where(F.col("batch_id") < F.lit(int(batch_id)))
+        parts = [d.select("h") for d in (base, delta) if d is not None]
+        if parts:
+            index = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        else:  # cold start: nothing kept yet
+            index = spark.createDataFrame([], "h string")
+        scored = cdc_dedup_against_index(
+            batch_df, index, text_col, id_col, max_shared_frac=max_shared_frac
+        )
+        survivors = batch_df.join(
+            scored.where(F.col("keep")).select(id_col), id_col
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{dest_path}/batch_id={batch_id}"
+        )
+        # chunk the JUST-WRITTEN survivors (not the uncached plan — it
+        # would re-run the index join; same rule as the MinHash twin)
+        landed = spark.read.parquet(f"{dest_path}/batch_id={batch_id}")
+        cdc_chunks(landed, text_col, id_col).select("h").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/delta/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def web_ingest_batch(
     df: SDF,
     html_col: str = "html",
