@@ -93,6 +93,11 @@ def test_cdc_dedup_against_index_spark(spark, tmp_path):
     assert out[2].keep is True and out[2].shared_bytes == 0
     assert out[1].total_bytes == len("a new lead-in then " + shared)
 
+    # empty delivery doc: 0% shared by definition, kept, no null ratio
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    e = cdc_dedup_against_index(empty, idx).collect()[0]
+    assert e.keep is True and e.shared_frac == 0.0 and e.total_bytes == 0
+
     # the index composes with the versioned store like its minhash twin
     root = str(tmp_path / "cdc_idx")
     publish_index(idx, root)

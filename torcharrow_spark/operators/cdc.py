@@ -201,7 +201,12 @@ def cdc_dedup_against_index(
         F.sum(F.when(hit, F.col("ln")).otherwise(0)).alias("shared_bytes"),
         F.sum("ln").alias("total_bytes"),
     )
-    frac = F.col("shared_bytes") / F.col("total_bytes")
+    # empty documents chunk to one zero-length chunk: define them as
+    # 0% shared (kept) rather than a null ratio
+    frac = F.when(
+        F.col("total_bytes") > 0,
+        F.col("shared_bytes") / F.col("total_bytes"),
+    ).otherwise(F.lit(0.0))
     return per_doc.select(
         id_col,
         "shared_bytes",
