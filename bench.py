@@ -555,6 +555,10 @@ STRESS_ANCHOR: dict[str, float] = {
     "q21_ngram_jaccard_auto": 7.5,
     "q42_cosine_dedup": 4.774,
     "q105_heavy_hitters": 3.052,
+    # r9 session-2 first measurement (best-of-2 steady 4.537 at probe
+    # factor ~0.916 => anchor-era seconds below); chunking is map work,
+    # the cost is the two md5-keyed sharing exchanges
+    "q157_cdc_dedup": 4.95,
 }
 
 # r5: machine-INDEPENDENT stress anchors — total shuffle-write bytes of
@@ -598,6 +602,10 @@ STRESS_SHUFFLE_ANCHOR: dict[str, int] = {
     "q21_ngram_jaccard_auto": 215683097,
     "q42_cosine_dedup": 6135460,
     "q105_heavy_hitters": 871654,
+    # r9 session-2 first measurement: 3.80 B shuffle per corpus char at
+    # sf1 (19.7M chars) — instance rows (id, md5, ln) through the freq
+    # groupBy + join-back, linear in corpus bytes / modulus
+    "q157_cdc_dedup": 74892916,
 }
 
 # Spill bytes at the bench scales are expected to be ZERO everywhere
@@ -781,6 +789,11 @@ STRESS_SF10_SHUFFLE_ANCHOR: dict[str, int] = {
     # mode incl. forced 32-bit collisions in pytest).
     "q21_ngram_jaccard_auto": 10_911_099_791,
     "q42_cosine_dedup": 54_983_694,
+    # r9 session-2 first measurement: 4.14 B/char at sf10 (246M corpus
+    # chars, 12.47x sf1's) — the +9% per-char vs sf1 is the sharing
+    # join-back on a deliberately duplicate-heavier corpus, not plan
+    # drift; zero spill, walls ~4x at 12.5x bytes (sublinear)
+    "q157_cdc_dedup": 1_019_480_207,
 }
 
 
@@ -804,6 +817,7 @@ def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
         simhash_pairs,
         strip_duplicate_spans,
     )
+    from torcharrow_spark.operators import cdc_dedup_stats as _cdc_stats10
 
     _build_stress_sf10(spark)
     sdir = STRESS10_DIR
@@ -833,6 +847,9 @@ def run_stress_sf10(spark, sf1_out: dict, cal_ratio: float = 1.0,
         "q42_cosine_dedup": lambda: cosine_pairs(
             emb(), threshold=0.2, n_planes="auto"
         ),
+        # r9 session-2: the second CDC decade (246M corpus chars,
+        # 12.47x sf1's) — bytes must stay ~linear per corpus char
+        "q157_cdc_dedup": lambda: _cdc_stats10(docs()),
     }
     out: dict[str, dict] = {}
     for name, build in cases.items():
@@ -906,6 +923,7 @@ def run_stress(
         minhash_pairs,
         ngram_jaccard_pairs,
     )
+    from torcharrow_spark.operators import cdc_dedup_stats as _cdc_stats
     from torcharrow_spark.queries import QUERIES
 
     _build_stress_sf1(spark, sf01_dir)
@@ -950,6 +968,9 @@ def run_stress(
         "q105_heavy_hitters": lambda: QUERIES["q105_heavy_hitters"](
             spark, sdir
         ),
+        # r9 session-2: CDC sharing stats — byte-driven, so the anchor
+        # tracks corpus CHARS (19.7M at sf1), not doc count
+        "q157_cdc_dedup": lambda: _cdc_stats(docs()),
     }
     base = {
         "q21_ngram_jaccard_auto": warm.get("q21_ngram_jaccard"),
