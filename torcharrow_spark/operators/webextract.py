@@ -180,9 +180,10 @@ def html_extract(
     html_col: str = "html",
     id_col: str = "doc_id",
     drop_boilerplate: bool = True,
+    passthrough: _ty.Sequence[str] = (),
 ) -> SDF:
     """HTML -> text on Spark: ``(id, title, text, n_blocks, n_kept,
-    extracted_chars, link_char_ratio)``.
+    extracted_chars, link_char_ratio, *passthrough)``.
 
     Arrow-batched ``mapInPandas`` (parsing is genuinely Python work —
     the sanctioned slow path, never row-at-a-time pickling); zero
@@ -190,16 +191,21 @@ def html_extract(
     text in characters, the arithmetic handle an external oracle can
     recompute for synthesized pages. ``link_char_ratio`` is rounded
     half-up to 4 decimals (the engine-independent rounding used across
-    textstats) so both engines agree bit-for-bit."""
-    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    textstats) so both engines agree bit-for-bit. ``passthrough``
+    columns ride through untouched (same join-free rule as
+    textnorm.normalize_text), so WARC metadata — URI, HTTP status —
+    stays with the page without a metadata join."""
+    fields = {f.name: f for f in df.schema.fields}
     out_schema = T.StructType(
-        [T.StructField(id_col, id_field.dataType, False)]
+        [T.StructField(id_col, fields[id_col].dataType, False)]
         + [T.StructField(n, t, True) for n, t in _OUT_FIELDS]
+        + [T.StructField(c, fields[c].dataType, True) for c in passthrough]
     )
     from torcharrow_spark.operators.preprocess import spread_narrow_source
 
-    src = spread_narrow_source(df.select(id_col, html_col))
+    src = spread_narrow_source(df.select(id_col, html_col, *passthrough))
     cols = [f.name for f in out_schema.fields]
+    extras = list(passthrough)
 
     def extract_iter(batches):
         import math
@@ -208,9 +214,13 @@ def html_extract(
 
         for pdf in batches:
             rows = []
-            for i, page in zip(pdf[id_col], pdf[html_col]):
+            series = [pdf[id_col], pdf[html_col]] + [pdf[c] for c in extras]
+            for i, page, *tail in zip(*series):
+                tail = tuple(tail)
                 if page is None:
-                    rows.append((i,) + (None,) * (len(cols) - 1))
+                    rows.append(
+                        (i,) + (None,) * len(_OUT_FIELDS) + tail
+                    )
                     continue
                 r = extract_text(page, drop_boilerplate=drop_boilerplate)
                 ratio4 = math.floor(r["link_char_ratio"] * 10000.0 + 0.5) / 10000.0
@@ -224,6 +234,7 @@ def html_extract(
                         len(r["text"]),
                         ratio4,
                     )
+                    + tail
                 )
             yield pd.DataFrame(rows, columns=cols)
 

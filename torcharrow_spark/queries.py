@@ -7181,6 +7181,105 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
+@query(
+    "q162_warc_ingest",
+    oracle="""
+    SELECT doc_id,
+           'https://ex.com/p/' || doc_id AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           CAST(3 AS INT) AS n_blocks,
+           CAST(2 AS INT) AS n_kept,
+           (5 + length(doc_id::VARCHAR) + length(text))::BIGINT
+             AS extracted_chars,
+           md5('Doc ' || doc_id || chr(10) || text) AS text_md5
+    FROM documents
+    """,
+)
+def q162_warc_ingest(spark: SparkSession, sf_dir: str) -> SDF:
+    """WARC -> text, the REAL Common Crawl front door end-to-end (r9,
+    operators/warc + webextract): a per-record-GZIPPED WARC stream
+    (Common Crawl's on-disk layout) is synthesized per document —
+    warcinfo record, a 200 text/html response wrapping the page, a
+    request record, and a 404 text/plain response that the pipeline
+    must DROP — then warc_records explodes records (responses only,
+    parser-side), the status/content-type gate keeps the real page,
+    and html_extract parses it with the WARC metadata (URI, status)
+    riding through as passthrough columns, no metadata join anywhere.
+    The oracle rebuilds every output from (doc_id, text): gzip member
+    framing, WARC/HTTP header splits, the record filter, block
+    segmentation, the boilerplate gate, and the md5 of the extracted
+    text all cross-check in one hash. Zero shuffle start to finish
+    (one narrow-source spread feeds the parse UDFs)."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import html_extract, warc_records
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from torcharrow_spark.operators.warc import build_warc
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                page = (
+                    f"<html><head><title>Doc {d}</title></head><body>"
+                    f'<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+                    f"<h1>Doc {d}</h1><p>{text}</p></body></html>"
+                )
+                blob = build_warc(
+                    [
+                        {"type": "warcinfo", "payload": b"software: synth\r\n"},
+                        {
+                            "type": "response",
+                            "uri": f"https://ex.com/p/{d}",
+                            "payload": page,
+                            "content_type": "text/html",
+                        },
+                        {
+                            "type": "request",
+                            "uri": f"https://ex.com/p/{d}",
+                            "payload": b"GET / HTTP/1.1\r\n",
+                        },
+                        {
+                            "type": "response",
+                            "uri": f"https://ex.com/missing/{d}",
+                            "payload": b"not found",
+                            "status": 404,
+                            "content_type": "text/plain",
+                        },
+                    ],
+                    gzip_members=True,
+                )
+                ids.append(d)
+                blobs.append(bytearray(blob))
+            yield pd.DataFrame({"doc_id": ids, "warc": blobs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("warc", T.BinaryType(), True)]
+    )
+    with_warc = docs.mapInPandas(_synth, schema)
+    recs = warc_records(with_warc, "warc", "doc_id")
+    pages = recs.where(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select(
+        "doc_id", "target_uri", "http_status",
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+    out = html_extract(
+        pages, passthrough=("target_uri", "http_status")
+    )
+    return out.select(
+        "doc_id", "target_uri", "http_status", "n_blocks", "n_kept",
+        "extracted_chars", F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
 def _cdc_chunk_sql(pred: str) -> str:
     """DuckDB subquery yielding one (doc_id, h, ln) row per CDC chunk
     instance of the documents matching ``pred`` — the exact
