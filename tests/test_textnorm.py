@@ -67,6 +67,56 @@ def test_repair_then_normalize_then_strip_order():
     assert t == "ok é done" and moji is True and ctrl is True
 
 
+def test_detect_encoding_precedence():
+    from torcharrow_spark.operators.textnorm import decode_payload, detect_encoding
+
+    s = "héllo wörld — ☕"
+    # BOMs win over everything
+    assert detect_encoding(b"\xef\xbb\xbf" + s.encode("utf-8")) == "utf-8-sig"
+    assert detect_encoding(s.encode("utf-16")) == "utf-16"
+    assert detect_encoding(s.encode("utf-32")) == "utf-32"
+    # meta charset inside the 1024-byte prescan window
+    page = ('<html><head><meta charset="iso-8859-1"></head><body>'
+            "caf\xe9</body></html>").encode("latin-1")
+    assert detect_encoding(page) == "iso-8859-1"
+    assert "café" in decode_payload(page)[0]
+    # http-equiv form with trailing quote/semicolon noise
+    page2 = (b'<meta http-equiv="Content-Type" '
+             b'content="text/html; charset=UTF-8">' + s.encode("utf-8"))
+    assert detect_encoding(page2) == "utf-8"
+    # unknown charset label falls through to content sniffing
+    junk = b'<meta charset="not-a-codec">plain ascii'
+    assert detect_encoding(junk) == "utf-8"
+    # no declaration: valid UTF-8 detected, else Latin-1 total fallback
+    assert detect_encoding(s.encode("utf-8")) == "utf-8"
+    assert detect_encoding(b"caf\xe9 nai\xefve") == "latin-1"
+    # every path round-trips losslessly
+    for raw, want in [
+        (b"\xef\xbb\xbf" + s.encode("utf-8"), s),
+        (s.encode("utf-16"), s),
+        (b"caf\xe9", "café"),
+    ]:
+        assert decode_payload(raw)[0] == want
+
+
+def test_decode_payloads_spark(spark):
+    from torcharrow_spark.operators.textnorm import decode_payloads
+
+    s = "héllo — wörld"
+    rows = [
+        (0, bytearray(s.encode("utf-8"))),
+        (1, bytearray(s.encode("utf-16"))),
+        (2, bytearray(b"caf\xe9")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_payloads(df).collect()}
+    assert out[0].text == s and out[0].encoding == "utf-8"
+    assert out[1].text == s and out[1].encoding == "utf-16"
+    assert out[2].text == "café" and out[2].encoding == "latin-1"
+    assert out[3].text is None
+
+
 def test_normalize_text_spark(spark):
     rows = [(0, _corrupt("naïve é")), (1, "clean\x07text"), (2, None)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

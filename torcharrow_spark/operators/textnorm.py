@@ -125,6 +125,83 @@ def normalize_text(
     return src.mapInPandas(clean_iter, out_schema)
 
 
+def detect_encoding(data: bytes) -> str:
+    """Charset of a raw web payload, by the standard precedence a
+    crawler uses: byte-order mark first (UTF-8/UTF-16/UTF-32 BOMs),
+    then an HTML ``<meta charset=...>`` / HTTP-equiv declaration in
+    the first 1024 bytes (the WHATWG prescan window), then strict
+    UTF-8 validation, else Latin-1 (the total fallback — every byte
+    string decodes). Returns a codec name ``bytes.decode`` accepts."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if data[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return "utf-32"
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    head = data[:1024].lower()
+    at = head.find(b"charset=")
+    if at >= 0:
+        val = head[at + 8 : at + 40].strip(b"'\" ")
+        end = min(
+            (i for i in (val.find(b'"'), val.find(b"'"), val.find(b">"),
+                         val.find(b" "), val.find(b"/")) if i >= 0),
+            default=len(val),
+        )
+        name = val[:end].decode("ascii", "ignore").strip()
+        try:
+            b"x".decode(name)
+            return name
+        except (LookupError, UnicodeDecodeError):
+            pass  # unknown label: fall through to content sniffing
+    try:
+        data.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def decode_payload(data: bytes) -> _ty.Tuple[str, str]:
+    """(text, encoding) for a raw payload via `detect_encoding`."""
+    enc = detect_encoding(data)
+    return data.decode(enc), enc
+
+
+def decode_payloads(
+    df: SDF, bytes_col: str = "payload", id_col: str = "doc_id"
+) -> SDF:
+    """Charset-sniffing bytes -> text on Spark: ``(id, text,
+    encoding)``. The step between a WARC record's body and
+    html_extract — real crawl payloads declare their charset in a BOM,
+    a meta tag, or not at all, and decoding everything as UTF-8 mangles
+    the Latin-1/UTF-16 tail of the web. Zero shuffle, Arrow-batched."""
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("encoding", T.StringType(), True),
+        ]
+    )
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    src = spread_narrow_source(df.select(id_col, bytes_col))
+
+    def decode_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None:
+                    rows.append((i, None, None))
+                    continue
+                text, enc = decode_payload(bytes(b))
+                rows.append((i, text, enc))
+            yield pd.DataFrame(rows, columns=[id_col, "text", "encoding"])
+
+    return src.mapInPandas(decode_iter, out_schema)
+
+
 def corrupt_as_latin1(col: F.Column) -> F.Column:
     """Synthesize one layer of UTF-8-read-as-Latin-1 mojibake JVM-side
     (encode the string's UTF-8 bytes, reinterpret each byte as its

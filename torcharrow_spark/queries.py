@@ -7182,6 +7182,77 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q163_charset_ingest",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'utf-16'
+                WHEN 2 THEN 'iso-8859-1' ELSE 'utf-8' END AS encoding,
+           (CASE WHEN doc_id % 4 = 2
+                 THEN 27 + length(text) + 5
+                 ELSE length(text) + 5 END)::BIGINT AS n_chars,
+           md5(CASE WHEN doc_id % 4 = 2
+                    THEN '<meta charset="iso-8859-1">' || text
+                         || ' caf' || chr(233)
+                    ELSE text || ' caf' || chr(233) END) AS text_md5
+    FROM documents
+    """,
+)
+def q163_charset_ingest(spark: SparkSession, sf_dir: str) -> SDF:
+    """Charset-sniffing payload decode (r9, operators/textnorm
+    .decode_payloads): raw web bodies arrive as BYTES whose encoding
+    is declared by a BOM, a meta tag, or nothing — decoding everything
+    as UTF-8 mangles the Latin-1/UTF-16 tail of a real crawl. Each
+    document's payload (text + an accented suffix) is encoded per
+    ``doc_id % 4`` as UTF-8-with-BOM, UTF-16 (BOM'd), Latin-1 behind a
+    ``<meta charset>`` declaration inside the WHATWG 1024-byte prescan
+    window, or bare UTF-8 (content-sniffed). The operator must pick
+    the right codec by the standard precedence (BOM > meta > strict
+    UTF-8 validation > Latin-1 fallback) and decode losslessly; the
+    oracle replays the detected label, char count, and md5 of the
+    decoded text per case. Zero shuffle."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import decode_payloads
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+
+    def _synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                body = text + " café"
+                case = d % 4
+                if case == 0:
+                    raw = b"\xef\xbb\xbf" + body.encode("utf-8")
+                elif case == 1:
+                    raw = body.encode("utf-16")
+                elif case == 2:
+                    raw = ('<meta charset="iso-8859-1">' + body).encode(
+                        "latin-1"
+                    )
+                else:
+                    raw = body.encode("utf-8")
+                ids.append(d)
+                blobs.append(bytearray(raw))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("payload", T.BinaryType(), True)]
+    )
+    with_bytes = docs.mapInPandas(_synth, schema)
+    out = decode_payloads(with_bytes, "payload", "doc_id")
+    return out.select(
+        "doc_id", "encoding",
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+@query(
     "q162_warc_ingest",
     oracle="""
     SELECT doc_id,
