@@ -90,6 +90,60 @@ def test_whitespace_only_blocks_dropped():
     assert [b.text for b in blocks] == ["x"]
 
 
+ROBOTS = """# crawl policy
+User-agent: megabot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp*
+Allow: /private/press/
+Disallow: /exact$
+Allow:
+"""
+
+
+def test_parse_robots_groups_and_agents():
+    from torcharrow_spark.operators.webextract import parse_robots
+
+    star = parse_robots(ROBOTS)
+    assert (False, "/private/") in star and (True, "/private/press/") in star
+    assert (False, "/") not in star  # megabot's group must not leak
+    mega = parse_robots(ROBOTS, agent="MegaBot/1.0")
+    assert mega == [(False, "/")]
+    # unknown agent falls back to the * group
+    assert parse_robots(ROBOTS, agent="otherbot") == star
+
+
+def test_robots_allowed_precedence(spark):
+    from torcharrow_spark.operators.webextract import parse_robots, robots_allowed
+
+    rules = parse_robots(ROBOTS)
+    cases = {
+        "/index.html": True,        # no rule matches
+        "/private/x": False,        # disallowed prefix
+        "/private/press/a": True,   # longer allow overrides
+        "/tmp/scratch": False,      # * wildcard
+        "/tmpfile": False,
+        "/exact": False,            # $ anchor binds
+        "/exactly": True,           # ...and only exactly
+    }
+    df = spark.createDataFrame([(p,) for p in cases], "path string")
+    got = {
+        r.path: r.ok
+        for r in df.select(
+            "path", robots_allowed("path", rules).alias("ok")
+        ).collect()
+    }
+    assert got == cases
+    # the gate is pure Catalyst: no Python UDF in the plan
+    plan = (
+        df.where(robots_allowed("path", rules))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
 def test_html_extract_spark(spark):
     rows = [
         (0, "<body><h1>Hi</h1><p>text body here</p>"

@@ -241,6 +241,81 @@ def html_extract(
     return src.mapInPandas(extract_iter, out_schema)
 
 
+def parse_robots(text: str, agent: str = "*") -> _ty.List[_ty.Tuple[bool, str]]:
+    """RFC 9309 robots.txt -> the ``(allow, pattern)`` rules that apply
+    to ``agent``: group selection by the most specific matching
+    ``User-agent`` line (longest agent token wins; ``*`` is the
+    fallback group), comments stripped, empty patterns ignored.
+    Patterns keep their ``*`` wildcards and ``$`` end anchor verbatim —
+    `robots_allowed` compiles them."""
+    groups: _ty.Dict[str, _ty.List[_ty.Tuple[bool, str]]] = {}
+    current: _ty.List[str] = []
+    saw_rule = True
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = (s.strip() for s in line.split(":", 1))
+        key = key.lower()
+        if key == "user-agent":
+            if saw_rule:  # a new group starts
+                current = []
+                saw_rule = False
+            current.append(val.lower())
+            for a in current:
+                groups.setdefault(a, groups.get(a, []))
+        elif key in ("allow", "disallow"):
+            saw_rule = True
+            if not val:
+                continue  # empty Disallow = allow everything: no rule
+            for a in current:
+                groups.setdefault(a, []).append((key == "allow", val))
+    agent = agent.lower()
+    # most specific matching agent token, '*' as fallback
+    best = None
+    for a in groups:
+        if a != "*" and a in agent and (best is None or len(a) > len(best)):
+            best = a
+    if best is None and "*" in groups:
+        best = "*"
+    return list(groups.get(best, []))
+
+
+def _robots_regex(pattern: str) -> str:
+    """Robots pattern -> Java regex: literal chars quoted, ``*`` ->
+    ``.*``, trailing ``$`` -> end anchor; match is anchored at the
+    path start per the RFC."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = [_re.escape(p) for p in body.split("*")]
+    rx = "^" + ".*".join(parts)
+    return rx + "$" if anchored else rx
+
+
+def robots_allowed(
+    path_col, rules: _ty.Sequence[_ty.Tuple[bool, str]]
+) -> F.Column:
+    """Boolean Column: is the URL path fetchable under ``rules``
+    (from `parse_robots`)? RFC 9309 precedence — the longest matching
+    pattern wins, allow wins length ties, no match = allowed. Compiles
+    to ONE ordered CASE of JVM ``rlike`` tests (zero UDF, zero
+    shuffle), so the gate rides the scan like any other predicate —
+    the rule set is per-HOST and tiny, the corpus side is the big one."""
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    # longest pattern first; allow before disallow at equal length
+    ordered = sorted(
+        rules, key=lambda r: (len(r[1]), r[0]), reverse=True
+    )
+    verdict = F.lit(True)  # no rule matches: allowed
+    for allow, pattern in reversed(ordered):
+        verdict = F.when(c.rlike(_robots_regex(pattern)), F.lit(allow)).otherwise(
+            verdict
+        )
+    return verdict
+
+
 def escape_html_text(col: F.Column) -> F.Column:
     """JVM-side text-node escaping (``& < >`` — the three that matter in
     data context) for synthesizing spec-valid HTML from a text column

@@ -7182,6 +7182,65 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q164_robots_gate",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN '/p/' || doc_id
+                WHEN 1 THEN '/private/' || doc_id
+                WHEN 2 THEN '/private/press/' || doc_id
+                WHEN 3 THEN '/tmp' || doc_id
+                ELSE CASE WHEN doc_id % 2 = 0 THEN '/exact'
+                          ELSE '/exactly' || doc_id END
+           END AS path,
+           CASE doc_id % 5 WHEN 0 THEN TRUE WHEN 1 THEN FALSE
+                WHEN 2 THEN TRUE WHEN 3 THEN FALSE
+                ELSE (doc_id % 2 = 1) END AS allowed
+    FROM documents
+    """,
+)
+def q164_robots_gate(spark: SparkSession, sf_dir: str) -> SDF:
+    """robots.txt politeness gate (r9, operators/webextract
+    .parse_robots + robots_allowed): a five-way path mix is
+    synthesized per document and gated by a parsed RFC 9309 policy —
+    prefix disallow, a LONGER allow carving an exception inside it
+    (the precedence rule: longest match wins), a ``*`` wildcard
+    disallow, and a ``$``-anchored exact disallow that must NOT catch
+    the '/exactly...' sibling paths. The gate compiles to ONE ordered
+    CASE of JVM rlike tests — zero UDF, zero shuffle, rides the scan
+    as a plain predicate (pytest pins Python out of the plan). The
+    oracle states the expected verdict per path class, so a precedence
+    slip, a wildcard mis-compile, or an anchor leak flips rows."""
+    from torcharrow_spark.operators import parse_robots, robots_allowed
+
+    rules = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/press/\n"
+        "Disallow: /tmp*\n"
+        "Disallow: /exact$\n"
+    )
+    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/p/"), sid))
+        .when(m == 1, F.concat(F.lit("/private/"), sid))
+        .when(m == 2, F.concat(F.lit("/private/press/"), sid))
+        .when(m == 3, F.concat(F.lit("/tmp"), sid))
+        .otherwise(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/exact")).otherwise(
+                F.concat(F.lit("/exactly"), sid)
+            )
+        )
+    )
+    paths = docs.select("doc_id", path.alias("path"))
+    return paths.select(
+        "doc_id", "path", robots_allowed("path", rules).alias("allowed")
+    )
+
+
+@query(
     "q163_charset_ingest",
     oracle="""
     SELECT doc_id,
