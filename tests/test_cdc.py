@@ -98,6 +98,14 @@ def test_cdc_dedup_against_index_spark(spark, tmp_path):
     e = cdc_dedup_against_index(empty, idx).collect()[0]
     assert e.keep is True and e.shared_frac == 0.0 and e.total_bytes == 0
 
+    # NULL-text docs must not vanish: reported 0/0, kept
+    nulls = spark.createDataFrame(
+        [(8, None), (9, "fresh words here")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in cdc_dedup_against_index(nulls, idx).collect()}
+    assert set(got) == {8, 9}
+    assert got[8].keep is True and got[8].total_bytes == 0
+
     # the index composes with the versioned store like its minhash twin
     root = str(tmp_path / "cdc_idx")
     publish_index(idx, root)

@@ -42,6 +42,29 @@ def test_filter_domains_block_and_allow(spark):
     assert "Broadcast" in plan
 
 
+def test_filter_domains_not_bypassed_by_port_or_userinfo(spark):
+    rows = [
+        (0, "https://spam.example.com:443/x"),
+        (1, "https://user@spam.example.com/y"),
+        (2, "https://user:pw@spam.example.com:8080/z"),
+        (3, "https://ok.example.com:8080/fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r.doc_id
+        for r in filter_domains(df, ["spam.example.com"], mode="block").collect()
+    )
+    assert kept == [3]
+    # blocklist entries written WITH a www. prefix still gate
+    df2 = spark.createDataFrame([(0, "https://spam.com/a")], "doc_id long, url string")
+    assert filter_domains(df2, ["WWW.Spam.com"], mode="block").count() == 0
+    # ...and the report key matches the gate key
+    assert (
+        domain_stats(df).where(F.col("domain") == "spam.example.com").collect()[0]
+        .n_docs == 3
+    )
+
+
 def test_domain_stats_hand_values(spark):
     rows = [
         (0, "https://a.com/1", "xxxx", "en"),

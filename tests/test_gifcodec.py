@@ -103,6 +103,18 @@ def test_dispatch_and_sniff():
     assert (w, h) == (10, 6) and np.array_equal(out, px)
 
 
+def test_index_beyond_small_palette_raises():
+    # hostile stream: a 2-entry color table with pixel indices past it
+    # must be a named ValueError, not a numpy IndexError
+    px = (_gray(8, 8) % 7).astype("uint8")  # indices 0..6
+    blob = bytearray(encode_gif(px))
+    blob[10] = (blob[10] & 0xF8) | 0x00  # GCT size bits -> 2 entries
+    # drop the GCT down to 2 entries (6 bytes)
+    trimmed = bytes(blob[:13]) + bytes(blob[13:19]) + bytes(blob[13 + 768:])
+    with pytest.raises(ValueError, match="color table"):
+        decode_gif(trimmed)
+
+
 def test_short_pixel_data_raises():
     px = _gray(8, 8)
     blob = bytearray(encode_gif(px))

@@ -67,6 +67,34 @@ def test_repair_then_normalize_then_strip_order():
     assert t == "ok é done" and moji is True and ctrl is True
 
 
+def test_repair_undoes_cp1252_layer():
+    # the browser-default misread: UTF-8 bytes decoded as Windows-1252
+    # land in 0x80-0x9F PRINTABLES (euro, curly quotes) that Latin-1
+    # cannot re-encode — the repair must go back through cp1252
+    # (avoid ” — its UTF-8 tail byte 0x9D is undefined in cp1252, so a
+    # strict cp1252 misread of it can't occur in the first place)
+    orig = "it’s café — a “quote"
+    bad = orig.encode("utf-8").decode("cp1252")
+    assert "â€™" in bad
+    fixed, flag = repair_mojibake(bad)
+    assert fixed == orig and flag is True
+
+
+def test_mislabeled_charset_never_crashes():
+    from torcharrow_spark.operators.textnorm import decode_payload, detect_encoding
+
+    # page DECLARES utf-8 but carries invalid utf-8 bytes: the label
+    # must fall through to content sniffing (latin-1 total fallback)
+    liar = b'<meta charset="utf-8">caf\xe9 raw \x80 bytes'
+    assert detect_encoding(liar) == "latin-1"
+    text, enc = decode_payload(liar)
+    assert enc == "latin-1" and "café" in text
+    # BOM prefix with a payload the BOM codec cannot decode: same rule
+    fake_bom = b"\xff\xfe" + b"\x00"  # odd length: not valid UTF-16
+    text2, enc2 = decode_payload(fake_bom)
+    assert enc2 == "latin-1" and len(text2) == 3
+
+
 def test_detect_encoding_precedence():
     from torcharrow_spark.operators.textnorm import decode_payload, detect_encoding
 

@@ -113,6 +113,9 @@ def test_parse_robots_groups_and_agents():
     assert mega == [(False, "/")]
     # unknown agent falls back to the * group
     assert parse_robots(ROBOTS, agent="otherbot") == star
+    # duplicate user-agent tokens in one group: rules stored once
+    dup = "User-agent: a\nUser-agent: a\nDisallow: /x\n"
+    assert parse_robots(dup, agent="a") == [(False, "/x")]
 
 
 def test_robots_allowed_precedence(spark):

@@ -201,6 +201,20 @@ def cdc_dedup_against_index(
         F.sum(F.when(hit, F.col("ln")).otherwise(0)).alias("shared_bytes"),
         F.sum("ln").alias("total_bytes"),
     )
+    # NULL-text documents produce zero chunk rows and would silently
+    # vanish from the report (and from a stream's survivors) — restore
+    # them via the delta's own id set with 0/0 stats, kept, like empty
+    # strings. The ids side is a narrow distinct at delivery scale.
+    ids = delta.select(id_col).distinct()
+    per_doc = ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("shared_bytes"), F.lit(0).cast("long")).alias(
+            "shared_bytes"
+        ),
+        F.coalesce(F.col("total_bytes"), F.lit(0).cast("long")).alias(
+            "total_bytes"
+        ),
+    )
     # empty documents chunk to one zero-length chunk: define them as
     # 0% shared (kept) rather than a null ratio
     frac = F.when(

@@ -460,6 +460,13 @@ def decode_gif(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
         idx = out
     pal = np.frombuffer(lct, dtype=np.uint8)
     pal = pal.reshape(-1, 3)
+    if len(pal) < 256 and int(idx.max(initial=0)) >= len(pal):
+        # decoded pixel indices past the color table: corrupt stream —
+        # ValueError like every other defect, never a numpy IndexError
+        raise ValueError(
+            f"gif: pixel index {int(idx.max())} beyond the "
+            f"{len(pal)}-entry color table"
+        )
     if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
         return iw, ih, pal[:, 0][idx]
     return iw, ih, pal[idx]

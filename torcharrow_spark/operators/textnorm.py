@@ -39,19 +39,25 @@ def badness(s: str) -> int:
 
 
 def repair_mojibake(s: str) -> _ty.Tuple[str, bool]:
-    """Undo one layer of UTF-8-read-as-Latin-1 corruption. Returns
-    ``(text, was_repaired)``. The attempt is made only if the string
-    is Latin-1-encodable AND its bytes are valid UTF-8 AND the result
-    scores strictly better — any failure leaves the input unchanged."""
+    """Undo one layer of UTF-8-read-as-Latin-1/CP1252 corruption.
+    Returns ``(text, was_repaired)``. CP1252 is tried first (the
+    browser-default misread: its 0x80-0x9F block carries printable
+    characters like the euro sign and curly quotes, so 'â€™'-style
+    corruption is only reversible through it), then Latin-1 (total
+    over the C1 range CP1252 leaves undefined). A candidate is
+    accepted only if the reverse round-trip decodes as UTF-8 AND
+    strictly reduces the badness score — any failure leaves the input
+    unchanged."""
     before = badness(s)
     if before == 0:
         return s, False
-    try:
-        candidate = s.encode("latin-1").decode("utf-8")
-    except (UnicodeEncodeError, UnicodeDecodeError):
-        return s, False
-    if badness(candidate) < before:
-        return candidate, True
+    for codec in ("cp1252", "latin-1"):
+        try:
+            candidate = s.encode(codec).decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+        if badness(candidate) < before:
+            return candidate, True
     return s, False
 
 
@@ -131,12 +137,27 @@ def detect_encoding(data: bytes) -> str:
     then an HTML ``<meta charset=...>`` / HTTP-equiv declaration in
     the first 1024 bytes (the WHATWG prescan window), then strict
     UTF-8 validation, else Latin-1 (the total fallback — every byte
-    string decodes). Returns a codec name ``bytes.decode`` accepts."""
-    if data[:3] == b"\xef\xbb\xbf":
+    string decodes). Every stage is validated against the DATA, not
+    just the label: a page whose declared charset (or even whose BOM)
+    fails to decode its own bytes falls through to the next stage, so
+    the returned codec ALWAYS decodes the payload — web pages lie
+    about their charset routinely, and one liar must not kill a job.
+    Returns a codec name ``bytes.decode`` accepts."""
+
+    def _decodes(name: str) -> bool:
+        try:
+            data.decode(name)
+            return True
+        except (LookupError, UnicodeDecodeError):
+            return False
+
+    if data[:3] == b"\xef\xbb\xbf" and _decodes("utf-8-sig"):
         return "utf-8-sig"
-    if data[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+    if data[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff") and _decodes(
+        "utf-32"
+    ):
         return "utf-32"
-    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff") and _decodes("utf-16"):
         return "utf-16"
     head = data[:1024].lower()
     at = head.find(b"charset=")
@@ -148,16 +169,12 @@ def detect_encoding(data: bytes) -> str:
             default=len(val),
         )
         name = val[:end].decode("ascii", "ignore").strip()
-        try:
-            b"x".decode(name)
+        # mislabeled/unknown charsets fall through to content sniffing
+        if name and _decodes(name):
             return name
-        except (LookupError, UnicodeDecodeError):
-            pass  # unknown label: fall through to content sniffing
-    try:
-        data.decode("utf-8")
+    if _decodes("utf-8"):
         return "utf-8"
-    except UnicodeDecodeError:
-        return "latin-1"
+    return "latin-1"
 
 
 def decode_payload(data: bytes) -> _ty.Tuple[str, str]:

@@ -570,8 +570,9 @@ def normalize_url(col, trackers=DEFAULT_URL_TRACKERS) -> F.Column:
     the high-yield 99% that a regexp chain gets exactly."""
     c = F.col(col) if isinstance(col, str) else col
     # www. stripped case-INsensitively (the regex runs before the
-    # lowercasing, so a literal www\. would miss WWW. hosts)
-    host = F.lower(F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[wW][wW][wW]\.)?([^/?#]*)", 1))
+    # lowercasing, so a literal www\. would miss WWW. hosts); shares
+    # _HOST_RX with url_host, which additionally strips userinfo/port
+    host = F.lower(F.regexp_extract(c, _HOST_RX, 1))
     rest = F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^#]*)", 1)
     u = F.concat(host, rest)
     # tracking params, preserving the delimiter of the FOLLOWING param
@@ -613,19 +614,25 @@ def url_dedup_ids(df: SDF, url_col: str = "url", id_col: str = "doc_id") -> SDF:
     )
 
 
+#: authority-extraction regex shared by `normalize_url` (which keeps
+#: userinfo/port — they are part of the canonical URL) and `url_host`
+#: (which strips them — they must not bypass a domain gate)
+_HOST_RX = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[wW][wW][wW]\.)?([^/?#]*)"
+
+
 def url_host(col) -> F.Column:
-    """Lowercased host of a URL (scheme and one leading ``www.``
-    stripped — the same host rule `normalize_url` applies), as its own
-    expression: the grouping key for every domain-level curation
-    decision. Pure regexp projection, SQL-replayable."""
+    """Lowercased registrable host of a URL: scheme, one leading
+    ``www.``, userinfo (``user@``), and ``:port`` all stripped — the
+    GATING key for domain-level curation decisions. Stricter than
+    `normalize_url`'s host handling on purpose: a canonical URL keeps
+    ``user@`` / ``:8080`` (they address different resources), but a
+    blocklist or per-domain report keyed on them would be trivially
+    bypassed by ``https://spam.com:443/``. Pure regexp projection,
+    SQL-replayable."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(
-        F.regexp_extract(
-            c,
-            r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[wW][wW][wW]\.)?([^/?#]*)",
-            1,
-        )
-    )
+    host = F.lower(F.regexp_extract(c, _HOST_RX, 1))
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    return F.regexp_replace(host, r":\d*$", "")
 
 
 def filter_domains(
@@ -643,9 +650,11 @@ def filter_domains(
     if mode not in ("block", "allow"):
         raise ValueError(f"unknown mode: {mode!r}")
     spark = df.sparkSession
-    doms = spark.createDataFrame(
-        [(d.lower(),) for d in domains], "__dom__ string"
-    )
+    # normalize list entries the same way url_host normalizes the URL
+    # side (lowercase, one leading www. stripped) — a list written as
+    # 'WWW.Spam.com' must still gate 'https://spam.com/x'
+    norm = sorted({d.lower().removeprefix("www.") for d in domains})
+    doms = spark.createDataFrame([(d,) for d in norm], "__dom__ string")
     host = url_host(url_col)
     how = "left_anti" if mode == "block" else "left_semi"
     return df.join(

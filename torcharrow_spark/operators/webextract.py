@@ -261,9 +261,10 @@ def parse_robots(text: str, agent: str = "*") -> _ty.List[_ty.Tuple[bool, str]]:
             if saw_rule:  # a new group starts
                 current = []
                 saw_rule = False
-            current.append(val.lower())
-            for a in current:
-                groups.setdefault(a, groups.get(a, []))
+            agent_tok = val.lower()
+            if agent_tok not in current:  # duplicate tokens: one vote
+                current.append(agent_tok)
+            groups.setdefault(agent_tok, [])
         elif key in ("allow", "disallow"):
             saw_rule = True
             if not val:

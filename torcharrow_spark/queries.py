@@ -7351,14 +7351,20 @@ def q162_warc_ingest(spark: SparkSession, sf_dir: str) -> SDF:
 
         from torcharrow_spark.operators.warc import build_warc
 
+        import html as _html
+
         for pdf in batches:
             ids, blobs = [], []
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
+                # text is ESCAPED into the page (same rule as q154's
+                # Catalyst-side escape_html_text): extraction decodes
+                # it back, so the oracle's md5 over the raw text holds
+                # for ANY corpus content, not just markup-free text
                 page = (
                     f"<html><head><title>Doc {d}</title></head><body>"
                     f'<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
-                    f"<h1>Doc {d}</h1><p>{text}</p></body></html>"
+                    f"<h1>Doc {d}</h1><p>{_html.escape(text)}</p></body></html>"
                 )
                 blob = build_warc(
                     [
