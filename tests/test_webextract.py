@@ -147,6 +147,30 @@ def test_robots_allowed_precedence(spark):
     assert "Python" not in plan
 
 
+def test_extract_meta_and_html_meta(spark):
+    from torcharrow_spark.operators.webextract import extract_meta, html_meta
+
+    page = (
+        '<head><meta name="Description" content="first &amp; real">'
+        '<meta name="description" content="duplicate loses">'
+        '<meta property="og:title" content="T"/>'
+        '<meta name="nocontent">'
+        "</head>"
+    )
+    m = extract_meta(page)
+    assert m["description"] == "first & real"  # first wins, key lowered
+    assert m["og:title"] == "T"                # property= + self-closing
+    assert "nocontent" not in m
+    df = spark.createDataFrame(
+        [(0, page), (1, "<p>no meta</p>"), (2, None)],
+        "doc_id long, html string",
+    )
+    out = {r.doc_id: r for r in
+           html_meta(df, names=("description", "og:title")).collect()}
+    assert out[0].description == "first & real" and out[0].og_title == "T"
+    assert out[1].description is None and out[2].og_title is None
+
+
 def test_html_extract_spark(spark):
     rows = [
         (0, "<body><h1>Hi</h1><p>text body here</p>"

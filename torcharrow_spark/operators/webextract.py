@@ -241,6 +241,75 @@ def html_extract(
     return src.mapInPandas(extract_iter, out_schema)
 
 
+class _MetaCollector(HTMLParser):
+    """Collects ``<meta name=...|property=... content=...>`` pairs —
+    description, keywords, robots directives, OpenGraph fields — the
+    page-level metadata curation rules key on."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.meta: _ty.Dict[str, str] = {}
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "meta":
+            return
+        d = dict(attrs)
+        key = d.get("name") or d.get("property")
+        if key is not None and "content" in d and key.lower() not in self.meta:
+            self.meta[key.lower()] = d["content"] or ""
+
+    handle_startendtag = handle_starttag
+
+
+def extract_meta(html: str) -> _ty.Dict[str, str]:
+    """All ``<meta>`` name/property -> content pairs of one page
+    (keys lowercased; first occurrence wins, matching browser
+    behavior). Tolerant of malformed markup like the block parser."""
+    p = _MetaCollector()
+    p.feed(html)
+    p.close()
+    return p.meta
+
+
+def html_meta(
+    df: SDF,
+    names: _ty.Sequence[str],
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> SDF:
+    """Page metadata on Spark: one string column per requested meta
+    name (``og:title`` -> column ``og_title``; absent tags are NULL).
+    Fixed schema by construction — callers pick the fields, so the
+    output never depends on what a page happens to declare. Zero
+    shuffle, Arrow-batched, same parse tolerance as html_extract."""
+    fields = {f.name: f for f in df.schema.fields}
+    wanted = [n.lower() for n in names]
+    aliases = [n.replace(":", "_").replace("-", "_") for n in wanted]
+    out_schema = T.StructType(
+        [T.StructField(id_col, fields[id_col].dataType, False)]
+        + [T.StructField(a, T.StringType(), True) for a in aliases]
+    )
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    src = spread_narrow_source(df.select(id_col, html_col))
+    cols = [f.name for f in out_schema.fields]
+
+    def meta_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, page in zip(pdf[id_col], pdf[html_col]):
+                if page is None:
+                    rows.append((i,) + (None,) * len(wanted))
+                    continue
+                m = extract_meta(page)
+                rows.append((i,) + tuple(m.get(n) for n in wanted))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(meta_iter, out_schema)
+
+
 def parse_robots(text: str, agent: str = "*") -> _ty.List[_ty.Tuple[bool, str]]:
     """RFC 9309 robots.txt -> the ``(allow, pattern)`` rules that apply
     to ``agent``: group selection by the most specific matching

@@ -7182,6 +7182,62 @@ def q154_html_extract(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q165_html_meta",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id || ' & more' AS description,
+           CASE WHEN doc_id % 3 = 0 THEN 'noindex' END AS robots,
+           'Doc ' || doc_id AS og_title,
+           (doc_id % 3 != 0) AS indexable
+    FROM documents
+    """,
+)
+def q165_html_meta(spark: SparkSession, sf_dir: str) -> SDF:
+    """Page-metadata extraction (r9, operators/webextract.html_meta):
+    every synthesized page declares a description carrying a named
+    entity (must decode), an OpenGraph title via the ``property=``
+    attribute form, and — on every third page — a ``robots`` meta the
+    pipeline turns into an indexability flag; even pages ALSO declare
+    a DUPLICATE description that must lose (first occurrence wins,
+    the browser rule), and the odd half writes self-closing
+    ``<meta/>`` tags so both syntactic forms parse. Requested fields
+    come back as fixed columns (absent -> NULL), never a schema that
+    depends on page content. The oracle states every field from
+    doc_id alone. Zero shuffle."""
+    from torcharrow_spark.operators import html_meta
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    sid = F.col("doc_id").cast("string")
+    close = F.when(F.col("doc_id") % 2 == 0, F.lit(">")).otherwise(F.lit("/>"))
+    robots_tag = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<meta name="robots" content="noindex"'), close),
+    ).otherwise(F.lit(""))
+    dup = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<meta name="description" content="loser ') , sid,
+                 F.lit('">')),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit('<html><head><meta name="description" content="Doc '), sid,
+        F.lit(" &amp; more\""), close,
+        dup,
+        robots_tag,
+        F.lit('<meta property="og:title" content="Doc '), sid,
+        F.lit("\""), close,
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    out = html_meta(
+        docs.select("doc_id", page.alias("html")),
+        names=("description", "robots", "og:title"),
+    )
+    return out.select(
+        "doc_id", "description", "robots", "og_title",
+        F.col("robots").isNull().alias("indexable"),
+    )
+
+
+@query(
     "q164_robots_gate",
     oracle="""
     SELECT doc_id,
