@@ -203,3 +203,18 @@ def test_cdc_dedup_stats_spark(spark):
     for r in out.values():
         assert r.total_bytes == len(rows[r.doc_id][1])
         assert r.n_chunks >= 1
+
+
+def test_cdc_ln_measures_utf8_bytes(spark):
+    # 'shared_bytes'/'total_bytes' must be BYTE counts: ln is the
+    # length of the same UTF-8 encoding the chunk hash is taken over,
+    # not the codepoint count (r9 advisor finding)
+    from torcharrow_spark.operators.cdc import cdc_chunks, chunk_text
+
+    text = "naïve café — ☃ snow " * 8
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = cdc_chunks(df).orderBy("seq").collect()
+    chunks = chunk_text(text)
+    assert [r.ln for r in rows] == [len(c.encode("utf-8")) for c in chunks]
+    assert sum(r.ln for r in rows) == len(text.encode("utf-8"))
+    assert sum(r.ln for r in rows) > len(text)  # multibyte corpus

@@ -80,3 +80,61 @@ def test_domain_stats_hand_values(spark):
     # minimal form: counts only
     slim = domain_stats(df).columns
     assert slim == ["domain", "n_docs"]
+
+
+def test_url_host_userinfo_before_www(spark):
+    # the r9 advisor's bypass: userinfo must be stripped BEFORE the
+    # www. prefix, or 'user@www.spam.com' gates as 'www.spam.com' and
+    # sails past a blocklist normalized to 'spam.com'
+    cases = [
+        ("https://user@www.spam.com/x", "spam.com"),
+        ("https://user:pw@WWW.Spam.com:8080/y", "spam.com"),
+        ("https://user@spam.com/z", "spam.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_host("url")).collect()]
+    assert got == [h for _, h in cases]
+    blocked = filter_domains(df, ["spam.com"], mode="block")
+    assert blocked.count() == 0
+
+
+def test_filter_domains_covers_subdomains(spark):
+    # web-blocklist contract: an entry covers the domain AND its
+    # subdomains; 'a.spam.com' must not bypass a 'spam.com' entry
+    rows = [
+        (0, "https://spam.com/a"),
+        (1, "https://a.spam.com/b"),
+        (2, "https://a.b.spam.com/c"),
+        (3, "https://notspam.com/d"),      # suffix of the NAME, not a label
+        (4, "https://spam.com.evil.org/e"),  # entry in the MIDDLE: no match
+        (5, "https://deep.tracker.net/f"),
+        (6, "https://com/g"),              # fewer labels than any entry
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    doms = ["spam.com", "tracker.net"]
+    blocked = sorted(r.doc_id for r in filter_domains(df, doms, "url", "block").collect())
+    assert blocked == [3, 4, 6]
+    allowed = sorted(r.doc_id for r in filter_domains(df, doms, "url", "allow").collect())
+    assert allowed == [0, 1, 2, 5]
+    # column contract: gate passes the frame through unchanged
+    assert filter_domains(df, doms, "url", "block").columns == df.columns
+    # the gate stays broadcast-HASH joins (one per label-count) — a
+    # nested-loop endswith condition would be the 10^6-entry scale killer
+    plan = filter_domains(df, doms, "url", "block")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_filter_domains_mixed_label_depths(spark):
+    # entries at different label counts gate independently and exactly
+    rows = [
+        (0, "https://x.co.uk/1"),
+        (1, "https://bad.x.co.uk/2"),
+        (2, "https://co.uk/3"),
+        (3, "https://fine.org/4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r.doc_id
+        for r in filter_domains(df, ["bad.x.co.uk", "fine.org"], mode="block").collect()
+    )
+    assert kept == [0, 2]

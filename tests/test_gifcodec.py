@@ -124,3 +124,29 @@ def test_short_pixel_data_raises():
     blob[at : at + 2] = (16).to_bytes(2, "little")
     with pytest.raises(ValueError, match="short|truncated"):
         decode_gif(bytes(blob))
+
+
+def test_multi_frame_gif_refused():
+    # animated GIFs must raise, not silently return frame 1 as if it
+    # were the whole image (r9 advisor finding)
+    import numpy as np
+    import pytest
+
+    from torcharrow_spark.operators.imagecodec import decode_gif, encode_gif
+
+    f1 = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    f2 = (f1 + 7).astype(np.uint8)
+    g1, g2 = encode_gif(f1), encode_gif(f2)
+    head_len = 6 + 7 + 768  # signature+screen descriptor + 256-entry GCT
+    frame2 = g2[head_len:-1]  # 0x2C descriptor .. sub-block terminator
+    animated = g1[:-1] + frame2 + b"\x3b"
+    with pytest.raises(ValueError, match="multi-frame"):
+        decode_gif(animated)
+    # a graphic-control extension between the frames doesn't hide them
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    with pytest.raises(ValueError, match="multi-frame"):
+        decode_gif(g1[:-1] + gce + frame2 + b"\x3b")
+    # single frame with a trailing comment extension still decodes
+    comment = b"\x21\xfe\x02hi\x00"
+    w, h, px = decode_gif(g1[:-1] + comment + b"\x3b")
+    assert (px == f1).all()

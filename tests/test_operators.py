@@ -2722,10 +2722,12 @@ def test_wav_codec_roundtrip_and_chunk_walk():
 
 
 def test_g711_expansion_exact():
-    """r9: the mu-law/A-law segment tables must match the CCITT
-    reference for all 512 codes — checked against CPython's audioop
-    where available, plus pinned spec landmarks so the test keeps
-    teeth on Python >= 3.13 (audioop removed)."""
+    """r9/r10: the mu-law/A-law segment tables must match the CCITT
+    reference for all 512 codes — pinned as md5 of the packed int16
+    expansion tables (values cross-checked once against CPython
+    audioop 3.11 before its 3.13 removal; the pins are now standalone)
+    plus spec landmarks and the sign-bit symmetry law."""
+    import hashlib
     import struct
 
     import numpy as np
@@ -2738,18 +2740,10 @@ def test_g711_expansion_exact():
         ulaw_to_linear,
     )
 
-    try:
-        import audioop  # noqa: F401 — removed in 3.13
-
-        for b in range(256):
-            assert audioop.ulaw2lin(bytes([b]), 2) == struct.pack(
-                "<h", ulaw_to_linear(b)
-            )
-            assert audioop.alaw2lin(bytes([b]), 2) == struct.pack(
-                "<h", alaw_to_linear(b)
-            )
-    except ImportError:
-        pass
+    utab = b"".join(struct.pack("<h", ulaw_to_linear(b)) for b in range(256))
+    atab = b"".join(struct.pack("<h", alaw_to_linear(b)) for b in range(256))
+    assert hashlib.md5(utab).hexdigest() == "4564589ec3203313ff004120bb32117f"
+    assert hashlib.md5(atab).hexdigest() == "58ec5fda9d97b5482ef9257716c502dd"
     # spec landmarks: extremes, both zero codes, segment-1 boundaries
     assert ulaw_to_linear(0x00) == -32124 and ulaw_to_linear(0x80) == 32124
     assert ulaw_to_linear(0xFF) == 0 and ulaw_to_linear(0x7F) == 0

@@ -160,3 +160,38 @@ def test_normalize_text_rejects_bad_form(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         normalize_text(df, form="NFX")
+
+
+def test_charset_prescan_anchored_to_meta_tags():
+    # the r9 advisor's hijack: 'charset=' in a URL query param or in
+    # visible text must NOT be honored — only a <meta ...> declaration
+    from torcharrow_spark.operators.textnorm import detect_encoding
+
+    utf8_body = "café — ☃".encode("utf-8")
+    hijack = b'<a href="/x?charset=iso-8859-1">link</a>' + utf8_body
+    assert detect_encoding(hijack) == "utf-8"
+    visible = b"set charset=latin-1 in your editor " + utf8_body
+    assert detect_encoding(visible) == "utf-8"
+    # a real meta declaration still wins (non-UTF-8 bytes)
+    real = b'<meta charset="iso-8859-1">caf\xe9'
+    assert detect_encoding(real) == "iso-8859-1"
+    # charset= in a LATER meta tag is still found
+    two = b'<meta name="viewport" content="width=1"><meta charset="iso-8859-1">caf\xe9'
+    assert detect_encoding(two) == "iso-8859-1"
+
+
+def test_latin_label_yields_to_strict_utf8():
+    # a latin-family label decodes ANY bytes, so it is unfalsifiable;
+    # bytes that strictly validate as non-ASCII UTF-8 outrank the lie
+    from torcharrow_spark.operators.textnorm import decode_payload, detect_encoding
+
+    s = "naïve café ☃"
+    lying = b'<meta charset="iso-8859-1">' + s.encode("utf-8")
+    assert detect_encoding(lying) == "utf-8"
+    assert s in decode_payload(lying)[0]
+    # pure-ASCII payload: the label is harmless, keep it
+    ascii_page = b'<meta charset="iso-8859-1">plain ascii only'
+    assert detect_encoding(ascii_page) == "iso-8859-1"
+    # genuinely latin-1 bytes (invalid UTF-8): the label stands
+    true_latin = b'<meta charset="iso-8859-1">caf\xe9 nai\xefve'
+    assert detect_encoding(true_latin) == "iso-8859-1"

@@ -105,8 +105,13 @@ def cdc_chunks(
     max_size: _ty.Optional[int] = None,
 ) -> SDF:
     """One row per chunk instance: ``(id, seq, h, ln)`` where ``h`` is
-    the md5 of the chunk text and ``ln`` its char length. The chunk
-    text itself is dropped before anything shuffles."""
+    the md5 of the chunk's UTF-8 bytes and ``ln`` the length of those
+    SAME bytes — hash and size measure one encoding, so the
+    shared-bytes fractions downstream are true byte fractions even on
+    multibyte corpora (boundaries are still cut in the codepoint
+    domain, so identical text chunks identically regardless of the
+    source encoding). The chunk text itself is dropped before anything
+    shuffles."""
     id_field = next(f for f in df.schema.fields if f.name == id_col)
     out_schema = T.StructType(
         [
@@ -133,10 +138,11 @@ def cdc_chunks(
                 for k, chunk in enumerate(
                     chunk_text(s, window, modulus, min_size, max_size)
                 ):
+                    enc = chunk.encode("utf-8")
                     ids.append(i)
                     seqs.append(k)
-                    hs.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
-                    lns.append(len(chunk))
+                    hs.append(hashlib.md5(enc).hexdigest())
+                    lns.append(len(enc))
             yield pd.DataFrame(
                 {id_col: ids, "seq": seqs, "h": hs, "ln": lns}
             )

@@ -444,6 +444,23 @@ def decode_gif(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
                 break
             comp += data[pos : pos + ln]
             pos += ln
+        # past the first frame: extensions may precede a second image
+        # descriptor (animated GIF) — refuse it loudly instead of
+        # silently returning frame 1 as if it were the whole image,
+        # matching the ValueError contract of every other defect
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x3B:  # trailer: well-formed single frame
+                break
+            if block == 0x21:  # extension between frames
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if block == 0x2C:
+                raise ValueError("gif: multi-frame streams unsupported")
+            raise ValueError(f"gif: unexpected block 0x{block:02x}")
     except IndexError:
         raise ValueError("gif: container truncated") from None
     raw = _lzw_decode(min_code, bytes(comp), iw * ih)

@@ -131,6 +131,18 @@ def normalize_text(
     return src.mapInPandas(clean_iter, out_schema)
 
 
+#: single-byte labels that decode EVERY byte string (or nearly so) —
+#: a declaration in this family can never be falsified by the data,
+#: so strict UTF-8 validation outranks it when both decode
+_LATIN_FAMILY = frozenset(
+    {
+        "latin-1", "latin1", "latin_1", "iso-8859-1", "iso8859-1",
+        "iso_8859_1", "l1", "8859", "cp819", "windows-1252", "cp1252",
+        "ascii", "us-ascii",
+    }
+)
+
+
 def detect_encoding(data: bytes) -> str:
     """Charset of a raw web payload, by the standard precedence a
     crawler uses: byte-order mark first (UTF-8/UTF-16/UTF-32 BOMs),
@@ -142,7 +154,12 @@ def detect_encoding(data: bytes) -> str:
     fails to decode its own bytes falls through to the next stage, so
     the returned codec ALWAYS decodes the payload — web pages lie
     about their charset routinely, and one liar must not kill a job.
-    Returns a codec name ``bytes.decode`` accepts."""
+    The declaration scan is anchored to ``<meta`` tags (charset= in a
+    URL or visible text cannot hijack decoding), and a latin-family
+    label on bytes that strictly validate as non-ASCII UTF-8 yields
+    to ``utf-8`` — the latin family decodes anything, so only the
+    UTF-8 validation is evidence. Returns a codec name
+    ``bytes.decode`` accepts."""
 
     def _decodes(name: str) -> bool:
         try:
@@ -160,18 +177,42 @@ def detect_encoding(data: bytes) -> str:
     if data[:2] in (b"\xff\xfe", b"\xfe\xff") and _decodes("utf-16"):
         return "utf-16"
     head = data[:1024].lower()
-    at = head.find(b"charset=")
-    if at >= 0:
-        val = head[at + 8 : at + 40].strip(b"'\" ")
-        end = min(
-            (i for i in (val.find(b'"'), val.find(b"'"), val.find(b">"),
-                         val.find(b" "), val.find(b"/")) if i >= 0),
-            default=len(val),
-        )
-        name = val[:end].decode("ascii", "ignore").strip()
-        # mislabeled/unknown charsets fall through to content sniffing
-        if name and _decodes(name):
-            return name
+    # anchored prescan: charset= is honored only INSIDE a <meta ...>
+    # tag — matching any charset= substring would let a URL query
+    # param or visible text ('?charset=iso-8859-1') hijack decoding,
+    # and since latin-1 decodes every byte string, _decodes() could
+    # never reject the hijacked label
+    name = ""
+    scan = 0
+    while not name:
+        m = head.find(b"<meta", scan)
+        if m < 0:
+            break
+        tag_end = head.find(b">", m)
+        tag = head[m : tag_end if tag_end >= 0 else len(head)]
+        at = tag.find(b"charset=")
+        if at >= 0:
+            val = tag[at + 8 : at + 40].strip(b"'\" ")
+            end = min(
+                (i for i in (val.find(b'"'), val.find(b"'"), val.find(b">"),
+                             val.find(b" "), val.find(b"/")) if i >= 0),
+                default=len(val),
+            )
+            name = val[:end].decode("ascii", "ignore").strip()
+        scan = m + 5
+    # mislabeled/unknown charsets fall through to content sniffing;
+    # a latin-family label (which decodes ANY bytes, so the label
+    # itself is unfalsifiable) on a payload that strictly validates as
+    # UTF-8 with real non-ASCII content is almost always a lie — the
+    # data-validated codec wins over the unvalidatable one
+    if name and _decodes(name):
+        if (
+            name in _LATIN_FAMILY
+            and not data.isascii()
+            and _decodes("utf-8")
+        ):
+            return "utf-8"
+        return name
     if _decodes("utf-8"):
         return "utf-8"
     return "latin-1"

@@ -12,6 +12,7 @@ per-op frames (which would shuffle the corpus per op).
 from __future__ import annotations
 
 import typing as _ty
+from functools import reduce
 
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
@@ -619,19 +620,28 @@ def url_dedup_ids(df: SDF, url_col: str = "url", id_col: str = "doc_id") -> SDF:
 #: (which strips them — they must not bypass a domain gate)
 _HOST_RX = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[wW][wW][wW]\.)?([^/?#]*)"
 
+#: raw authority (userinfo/www./port intact) — url_host strips those
+#: itself, in bypass-safe order: userinfo FIRST, then www., then port
+_AUTHORITY_RX = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)"
+
 
 def url_host(col) -> F.Column:
-    """Lowercased registrable host of a URL: scheme, one leading
-    ``www.``, userinfo (``user@``), and ``:port`` all stripped — the
+    """Lowercased registrable host of a URL: scheme, userinfo
+    (``user@``), one leading ``www.``, and ``:port`` all stripped — the
     GATING key for domain-level curation decisions. Stricter than
     `normalize_url`'s host handling on purpose: a canonical URL keeps
     ``user@`` / ``:8080`` (they address different resources), but a
     blocklist or per-domain report keyed on them would be trivially
-    bypassed by ``https://spam.com:443/``. Pure regexp projection,
-    SQL-replayable."""
+    bypassed by ``https://spam.com:443/``. The strip ORDER is part of
+    the contract: userinfo comes off before the ``www.`` prefix, so
+    ``https://user@www.spam.com/x`` gates as ``spam.com`` — stripping
+    ``www.`` first would leave ``www.spam.com`` and re-open the exact
+    userinfo bypass this function exists to close. Pure regexp
+    projection, SQL-replayable."""
     c = F.col(col) if isinstance(col, str) else col
-    host = F.lower(F.regexp_extract(c, _HOST_RX, 1))
+    host = F.lower(F.regexp_extract(c, _AUTHORITY_RX, 1))
     host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r"^www\.", "")
     return F.regexp_replace(host, r":\d*$", "")
 
 
@@ -643,10 +653,18 @@ def filter_domains(
     URL host is listed (the blocklist pass every web pipeline runs
     first), ``mode='allow'`` keeps only listed hosts.
 
-    The list ships as a BROADCAST single-column frame and the gate is
-    a broadcast anti/semi join on the extracted host — real blocklists
-    run to 10^5-10^6 domains, far past `isin` literal limits, and a
-    broadcast join keeps the corpus side shuffle-free at any scale."""
+    A list entry covers the domain AND its subdomains (the standard
+    web-blocklist contract): ``spam.com`` gates ``spam.com``,
+    ``a.spam.com``, and ``a.b.spam.com`` — exact-host matching would be
+    trivially bypassed by prefixing a throwaway label. The list ships
+    as BROADCAST single-column frames and the gate stays pure
+    broadcast-HASH equi-joins (never a nested-loop ``endswith``
+    condition): entries are grouped by label count k, the host's last-k
+    labels form the join key for each k, and one broadcast LEFT join
+    per k (at most ~5 distinct k in real lists) marks matches — the
+    corpus side is shuffle-free at any scale and each row joins at most
+    one list row per k, so no duplicate survivors. Real blocklists run
+    to 10^5-10^6 domains, far past `isin` literal limits."""
     if mode not in ("block", "allow"):
         raise ValueError(f"unknown mode: {mode!r}")
     spark = df.sparkSession
@@ -654,12 +672,28 @@ def filter_domains(
     # side (lowercase, one leading www. stripped) — a list written as
     # 'WWW.Spam.com' must still gate 'https://spam.com/x'
     norm = sorted({d.lower().removeprefix("www.") for d in domains})
-    doms = spark.createDataFrame([(d,) for d in norm], "__dom__ string")
+    by_k: _ty.Dict[int, _ty.List[str]] = {}
+    for d in norm:
+        by_k.setdefault(d.count(".") + 1, []).append(d)
     host = url_host(url_col)
-    how = "left_anti" if mode == "block" else "left_semi"
-    return df.join(
-        F.broadcast(doms), host == F.col("__dom__"), how
-    )
+    labels = F.split(host, r"\.")
+    cur = df
+    marks = []
+    for k in sorted(by_k):
+        doms = spark.createDataFrame(
+            [(d,) for d in by_k[k]], f"__dom{k}__ string"
+        )
+        # last-k labels of the host; NULL (never matches) when the
+        # host has fewer labels than the entry
+        key = F.when(
+            F.size(labels) >= k,
+            F.array_join(F.slice(labels, F.size(labels) - k + 1, k), "."),
+        )
+        cur = cur.join(F.broadcast(doms), key == F.col(f"__dom{k}__"), "left")
+        marks.append(F.col(f"__dom{k}__").isNotNull())
+    matched = reduce(lambda a, b: a | b, marks) if marks else F.lit(False)
+    keep = ~matched if mode == "block" else matched
+    return cur.where(keep).select(*df.columns)
 
 
 def domain_stats(

@@ -7500,7 +7500,8 @@ def _cdc_chunk_sql(pred: str) -> str:
                           (allc[j + 1] - allc[j])::INT))) AS chunk
         FROM b
       )
-      SELECT doc_id, md5(chunk) AS h, length(chunk) AS ln FROM ch
+      SELECT doc_id, md5(chunk) AS h,
+             octet_length(encode(chunk)) AS ln FROM ch
     )"""
 
 
