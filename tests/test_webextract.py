@@ -189,3 +189,75 @@ def test_html_extract_spark(spark):
     assert r0.extracted_chars == len("Hi\ntext body here")
     r1 = out[1]
     assert r1.text is None and r1.n_blocks is None
+
+
+def test_robots_rules_table_distributed_parse(spark):
+    from torcharrow_spark.operators import robots_rules
+
+    rows = [
+        ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/press/\n"),
+        ("b.com", "User-agent: googlebot\nDisallow: /\n"),   # wrong agent
+        ("c.com", "# only comments\n"),                      # no rules
+        ("d.com", None),                                      # null policy
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = robots_rules(df).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append((r.allow, r.pattern, r.pattern_len))
+    assert set(by_host) == {"a.com"}  # b/c/d yield no rules for '*'
+    assert sorted(by_host["a.com"]) == [
+        (False, "/private/", 9),
+        (True, "/private/press/", 15),
+    ]
+    # bytes payloads parse too (raw robots bodies straight from a crawl)
+    dfb = spark.createDataFrame(
+        [("e.com", b"User-agent: *\nDisallow: /x\n")], "host string, robots_txt binary"
+    )
+    assert robots_rules(dfb).count() == 1
+
+
+def test_robots_gate_multihost_precedence(spark):
+    from torcharrow_spark.operators import robots_gate, robots_rules
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/press/\n"),
+            ("b.com", "User-agent: *\nDisallow: /tmp*\nDisallow: /exact$\n"),
+            # equal-length allow + disallow: allow must win the tie
+            ("t.com", "User-agent: *\nDisallow: /aaa/\nAllow: /bbb/\n"
+                      "Disallow: /bbb/\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    pages = spark.createDataFrame(
+        [
+            (0, "a.com", "/p/x"),           # no matching rule -> allowed
+            (1, "a.com", "/private/x"),     # disallowed
+            (2, "a.com", "/private/press/x"),  # longer allow wins
+            (3, "b.com", "/tmp123"),        # wildcard disallow
+            (4, "b.com", "/exact"),         # $-anchored
+            (5, "b.com", "/exactly"),       # anchor must not leak
+            (6, "nohost.org", "/anything"), # no policy at all -> allowed
+            (7, "t.com", "/bbb/x"),         # equal-length tie -> allow
+            (8, "t.com", "/aaa/x"),         # plain disallow
+        ],
+        "doc_id long, host string, path string",
+    )
+    out = {r.doc_id: r.allowed for r in robots_gate(pages, rules).collect()}
+    assert out == {0: True, 1: False, 2: True, 3: False, 4: False,
+                   5: True, 6: True, 7: True, 8: False}
+    # plan shape: page side broadcast-joined, zero Python on pages
+    gated = robots_gate(pages, rules)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only Arrow/Python stage is the rules parse (input: 3 policy
+    # rows), never the page side: pages flow Scan -> Join -> Project
+    assert plan.count("MapInPandas") <= 1
+    # non-broadcast fallback produces identical verdicts
+    out2 = {
+        r.doc_id: r.allowed
+        for r in robots_gate(pages, rules, broadcast=False).collect()
+    }
+    assert out2 == out

@@ -7297,6 +7297,103 @@ def q164_robots_gate(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q167_robots_multihost",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             source || '.example.com' AS host,
+             replace(source, 'src', '')::INT AS n,
+             doc_id % 5 AS m,
+             CASE doc_id % 5
+                  WHEN 0 THEN '/p/' || doc_id
+                  WHEN 1 THEN '/private/' || doc_id
+                  WHEN 2 THEN '/private/press/' || doc_id
+                  WHEN 3 THEN '/tmp' || doc_id
+                  ELSE CASE WHEN doc_id % 2 = 0 THEN '/exact'
+                            ELSE '/exactly' || doc_id END
+             END AS path
+      FROM documents
+    )
+    SELECT doc_id, host, path,
+           CASE WHEN n = 19 THEN TRUE
+                WHEN n % 3 = 0 THEN (m != 1)
+                WHEN n % 3 = 1 THEN NOT (m = 3 OR (m = 4 AND doc_id % 2 = 0))
+                ELSE TRUE
+           END AS allowed
+    FROM p
+    """,
+)
+def q167_robots_multihost(spark: SparkSession, sf_dir: str) -> SDF:
+    """Whole-crawl robots enforcement (r10, VERDICT r9 ask #2 —
+    operators/webextract.robots_rules + robots_gate): q164's gate
+    compiled ONE policy into the plan; a crawl spans millions of
+    hosts. Here every host publishes its OWN robots.txt — synthesized
+    per source: prefix-disallow-with-allow-carve-out policies,
+    wildcard + ``$``-anchored policies (with a comment line and an
+    empty ``Disallow:`` the parser must ignore), policies addressed to
+    a DIFFERENT user-agent that must not bind ``*``, and one host with
+    no robots.txt at all. The policies are parsed DISTRIBUTED into a
+    (host, allow, pattern, pattern_len, rx) rules table (Python parser
+    runs once per policy, never per page), rules pack into one array
+    row per host, and the verdict is RFC 9309 precedence — longest
+    matching pattern wins, allow wins ties, no match/no policy =
+    allowed — resolved entirely with JVM expressions
+    (``regexp_like`` + ``array_max`` over (len, allow) structs) after
+    a broadcast host join: the page side never shuffles and never
+    runs Python. The oracle states the expected verdict per
+    (policy class x path class) pair, so a precedence slip, an agent
+    group leak, or a missing-policy default flips rows."""
+    from torcharrow_spark.operators import robots_gate, robots_rules
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select(
+        "doc_id", "source"
+    )
+    n = F.regexp_replace(F.col("source"), "src", "").cast("int")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/p/"), sid))
+        .when(m == 1, F.concat(F.lit("/private/"), sid))
+        .when(m == 2, F.concat(F.lit("/private/press/"), sid))
+        .when(m == 3, F.concat(F.lit("/tmp"), sid))
+        .otherwise(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/exact")).otherwise(
+                F.concat(F.lit("/exactly"), sid)
+            )
+        )
+    )
+    pages = docs.select("doc_id", host.alias("host"), path.alias("path"))
+    policy = (
+        F.when(
+            n % 3 == 0,
+            F.lit(
+                "# crawl policy\nUser-agent: *\nDisallow: /private/\n"
+                "Allow: /private/press/\n"
+            ),
+        )
+        .when(
+            n % 3 == 1,
+            F.lit(
+                "User-agent: *\nDisallow: /tmp*\nDisallow: /exact$\n"
+                "Disallow:\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: googlebot\nDisallow: /\n"))
+    )
+    robots = (
+        docs.select("source").distinct()
+        .where(F.regexp_replace(F.col("source"), "src", "").cast("int") != 19)
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            policy.alias("robots_txt"),
+        )
+    )
+    rules = robots_rules(robots)
+    return robots_gate(pages, rules)
+
+
+@query(
     "q163_charset_ingest",
     oracle="""
     SELECT doc_id,
