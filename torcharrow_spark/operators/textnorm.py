@@ -225,37 +225,47 @@ def decode_payload(data: bytes) -> _ty.Tuple[str, str]:
 
 
 def decode_payloads(
-    df: SDF, bytes_col: str = "payload", id_col: str = "doc_id"
+    df: SDF,
+    bytes_col: str = "payload",
+    id_col: str = "doc_id",
+    passthrough: _ty.Sequence[str] = (),
 ) -> SDF:
     """Charset-sniffing bytes -> text on Spark: ``(id, text,
-    encoding)``. The step between a WARC record's body and
-    html_extract — real crawl payloads declare their charset in a BOM,
-    a meta tag, or not at all, and decoding everything as UTF-8 mangles
-    the Latin-1/UTF-16 tail of the web. Zero shuffle, Arrow-batched."""
-    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    encoding[, *passthrough])``. The step between a WARC record's body
+    and html_extract — real crawl payloads declare their charset in a
+    BOM, a meta tag, or not at all, and decoding everything as UTF-8
+    mangles the Latin-1/UTF-16 tail of the web. ``passthrough``
+    columns (e.g. the WARC target URI) ride through the batch UDF so
+    no metadata join is ever needed. Zero shuffle, Arrow-batched."""
+    fields = {f.name: f for f in df.schema.fields}
     out_schema = T.StructType(
         [
-            T.StructField(id_col, id_field.dataType, False),
+            T.StructField(id_col, fields[id_col].dataType, False),
             T.StructField("text", T.StringType(), True),
             T.StructField("encoding", T.StringType(), True),
         ]
+        + [T.StructField(c, fields[c].dataType, True) for c in passthrough]
     )
     from torcharrow_spark.operators.preprocess import spread_narrow_source
 
-    src = spread_narrow_source(df.select(id_col, bytes_col))
+    extras = list(passthrough)
+    src = spread_narrow_source(df.select(id_col, bytes_col, *extras))
+    cols = [id_col, "text", "encoding"] + extras
 
     def decode_iter(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for i, b in zip(pdf[id_col], pdf[bytes_col]):
+            series = [pdf[id_col], pdf[bytes_col]] + [pdf[c] for c in extras]
+            for i, b, *tail in zip(*series):
+                tail = tuple(tail)
                 if b is None:
-                    rows.append((i, None, None))
+                    rows.append((i, None, None) + tail)
                     continue
                 text, enc = decode_payload(bytes(b))
-                rows.append((i, text, enc))
-            yield pd.DataFrame(rows, columns=[id_col, "text", "encoding"])
+                rows.append((i, text, enc) + tail)
+            yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(decode_iter, out_schema)
 

@@ -6000,14 +6000,18 @@ def q127_lm_quality(spark: SparkSession, sf_dir: str) -> SDF:
     return bigram_lm_scores(docs)
 
 
-def _gopher_reason_cte(min_words: int = 50, max_dupw: float = 0.3) -> str:
+def _gopher_reason_cte(
+    min_words: int = 50, max_dupw: float = 0.3, src: str = "documents"
+) -> str:
     """The q128 gopher metric + CASE-ladder SQL as a reusable CTE body:
-    ...gm AS (SELECT doc_id, reason FROM ...) over `documents`."""
+    ...gm AS (SELECT doc_id, reason FROM ...) over ``src`` (a table or
+    CTE exposing doc_id + text — q166 points it at the post-extraction
+    composite)."""
     return f"""
     gt AS (
       SELECT doc_id, text, string_split({_NORM}, ' ') AS w,
              length(text)::DOUBLE AS n_chars
-      FROM documents
+      FROM {src}
     ),
     gm0 AS (
       SELECT doc_id,
@@ -7393,6 +7397,443 @@ def q167_robots_multihost(spark: SparkSession, sf_dir: str) -> SDF:
     return robots_gate(pages, rules)
 
 
+def _cdc_chunk_sql(pred: str, src: str = "documents") -> str:
+    """DuckDB subquery yielding one (doc_id, h, ln) row per CDC chunk
+    instance of the ``src`` rows matching ``pred`` — the exact
+    operators/cdc boundary rule (window-4 degree-31 polynomial, cut at
+    0 mod 16), shared verbatim by the q157/q161/q166 oracles so all
+    replay ONE boundary definition."""
+    return f"""(
+      WITH c AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_filter(range(4, length(text) + 1), i ->
+                 (ascii(substr(text, (i - 3)::INT, 1)) * 29791
+                  + ascii(substr(text, (i - 2)::INT, 1)) * 961
+                  + ascii(substr(text, (i - 1)::INT, 1)) * 31
+                  + ascii(substr(text, i::INT, 1))) % 16 = 0) AS cuts
+        FROM {src} WHERE {pred}
+      ), b AS (
+        SELECT doc_id, text,
+               list_prepend(0, CASE WHEN len(cuts) > 0 AND cuts[-1] = n
+                                    THEN cuts
+                                    ELSE list_append(cuts, n) END) AS allc
+        FROM c
+      ), ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(allc)), j ->
+                   substr(text, (allc[j] + 1)::INT,
+                          (allc[j + 1] - allc[j])::INT))) AS chunk
+        FROM b
+      )
+      SELECT doc_id, md5(chunk) AS h,
+             octet_length(encode(chunk)) AS ln FROM ch
+    )"""
+
+
+def _q166_oracle() -> str:
+    lg_ctes, lg_score = _logreg_ctes(3, 1.0, src="d2")
+    chunks = _cdc_chunk_sql("TRUE", src="d5")
+    return f"""
+    WITH RECURSIVE comp AS (
+      SELECT d.doc_id, d.lang, d.source,
+             'Report' || chr(10)
+               || (CASE WHEN d.doc_id % 11 = 10 AND p.doc_id IS NOT NULL
+                        THEN p.text ELSE d.text END)
+               || ' caf' || chr(233) || ' na' || chr(239) || 've' AS text
+      FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+    ),
+    meta0 AS (
+      SELECT doc_id, lang, text,
+             source || '.example.com' AS host,
+             replace(source, 'src', '')::INT AS n,
+             doc_id % 5 AS m
+      FROM comp
+    ),
+    gated AS (
+      SELECT doc_id, lang, text FROM meta0
+      WHERE host NOT IN ('src3.example.com', 'src7.example.com')
+        AND CASE WHEN n = 19 THEN TRUE
+                 WHEN n % 3 = 0 THEN (m != 1)
+                 WHEN n % 3 = 1 THEN NOT (m = 3 OR (m = 4 AND doc_id % 2 = 0))
+                 ELSE TRUE END
+    ),
+    {_gopher_reason_cte(min_words=30, max_dupw=0.6, src="gated")},
+    d2 AS MATERIALIZED (
+      SELECT gated.doc_id, gated.lang, gated.text,
+             length(gated.text)::BIGINT AS n_chars
+      FROM gated JOIN gm USING (doc_id) WHERE gm.reason IS NULL
+    ),
+    {",".join(lg_ctes)},
+    sc AS (SELECT doc_id, {lg_score} AS score FROM feat CROSS JOIN w3),
+    msc AS (SELECT CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mv FROM sc),
+    k3 AS (SELECT doc_id FROM sc CROSS JOIN msc WHERE score >= mv),
+    d3 AS (SELECT d2.* FROM d2 JOIN k3 USING (doc_id)),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({_NORM}) AS k FROM d3)
+      GROUP BY k
+    ),
+    d4 AS MATERIALIZED (SELECT d3.* FROM d3 JOIN surv USING (doc_id)),
+    n4 AS (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM d4),
+    sh4 AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       for i in range(1, len(words) - 1)]) AS sh
+        FROM n4
+      )
+    ),
+    mh4 AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5((seed // 4)::VARCHAR || '|' || sh),
+                                 (seed % 4) * 8 + 1, 8))::UBIGINT::BIGINT) AS minh
+      FROM sh4 CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig4 AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(minh::VARCHAR, '|' ORDER BY seed) AS band_key
+      FROM mh4 GROUP BY doc_id, band
+    ),
+    pairs4 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig4 a JOIN sig4 b ON a.band = b.band AND a.band_key = b.band_key
+                              AND a.doc_id < b.doc_id
+    ),
+    sym4 AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs4
+      UNION SELECT id_b, id_a FROM pairs4
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym4
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym4 s ON r.b = s.a WHERE s.b <> r.a
+    ),
+    compc AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+    ),
+    d5 AS MATERIALIZED (
+      SELECT d4.* FROM d4 LEFT JOIN compc USING (doc_id)
+      WHERE COALESCE(compc.cluster, d4.doc_id) = d4.doc_id
+    ),
+    ch AS MATERIALIZED (SELECT * FROM {chunks}),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h),
+    cdc AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+             SUM(CASE WHEN ndocs > 1 THEN ln ELSE 0 END)::BIGINT
+               AS shared_bytes,
+             SUM(ln)::BIGINT AS total_bytes
+      FROM ch JOIN freq USING (h) GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, GREATEST(length(text) // 4, 1) AS n_tokens,
+             md5('pack:0|' || doc_id::VARCHAR) AS pk
+      FROM d5
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(pk, 1, 12))::UBIGINT::BIGINT % 8 AS shard, pk
+      FROM base
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+      FROM sharded
+    )
+    SELECT d5.doc_id,
+           CASE d5.doc_id % 4 WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'utf-16'
+                WHEN 2 THEN 'iso-8859-1' ELSE 'utf-8' END AS encoding,
+           (d5.doc_id % 4 = 3) AS was_mojibake,
+           md5(d5.text) AS text_md5,
+           cdc.n_chunks, cdc.shared_bytes, cdc.total_bytes,
+           packed.n_tokens, packed.shard,
+           CAST(cb // 2048 AS BIGINT) AS bin,
+           CAST(cb % 2048 AS BIGINT) AS "offset"
+    FROM d5 JOIN cdc USING (doc_id) JOIN packed USING (doc_id)
+    """
+
+
+@query("q166_commoncrawl_capstone", oracle=_q166_oracle())
+def q166_commoncrawl_capstone(spark: SparkSession, sf_dir: str) -> SDF:
+    """The Common Crawl END-TO-END capstone (r10, VERDICT r9 ask #1):
+    every r9 web-ingest stage chained from RAW WARC BYTES into the
+    curation back end, in one oracle-checked hash. Per document a
+    per-record-gzipped WARC is synthesized (warcinfo + 200 text/html
+    response + request + a 404 the pipeline must drop) whose page
+    payload is encoded per ``doc_id % 4`` as UTF-8-BOM / UTF-16 /
+    Latin-1-behind-a-meta-tag / bare UTF-8 WITH whole-page mojibake
+    corruption, at a URL spanning 20 hosts x 5 path classes; every
+    11th document plagiarizes its predecessor's body (exact-dup bait)
+    and the corpus's organic near-dup pairs remain for MinHash. The
+    chain: warc_records (gzip members, record filter) ->
+    decode_payloads charset sniff (BOM > meta > strict-UTF-8 >
+    Latin-1, URI rides passthrough) -> html_extract (nav/footer
+    boilerplate dropped) -> normalize_text (mojibake repair must fire
+    on exactly the corrupted quarter) -> domain blocklist
+    (filter_domains broadcast gate) -> multi-host robots rules-table
+    gate (robots_rules + robots_gate, RFC 9309 precedence in JVM
+    expressions) -> Gopher gate -> LEARNED logreg quality filter
+    (trained on the gated survivors, decimal-exact mean cutoff) ->
+    exact dedup keep-min-id -> MinHash-LSH connected-components dedup
+    -> CDC chunk-sharing audit (byte-true ln on the multibyte
+    composite) -> fixed-budget sequence packing. The oracle rebuilds
+    ALL TWELVE stages from (doc_id, text, lang, source) — WARC framing
+    and charset live in the text_md5/encoding/was_mojibake columns,
+    the gates in which rows exist, dedup in which ids survive, CDC in
+    the byte columns, packing in (shard, bin, offset) — so any
+    stage-boundary drift (the composition bugs q154-q165 cannot see)
+    flips the hash. Stage-boundary composition is exactly what this
+    query exists to pin; every stage alone is already green."""
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators import (
+        cdc_dedup_stats,
+        exact_dedup,
+        filter_domains,
+        gopher_filter,
+        html_extract,
+        logreg_score,
+        logreg_train,
+        near_dup_clusters,
+        pack_documents,
+        robots_gate,
+        robots_rules,
+        url_host,
+        warc_records,
+    )
+    from torcharrow_spark.operators.relevance import _round8, _words
+    from torcharrow_spark.operators.textnorm import (
+        decode_payloads,
+        normalize_text,
+    )
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    donor = docs.select(
+        (F.col("doc_id") + 1).alias("__nid__"),
+        F.col("text").alias("__prev__"),
+    )
+    body_src = (
+        docs.join(donor, F.col("doc_id") == F.col("__nid__"), "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                (F.col("doc_id") % 11 == 10) & F.col("__prev__").isNotNull(),
+                F.col("__prev__"),
+            )
+            .otherwise(F.col("text"))
+            .alias("body"),
+        )
+    )
+
+    def _synth(batches):
+        import html as _html
+
+        import pandas as pd
+
+        from torcharrow_spark.operators.warc import build_warc
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d, srcname, body in zip(
+                pdf["doc_id"], pdf["source"], pdf["body"]
+            ):
+                d = int(d)
+                m = d % 5
+                if m == 0:
+                    path = f"/p/{d}"
+                elif m == 1:
+                    path = f"/private/{d}"
+                elif m == 2:
+                    path = f"/private/press/{d}"
+                elif m == 3:
+                    path = f"/tmp{d}"
+                else:
+                    path = "/exact" if d % 2 == 0 else f"/exactly{d}"
+                uri = f"https://WWW.{srcname}.example.com{path}"
+                meta = '<meta charset="iso-8859-1">' if d % 4 == 2 else ""
+                page = (
+                    f"<html><head><title>Doc {d}</title>{meta}"
+                    f"<script>var x=1;</script></head><body>"
+                    f'<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+                    f"<h1>Report</h1><p>{_html.escape(body)} café "
+                    f"naïve</p>"
+                    f'<footer><a href="/tos">Terms</a></footer></body></html>'
+                )
+                br = d % 4
+                if br == 0:
+                    payload = page.encode("utf-8-sig")
+                elif br == 1:
+                    payload = page.encode("utf-16")
+                elif br == 2:
+                    payload = page.encode("latin-1")
+                else:  # whole-page mojibake, then bare UTF-8
+                    payload = (
+                        page.encode("utf-8").decode("latin-1").encode("utf-8")
+                    )
+                blob = build_warc(
+                    [
+                        {"type": "warcinfo", "payload": b"software: synth\r\n"},
+                        {
+                            "type": "response",
+                            "uri": uri,
+                            "payload": payload,
+                            "content_type": "text/html",
+                        },
+                        {
+                            "type": "request",
+                            "uri": uri,
+                            "payload": b"GET / HTTP/1.1\r\n",
+                        },
+                        {
+                            "type": "response",
+                            "uri": f"https://WWW.{srcname}.example.com/missing/{d}",
+                            "payload": b"gone",
+                            "status": 404,
+                            "content_type": "text/plain",
+                        },
+                    ],
+                    gzip_members=True,
+                )
+                ids.append(d)
+                blobs.append(bytearray(blob))
+            yield pd.DataFrame({"doc_id": ids, "warc": blobs})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("warc", T.BinaryType(), True),
+        ]
+    )
+    with_warc = body_src.mapInPandas(_synth, schema)
+    recs = warc_records(with_warc, "warc", "doc_id")
+    pages = recs.where(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("doc_id", "target_uri", "payload")
+    decoded = decode_payloads(
+        pages, "payload", "doc_id", passthrough=("target_uri",)
+    )
+    extracted = html_extract(
+        decoded, html_col="text", id_col="doc_id",
+        passthrough=("encoding", "target_uri"),
+    )
+    cleaned = normalize_text(
+        extracted.select("doc_id", "text", "encoding", "target_uri"),
+        passthrough=("encoding", "target_uri"),
+    )
+    host = url_host(F.col("target_uri"))
+    path = F.regexp_extract(
+        F.col("target_uri"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)$", 1
+    )
+    withmeta = cleaned.select(
+        "doc_id", "text", "was_mojibake", "n_chars", "encoding",
+        "target_uri", host.alias("host"), path.alias("path"),
+    )
+    # the chain below branches (every dedup stage joins its own input
+    # against ids derived FROM that input) — without a lineage cut each
+    # branch re-runs the whole Python synth+parse front door, and the
+    # recomputation count doubles per stage. One lazy localCheckpoint
+    # here caps the front door at ONE execution; downstream recomputes
+    # are in-memory scans (same device-retention trade as
+    # operators/dedup.py:1456, the engine's established pattern).
+    withmeta = withmeta.localCheckpoint(eager=False)
+    d0 = filter_domains(
+        withmeta, ["src3.example.com", "src7.example.com"],
+        url_col="target_uri", mode="block",
+    )
+    n = F.regexp_replace(F.col("source"), "src", "").cast("int")
+    policy = (
+        F.when(
+            n % 3 == 0,
+            F.lit(
+                "# crawl policy\nUser-agent: *\nDisallow: /private/\n"
+                "Allow: /private/press/\n"
+            ),
+        )
+        .when(
+            n % 3 == 1,
+            F.lit(
+                "User-agent: *\nDisallow: /tmp*\nDisallow: /exact$\n"
+                "Disallow:\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: googlebot\nDisallow: /\n"))
+    )
+    robots = (
+        docs.select("source").distinct()
+        .where(F.regexp_replace(F.col("source"), "src", "").cast("int") != 19)
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            policy.alias("robots_txt"),
+        )
+    )
+    d1 = (
+        robots_gate(d0, robots_rules(robots))
+        .where(F.col("allowed"))
+        .drop("allowed")
+    )
+    keep = (
+        gopher_filter(
+            d1.select("doc_id", "text"), min_words=30, max_dup_word_frac=0.6
+        )
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    d2 = d1.join(keep, "doc_id", "left_semi")
+    feat_src = d2.join(docs.select("doc_id", "lang"), "doc_id")
+    nw = F.size(_words(F.col("text"))).cast("double")
+    feat = feat_src.where(nw > 0).select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        _round8(F.log(F.lit(1.0) + nw)).alias("x1"),
+        _round8(F.col("n_chars").cast("double") / nw).alias("x2"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
+    scored = logreg_score(feat, ["x0", "x1", "x2"], w)
+    mean_score = (
+        F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1))
+    ).alias("m")
+    k3 = (
+        scored.crossJoin(F.broadcast(scored.agg(mean_score)))
+        .where(F.col("score") >= F.col("m"))
+        .select("doc_id")
+    )
+    d3 = d2.join(k3, "doc_id", "left_semi")
+    d4 = exact_dedup(d3).localCheckpoint(eager=False)
+    clus = near_dup_clusters(
+        d4.select("doc_id", "text"), shingle_k=3, num_hashes=8, bands=4
+    )
+    keep_ids = clus.where(F.col("cluster") == F.col("doc_id")).select("doc_id")
+    d5 = d4.join(keep_ids, "doc_id", "left_semi")
+    cdc = cdc_dedup_stats(d5.select("doc_id", "text"))
+    sized = d5.select(
+        "doc_id",
+        F.greatest(F.expr("n_chars DIV 4"), F.lit(1).cast("long")).alias("toks"),
+    )
+    packed = pack_documents(sized, "doc_id", "toks", budget=2048, n_shards=8)
+    audit = d5.select(
+        "doc_id", "encoding", "was_mojibake",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+    return (
+        packed.join(audit, "doc_id")
+        .join(
+            cdc.select("doc_id", "n_chunks", "shared_bytes", "total_bytes"),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "encoding", "was_mojibake", "text_md5", "n_chunks",
+            "shared_bytes", "total_bytes", "n_tokens", "shard", "bin",
+            "offset",
+        )
+    )
+
+
 @query(
     "q163_charset_ingest",
     oracle="""
@@ -7567,39 +8008,6 @@ def q162_warc_ingest(spark: SparkSession, sf_dir: str) -> SDF:
         "doc_id", "target_uri", "http_status", "n_blocks", "n_kept",
         "extracted_chars", F.md5(F.col("text")).alias("text_md5"),
     )
-
-
-def _cdc_chunk_sql(pred: str) -> str:
-    """DuckDB subquery yielding one (doc_id, h, ln) row per CDC chunk
-    instance of the documents matching ``pred`` — the exact
-    operators/cdc boundary rule (window-4 degree-31 polynomial, cut at
-    0 mod 16), shared verbatim by the q157 and q161 oracles so both
-    replay ONE boundary definition."""
-    return f"""(
-      WITH c AS (
-        SELECT doc_id, text, length(text) AS n,
-               list_filter(range(4, length(text) + 1), i ->
-                 (ascii(substr(text, (i - 3)::INT, 1)) * 29791
-                  + ascii(substr(text, (i - 2)::INT, 1)) * 961
-                  + ascii(substr(text, (i - 1)::INT, 1)) * 31
-                  + ascii(substr(text, i::INT, 1))) % 16 = 0) AS cuts
-        FROM documents WHERE {pred}
-      ), b AS (
-        SELECT doc_id, text,
-               list_prepend(0, CASE WHEN len(cuts) > 0 AND cuts[-1] = n
-                                    THEN cuts
-                                    ELSE list_append(cuts, n) END) AS allc
-        FROM c
-      ), ch AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(allc)), j ->
-                   substr(text, (allc[j] + 1)::INT,
-                          (allc[j + 1] - allc[j])::INT))) AS chunk
-        FROM b
-      )
-      SELECT doc_id, md5(chunk) AS h,
-             octet_length(encode(chunk)) AS ln FROM ch
-    )"""
 
 
 @query(
