@@ -3703,3 +3703,59 @@ def test_spread_narrow_source_adaptive(spark, sf_dir):
     wide_src = spark.read.parquet(f"{d}/wide")
     assert wide_src.rdd.getNumPartitions() * 2 > par
     assert spread_narrow_source(wide_src) is wide_src
+
+
+def test_unigram_viterbi_exact_and_tieless():
+    """r10: the Unigram-LM tokenizer (functions/unigram.py, Kudo 2018)
+    must return the GLOBAL-optimum segmentation — checked against an
+    exhaustive enumeration over every distinct word of both driver
+    corpora, which simultaneously proves the toy vocab's no-tie
+    contract (the q168 oracle's determinism assumption)."""
+    import re
+    from functools import lru_cache
+
+    import duckdb
+    import pytest
+
+    from torcharrow_spark.functions.unigram import UnigramTokenizer
+
+    tok = UnigramTokenizer.toy()
+
+    # greedy longest-match diverges: Viterbi must NOT take 'the' here
+    assert tok.encode_word("then") == ["th", "en"]
+    assert tok.encode_word("the") == ["th", "e"]
+    assert tok.encode("a the then") == ["a", "th", "e", "th", "en"]
+    assert tok.cost(["th", "en"]) == 551 + 613
+    with pytest.raises(ValueError):
+        tok.encode_word("caf9")  # digit not in vocab
+    # ids: dense, stable, cost-ordered
+    assert sorted(tok.ids.values()) == list(range(len(tok.vocab)))
+    assert tok.encode_ids("then") == [tok.ids["th"], tok.ids["en"]]
+
+    @lru_cache(maxsize=None)
+    def all_segs(w):
+        if not w:
+            return ((),)
+        out = []
+        for ln in range(1, min(tok.max_len, len(w)) + 1):
+            if w[:ln] in tok.vocab:
+                out.extend((w[:ln],) + rest for rest in all_segs(w[ln:]))
+        return tuple(out)
+
+    words = set()
+    for sf in ("sf0.001", "sf0.01"):
+        rows = duckdb.sql(
+            f"SELECT text FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchall()
+        for (t,) in rows:
+            t = re.sub(" +", " ", re.sub("[^a-z ]", "", t.lower())).strip()
+            words.update(t.split())
+    words.discard("")
+    assert len(words) > 20
+    for w in sorted(words):
+        segs = all_segs(w)
+        costs = sorted(tok.cost(s) for s in segs)
+        best = min(segs, key=tok.cost)
+        # no tie at the optimum (q168 oracle determinism contract)
+        assert len(costs) == 1 or costs[0] < costs[1], (w, costs[:2])
+        assert tok.encode_word(w) == list(best), w

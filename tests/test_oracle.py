@@ -59,9 +59,9 @@ def test_driver_window_coverage():
     must_have = {
         "q01_pricing_summary",    # §2.6 aggregation
         "q02_select_where",       # §2.2 projection
-        "q51_transform_batch",    # §2.3 functional (q31/q50 rotated out
-                                  # r8 for the q145/q150 capstone rows;
-                                  # both stay driver_sim + pytest gated)
+        "q66_head_tail_reduce",   # §2.3 functional (q31/q50/q51 rotated
+                                  # out r8-r10 for capstone/web rows;
+                                  # all stay driver_sim + pytest gated)
         "q03_join_topk",          # §2.4/§2.5 joins+topk
         "q07_arith_semantics",    # §2.7
         "q08_string_ops",         # §2.8
@@ -69,7 +69,9 @@ def test_driver_window_coverage():
         "q06_null_ops",           # §2.11
         "q27_rec_ops",            # §2.13
         "q16_event_windows",      # §2.14 streaming
-        "q54_interop_roundtrip",  # §2.1 interop
+        "q162_warc_ingest",       # §2.1 sources (q54 interop rotated
+                                  # out r10; WARC read IS the §2.1
+                                  # source family at crawl scale)
         "q129_curation_pipeline", "q19_minhash_pairs", "q46_simhash_pairs",
         "q43_jaccard_prefix", "q58_near_dup_clusters",
         "q86_strip_duplicate_spans", "q87_contamination",
@@ -95,7 +97,7 @@ def test_driver_window_coverage():
         # r8 rotations (VERDICT r7 ask #2): the modern-curation capstone
         # and the exact half of the incremental-index family get their
         # first driver-hash rows
-        "q145_modern_curation", "q150_incremental_exact_dedup",
+        "q145_modern_curation",
         # r9 rotations (VERDICT r8 ask #3): the never-driver-hashed
         # q151 (takedown re-admission over the r9 pointer-resolved
         # index lifecycle), q132 (stream==batch curate+pack twin),
@@ -112,5 +114,16 @@ def test_driver_window_coverage():
         # q76 (text analysis keeps q24/q127/q128/q139), q98 (the
         # relational core keeps q01/q02/q03/q06/q07/q35/q37).
         "q154_html_extract", "q157_cdc_dedup", "q158_web_ingest_curation",
+        # r10 rotations (VERDICT r9 asks #1-#3): the WARC->pack
+        # capstone + multi-host robots land with driver rows on day
+        # one; q153/q162/q163/q164 (sim/judge-verified only in r9) get
+        # their first driver hashes. Rotated out (driver-green,
+        # still driver_sim + pytest gated): q35/q37 (§2.5 keeps
+        # q03/q136), q51 (§2.3 keeps q66), q54 (§2.1 keeps q162),
+        # q128 (gopher runs inside q129/q145/q166), q150 (index
+        # family keeps q149/q151).
+        "q166_commoncrawl_capstone", "q167_robots_multihost",
+        "q153_progressive_jpeg", "q163_charset_ingest",
+        "q164_robots_gate",
     }
     assert must_have <= window, must_have - window

@@ -35,6 +35,7 @@ __all__ = [
     "get_score_max",
     "add_tokens",
     "bpe_tokenize",
+    "unigram_tokenize",
     "lookup_indices",
     "rand",
     "scale_to_0_1",
@@ -351,6 +352,26 @@ def bpe_tokenize(tokenizer, col: Column) -> Column:
     def resolve(df):
         e, d = col._resolve(df)
         return _encode(e), dt.List(dt.int32, True)
+
+    return _wrap(resolve, col)
+
+
+def unigram_tokenize(tokenizer, col: Column) -> Column:
+    """Unigram-LM (SentencePiece-style) Viterbi subword segmentation
+    over a string column (functions/unigram.py; Kudo 2018 — the
+    tokenizer family T5/LLaMA-lineage pipelines run where GPT-2
+    lineage runs BPE; reference capability: functional.py:145-175).
+    The piece table rides the pandas_udf closure to executors once;
+    per-batch Arrow transfer, no per-row py4j. Returns the piece
+    strings; use functions/unigram.segment_stats_udf for the
+    (n_tokens, total_cost, tokens_delim) audit projection."""
+    from .functions.unigram import encode_udf
+
+    _encode = encode_udf(tokenizer)
+
+    def resolve(df):
+        e, d = col._resolve(df)
+        return _encode(e), dt.List(dt.string, True)
 
     return _wrap(resolve, col)
 

@@ -7555,6 +7555,111 @@ def _q166_oracle() -> str:
     """
 
 
+def _q168_oracle() -> str:
+    """DuckDB replay of the Unigram-LM Viterbi segmentation: the piece
+    table is embedded as VALUES, every segmentation of every DISTINCT
+    word is enumerated with a recursive CTE (bounded: branching only
+    where a multi-char piece matches; the toy vocab keeps it in the
+    thousands per word), and the per-word argmin-cost row IS Viterbi's
+    optimum — computed by exhaustive search here precisely so the
+    engine's DP is checked against an independent formulation, not a
+    re-implementation of itself. Costs are integers, so both engines
+    agree bit-for-bit; ties are impossible by vocab construction
+    (pytest proves it by enumeration)."""
+    from torcharrow_spark.functions.unigram import UnigramTokenizer
+
+    tok = UnigramTokenizer.toy()
+    vocab_rows = ",\n      ".join(
+        f"('{p}', {c})" for p, c in sorted(tok.vocab.items())
+    )
+    return f"""
+    WITH RECURSIVE vocab(p, c) AS (VALUES {vocab_rows}),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS t
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, t FROM norm WHERE length(t) > 0),
+    words AS (
+      SELECT DISTINCT w
+      FROM (SELECT unnest(string_split(t, ' ')) AS w FROM nz)
+      WHERE length(w) > 0
+    ),
+    seg(w, pos, pieces, cost) AS (
+      SELECT w, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM words
+      UNION ALL
+      SELECT s.w, s.pos + length(v.p), list_append(s.pieces, v.p),
+             s.cost + v.c
+      FROM seg s JOIN vocab v
+        ON s.pos < length(s.w)
+       AND substr(s.w, (s.pos + 1)::INT, length(v.p)) = v.p
+    ),
+    segs AS (SELECT w, pieces, cost FROM seg WHERE pos = length(w)),
+    bestw AS MATERIALIZED (
+      SELECT w, pieces, cost FROM (
+        SELECT w, pieces, cost,
+               ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY cost, pieces) AS rn
+        FROM segs
+      ) WHERE rn = 1
+    ),
+    docw AS (
+      SELECT doc_id, unnest(range(1, len(words) + 1)) AS i, words
+      FROM (SELECT doc_id, string_split(t, ' ') AS words FROM nz)
+    ),
+    docw2 AS (SELECT doc_id, i, words[i] AS w FROM docw)
+    SELECT doc_id,
+           SUM(len(b.pieces))::BIGINT AS n_tokens,
+           SUM(b.cost)::BIGINT AS total_cost,
+           md5(string_agg(array_to_string(b.pieces, '|'), ' '
+                          ORDER BY i)) AS tokens_md5
+    FROM docw2 JOIN bestw b ON b.w = docw2.w
+    GROUP BY doc_id
+    """
+
+
+@query("q168_unigram_tokenize", oracle=_q168_oracle())
+def q168_unigram_tokenize(spark: SparkSession, sf_dir: str) -> SDF:
+    """Unigram-LM (SentencePiece-style) tokenization (r10, VERDICT r9
+    ask #5 — functions/unigram.py; Kudo 2018): the tokenizer family
+    T5/LLaMA-lineage pipelines run where GPT-2 lineage runs BPE (q41).
+    Text is normalized to lowercase single-spaced words (q41's exact
+    pretokenization), then each word gets its VITERBI-optimal
+    segmentation over an integer-cost piece table — the toy vocab
+    deliberately prices 'the' so greedy longest-match diverges
+    ('then' -> th|en, never the|n), proving the DP and not a greedy
+    shortcut. Output is token-exact: md5 of the full delimited piece
+    stream plus the int64 cost Viterbi minimized and the piece count.
+    The oracle enumerates EVERY segmentation of every distinct word in
+    SQL and takes the argmin — an independent exhaustive formulation
+    of the same optimum (the q41 replace-chain trick generalized).
+    One Arrow batch UDF, zero shuffle."""
+    from torcharrow_spark import me
+    from torcharrow_spark.functions.unigram import (
+        UnigramTokenizer,
+        segment_stats_udf,
+    )
+
+    tok = UnigramTokenizer.toy()
+    docs = _load(spark, sf_dir, "documents")
+    s = me["text"].str
+    norm = (
+        s.lower()
+        .str.replace("[^a-z ]", "", regex=True)
+        .str.replace(" +", " ", regex=True)
+        .str.strip()
+    )
+    nz = docs.select("doc_id", t=norm).where(me["t"].str.length() > 0).to_spark()
+    seg = segment_stats_udf(tok)(F.col("t"))
+    return nz.select("doc_id", seg.alias("s")).select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.total_cost").alias("total_cost"),
+        F.md5(F.col("s.tokens_delim")).alias("tokens_md5"),
+    )
+
+
 @query("q166_commoncrawl_capstone", oracle=_q166_oracle())
 def q166_commoncrawl_capstone(spark: SparkSession, sf_dir: str) -> SDF:
     """The Common Crawl END-TO-END capstone (r10, VERDICT r9 ask #1):
@@ -8503,22 +8608,34 @@ DRIVER_WINDOW = [
                                 # (q31 map(callable) was driver-green
                                 # r2-r7; §2.3 stays covered by q51's
                                 # mapInArrow + q66's reduce rows)
-    "q35_set_ops",              # §2.5 union/intersect/except
-    "q128_gopher_filter",       # Gopher composite quality gate
-                                # (q36 rollup was driver-green in r2;
-                                # §2.5 keeps q03/q35/q37/q47 rows)
-    "q37_asof_join",            # §2.5 as-of join
+    "q162_warc_ingest",         # r10 rotation (VERDICT r9 ask #3):
+                                # WARC->text end-to-end, never
+                                # driver-hashed (q35_set_ops was
+                                # driver-green r2-r9; §2.5 keeps
+                                # q03/q136, §2.1 sources covered HERE)
+    "q166_commoncrawl_capstone",# r10 (VERDICT r9 ask #1): the WARC->
+                                # pack END-TO-END capstone gets its
+                                # driver row immediately (q128's bare
+                                # gopher gate was driver-green r2-r9;
+                                # gopher runs inside q129/q145/q166)
+    "q163_charset_ingest",      # r10 rotation (VERDICT r9 ask #3):
+                                # charset-sniffing payload decode
+                                # (q37_asof_join was driver-green
+                                # r2-r9; §2.5 keeps q03/q136)
     "q41_bpe_tokenize",         # §2.13 BPE (real merge loop, SQL-checked)
     "q136_rolling_quantiles",   # §2.5 rolling windows (quantile/median/
                                 # std form; q47's sum/mean was driver-
                                 # green r2-r3 and stays pytest+sim-gated)
-    "q150_incremental_exact_dedup", # r8 rotation (VERDICT r7 ask #2):
-                                # the exact half of the incremental-
-                                # index family driver-hashed alongside
-                                # q149's minhash half (q50
-                                # filter(callable) was driver-green
-                                # r2-r7; §2.3 keeps q51/q66 in-window)
-    "q51_transform_batch",      # §2.3 transform over mapInArrow
+    "q167_robots_multihost",    # r10 (VERDICT r9 ask #2): rules-table
+                                # robots enforcement across 20 hosts
+                                # (q150 incremental-exact was driver-
+                                # green r8-r9; the index family keeps
+                                # q149/q151 rows in-window)
+    "q164_robots_gate",         # r10 rotation (VERDICT r9 ask #3):
+                                # single-policy robots gate (q51 was
+                                # driver-green r2-r9; §2.3 keeps
+                                # q66's reduce row and every capstone
+                                # exercises map-family Arrow UDFs)
     "q151_incremental_dedup_retired", # r9 rotation (VERDICT r8 ask
                                 # #3): the r8 takedown flagship —
                                 # retirement re-admission over the r9
@@ -8533,7 +8650,11 @@ DRIVER_WINDOW = [
                                 # (q53_bool_aggs was driver-green
                                 # r2-r8; same §2.6 coverage rationale
                                 # as q52's swap)
-    "q54_interop_roundtrip",    # §2.1 to_arrow/to_pandas/to_pylist
+    "q153_progressive_jpeg",    # r10 rotation (VERDICT r9 ask #3):
+                                # progressive/SOF2 JPEG decode (q54
+                                # interop was driver-green r2-r9;
+                                # §2.1 covered by q162's WARC
+                                # source row)
     "q139_term_stats",          # vocab/df table — batch twin of the
                                 # r5 term_stats_stream complete-mode
                                 # stateful agg (q65 from_pandas/arrow
