@@ -3759,3 +3759,71 @@ def test_unigram_viterbi_exact_and_tieless():
         # no tie at the optimum (q168 oracle determinism contract)
         assert len(costs) == 1 or costs[0] < costs[1], (w, costs[:2])
         assert tok.encode_word(w) == list(best), w
+
+
+def test_language_id_trained_end_to_end(spark):
+    """r10: multinomial-NB language ID — fit on half a labeled corpus,
+    predict the held-out half. The accuracy floor is the capability
+    claim; exactness vs the SQL replay is q169's oracle."""
+    import pytest
+
+    from torcharrow_spark.operators import (
+        language_id_score,
+        language_id_train,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    phrases = {
+        "de": "der hund und die katze ist nicht da",
+        "en": "the dog and the cat is not here",
+        "fr": "le chien et le chat est ne pas la",
+    }
+    for i in range(120):
+        lang = ["de", "en", "fr"][i % 3]
+        rows.append((i, lang, f"doc {i} says " + phrases[lang] * 3))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = language_id_train(df.where(F.col("doc_id") % 2 == 0), ("de", "en", "fr"))
+    assert set(model) == {"de", "en", "fr"}
+    assert all(len(m["logp"]) == 256 for m in model.values())
+    scored = language_id_score(
+        df.where(F.col("doc_id") % 2 == 1), model, passthrough=("lang",)
+    )
+    got = scored.collect()
+    acc = sum(r.pred_lang == r.lang for r in got) / len(got)
+    assert acc == 1.0
+    # scores are exact int64 (SQL-replayable without float slop)
+    assert all(isinstance(r.s_en, int) for r in got)
+    # scoring plan: zero shuffle, zero Python — weights are literals
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" not in plan
+    # unlabeled class raises at fit time
+    with pytest.raises(ValueError):
+        language_id_train(df.where(F.col("lang") == "en"), ("de", "en"))
+
+
+def test_char_ngram_features_with_logreg(spark):
+    """The generic hashed-char-n-gram feature builder feeds the
+    existing logreg machinery: a linearly separable two-class toy
+    corpus must fit to a clean split."""
+    from torcharrow_spark.operators import (
+        char_ngram_features,
+        logreg_score,
+        logreg_train,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, i % 2, ("aaaa bbbb " if i % 2 else "zzzz yyyy ") * 6)
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, y int, text string")
+    feat = char_ngram_features(df, passthrough=("y",), n_buckets=16)
+    assert feat.columns[:2] == ["doc_id", "y"]
+    assert [c for c in feat.columns if c.startswith("x")] == [
+        f"x{k}" for k in range(17)
+    ]
+    cols = [f"x{k}" for k in range(17)]
+    w = logreg_train(feat, cols, "y", lr=8.0, iters=10)
+    scored = logreg_score(feat, cols, w)
+    got = scored.select("doc_id", "y", "score").collect()
+    acc = sum((r.score >= 0.5) == bool(r.y) for r in got) / len(got)
+    assert acc == 1.0

@@ -85,7 +85,6 @@ def test_driver_window_coverage():
         # sketch family), q147 replaces q126's still-image row (frames
         # decode THROUGH the same image path, a strict superset) —
         # both old rows stay driver_sim + pytest gated
-        "q148_minhash_bucket_audit",
         "q135_semantic_dedup", "q105_heavy_hitters", "q71_deterministic_sampling",
         "q110_grouped_quantiles", "q134_pack_nosplit",
         # r7 rotation: q149 (cross-run MinHash index probe) replaces
@@ -125,5 +124,11 @@ def test_driver_window_coverage():
         "q166_commoncrawl_capstone", "q167_robots_multihost",
         "q153_progressive_jpeg", "q163_charset_ingest",
         "q164_robots_gate",
+        # r10 session-2: the new tokenizer + trained-langid queries get
+        # driver rows on day one (q127 bigram-LM and q148 election
+        # audit rotate out, both long-green, still driver_sim + pytest
+        # gated; quality keeps q24/q145/q158, MinHash keeps
+        # q19/q58/q149/q151/q166).
+        "q168_unigram_tokenize", "q169_language_id_trained",
     }
     assert must_have <= window, must_have - window

