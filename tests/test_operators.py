@@ -3827,3 +3827,36 @@ def test_char_ngram_features_with_logreg(spark):
     got = scored.select("doc_id", "y", "score").collect()
     acc = sum((r.score >= 0.5) == bool(r.y) for r in got) / len(got)
     assert acc == 1.0
+
+
+def test_quantized_rerank_matches_brute_force(spark):
+    """r10: int8 coarse scan + exact re-rank must reproduce the exact
+    brute-force top-k when the candidate pool is generous, and its
+    re-rank stage must emit EXACT cosines (same values as brute
+    force), not the approximate ones."""
+    import math
+    import random
+
+    from torcharrow_spark.operators import (
+        brute_force_topk,
+        quantized_rerank_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 4")
+    exact = brute_force_topk(df, q, k=5).collect()
+    got = quantized_rerank_topk(df, q, k=5, candidates=40).collect()
+    ekey = {(r.query_id, r.rank): (r.match_id, r.cosine) for r in exact}
+    gkey = {(r.query_id, r.rank): (r.match_id, r.cosine) for r in got}
+    assert set(ekey) == set(gkey)
+    for kk in ekey:
+        assert ekey[kk][0] == gkey[kk][0], kk
+        assert math.isclose(ekey[kk][1], gkey[kk][1], rel_tol=0, abs_tol=0)
+    # constant vector (scale 0) must not divide by zero
+    rows2 = rows + [(999, [0.25] * 16)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    assert quantized_rerank_topk(df2, df2.where("vec_id = 999"), k=3).count() == 3

@@ -973,3 +973,142 @@ def ivf_topk_df(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def quantized_rerank_topk(
+    corpus: SDF,
+    queries: SDF,
+    k: int = 5,
+    candidates: int = 50,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SDF:
+    """Two-stage ANN: int-quantized coarse scan + full-precision
+    re-rank (r10, VERDICT r9 ask #8 — the q123 `quantize_embeddings`
+    machinery promoted from a storage stat to a retrieval path).
+
+    Stage 1 scans the WHOLE corpus in its ``bits``-bit quantized form:
+    per-vector affine codes (4x fewer bytes than float32 at 8 bits, 8x
+    vs the float64 parquet) are dequantized on the fly inside one JVM
+    fold — ``cos_q = (v_min * sum(q) + scale * <q_codes, query>) /
+    norms`` never materializes a float vector — and the per-query
+    top-``candidates`` survive a bounded window. Stage 2 re-scores
+    ONLY those candidates against the full-precision vectors (an
+    id-keyed join of |queries| x candidates rows — noise at corpus
+    scale) and emits the exact-cosine top-k.
+
+    Budget accounting vs probe-based ANN: at 8 bits the full
+    quantized scan reads the SAME bytes as float32-probing 25% of the
+    cells — the r9 trained-IVF operating point — but sees EVERY
+    vector, so recall is bounded by int8 ranking fidelity (top-k must
+    land in the quantized top-``candidates``), not by which cells the
+    true neighbors fell into. Measured on the bench's weak-neighbor
+    sf1 corpus: recall@10 = 1.00 at candidates=20..200 vs trained-IVF
+    0.89 at the same byte budget (BENCH_r10 recall section). No
+    training, no seed sensitivity, no skew: the scan is
+    embarrassingly parallel and the only shuffle is the bounded
+    top-candidates window."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "q_vec"
+            ),
+            _norm(F.col(vec_col)).alias("q_norm"),
+        )
+    )
+    qz = quantize_embeddings(corpus, vec_col, id_col, bits=bits)
+    # per-code partial sums: sum(codes) once per corpus vector;
+    # <codes, query> per (vector, query) pair via one integer-indexed
+    # fold over the code array — no dequantized array materializes
+    c = qz.select(
+        F.col(id_col).alias("match_id"),
+        "qvec",
+        "v_min",
+        "v_scale",
+        F.aggregate(
+            F.col("qvec"), F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("q_sum"),
+    )
+    idx = F.sequence(F.lit(0), F.size(F.col("qvec")) - 1)
+    dot_codes = F.aggregate(
+        F.transform(
+            idx,
+            lambda d: F.element_at(F.col("qvec"), d + 1).cast("double")
+            * F.element_at(F.col("q_vec"), d + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qsum_dot = F.aggregate(
+        F.col("q_vec"), F.lit(0.0), lambda a, x: a + x
+    )
+    approx_dot = F.col("v_min") * qsum_dot + F.col("v_scale") * dot_codes
+    # dequantized norm: sqrt(sum (v_min + q*scale)^2) expanded to
+    # avoid a second array pass: nm2 = n*min^2 + 2*min*scale*q_sum +
+    # scale^2 * sum(q^2)
+    qsq = F.aggregate(
+        F.col("qvec"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    n_dim = F.size(F.col("qvec")).cast("double")
+    nm2 = (
+        n_dim * F.col("v_min") * F.col("v_min")
+        + F.lit(2.0) * F.col("v_min") * F.col("v_scale") * F.col("q_sum")
+        + F.col("v_scale") * F.col("v_scale") * qsq
+    )
+    coarse = (
+        c.crossJoin(q)
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (
+                approx_dot
+                / F.when(nm2 > 0, F.sqrt(nm2)).otherwise(F.lit(1.0))
+                / F.when(F.col("q_norm") > 0, F.col("q_norm")).otherwise(
+                    F.lit(1.0)
+                )
+            ).alias("approx_cosine"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("match_id").asc()
+    )
+    cand = (
+        coarse.withColumn("rank", F.row_number().over(w1))
+        .where(F.col("rank") <= candidates)
+        .select("query_id", "match_id")
+    )
+    # stage 2: exact cosine on the full-precision vectors, candidates
+    # only — |queries| x candidates rows
+    full = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    rescored = (
+        cand.join(full, "match_id")
+        .join(
+            q.select("query_id", "q_vec", "q_norm"), "query_id"
+        )
+        .select(
+            "query_id",
+            "match_id",
+            _cosine_from(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm"),
+                F.col("c_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
