@@ -382,6 +382,44 @@ REGISTRY: list[dict] = [
         ),
     },
     {
+        "name": "langid hash-feature buckets",
+        "kind": "parameter",
+        "location": "operators.classifier.language_id_train/score(n_buckets=)",
+        "default": "256",
+        "effect": (
+            "bucket count of the hashed char-n-gram feature space — "
+            "the fit's shuffle is K x n_buckets partial count rows "
+            "per executor (corpus-size independent) and the scoring "
+            "plan carries K x n_buckets int literals."
+        ),
+        "trade": (
+            "256 separates the 5-language driver corpus at 0.996 "
+            "held-out; real many-language deployments raise it "
+            "(fastText ships 2M-bucket spaces) — cost is plan-literal "
+            "size, not shuffle. Both sides of q169's oracle pin 256."
+        ),
+        "override": "n_buckets= on both train and score (must match).",
+    },
+    {
+        "name": "ANN re-rank candidate pool",
+        "kind": "parameter",
+        "location": "operators.similarity.quantized_rerank_topk(candidates=)",
+        "default": "50",
+        "effect": (
+            "rows surviving the int8 coarse scan per query — the "
+            "re-rank join reads |queries| x candidates full-precision "
+            "vectors; recall is bounded by the true top-k landing in "
+            "the quantized top-candidates."
+        ),
+        "trade": (
+            "the bench corpus measures recall 1.00 already at 20; 50 "
+            "is 2.5x margin for corpora with tighter cosine spacing "
+            "at the int8 noise floor (~scale/2 per element). Raising "
+            "it scales only the re-rank join, never the scan."
+        ),
+        "override": "candidates= per call; bits= trades scan bytes.",
+    },
+    {
         "name": "AQE initial shuffle width",
         "kind": "session-conf",
         "location": (
