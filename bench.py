@@ -1601,15 +1601,103 @@ def main() -> None:
     # r9 (VERDICT r8 ask #4): the one-shot start probe is itself noisy
     # (r8 recorded machine_factor 2.195 against a measured
     # wall_drift_median of 0.664 — the artifact's wall claims depended
-    # on which scalar you believed). The probe now runs INTERLEAVED —
-    # start (above), after the headline loop, and after the stress
-    # tiers — each best-of-3, and the artifact records the whole
-    # envelope so it quantifies its own wall uncertainty. The recorded
-    # machine_factor becomes the MEDIAN of the three; regressions that
-    # vanish under the most forgiving probe in the envelope are moved
-    # to `regressions_within_probe_envelope` (still visible, no longer
-    # claimed as plan regressions).
+    # on which scalar you believed). Probes run INTERLEAVED — start,
+    # inside the headline loop every 10 queries, after the loop, and
+    # after the stress tiers — and the artifact records the whole
+    # envelope so it quantifies its own wall uncertainty.
     cal_mid = measure_calibration(spark)
+    probes_pre = probe_timeline + [cal_mid]
+    env_pre = probe_envelope(probes_pre)
+    raw_wall_drift = round(wall_drift_median * cal_ratio, 3)
+
+    # r10 (VERDICT r9 ask #4): DEFERRED re-adjudication with
+    # nearest-in-time attribution, run IMMEDIATELY after the headline
+    # loop — before the stress tiers, whose 10 GB shuffles leave the
+    # host (page cache, IO pressure) in a measurably slower state
+    # than the first pass saw; this round's first attempt re-ran
+    # candidates post-stress and watched byte-clean 1.0 s walls
+    # re-measure at 5 s. Candidates come from BOTH gates — the
+    # start-probe gate above (which a slow start probe can make
+    # toothless: r9's 3.03x probe hid a would-be 3.46x q126) and an
+    # envelope-MEDIAN gate (wall > anchor * median-probe * 1.5, which
+    # a slow HOST WINDOW can trip on a byte-clean plan: untouched
+    # q143/q144 read 3-4.6x inside a window the block probes measured
+    # at 1.9-2.6x). Every candidate re-runs bracketed by fresh probes;
+    # the flag requires the median-of-3 wall to exceed the bar at
+    # max(envelope median, bracketing probes, THIS RUN's plan-vouched
+    # raw wall drift) — the drift term is the byte-clean median wall
+    # ratio, so uniform host slowness the CPU-spin probe under-reads
+    # (memory-bandwidth contention) cannot fabricate a fleet of
+    # flags, while a single query that sticks out above the round's
+    # own drift still does. Transient weather clears; real and
+    # intermittent regressions reproduce (the r9 median-of-3
+    # property, kept).
+    block_factors = [max(p / CAL_ANCHOR_SEC, 0.25) for p in probes_pre]
+    readjudicated: dict[str, dict] = {}
+    regressions_within_probe_envelope: dict[str, float] = {}
+    if sf_val == ANCHOR_SF:
+        candidates = set(regressions)
+        for name, anchor in ANCHOR.items():
+            if name in warm and warm[name] > anchor * env_pre["median"] * 1.5:
+                candidates.add(name)
+        regressions = {}
+        for name in sorted(candidates):
+            anchor = ANCHOR[name]
+            first = warm[name]
+            b = probe_by_query.get(name, 0)
+            bracket = max(
+                block_factors[b],
+                block_factors[min(b + 1, len(block_factors) - 1)],
+            )
+
+            def _rerun(q=name):
+                t0 = time.perf_counter()
+                _sink(QUERIES[q](spark, sf_dir))
+                return round(time.perf_counter() - t0, 3)
+
+            fresh_before = measure_calibration(spark, n=2)
+            warm[name] = damped_wall(first, _rerun)
+            fresh_after = measure_calibration(spark, n=2)
+            fresh_factor = max(
+                max(fresh_before, fresh_after) / CAL_ANCHOR_SEC, 0.25
+            )
+            bar = anchor * max(
+                env_pre["median"], fresh_factor, raw_wall_drift
+            )
+            clean = (
+                byte_gate_ran
+                and name in HEADLINE_SHUFFLE_ANCHOR
+                and name not in byte_regressions
+            )
+            entry = {
+                "first_pass_wall": first,
+                "damped_wall": warm[name],
+                "bracket_probe_factor": round(bracket, 3),
+                "fresh_probe_factor": round(fresh_factor, 3),
+                "raw_wall_drift": raw_wall_drift,
+                "bar_sec": round(bar, 3),
+            }
+            readjudicated[name] = entry
+            if wall_regression(warm[name], bar, byte_clean=clean):
+                regressions[name] = round(warm[name] / bar, 2)
+                print(
+                    f"# REGRESSION (re-adjudicated) {name}: "
+                    f"{warm[name]:.3f}s vs bar {bar:.3f}s "
+                    f"(first pass {first:.3f}s, bracket probe "
+                    f"{bracket:.2f}x, fresh probe {fresh_factor:.2f}x, "
+                    f"raw drift {raw_wall_drift:.2f}x)",
+                    file=sys.stderr,
+                )
+            else:
+                regressions_within_probe_envelope[name] = round(
+                    first / max(bar, 1e-9), 2
+                )
+                print(
+                    f"# cleared on re-adjudication {name}: first pass "
+                    f"{first:.3f}s -> damped {warm[name]:.3f}s vs bar "
+                    f"{bar:.3f}s",
+                    file=sys.stderr,
+                )
 
     stress: dict = {}
     stress10: dict = {}
@@ -1627,102 +1715,18 @@ def main() -> None:
         tensor_export = run_tensor_export(spark, sf_dir, cal_ratio)
 
     cal_end = measure_calibration(spark)
-    probes = probe_timeline + [cal_mid, cal_end]
+    probes = probes_pre + [cal_end]
     factor_env = probe_envelope(probes)
     # raw wall drift (walls / unnormalized anchors) is the plan-vouched
     # third estimate; agreement means it falls inside the probe
     # envelope — a disagreement is flagged in the artifact rather than
     # silently resolved in favor of either scalar
-    raw_wall_drift = round(wall_drift_median * cal_ratio, 3)
     probe_spread = {
         "probes_sec": probes,
         "factors": factor_env,
         "raw_wall_drift_median": raw_wall_drift,
         "agrees_with_envelope": envelope_agrees(raw_wall_drift, factor_env),
     }
-    # envelope pass over the wall flags: a "regression" that is under
-    # the bar at SOME interleaved probe's factor is host drift the
-    # start probe missed, not a plan change
-    # r10 (VERDICT r9 ask #4): DEFERRED re-adjudication with
-    # nearest-in-time attribution. Candidates come from BOTH gates —
-    # the start-probe gate above (which a slow start probe can make
-    # toothless: r9's 3.03x probe hid a would-be 3.46x q126) and an
-    # envelope-MEDIAN gate (wall > anchor * median-probe * 1.5, which
-    # a slow HOST WINDOW can trip on a byte-clean plan: this round's
-    # own first pass read untouched q143/q144 at 3-4.6x inside a
-    # window the block probes measured at 1.9-2.6x). Every candidate
-    # is re-run NOW — after the loop, each behind its own FRESH probe
-    # — and flagged only if the median-of-3 wall still exceeds the bar
-    # at max(envelope median, fresh probe): a transient window clears,
-    # a real or intermittent regression reproduces (the r9 median-of-3
-    # property, kept). The artifact records the first-pass wall, the
-    # damped wall, and the fresh probe for every candidate, so a flag
-    # carries its own attribution.
-    block_factors = [max(p / CAL_ANCHOR_SEC, 0.25) for p in probes]
-    readjudicated: dict[str, dict] = {}
-    regressions_within_probe_envelope: dict[str, float] = {}
-    if sf_val == ANCHOR_SF:
-        candidates = set(regressions)
-        for name, anchor in ANCHOR.items():
-            if name in warm and warm[name] > anchor * factor_env["median"] * 1.5:
-                candidates.add(name)
-        regressions = {}
-        for name in sorted(candidates):
-            anchor = ANCHOR[name]
-            first = warm[name]
-            b = probe_by_query.get(name, 0)
-            bracket = max(
-                block_factors[b],
-                block_factors[min(b + 1, len(block_factors) - 1)],
-            )
-            def _rerun(q=name):
-                t0 = time.perf_counter()
-                _sink(QUERIES[q](spark, sf_dir))
-                return round(time.perf_counter() - t0, 3)
-
-            # the fresh probes BRACKET the re-runs (before and after):
-            # on a host whose speed swings minute to minute, a single
-            # probe at a lucky-fast instant would under-read the
-            # weather the re-runs actually got
-            fresh_before = measure_calibration(spark, n=2)
-            warm[name] = damped_wall(first, _rerun)
-            fresh_after = measure_calibration(spark, n=2)
-            fresh_factor = max(
-                max(fresh_before, fresh_after) / CAL_ANCHOR_SEC, 0.25
-            )
-            bar = anchor * max(factor_env["median"], fresh_factor)
-            clean = (
-                byte_gate_ran
-                and name in HEADLINE_SHUFFLE_ANCHOR
-                and name not in byte_regressions
-            )
-            entry = {
-                "first_pass_wall": first,
-                "damped_wall": warm[name],
-                "bracket_probe_factor": round(bracket, 3),
-                "fresh_probe_factor": round(fresh_factor, 3),
-                "bar_sec": round(bar, 3),
-            }
-            readjudicated[name] = entry
-            if wall_regression(warm[name], bar, byte_clean=clean):
-                regressions[name] = round(warm[name] / bar, 2)
-                print(
-                    f"# REGRESSION (re-adjudicated) {name}: "
-                    f"{warm[name]:.3f}s vs bar {bar:.3f}s "
-                    f"(first pass {first:.3f}s, bracket probe "
-                    f"{bracket:.2f}x, fresh probe {fresh_factor:.2f}x)",
-                    file=sys.stderr,
-                )
-            else:
-                regressions_within_probe_envelope[name] = round(
-                    first / max(bar, 1e-9), 2
-                )
-                print(
-                    f"# cleared on re-adjudication {name}: first pass "
-                    f"{first:.3f}s -> damped {warm[name]:.3f}s vs bar "
-                    f"{bar:.3f}s",
-                    file=sys.stderr,
-                )
 
     payload = {
                 "metric": "headline_queries_total_steady_state",
