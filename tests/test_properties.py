@@ -345,3 +345,44 @@ def test_emit_pairs_property_vs_model(spark, sizes, chunk, elect_threshold):
             base += sz
         want = {(a, b) for a in reps for b in reps if a < b} | stars
         assert elected == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    word=st.text(alphabet="abcdef", min_size=1, max_size=9),
+)
+def test_unigram_viterbi_optimal_on_random_vocabs(seed, word):
+    """r10: Viterbi must return a MINIMUM-cost segmentation for ANY
+    vocabulary, not just the shipped toy — random multi-char pieces
+    with random costs over a 6-letter alphabet, verified against
+    exhaustive enumeration (ties allowed here: only the COST is
+    asserted, the toy vocab's no-tie contract is a separate test)."""
+    import itertools
+    import random
+
+    from torcharrow_spark.functions.unigram import UnigramTokenizer
+
+    rng = random.Random(seed)
+    vocab = {ch: rng.randrange(500, 3000) for ch in "abcdef"}
+    pieces = {"".join(p) for n in (2, 3)
+              for p in itertools.product("abcdef", repeat=n)}
+    for piece in rng.sample(sorted(pieces), 25):
+        vocab[piece] = rng.randrange(200, 4000)
+    tok = UnigramTokenizer(vocab)
+
+    def best_cost(w):
+        if not w:
+            return 0
+        best = None
+        for ln in range(1, min(3, len(w)) + 1):
+            if w[:ln] in vocab:
+                rest = best_cost(w[ln:])
+                if rest is not None:
+                    c = vocab[w[:ln]] + rest
+                    best = c if best is None or c < best else best
+        return best
+
+    got = tok.encode_word(word)
+    assert "".join(got) == word
+    assert tok.cost(got) == best_cost(word)
