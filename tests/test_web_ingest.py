@@ -130,3 +130,117 @@ def test_web_ingest_multibatch_equals_batch(spark, sf_dir, tmp_path):
     assert landed.select("batch_id").distinct().count() >= 2
     got = {r.doc_id: r.text_md5 for r in landed.collect()}
     assert got == want
+
+
+def _warc_blobs(spark, sf_dir, n=90):
+    """Per-doc WARC blobs in the q166 shape: a 200 text/html response
+    (charset varied by doc_id % 4, incl. whole-page mojibake on the
+    bare-UTF-8 quarter), plus a request and a 404 the chain must drop."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(n)
+    )
+
+    def _synth(batches):
+        import html as _html
+
+        import pandas as pd
+
+        from torcharrow_spark.operators.warc import build_warc
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                meta = '<meta charset="iso-8859-1">' if d % 4 == 2 else ""
+                page = (
+                    f"<html><head><title>Doc {d}</title>{meta}</head>"
+                    f'<body><nav><a href="/">Home</a></nav><h1>Doc {d}</h1>'
+                    f"<p>{_html.escape(text)} café naïve</p></body></html>"
+                )
+                br = d % 4
+                if br == 0:
+                    payload = page.encode("utf-8-sig")
+                elif br == 1:
+                    payload = page.encode("utf-16")
+                elif br == 2:
+                    payload = page.encode("latin-1")
+                else:
+                    payload = page.encode("utf-8").decode("latin-1").encode("utf-8")
+                blob = build_warc(
+                    [
+                        {"type": "response", "uri": f"https://ex.org/{d}",
+                         "payload": payload, "content_type": "text/html"},
+                        {"type": "request", "uri": f"https://ex.org/{d}",
+                         "payload": b"GET / HTTP/1.1\r\n"},
+                        {"type": "response", "uri": f"https://ex.org/gone/{d}",
+                         "payload": b"gone", "status": 404,
+                         "content_type": "text/plain"},
+                    ],
+                    gzip_members=True,
+                )
+                ids.append(d)
+                blobs.append(bytearray(blob))
+            yield pd.DataFrame({"doc_id": ids, "warc": blobs})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("warc", T.BinaryType(), True)]
+    )
+    return docs.mapInPandas(_synth, schema)
+
+
+def test_warc_ingest_batch_from_raw_bytes(spark, sf_dir):
+    """r10: the bytes-first front door — charset sniffing must label
+    each quarter correctly, mojibake repair must fire on exactly the
+    corrupted quarter, and the 404/request records must die."""
+    from torcharrow_spark.streaming import warc_ingest_batch
+
+    out = warc_ingest_batch(_warc_blobs(spark, sf_dir), min_quality=0.0)
+    rows = out.collect()
+    assert len(rows) > 60
+    enc = {0: "utf-8-sig", 1: "utf-16", 2: "iso-8859-1", 3: "utf-8"}
+    for r in rows:
+        assert r.encoding == enc[r.doc_id % 4], r.doc_id
+        assert r.was_mojibake == (r.doc_id % 4 == 3), r.doc_id
+        assert r.target_uri == f"https://ex.org/{r.doc_id}"
+        assert r.title == f"Doc {r.doc_id}"
+
+
+def test_warc_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless bytes->curated chain: stream == batch exactly, under
+    a multi-micro-batch split, with the exactly-once sink."""
+    from torcharrow_spark.streaming import warc_ingest_batch, warc_ingest_stream
+
+    blobs = _warc_blobs(spark, sf_dir)
+    want = {
+        r.doc_id: (r.target_uri, r.encoding, r.title, r.was_mojibake,
+                   r.n_chars, r.text_md5, r.quality, r.pred_lang)
+        for r in warc_ingest_batch(blobs, min_quality=0.0).collect()
+    }
+    assert len(want) > 60
+
+    src = str(tmp_path / "warcs")
+    blobs.repartition(6).write.mode("overwrite").parquet(src)
+    dest = str(tmp_path / "curated_warc")
+    schema = spark.read.parquet(src).schema
+    q = warc_ingest_stream(
+        spark, src, schema, dest, str(tmp_path / "ckpt_warc"),
+        min_quality=0.0, query_name="t_warc_ingest",
+        max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.read.parquet(dest)
+    got = {
+        r.doc_id: (r.target_uri, r.encoding, r.title, r.was_mojibake,
+                   r.n_chars, r.text_md5, r.quality, r.pred_lang)
+        for r in landed.collect()
+    }
+    assert got == want
+    assert landed.select("batch_id").distinct().count() >= 2

@@ -1215,7 +1215,125 @@ def web_ingest_stream(
     )
 
 
+def warc_ingest_batch(
+    df: SDF,
+    warc_col: str = "warc",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+) -> SDF:
+    """Batch reference semantics for `warc_ingest_stream`: the
+    web-ingest front door from RAW WARC BYTES (r10 — `web_ingest_batch`
+    starts from decoded HTML; real crawl deliveries land as WARC).
+    One stateless chain: warc_records (gzip members, record framing)
+    -> 200/text-html gate -> charset-sniffing decode_payloads (BOM >
+    meta > strict UTF-8 > Latin-1, target URI rides passthrough) ->
+    html_extract (boilerplate gate) -> normalize_text (mojibake
+    repair) -> fused quality/language scoring -> quality gate. Returns
+    (doc_id, target_uri, encoding, title, was_mojibake, n_chars,
+    text_md5, quality, pred_lang). Every stage is per-row (zero
+    shuffle), so the stream twin needs no state store and stream ==
+    batch holds exactly under ANY micro-batch split. The q166 capstone
+    oracle-checks this chain's semantics end-to-end; the pytest twin
+    pins stream == batch."""
+    from torcharrow_spark.operators import html_extract, warc_records
+    from torcharrow_spark.operators.textnorm import (
+        decode_payloads,
+        normalize_text,
+    )
+    from torcharrow_spark.operators.textstats import (
+        _language_exprs,
+        _quality_exprs,
+        _words,
+    )
+
+    recs = warc_records(df, warc_col, id_col)
+    pages = recs.where(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select(id_col, "target_uri", "payload")
+    decoded = decode_payloads(
+        pages, "payload", id_col, passthrough=("target_uri",)
+    )
+    extracted = html_extract(
+        decoded, html_col="text", id_col=id_col,
+        passthrough=("encoding", "target_uri"),
+    )
+    cleaned = normalize_text(
+        extracted.select(id_col, "title", "text", "encoding", "target_uri"),
+        text_col="text",
+        id_col=id_col,
+        passthrough=("title", "encoding", "target_uri"),
+    )
+    base = cleaned.select(
+        F.col(id_col),
+        F.col("target_uri"),
+        F.col("encoding"),
+        F.col("title"),
+        F.col("was_mojibake"),
+        F.col("n_chars"),
+        F.col("text"),
+        _words(F.col("text")).alias("__w__"),
+    )
+    quality = _quality_exprs("text", words=F.col("__w__"))[-1]
+    pred_lang = _language_exprs("text", words=F.col("__w__"))[0]
+    scored = base.select(
+        id_col,
+        "target_uri",
+        "encoding",
+        "title",
+        "was_mojibake",
+        "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+        quality,
+        pred_lang,
+    )
+    return scored.where(F.col("quality") >= min_quality)
+
+
+def warc_ingest_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    dest_path: str,
+    checkpoint_path: str,
+    warc_col: str = "warc",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    query_name: str = "warc_ingest_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `warc_ingest_batch` (r10): WARC captures land
+    continuously (the Common Crawl delivery shape); each micro-batch
+    runs the SAME stateless bytes->curated-text chain and writes to
+    its own ``batch_id=<n>`` parquet partition with mode('overwrite')
+    — the idempotent exactly-once sink shared by every foreachBatch
+    twin. Stateless chain => stream == batch EXACT for any micro-batch
+    split of the source."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        curated = warc_ingest_batch(
+            batch_df, warc_col=warc_col, id_col=id_col,
+            min_quality=min_quality,
+        )
+        curated.write.mode("overwrite").parquet(
+            f"{dest_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def _claim_index_root(
+
     spark: SparkSession, index_path: str, checkpoint_path: str
 ) -> None:
     """Bind an incremental-dedup index root to ONE streaming checkpoint
