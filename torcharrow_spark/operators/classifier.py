@@ -185,7 +185,6 @@ def language_id_train(
     df: SDF,
     langs: _ty.Sequence[str],
     text_col: str = "text",
-    id_col: str = "doc_id",
     label_col: str = "lang",
     n: int = 2,
     n_buckets: int = 256,
@@ -195,11 +194,12 @@ def language_id_train(
     counts — the fastText-neighborhood model (Joulin et al. 2016 use
     the same hashed char-n-gram features; NB is the classic closed-form
     fit, McCallum & Nigam 1998) a real pipeline runs as its first
-    gate. The ENTIRE fit is ONE corpus scan: grams are bucketed
-    JVM-side (transform + md5, no UDF), exploded as ints, and counted
-    with a map-side-combined groupBy on (label, bucket) — shuffle
-    volume is K x n_buckets partial rows per executor, independent of
-    corpus size — plus one doc-count aggregate for the priors. The
+    gate. The ENTIRE fit is ONE corpus scan and ONE action: grams are
+    bucketed JVM-side (transform + md5, no UDF), exploded as ints with
+    a per-document sentinel bucket -1 prepended (so document counts
+    for the priors ride the SAME map-side-combined groupBy on
+    (label, bucket)) — shuffle volume is K x (n_buckets + 1) partial
+    rows per executor, independent of corpus size. The
     driver turns the integer counts into add-1-smoothed log-prob
     weights scaled to round8 INTEGERS (floor(ln(p) * 1e8 + 0.5)), so
     downstream scoring is exact int64 arithmetic any SQL engine
@@ -216,12 +216,15 @@ def language_id_train(
         f" i -> (cast(conv(substring(md5(substring(__t__, i, {n})), 1, 2),"
         f" 16, 10) AS INT) % {n_buckets}))"
     )
-    inst = src.select(label_col, F.explode(buckets).alias("__b__"))
-    cnt_rows = (
-        inst.groupBy(label_col, "__b__").count().collect()
+    inst = src.select(
+        label_col,
+        F.explode(F.concat(F.array(F.lit(-1)), buckets)).alias("__b__"),
     )
-    doc_rows = src.groupBy(label_col).count().collect()
-    n_docs = {r[label_col]: r["count"] for r in doc_rows}
+    all_rows = inst.groupBy(label_col, "__b__").count().collect()
+    cnt_rows = [r for r in all_rows if r["__b__"] >= 0]
+    n_docs = {
+        r[label_col]: r["count"] for r in all_rows if r["__b__"] == -1
+    }
     total_docs = sum(n_docs.values())
     if total_docs == 0:
         raise ValueError("language_id_train: no trainable rows")

@@ -494,6 +494,12 @@ def robots_gate(
     rules tables past broadcast size; page-side skew (a hot host) is
     probe-side only and cannot explode rows — each page stays one row
     throughout."""
+    clash = {"allowed", "__rh__", "__rules__"}.intersection(pages.columns)
+    if clash:
+        raise ValueError(
+            "robots_gate: pages frame already has reserved column(s) "
+            f"{sorted(clash)}; rename them before gating"
+        )
     packed = rules.groupBy(F.col("host").alias("__rh__")).agg(
         F.collect_list(
             F.struct(

@@ -1333,7 +1333,6 @@ def warc_ingest_stream(
 
 
 def _claim_index_root(
-
     spark: SparkSession, index_path: str, checkpoint_path: str
 ) -> None:
     """Bind an incremental-dedup index root to ONE streaming checkpoint
