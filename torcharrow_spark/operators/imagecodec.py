@@ -489,6 +489,222 @@ def decode_gif(data: bytes) -> _ty.Tuple[int, int, np.ndarray]:
     return iw, ih, pal[idx]
 
 
+def encode_gif_animated(
+    screen_w: int,
+    screen_h: int,
+    frames: _ty.Sequence[dict],
+    palette: _ty.Optional[_ty.Sequence[_ty.Tuple[int, int, int]]] = None,
+) -> bytes:
+    """GIF89a animation encoder (r11, VERDICT r10 ask #6) — the
+    synthesis half of :func:`decode_gif_frames`'s oracle. Each frame
+    dict: ``idx`` (2-D uint8 palette indices, required), ``left`` /
+    ``top`` (rect position, default 0), ``disposal`` (0-3, default 0),
+    ``transparent`` (index or None), ``delay`` (centiseconds, default
+    0), ``palette`` (per-frame local color table, else the global one),
+    ``interlace`` (bool). A Graphic Control Extension precedes every
+    frame so the decoder's GCE walk runs on each."""
+    if palette is None:
+        palette = [(k, k, k) for k in range(256)]
+    if len(palette) > 256:
+        raise ValueError("gif: palette larger than 256 entries")
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes((r, g, b))
+    gct += b"\x00" * (768 - len(gct))
+    out = bytearray(b"GIF89a")
+    out += screen_w.to_bytes(2, "little") + screen_h.to_bytes(2, "little")
+    out += bytes((0xF7, 0, 0))  # GCT present, 256 entries, bg index 0
+    out += gct
+    for fr in frames:
+        idx = np.asarray(fr["idx"], dtype=np.uint8)
+        if idx.ndim != 2:
+            raise ValueError("encode_gif_animated: frame idx must be 2-D")
+        fh, fw = idx.shape
+        left = int(fr.get("left", 0))
+        top = int(fr.get("top", 0))
+        if left + fw > screen_w or top + fh > screen_h:
+            raise ValueError("gif: frame rect outside the logical screen")
+        disposal = int(fr.get("disposal", 0))
+        transparent = fr.get("transparent")
+        delay = int(fr.get("delay", 0))
+        gce_packed = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            gce_packed |= 0x01
+            tidx = int(transparent)
+        out += bytes((0x21, 0xF9, 4, gce_packed))
+        out += delay.to_bytes(2, "little") + bytes((tidx, 0))
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        lpal = fr.get("palette")
+        interlace = bool(fr.get("interlace", False))
+        ipacked = 0x40 if interlace else 0x00
+        if lpal is not None:
+            if len(lpal) > 256:
+                raise ValueError("gif: palette larger than 256 entries")
+            ipacked |= 0x87  # LCT present, 256 entries
+            out += bytes((ipacked,))
+            lct = bytearray()
+            for r, g, b in lpal:
+                lct += bytes((r, g, b))
+            lct += b"\x00" * (768 - len(lct))
+            out += lct
+        else:
+            out += bytes((ipacked,))
+        rows = idx
+        if interlace:
+            order = [
+                y for off, step in _GIF_PASSES for y in range(off, fh, step)
+            ]
+            rows = idx[order]
+        comp = _lzw_encode(8, rows.tobytes())
+        out += bytes((8,))
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            out += bytes((len(block),)) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    data: bytes,
+) -> _ty.Tuple[int, int, np.ndarray]:
+    """Animated-GIF decoder (r11, VERDICT r10 ask #6 — the frame-N
+    path :func:`decode_gif`'s multi-frame ValueError points at): walks
+    EVERY image descriptor + Graphic Control Extension and returns the
+    COMPOSITED canvas after each frame — what a viewer displays — as
+    ``(screen_w, screen_h, frames)`` with ``frames`` shaped
+    ``(n, h, w)`` when every color table is grayscale, else
+    ``(n, h, w, 3)``. Real compositing semantics per the GIF89a spec:
+    frames render into their (left, top, w, h) rect; a GCE
+    transparency index leaves the underlying canvas pixel; disposal 2
+    restores the rect to the background color after display, disposal
+    3 restores the pre-frame canvas, 0/1 leave the canvas in place.
+    Each frame's pixel data runs through the same LZW +
+    de-interlace + color-table machinery as the single-frame decoder.
+    Single-frame callers keep :func:`decode_gif` (which still refuses
+    multi-frame streams loudly)."""
+    try:
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("gif: bad signature")
+        sw = int.from_bytes(data[6:8], "little")
+        sh = int.from_bytes(data[8:10], "little")
+        packed = data[10]
+        bg_index = data[11]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 2 ** ((packed & 0x07) + 1)
+            gct = data[pos : pos + 3 * size]
+            pos += 3 * size
+        if gct is not None and bg_index * 3 + 3 <= len(gct):
+            bg_rgb = gct[bg_index * 3 : bg_index * 3 + 3]
+        else:
+            bg_rgb = b"\x00\x00\x00"
+        canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+        canvas[:, :] = np.frombuffer(bg_rgb, dtype=np.uint8)
+        all_gray = bg_rgb[0] == bg_rgb[1] == bg_rgb[2]
+        frames: list = []
+        transparent: _ty.Optional[int] = None
+        disposal = 0
+        while True:
+            block = data[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = data[pos + 1]
+                if label == 0xF9 and data[pos + 2] >= 4:
+                    gce_packed = data[pos + 3]
+                    disposal = (gce_packed >> 2) & 0x07
+                    transparent = (
+                        data[pos + 6] if gce_packed & 0x01 else None
+                    )
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"gif: unexpected block 0x{block:02x}")
+            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            ipacked = data[pos + 9]
+            pos += 10
+            lct = gct
+            if ipacked & 0x80:
+                size = 2 ** ((ipacked & 0x07) + 1)
+                lct = data[pos : pos + 3 * size]
+                pos += 3 * size
+            if lct is None:
+                raise ValueError("gif: no color table")
+            if left + iw > sw or top + ih > sh:
+                raise ValueError("gif: frame rect outside the screen")
+            min_code = data[pos]
+            pos += 1
+            comp = bytearray()
+            while True:
+                ln = data[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                comp += data[pos : pos + ln]
+                pos += ln
+            raw = _lzw_decode(min_code, bytes(comp), iw * ih)
+            if len(raw) < iw * ih:
+                raise ValueError("gif: pixel data short of width*height")
+            idx = np.frombuffer(
+                bytes(raw[: iw * ih]), dtype=np.uint8
+            ).reshape(ih, iw)
+            if ipacked & 0x40:
+                out = np.empty_like(idx)
+                r = 0
+                for off, step in _GIF_PASSES:
+                    for y in range(off, ih, step):
+                        out[y] = idx[r]
+                        r += 1
+                idx = out
+            pal = np.frombuffer(lct, dtype=np.uint8).reshape(-1, 3)
+            if len(pal) < 256 and int(idx.max(initial=0)) >= len(pal):
+                raise ValueError(
+                    f"gif: pixel index {int(idx.max())} beyond the "
+                    f"{len(pal)}-entry color table"
+                )
+            if not (
+                (pal[:, 0] == pal[:, 1]).all()
+                and (pal[:, 1] == pal[:, 2]).all()
+            ):
+                all_gray = False
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + ih, left : left + iw]
+            rgb = pal[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top : top + ih, left : left + iw] = np.frombuffer(
+                    bg_rgb, dtype=np.uint8
+                )
+            elif disposal == 3:
+                canvas = before
+            transparent = None
+            disposal = 0
+    except IndexError:
+        raise ValueError("gif: container truncated") from None
+    if not frames:
+        raise ValueError("gif: trailer before any image data")
+    stack = np.stack(frames)
+    if all_gray:
+        return sw, sh, stack[:, :, :, 0]
+    return sw, sh, stack
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 
