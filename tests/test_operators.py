@@ -3860,3 +3860,76 @@ def test_quantized_rerank_matches_brute_force(spark):
     rows2 = rows + [(999, [0.25] * 16)]
     df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
     assert quantized_rerank_topk(df2, df2.where("vec_id = 999"), k=3).count() == 3
+
+
+def test_unigram_canonical_tie_break():
+    """r11: trained vocabs can't guarantee the toy vocab's tie-freedom,
+    so canonical_ties=True must resolve equal-cost optima to the
+    LEXICOGRAPHICALLY smallest piece list (the q173 oracle's
+    ``ORDER BY cost, pieces`` rule), checked against an exhaustive
+    enumeration on a vocab built to tie."""
+    from itertools import product
+
+    from torcharrow_spark.functions.unigram import UnigramTokenizer
+
+    # 'ab' == 'a'+'b' (10 = 5+5): a genuine tie at the optimum
+    v = {"a": 5, "b": 5, "ab": 10, "ba": 10, "aba": 15}
+    tok = UnigramTokenizer(v, canonical_ties=True)
+
+    def all_segs(w):
+        if not w:
+            return [()]
+        out = []
+        for ln in range(1, min(3, len(w)) + 1):
+            if w[:ln] in v:
+                out.extend((w[:ln],) + r for r in all_segs(w[ln:]))
+        return out
+
+    for w in ("ab", "aba", "abab", "ababa", "baba", "aabb"):
+        segs = all_segs(w)
+        best_cost = min(sum(v[p] for p in s) for s in segs)
+        expect = min(
+            sorted(s for s in segs if sum(v[p] for p in s) == best_cost)
+        )
+        assert tuple(tok.encode_word(w)) == expect, w
+    # the default (positional) tie rule differs on the tie case —
+    # proof the canonical flag changes behavior only where ties exist
+    assert UnigramTokenizer(v).encode_word("ab") == ["ab"]
+    assert tok.encode_word("ab") == ["a", "b"]
+
+
+def test_unigram_train_fit_properties(spark):
+    """r11 trainer (functions/unigram.unigram_train): deterministic,
+    vocab-bounded, and the trained pieces genuinely compress — the
+    multi-char pieces it keeps are exactly the high-frequency
+    substrings of the toy corpus, and segmenting the training text
+    with them beats the all-chars segmentation."""
+    from torcharrow_spark.functions.unigram import (
+        UnigramTokenizer,
+        unigram_train,
+    )
+
+    rows = [
+        (i, ("the cat sat on the mat " * 3) + ("thing " * (i % 3)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    v1 = unigram_train(df, max_piece_len=3, n_seed=20, keep=10)
+    v2 = unigram_train(df, max_piece_len=3, n_seed=20, keep=10)
+    assert v1 == v2  # deterministic fit
+    import string
+
+    assert set(string.ascii_lowercase) <= set(v1)
+    multis = {p for p in v1 if len(p) > 1}
+    assert 0 < len(multis) <= 10
+    corpus_subs = set()
+    for w in "the cat sat on mat thing".split():
+        for l in (2, 3):
+            corpus_subs.update(w[i : i + l] for i in range(len(w) - l + 1))
+    assert multis <= corpus_subs
+    assert all(c > 0 for c in v1.values())
+    tok = UnigramTokenizer(v1, canonical_ties=True)
+    pieces = tok.encode("the thing sat")
+    chars_only = sum(v1[c] for c in "thethingsat")
+    assert tok.cost(pieces) < chars_only
+    assert any(len(p) > 1 for p in pieces)

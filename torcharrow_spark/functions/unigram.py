@@ -53,7 +53,9 @@ class UnigramTokenizer:
     fallback pieces.
     """
 
-    def __init__(self, vocab: _ty.Dict[str, int]):
+    def __init__(
+        self, vocab: _ty.Dict[str, int], canonical_ties: bool = False
+    ):
         if not vocab:
             raise ValueError("unigram: empty vocabulary")
         bad = [p for p, c in vocab.items() if not p or int(c) <= 0]
@@ -61,6 +63,17 @@ class UnigramTokenizer:
             raise ValueError(f"unigram: empty piece or non-positive cost: {bad[:3]}")
         self.vocab = {p: int(c) for p, c in vocab.items()}
         self.max_len = max(len(p) for p in self.vocab)
+        #: canonical_ties=True resolves equal-cost segmentations to the
+        #: LEXICOGRAPHICALLY SMALLEST piece list — the total order a SQL
+        #: replay can state (``ORDER BY cost, pieces``). TRAINED vocabs
+        #: need it: ln-derived integer costs cannot guarantee the
+        #: tie-freedom the toy vocabulary proves by enumeration. The
+        #: local DP choice is globally correct: two prefixes covering
+        #: the same chars can never be element-wise prefixes of each
+        #: other (pieces are nonempty), so comparing prefix piece-lists
+        #: decides the full-sequence comparison regardless of the
+        #: (shared-suffix) remainder.
+        self.canonical_ties = bool(canonical_ties)
         # stable piece ids: cost ascending, then piece — the id table a
         # downstream embedding matrix would be built against
         self.ids = {
@@ -101,6 +114,8 @@ class UnigramTokenizer:
         """Viterbi-optimal segmentation (min total cost). Characters
         absent from the vocabulary raise — the toy/test corpora are
         pre-normalized, and a real vocab includes all seen chars."""
+        if self.canonical_ties:
+            return self._encode_word_canonical(w)
         n = len(w)
         INF = float("inf")
         best: _ty.List[float] = [INF] * (n + 1)
@@ -129,6 +144,32 @@ class UnigramTokenizer:
             i = j
         out.reverse()
         return out
+
+    def _encode_word_canonical(self, w: str) -> _ty.List[str]:
+        """Tuple-DP Viterbi: per position keep the minimal
+        ``(cost, pieces)`` pair, so equal-cost segmentations resolve to
+        the lexicographically smallest piece list — the tie rule a SQL
+        ``ORDER BY cost, pieces`` replay states exactly."""
+        n = len(w)
+        best: _ty.List[_ty.Optional[_ty.Tuple[int, tuple]]] = [None] * (
+            n + 1
+        )
+        best[0] = (0, ())
+        for i in range(1, n + 1):
+            lo = max(0, i - self.max_len)
+            for j in range(lo, i):
+                bj = best[j]
+                if bj is None:
+                    continue
+                c = self.vocab.get(w[j:i])
+                if c is None:
+                    continue
+                cand = (bj[0] + c, bj[1] + (w[j:i],))
+                if best[i] is None or cand < best[i]:
+                    best[i] = cand
+        if best[n] is None:
+            raise ValueError(f"unigram: unsegmentable word {w!r}")
+        return list(best[n][1])
 
     def encode(self, text: str) -> _ty.List[str]:
         """Whitespace pre-tokenization, then per-word Viterbi — the
@@ -188,3 +229,136 @@ def segment_stats_udf(tokenizer: UnigramTokenizer):
         )
 
     return _seg
+
+
+def _word_seg_udf(tokenizer: UnigramTokenizer):
+    """Arrow-batched pandas UDF ``word -> array<string>`` of the
+    word's Viterbi pieces — the trainer's E-step kernel. Module-scope
+    factory for the same pd.Series hint-resolution reason as
+    ``encode_udf``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _seg(ws: pd.Series) -> pd.Series:
+        return ws.map(tokenizer.encode_word)
+
+    return _seg
+
+
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
+def unigram_train(
+    df,
+    text_col: str = "text",
+    max_piece_len: int = 3,
+    n_seed: int = 40,
+    keep: int = 24,
+    n_iters: int = 1,
+    scale: int = 1_000_000,
+) -> _ty.Dict[str, int]:
+    """TRAINED Unigram-LM vocabulary (r11, VERDICT r10 ask #4): the
+    SentencePiece fit (Kudo 2018) as hard EM over the corpus, every
+    step integer/SQL-replayable like q138's Lloyd iterations and
+    q169's NB fit.
+
+    Algorithm (each rule mirrored term-for-term by q173's oracle):
+
+    1. **Normalize + word counts** — q41/q168's exact pretokenization
+       (lowercase, strip ``[^a-z ]``, collapse spaces); one
+       map-side-combined groupBy yields per-word-TYPE instance counts,
+       so every later stage runs over word types, not the corpus.
+    2. **Seed** — all substrings of length 2..``max_piece_len`` are
+       counted (weighted by word frequency, one JVM flatten/explode —
+       no UDF) and the top ``n_seed`` by ``count * len`` (ties: piece
+       ascending) become candidate pieces; the 26 ``[a-z]`` fallback
+       chars always join with add-1-smoothed counts. Seed cost =
+       ``floor(-ln(count / total) * scale + 0.5)`` — the integer
+       -logprob discipline of the whole tokenizer family.
+    3. **E-step** — every word type gets its CANONICAL Viterbi
+       segmentation under the current costs (``canonical_ties=True``:
+       equal-cost optima resolve to the lexicographically smallest
+       piece list, the tie rule SQL can state); piece counts are one
+       vocab-bounded aggregate (the ``language_id_train`` shape:
+       shuffle volume independent of corpus size).
+    4. **M-step + prune** — chars re-smooth (+1); multi-char pieces
+       with zero Viterbi count drop, the rest rank by (count desc,
+       piece asc) and only the top ``keep`` survive (the count form of
+       Kudo's lowest-loss pruning: in hard EM a piece's loss
+       contribution IS its count times its cost delta); costs
+       renormalize over the survivors.
+
+    Driver state is vocab-bounded throughout (26 + n_seed rows per
+    collect); the corpus is scanned once for the seed and once per EM
+    iteration. Returns ``{piece: int cost}`` ready for
+    ``UnigramTokenizer(vocab, canonical_ties=True)``."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    if max_piece_len < 2:
+        raise ValueError("unigram_train: max_piece_len must be >= 2")
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", ""),
+            " +",
+            " ",
+        )
+    )
+    words = (
+        df.select(F.explode(F.split(t, " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    subs = F.expr(
+        f"flatten(transform(sequence(1, {int(max_piece_len)}), l -> "
+        "CASE WHEN length(w) >= l THEN "
+        "transform(sequence(1, length(w) - l + 1), i -> substring(w, i, l)) "
+        "ELSE array() END))"
+    )
+    subcnt = (
+        words.select(F.col("wc"), F.explode(subs).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    char_rows = subcnt.where(F.length("p") == 1).collect()
+    multi_rows = (
+        subcnt.where(F.length("p") >= 2)
+        .orderBy((F.col("cnt") * F.length("p")).desc(), F.col("p").asc())
+        .limit(int(n_seed))
+        .collect()
+    )
+    obs_char = {r["p"]: int(r["cnt"]) for r in char_rows}
+    chars = {c: obs_char.get(c, 0) + 1 for c in _AZ}
+    multis = {r["p"]: int(r["cnt"]) for r in multi_rows}
+
+    def _costs(
+        char_cnt: _ty.Dict[str, int], multi_cnt: _ty.Dict[str, int]
+    ) -> _ty.Dict[str, int]:
+        total = sum(char_cnt.values()) + sum(multi_cnt.values())
+        return {
+            p: int(math.floor(-math.log(c / total) * scale + 0.5))
+            for p, c in {**char_cnt, **multi_cnt}.items()
+        }
+
+    vocab = _costs(chars, multis)
+    for _ in range(int(n_iters)):
+        tok = UnigramTokenizer(vocab, canonical_ties=True)
+        pc_rows = (
+            words.select(
+                F.col("wc"),
+                F.explode(_word_seg_udf(tok)(F.col("w"))).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("wc").alias("cnt"))
+            .collect()
+        )
+        pc = {r["p"]: int(r["cnt"]) for r in pc_rows}
+        chars = {c: pc.get(c, 0) + 1 for c in _AZ}
+        kept = sorted(
+            ((p, c) for p, c in pc.items() if len(p) >= 2 and c > 0),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: int(keep)]
+        vocab = _costs(chars, dict(kept))
+    return vocab

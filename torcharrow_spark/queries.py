@@ -7970,6 +7970,213 @@ def _q168_oracle() -> str:
     """
 
 
+def _q173_oracle() -> str:
+    """DuckDB replay of the ENTIRE Unigram-LM hard-EM fit (r11,
+    VERDICT r10 ask #4 — the q138 per-iteration-CTE pattern applied to
+    Kudo 2018): word counts -> substring seed counts -> add-1-smoothed
+    char fallbacks -> top-40-by-(count*len) seed pieces -> integer
+    seed costs floor(-ln(cnt/total)*1e6+0.5) -> E-step (canonical
+    Viterbi by exhaustive enumeration, argmin (cost, pieces) — the
+    exact tie rule the engine's tuple-DP implements) -> M-step
+    re-smooth + count-ranked prune to 24 multis -> final integer
+    costs -> held-out segmentation under the TRAINED vocab. The
+    vocab_md5 column pins every trained (piece, cost) pair; the
+    per-doc token hashes pin the trained segmenter's behavior on text
+    the fit never saw."""
+    return """
+    WITH RECURSIVE
+    az(ch) AS (
+      SELECT unnest(string_split('a,b,c,d,e,f,g,h,i,j,k,l,m,n,o,p,q,r,s,t,u,v,w,x,y,z', ','))
+    ),
+    normall AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS t
+      FROM documents
+    ),
+    train AS (SELECT t FROM normall WHERE doc_id % 2 = 0 AND length(t) > 0),
+    held AS (SELECT doc_id, t FROM normall
+             WHERE doc_id % 2 = 1 AND length(t) > 0),
+    trainw AS (
+      SELECT w, COUNT(*)::BIGINT AS wc FROM (
+        SELECT unnest(string_split(t, ' ')) AS w FROM train)
+      WHERE length(w) > 0 GROUP BY w
+    ),
+    subpos AS (
+      SELECT w, wc, unnest(range(0, length(w))) AS i FROM trainw
+    ),
+    sublen AS (
+      SELECT w, wc, i,
+             unnest(range(1, least(3, length(w) - i) + 1)) AS l
+      FROM subpos
+    ),
+    subcnt AS (
+      SELECT substr(w, (i + 1)::INT, l::INT) AS p, SUM(wc)::BIGINT AS cnt
+      FROM sublen GROUP BY 1
+    ),
+    charcnt AS (
+      SELECT az.ch AS p, (coalesce(s.cnt, 0) + 1)::BIGINT AS cnt
+      FROM az LEFT JOIN subcnt s ON s.p = az.ch
+    ),
+    seedm AS (
+      SELECT p, cnt FROM (
+        SELECT p, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt * length(p) DESC, p) AS rn
+        FROM subcnt WHERE length(p) >= 2
+      ) WHERE rn <= 40
+    ),
+    seedcnt AS (
+      SELECT p, cnt FROM charcnt UNION ALL SELECT p, cnt FROM seedm
+    ),
+    seed AS (
+      SELECT p, CAST(floor(-ln(cnt::DOUBLE /
+               (SELECT SUM(cnt)::DOUBLE FROM seedcnt)) * 1000000.0 + 0.5)
+               AS BIGINT) AS c
+      FROM seedcnt
+    ),
+    seg(w, pos, pieces, cost) AS (
+      SELECT w, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM trainw
+      UNION ALL
+      SELECT s.w, s.pos + length(v.p), list_append(s.pieces, v.p),
+             s.cost + v.c
+      FROM seg s JOIN seed v
+        ON s.pos < length(s.w)
+       AND substr(s.w, (s.pos + 1)::INT, length(v.p)::INT) = v.p
+    ),
+    bestw AS MATERIALIZED (
+      SELECT w, pieces FROM (
+        SELECT w, pieces,
+               ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY cost, pieces) AS rn
+        FROM seg WHERE pos = length(w)
+      ) WHERE rn = 1
+    ),
+    estep AS (
+      SELECT p, SUM(wc)::BIGINT AS cnt FROM (
+        SELECT t.wc, unnest(b.pieces) AS p
+        FROM bestw b JOIN trainw t USING (w)
+      ) GROUP BY p
+    ),
+    mchar AS (
+      SELECT az.ch AS p, (coalesce(e.cnt, 0) + 1)::BIGINT AS cnt
+      FROM az LEFT JOIN estep e ON e.p = az.ch
+    ),
+    mmulti AS (
+      SELECT p, cnt FROM (
+        SELECT p, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS rn
+        FROM estep WHERE length(p) >= 2 AND cnt > 0
+      ) WHERE rn <= 24
+    ),
+    finalcnt AS (
+      SELECT p, cnt FROM mchar UNION ALL SELECT p, cnt FROM mmulti
+    ),
+    final AS (
+      SELECT p, CAST(floor(-ln(cnt::DOUBLE /
+               (SELECT SUM(cnt)::DOUBLE FROM finalcnt)) * 1000000.0 + 0.5)
+               AS BIGINT) AS c
+      FROM finalcnt
+    ),
+    vmd5 AS (
+      SELECT md5(string_agg(p || ':' || c::VARCHAR, ',' ORDER BY p))
+               AS vocab_md5
+      FROM final
+    ),
+    heldw AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(t, ' ')) AS w FROM held)
+      WHERE length(w) > 0
+    ),
+    hseg(w, pos, pieces, cost) AS (
+      SELECT w, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM heldw
+      UNION ALL
+      SELECT s.w, s.pos + length(v.p), list_append(s.pieces, v.p),
+             s.cost + v.c
+      FROM hseg s JOIN final v
+        ON s.pos < length(s.w)
+       AND substr(s.w, (s.pos + 1)::INT, length(v.p)::INT) = v.p
+    ),
+    hbest AS MATERIALIZED (
+      SELECT w, pieces, cost FROM (
+        SELECT w, pieces, cost,
+               ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY cost, pieces) AS rn
+        FROM hseg WHERE pos = length(w)
+      ) WHERE rn = 1
+    ),
+    docw AS (
+      SELECT doc_id, unnest(range(1, len(words) + 1)) AS i, words
+      FROM (SELECT doc_id, string_split(t, ' ') AS words FROM held)
+    ),
+    docw2 AS (SELECT doc_id, i, words[i] AS w FROM docw)
+    SELECT d.doc_id,
+           SUM(len(b.pieces))::BIGINT AS n_tokens,
+           SUM(b.cost)::BIGINT AS total_cost,
+           md5(string_agg(array_to_string(b.pieces, '|'), ' '
+                          ORDER BY d.i)) AS tokens_md5,
+           (SELECT vocab_md5 FROM vmd5) AS vocab_md5
+    FROM docw2 d JOIN hbest b ON b.w = d.w
+    GROUP BY d.doc_id
+    """
+
+
+@query("q173_unigram_trained", oracle=_q173_oracle())
+def q173_unigram_trained(spark: SparkSession, sf_dir: str) -> SDF:
+    """TRAINED Unigram-LM vocabulary (r11, VERDICT r10 ask #4 —
+    functions/unigram.unigram_train; Kudo 2018 as hard EM): the fit
+    runs on the EVEN half of the corpus — substring-frequency seeding
+    (top 40 by count*len over lengths 2-3, plus add-1-smoothed [a-z]
+    fallbacks), integer -logprob costs, ONE EM iteration whose E-step
+    is the canonical-tie-break Viterbi segmentation of every train
+    word type (a vocab-bounded aggregate, the language_id_train
+    shuffle shape) and whose M-step re-smooths, prunes to the top 24
+    multis by count, and renormalizes — then the TRAINED table drives
+    q168's segmenter over the held-out ODD half. The oracle replays
+    the whole fit in CTEs (counts -> seed costs -> exhaustive-
+    enumeration E-step -> pruned M-step costs -> held-out
+    segmentation), and the vocab_md5 column pins every trained
+    (piece, cost) pair bit-for-bit."""
+    import hashlib
+
+    from torcharrow_spark import me
+    from torcharrow_spark.functions.unigram import (
+        UnigramTokenizer,
+        segment_stats_udf,
+        unigram_train,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    sdf = docs.to_spark()
+    vocab = unigram_train(
+        sdf.where(F.col("doc_id") % 2 == 0),
+        max_piece_len=3, n_seed=40, keep=24, n_iters=1,
+    )
+    vmd5 = hashlib.md5(
+        ",".join(f"{p}:{c}" for p, c in sorted(vocab.items())).encode()
+    ).hexdigest()
+    tok = UnigramTokenizer(vocab, canonical_ties=True)
+    s = me["text"].str
+    norm = (
+        s.lower()
+        .str.replace("[^a-z ]", "", regex=True)
+        .str.replace(" +", " ", regex=True)
+        .str.strip()
+    )
+    nz = (
+        docs.select("doc_id", t=norm)
+        .where(me["t"].str.length() > 0)
+        .to_spark()
+        .where(F.col("doc_id") % 2 == 1)
+    )
+    seg = segment_stats_udf(tok)(F.col("t"))
+    return nz.select("doc_id", seg.alias("s")).select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.total_cost").alias("total_cost"),
+        F.md5(F.col("s.tokens_delim")).alias("tokens_md5"),
+        F.lit(vmd5).alias("vocab_md5"),
+    )
+
+
 @query("q168_unigram_tokenize", oracle=_q168_oracle())
 def q168_unigram_tokenize(spark: SparkSession, sf_dir: str) -> SDF:
     """Unigram-LM (SentencePiece-style) tokenization (r10, VERDICT r9
