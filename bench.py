@@ -234,6 +234,13 @@ ANCHOR = {
     # extract + repair), measured 23.5 s steady on a quiet host
     # (probes ~1.0x) and 35.3 s inside the official run's 1.9x slow
     # window; pinned at the quiet-host value so the gate has teeth.
+    # r11 synth-share attribution (VERDICT r10 ask #5): the PARSE path
+    # alone — same record count off materialized .warc.gz files —
+    # measures ~1.45 anchor-era seconds (run_warc_file_ingest tier),
+    # so the front door's remaining cost is the per-run Python WARC
+    # synthesis + per-record gzip COMPRESSION q166 deliberately keeps
+    # as fixture generation; the downstream 12-stage chain owns the
+    # rest of the 23.5 s.
     # q167: rules-table robots gate — broadcast hash join + HOF
     # verdict, sub-second at 5k pages / 19 policies.
     "q166_commoncrawl_capstone": 23.5,
@@ -1395,6 +1402,172 @@ GPT2_VOCAB = "/root/reference/torcharrow/test/asset/gpt2_bpe_vocab.bpe"
 BPE_ANCHOR_SEC = 0.897
 
 
+# r11 (VERDICT r10 ask #5): the real-file WARC tier. q166 synthesizes
+# its WARC bytes in Python EVERY run, so its wall measures synth+parse
+# together; this tier materializes the sf0.1 synthetic crawl ONCE as
+# .warc.gz files (q166's exact page/encoding shape, 32 files of
+# per-record gzip members — the Common Crawl layout) and anchors the
+# PARSE PATH alone: binaryFile scan -> warc_records -> charset decode
+# -> html_extract, noop sink.
+WARC_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".warc_fixture_sf01"
+)
+# r11 first measurement: steady 1.8 s at bracketing probe factor 1.24
+# => ~1.45 anchor-era seconds (5000 docs / 20k records off disk; the
+# quietest of three probe-bracketed windows — the r11 host oscillated
+# 1.2x-33x during pinning, see GATES r11). Byte pin: ZERO — the whole
+# chain (binaryFile scan -> warc_records -> decode -> extract) is
+# shuffle-free; 32 files = full local[32] parallelism, so the
+# narrow-source spread correctly never fires. Any nonzero shuffle
+# appearing here is a plan regression.
+WARC_INGEST_ANCHOR_SEC = 1.45
+WARC_INGEST_SHUFFLE_ANCHOR = 0
+
+
+def _build_warc_fixture(spark, sf_dir: str) -> None:
+    """Materialize the crawl fixture once (marker-guarded): per
+    document, q166's exact WARC shape — warcinfo + 200 text/html
+    response (payload encoded per doc_id%4: UTF-8-BOM / UTF-16 /
+    Latin-1-behind-meta / mojibake'd bare UTF-8) + request + 404 —
+    written via sources.write_warc (doc_id-ranged, 32 files)."""
+    marker = os.path.join(WARC_FIXTURE_DIR, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.sources import write_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+
+    def _synth(batches):
+        import html as _html
+
+        import pandas as pd
+
+        from torcharrow_spark.operators.warc import build_warc
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d, srcname, body in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                d = int(d)
+                uri = f"https://WWW.{srcname}.example.com/p/{d}"
+                meta = (
+                    '<meta charset="iso-8859-1">' if d % 4 == 2 else ""
+                )
+                page = (
+                    f"<html><head><title>Doc {d}</title>{meta}"
+                    f"<script>var x=1;</script></head><body>"
+                    f'<nav><a href="/">Home</a></nav>'
+                    f"<h1>Report</h1><p>{_html.escape(body)} café "
+                    f"naïve</p>"
+                    f'<footer><a href="/tos">Terms</a></footer>'
+                    f"</body></html>"
+                )
+                br = d % 4
+                if br == 0:
+                    payload = page.encode("utf-8-sig")
+                elif br == 1:
+                    payload = page.encode("utf-16")
+                elif br == 2:
+                    payload = page.encode("latin-1")
+                else:
+                    payload = (
+                        page.encode("utf-8")
+                        .decode("latin-1")
+                        .encode("utf-8")
+                    )
+                blob = build_warc(
+                    [
+                        {"type": "warcinfo",
+                         "payload": b"software: synth\r\n"},
+                        {"type": "response", "uri": uri,
+                         "payload": payload,
+                         "content_type": "text/html"},
+                        {"type": "request", "uri": uri,
+                         "payload": b"GET / HTTP/1.1\r\n"},
+                        {"type": "response",
+                         "uri": uri + "/missing",
+                         "payload": b"gone", "status": 404,
+                         "content_type": "text/plain"},
+                    ],
+                    gzip_members=True,
+                )
+                ids.append(d)
+                blobs.append(bytearray(blob))
+            yield pd.DataFrame({"doc_id": ids, "warc": blobs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False),
+         T.StructField("warc", T.BinaryType(), True)]
+    )
+    n = write_warc(
+        docs.mapInPandas(_synth, schema),
+        WARC_FIXTURE_DIR,
+        order_col="doc_id",
+        files=32,
+    )
+    with open(marker, "w") as fh:
+        fh.write(str(n))
+
+
+def run_warc_file_ingest(spark, sf_dir: str, cal_ratio: float = 1.0,
+                         metrics=None) -> dict:
+    """Parse-path-only WARC anchor: read the materialized .warc.gz
+    fixture from disk (one task per file), explode records, decode
+    charsets, extract text — the q166 front door WITHOUT the per-run
+    Python synthesis whose cost dominated its wall (BENCH_r10 plan
+    audit). Reports steady seconds, rows, shuffle bytes vs pin."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import html_extract
+    from torcharrow_spark.operators.textnorm import decode_payloads
+    from torcharrow_spark.sources import read_warc
+
+    _build_warc_fixture(spark, sf_dir)
+
+    def build():
+        recs = read_warc(WARC_FIXTURE_DIR, spark).to_spark()
+        pages = recs.where(
+            (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        ).select("file", "target_uri", "payload")
+        decoded = decode_payloads(
+            pages, "payload", "file", passthrough=("target_uri",)
+        )
+        return html_extract(
+            decoded, html_col="text", id_col="file",
+            passthrough=("encoding", "target_uri"),
+        )
+
+    _sink(build())  # cold: footer/codegen warm-up
+    wm = metrics.snapshot() if metrics else None
+    sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sink(build())
+        sec = min(sec, round(time.perf_counter() - t0, 3))
+    b = metrics.since(wm) if metrics else {}
+    rows = build().count()
+    out = {
+        "sec": sec,
+        "rows": int(rows),
+        "shuffle_bytes": b.get("shuffle_write"),
+        "spill_bytes": b.get("spill", 0),
+        "anchor_sec": WARC_INGEST_ANCHOR_SEC,
+        "vs_anchor_normalized": round(
+            sec / (WARC_INGEST_ANCHOR_SEC * cal_ratio), 2
+        ),
+        "shuffle_anchor": WARC_INGEST_SHUFFLE_ANCHOR,
+    }
+    print(f"# warc_file_ingest: {out}", file=sys.stderr)
+    return out
+
+
 def run_bpe_real_vocab(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
     """Tokenize every sf document with the full GPT-2 vocabulary
     (50,257 tokens / 50,000 merges, the PUBLIC asset shipped in the
@@ -1830,10 +2003,12 @@ def main() -> None:
     bpe_real: dict = {}
     recall: dict = {}
     tensor_export: dict = {}
+    warc_ingest: dict = {}
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         bpe_real = run_bpe_real_vocab(spark, sf_dir, cal_ratio)
         recall = run_recall_curves(spark, sf_dir)
         tensor_export = run_tensor_export(spark, sf_dir, cal_ratio)
+        warc_ingest = run_warc_file_ingest(spark, sf_dir, cal_ratio, metrics)
 
     cal_end = measure_calibration(spark)
     string_probe_timeline.append(measure_string_calibration(spark))
@@ -1882,6 +2057,7 @@ def main() -> None:
                 "bpe_real_vocab": bpe_real,
                 "recall_sf1": recall,
                 "tensor_export": tensor_export,
+                "warc_file_ingest": warc_ingest,
                 "regressions_within_probe_envelope":
                     regressions_within_probe_envelope,
                 "readjudicated": readjudicated,

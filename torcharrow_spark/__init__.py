@@ -32,11 +32,13 @@ from .sources import (
     read_text,
     read_parquet,
     read_table,
+    read_warc,
     write_bucketed,
     write_csv,
     write_json,
     write_parquet,
     write_text,
+    write_warc,
 )
 
 __version__ = "0.1.0"
@@ -61,11 +63,13 @@ __all__ = [
     "read_text",
     "read_parquet",
     "read_table",
+    "read_warc",
     "replay",
     "trace",
     "TracedFrame",
     "tune",
     "write_bucketed",
+    "write_warc",
     "write_csv",
     "write_json",
     "write_parquet",

@@ -794,3 +794,92 @@ def read_webdataset(
                     )
 
     return DataFrame(src.select("content").mapInPandas(_parse, out_schema))
+
+
+def read_warc(
+    path: str,
+    spark: SparkSession | None = None,
+    types: _ty.Optional[_ty.Sequence[str]] = ("response",),
+) -> DataFrame:
+    """Read ``.warc`` / ``.warc.gz`` files from disk — the Common
+    Crawl front door as a SOURCE (r11, VERDICT r10 ask #5; until now
+    WARC ingest took a binary COLUMN). Spark's distributed
+    ``binaryFile`` source yields one task per WARC file — exactly the
+    unit Common Crawl ships (~1 GB files, tens of thousands per
+    crawl) — and each task explodes its file into records through the
+    SAME parser as the column path (operators.warc.warc_records:
+    per-record gzip members, HTTP split, worker-side type filter).
+    Output: ``(file, rec_no, warc_type, target_uri, http_status,
+    content_type, payload<binary>)``. Zero shuffle; a finer-grained
+    gzip-member splitter can slot under this API without changing
+    callers."""
+    from pyspark.sql import functions as F
+
+    from ..operators.warc import warc_records
+
+    s = _spark(spark)
+    src = (
+        s.read.format("binaryFile")
+        .load(path)
+        .select(F.col("path").alias("file"), "content")
+    )
+    return DataFrame(
+        warc_records(src, "content", id_col="file", types=types)
+    )
+
+
+def write_warc(
+    df,
+    path: str,
+    bytes_col: str = "warc",
+    order_col: _ty.Optional[str] = None,
+    files: int = 32,
+) -> int:
+    """Materialize a binary column of per-record-gzipped WARC streams
+    as ``part-NNNNN.warc.gz`` files under ``path`` — the write half of
+    :func:`read_warc`. Gzip members are self-delimiting, so
+    concatenating rows' streams per file IS the Common Crawl layout
+    (readers resync on member boundaries). ``order_col`` makes the
+    file assignment deterministic (range partition + in-file sort);
+    otherwise rows round-robin. Returns the number of rows written.
+
+    Scale note: each task streams its partition straight to ONE file
+    with no driver involvement; the ``open()`` sink assumes a shared
+    filesystem (true in local mode and on NFS-backed clusters) — an
+    object-store deployment swaps the two ``open`` lines for the
+    Hadoop FileSystem API, the partitioning logic is unchanged."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    sdf = df.to_spark() if isinstance(df, DataFrame) else df
+    cols = [bytes_col] + ([order_col] if order_col else [])
+    sdf = sdf.select(*cols)
+    if order_col:
+        from pyspark.sql import functions as F
+
+        sdf = sdf.repartitionByRange(
+            int(files), F.col(order_col)
+        ).sortWithinPartitions(order_col)
+    else:
+        sdf = sdf.repartition(int(files))
+
+    def _write(pi, it):
+        out = os.path.join(path, f"part-{pi:05d}.warc.gz")
+        n = 0
+        fh = None
+        try:
+            for row in it:
+                b = row[0]
+                if b is None:
+                    continue
+                if fh is None:  # empty partitions write no file
+                    fh = open(out, "wb")
+                fh.write(bytes(b))
+                n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        return [(pi, n)]
+
+    counts = sdf.rdd.mapPartitionsWithIndex(_write).collect()
+    return sum(n for _, n in counts)
