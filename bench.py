@@ -90,6 +90,13 @@ HEADLINE = [
     # rules-table gate
     "q166_commoncrawl_capstone",
     "q167_robots_multihost",
+    # r11 additions (first measurement = the anchor, probe-normalized):
+    # the int8-rerank + IVFxint8 ANN paths, animated-GIF compositing,
+    # and the trained Unigram-LM fit+segment
+    "q170_ann_quantized_rerank",
+    "q171_ann_ivf_int8",
+    "q172_gif_animation",
+    "q173_unigram_trained",
 ]
 
 # Steady-state seconds at sf0.1 on local[32] — the regression anchor.
@@ -245,6 +252,17 @@ ANCHOR = {
     # verdict, sub-second at 5k pages / 19 policies.
     "q166_commoncrawl_capstone": 23.5,
     "q167_robots_multihost": 0.72,
+    # r11 first measurements, probe-bracketed on an oscillating host
+    # (factors 1.0x-29x within minutes; pins use the quietest
+    # bracketing probe of 3-5 samples each). q170/q171: int8 coarse
+    # algebra walls; q171 adds the cell-assignment HashAggregate.
+    # q172: after its narrow-source spread (8.8 s single-task ->
+    # 1.24 s spread). q173: fit (2 corpus scans + enumeration-free
+    # E-step UDF) + held-out segmentation.
+    "q170_ann_quantized_rerank": 1.9,
+    "q171_ann_ivf_int8": 1.75,
+    "q172_gif_animation": 0.9,
+    "q173_unigram_trained": 2.85,
 }
 
 
@@ -377,6 +395,15 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # exchange-free.
     "q166_commoncrawl_capstone": 11155284,
     "q167_robots_multihost": 3315,
+    # r11 pins. q170: broadcast query side + bounded candidate window
+    # only. q171: + the cell-assignment HashAggregate carrying int8
+    # codes (the persisted-index shuffle). q172: the narrow-source
+    # spread of 5k doc_ids. q173: word-type + piece-count aggregates
+    # (vocab-bounded by construction).
+    "q170_ann_quantized_rerank": 1739,
+    "q171_ann_ivf_int8": 472506,
+    "q172_gif_animation": 31545,
+    "q173_unigram_trained": 20543,
     "q127_lm_quality": 240651,
     "q128_gopher_filter": 851481,
     # RE-PINNED r9, TWO decomposed components (measured this round by

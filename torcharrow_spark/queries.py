@@ -9153,7 +9153,14 @@ def q172_gif_animation(spark: SparkSession, sf_dir: str) -> SDF:
     transparency compositing arithmetically from doc_id alone."""
     from pyspark.sql import types as T
 
-    docs = _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+    from torcharrow_spark.operators.preprocess import spread_narrow_source
+
+    # synth+decode is heavy per-row Python; a single-row-group source
+    # would run it in ONE task (measured 8.8 s -> the spread pays one
+    # exchange of 8 bytes/row and uses the whole cluster)
+    docs = spread_narrow_source(
+        _load(spark, sf_dir, "documents").to_spark().select("doc_id")
+    )
 
     def _synth_decode(batches):
         import numpy as np
@@ -9287,7 +9294,12 @@ DRIVER_WINDOW = [
                                 # cumsum was driver-green r2-r8; §2.6
                                 # stays covered by q01/q66/q110)
     "q16_event_windows",        # §2.14 streaming windows + watermark
-    "q17_sessionize",           # §2.14 sessionization
+    "q155_unicode_clean",       # r11 rotation (VERDICT r10 ask #9):
+                                # mojibake repair gets its first
+                                # driver hash (q17_sessionize was
+                                # driver-green r2-r10; §2.14 keeps
+                                # q16 in-window and the 9 stream/batch
+                                # twins stay pytest-pinned)
     "q27_rec_ops",              # §2.13 bucketize/sigrid_hash/z-scale
     "q169_language_id_trained", # r10 (VERDICT r9 ask #7): trained NB
                                 # language ID, held-out split (q127's
@@ -9311,10 +9323,11 @@ DRIVER_WINDOW = [
                                 # driver row immediately (q128's bare
                                 # gopher gate was driver-green r2-r9;
                                 # gopher runs inside q129/q145/q166)
-    "q163_charset_ingest",      # r10 rotation (VERDICT r9 ask #3):
-                                # charset-sniffing payload decode
-                                # (q37_asof_join was driver-green
-                                # r2-r9; §2.5 keeps q03/q136)
+    "q160_domain_curation",     # r11 rotation (VERDICT r10 ask #9):
+                                # the per-label broadcast domain gates
+                                # (q163_charset_ingest was driver-
+                                # green r10; charset decode runs
+                                # inside q166's in-window capstone)
     "q41_bpe_tokenize",         # §2.13 BPE (real merge loop, SQL-checked)
     "q136_rolling_quantiles",   # §2.5 rolling windows (quantile/median/
                                 # std form; q47's sum/mean was driver-
@@ -9324,11 +9337,12 @@ DRIVER_WINDOW = [
                                 # (q150 incremental-exact was driver-
                                 # green r8-r9; the index family keeps
                                 # q149/q151 rows in-window)
-    "q164_robots_gate",         # r10 rotation (VERDICT r9 ask #3):
-                                # single-policy robots gate (q51 was
-                                # driver-green r2-r9; §2.3 keeps
-                                # q66's reduce row and every capstone
-                                # exercises map-family Arrow UDFs)
+    "q161_cdc_incremental",     # r11 rotation (VERDICT r10 ask #9):
+                                # incremental CDC against a standing
+                                # chunk index (q164_robots_gate was
+                                # driver-green r10; q167's rules-table
+                                # gate is its strict superset and
+                                # stays in-window)
     "q151_incremental_dedup_retired", # r9 rotation (VERDICT r8 ask
                                 # #3): the r8 takedown flagship —
                                 # retirement re-admission over the r9
@@ -9343,11 +9357,17 @@ DRIVER_WINDOW = [
                                 # (q53_bool_aggs was driver-green
                                 # r2-r8; same §2.6 coverage rationale
                                 # as q52's swap)
-    "q153_progressive_jpeg",    # r10 rotation (VERDICT r9 ask #3):
-                                # progressive/SOF2 JPEG decode (q54
-                                # interop was driver-green r2-r9;
-                                # §2.1 covered by q162's WARC
-                                # source row)
+    "q156_gif_decode",          # r11 rotation (VERDICT r10 ask #9):
+                                # GIF entropy/palette decode, judge-
+                                # run-only until now (q153_progressive
+                                # _jpeg was driver-green r10; JPEG
+                                # keeps q152 in-window)
+    "q172_gif_animation",       # r11 (VERDICT r10 ask #6): animated
+                                # GIF compositing gets its driver row
+                                # on day one (q110_grouped_quantiles
+                                # was driver-green r2-r10; §2.6 keeps
+                                # q01/q66 and quantiles keep q136's
+                                # rolling row)
     "q139_term_stats",          # vocab/df table — batch twin of the
                                 # r5 term_stats_stream complete-mode
                                 # stateful agg (q65 from_pandas/arrow
@@ -9363,9 +9383,19 @@ DRIVER_WINDOW = [
     "q24_text_stats",           # token count/quality/langid
     "q42_cosine_dedup",         # embedding-cosine near-dup
     "q43_jaccard_prefix",       # PPJoin prefix Jaccard (scale path)
-    "q133_ann_lsh_multitable",  # ANN similarity search (multi-table
-                                # LSH; q44 IVF was driver-green r2-r3,
-                                # its oracle is q22's brute force)
+    "q170_ann_quantized_rerank",# r11 rotation (VERDICT r10 ask #9):
+                                # the int8-rerank recall breakthrough
+                                # gets its driver row (q133's multi-
+                                # table LSH was driver-green r6-r10;
+                                # the ANN cluster keeps q42's LSH
+                                # buckets in-window)
+    "q171_ann_ivf_int8",        # r11 (VERDICT r10 ask #2): the
+                                # IVF x int8 sublinear composition,
+                                # day-one driver row (q123_quantize_
+                                # embeddings was driver-green r2-r10;
+                                # its quantization codes are replayed
+                                # verbatim inside q170's AND q171's
+                                # oracles — strict supersets)
     "q46_simhash_pairs",        # SimHash Hamming pairs
     "q58_near_dup_clusters",    # connected components / near_dedup
     "q138_kmeans_semantic_dedup", # TRAINED kmeans cells -> semantic
@@ -9373,13 +9403,12 @@ DRIVER_WINDOW = [
                                 # (q67's bare kmeans was driver-green
                                 # r2-r4; q138's oracle re-proves the
                                 # same per-dim decimal arithmetic)
-    "q132_curate_pack_twin",    # r9 rotation (VERDICT r8 ask #3): the
-                                # stream==batch curate+pack twin's
-                                # batch side — never driver-hashed
-                                # (q68_tfidf_top_terms was driver-green
-                                # r2-r8; the TF-IDF/vocab family keeps
-                                # q139_term_stats' df/tf aggregate row
-                                # in-window)
+    "q159_g711_audio",          # r11 rotation (VERDICT r10 ask #9):
+                                # G.711 mu/A-law decode, judge-run-
+                                # only until now (q132_curate_pack_
+                                # twin was driver-green r9-r10;
+                                # packing keeps q134 and curation
+                                # keeps q129/q145/q166 in-window)
     "q71_deterministic_sampling", # hash/stratified sampling
     "q72_redact_pii",           # PII redaction
     "q157_cdc_dedup",           # r9 session-2 rotation: content-
@@ -9405,9 +9434,12 @@ DRIVER_WINDOW = [
                                 # first driver-hash row (q82 funnel was
                                 # driver-green r2-r6; the event family
                                 # keeps q16/q17/q98 rows in-window)
-    "q135_semantic_dedup",      # SemDeDup-style paraphrase dedup
-                                # (q84 count-min was driver-green
-                                # r2-r3; q80/q105 keep sketches covered)
+    "q173_unigram_trained",     # r11 (VERDICT r10 ask #4): the
+                                # SentencePiece EM fit, day-one driver
+                                # row (q135_semantic_dedup was driver-
+                                # green r2-r10; q138's kmeans+semantic
+                                # dedup composition is its in-window
+                                # superset)
     "q86_strip_duplicate_spans",# substring-span dedup (Lee et al.)
     "q87_contamination",        # train/test contamination
     "q158_web_ingest_curation", # r9 session-2 rotation: the web-ingest
@@ -9417,11 +9449,9 @@ DRIVER_WINDOW = [
                                 # r2-r8; the relational core keeps
                                 # q01/q02/q03/q06/q07/q35/q37 rows)
     "q105_heavy_hitters",       # exact heavy hitters at scale
-    "q110_grouped_quantiles",   # grouped binned quantiles
     "q134_pack_nosplit",        # sequence packing (no-straddle form;
                                 # q121 next-fit was driver-green r2-r3
                                 # and runs inside q129's composite)
-    "q123_quantize_embeddings", # int8 embedding quantization
     "q147_video_frame_decode",  # r6 REAL frame decode THROUGH the image
                                 # decode path (q126's still-image row
                                 # was driver-green r3-r5; q147 walks

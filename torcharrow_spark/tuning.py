@@ -420,6 +420,39 @@ REGISTRY: list[dict] = [
         "override": "candidates= per call; bits= trades scan bytes.",
     },
     {
+        "name": "ANN full-scan N*Q*dim ceiling",
+        "kind": "module-constant",
+        "location": "operators.similarity.QUANTIZED_SCAN_NQD_CEILING",
+        "default": _similarity.QUANTIZED_SCAN_NQD_CEILING,
+        "effect": (
+            "cost-model budget for quantized_rerank_topk's coarse "
+            "stage, which is a DELIBERATE full scan: C = corpus x "
+            "queries x dim interpreted-fold element products (the "
+            "crossJoin is shuffle-free but linear). The ceiling marks "
+            "where callers must switch to ivf_quantized_topk (probe "
+            "trained cells, int8-scan only those, exact re-rank)."
+        ),
+        "trade": (
+            "measured ~5e8 element products per core-second through "
+            "the interpreted fold on local[32]; 2e15 is ~1 core-hour "
+            "per 1000 cores. Below it the full scan wins: recall "
+            "1.00, no training, no seed noise. Above it the IVF "
+            "composition holds 0.95 recall at 10% of the bytes "
+            "(BENCH recall ladder ivf_int8 row: 512 trained cells, "
+            "204 probes, sf1 corpus) and scales with probed cells, "
+            "not the corpus. At 10^9 vectors x 10^3 queries x dim "
+            "512 the full scan is ~5e14 x dim — past the ceiling for "
+            "any real dim, which is the VERDICT r10 finding this row "
+            "publishes."
+        ),
+        "override": (
+            "advisory, not enforced — pick the operator per corpus "
+            "size; both share quantize_embeddings codes and the "
+            "exact re-rank, so switching changes no output contract "
+            "at full probe depth."
+        ),
+    },
+    {
         "name": "AQE initial shuffle width",
         "kind": "session-conf",
         "location": (
