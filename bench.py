@@ -1571,7 +1571,7 @@ def run_warc_file_ingest(spark, sf_dir: str, cal_ratio: float = 1.0,
             passthrough=("encoding", "target_uri"),
         )
 
-    _sink(build())  # cold: footer/codegen warm-up
+    rows = build().count()  # cold pass doubles as the row count
     wm = metrics.snapshot() if metrics else None
     sec = float("inf")
     for _ in range(2):
@@ -1579,7 +1579,6 @@ def run_warc_file_ingest(spark, sf_dir: str, cal_ratio: float = 1.0,
         _sink(build())
         sec = min(sec, round(time.perf_counter() - t0, 3))
     b = metrics.since(wm) if metrics else {}
-    rows = build().count()
     out = {
         "sec": sec,
         "rows": int(rows),
@@ -1965,8 +1964,10 @@ def main() -> None:
             # re-runs landed in a 1.5-3.8x probe window, and the
             # inflated damped max became the headline number a future
             # round diffs against. The full decomposition stays in
-            # `readjudicated`.
+            # `readjudicated`. delta_vs_r1 follows the published wall
+            # so the artifact's channels can't contradict each other.
             warm[name] = min(first, damped)
+            delta_vs_r1[name] = round(warm[name] - anchor, 3)
             fresh_factor = max(
                 max(fresh_before, fresh_after) / CAL_ANCHOR_SEC, 0.25
             )
@@ -2019,6 +2020,16 @@ def main() -> None:
                     f"{bar:.3f}s (published {warm[name]:.3f}s)",
                     file=sys.stderr,
                 )
+
+    # r11: the drift-adjusted view is computed from FIRST-PASS walls;
+    # an entry the deferred re-adjudication just cleared (fresh-probe
+    # bracketed median-of-3 under the capped bar) is weather by direct
+    # measurement, so it must not survive into the supplementary
+    # channel either — keep only entries the final gate still flags.
+    regressions_drift_adjusted = {
+        k: v for k, v in regressions_drift_adjusted.items()
+        if k in regressions
+    }
 
     stress: dict = {}
     stress10: dict = {}

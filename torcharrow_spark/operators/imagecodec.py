@@ -353,6 +353,19 @@ def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
         prev = entry
 
 
+def _pack_palette(palette) -> bytes:
+    """Pack (r, g, b) entries into a 256-entry (768-byte) GIF color
+    table — ONE definition for the GCT and every per-frame LCT (r11
+    review: three copies had to stay in sync by hand)."""
+    if len(palette) > 256:
+        raise ValueError("gif: palette larger than 256 entries")
+    ct = bytearray()
+    for r, g, b in palette:
+        ct += bytes((r, g, b))
+    ct += b"\x00" * (768 - len(ct))
+    return bytes(ct)
+
+
 def encode_gif(
     pixels: np.ndarray,
     palette: _ty.Optional[_ty.Sequence[_ty.Tuple[int, int, int]]] = None,
@@ -368,12 +381,7 @@ def encode_gif(
     h, w = idx.shape
     if palette is None:
         palette = [(k, k, k) for k in range(256)]
-    if len(palette) > 256:
-        raise ValueError("gif: palette larger than 256 entries")
-    gct = bytearray()
-    for r, g, b in palette:
-        gct += bytes((r, g, b))
-    gct += b"\x00" * (768 - len(gct))  # pad to 256 entries
+    gct = _pack_palette(palette)
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out += bytes((0xF7, 0, 0))  # GCT present, 256 entries
@@ -505,12 +513,7 @@ def encode_gif_animated(
     frame so the decoder's GCE walk runs on each."""
     if palette is None:
         palette = [(k, k, k) for k in range(256)]
-    if len(palette) > 256:
-        raise ValueError("gif: palette larger than 256 entries")
-    gct = bytearray()
-    for r, g, b in palette:
-        gct += bytes((r, g, b))
-    gct += b"\x00" * (768 - len(gct))
+    gct = _pack_palette(palette)
     out = bytearray(b"GIF89a")
     out += screen_w.to_bytes(2, "little") + screen_h.to_bytes(2, "little")
     out += bytes((0xF7, 0, 0))  # GCT present, 256 entries, bg index 0
@@ -541,15 +544,9 @@ def encode_gif_animated(
         interlace = bool(fr.get("interlace", False))
         ipacked = 0x40 if interlace else 0x00
         if lpal is not None:
-            if len(lpal) > 256:
-                raise ValueError("gif: palette larger than 256 entries")
             ipacked |= 0x87  # LCT present, 256 entries
             out += bytes((ipacked,))
-            lct = bytearray()
-            for r, g, b in lpal:
-                lct += bytes((r, g, b))
-            lct += b"\x00" * (768 - len(lct))
-            out += lct
+            out += _pack_palette(lpal)
         else:
             out += bytes((ipacked,))
         rows = idx

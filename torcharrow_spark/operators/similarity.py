@@ -844,25 +844,68 @@ def quantize_embeddings(
     scale 0.  Returns (id, qvec: array<int>, v_min, v_scale)."""
     if not (2 <= bits <= 16):
         raise ValueError("bits must be in [2, 16]")
-    levels = (1 << bits) - 1
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     df2 = df.select(F.col(id_col), dv.alias("__v__"))
-    mn = F.array_min(F.col("__v__"))
-    mx = F.array_max(F.col("__v__"))
+    mn, scale, q = _affine_codes(F.col("__v__"), bits)
+    return df2.select(
+        id_col,
+        q.alias("qvec"),
+        mn.alias("v_min"),
+        scale.alias("v_scale"),
+    )
+
+
+def _affine_codes(dv, bits: int):
+    """The affine quantization expressions — ONE definition shared by
+    :func:`quantize_embeddings` and :func:`ivf_quantized_topk` (r11
+    review: the q170/q171 oracles replay these codes term-for-term, so
+    the two operators must be divergence-proof by construction).
+    ``dv`` is a double-array Column; returns (min, scale, codes)."""
+    levels = (1 << bits) - 1
+    mn = F.array_min(dv)
+    mx = F.array_max(dv)
     scale = (mx - mn) / F.lit(float(levels))
     q = F.transform(
-        F.col("__v__"),
+        dv,
         lambda x: F.when(
             scale > 0, F.floor((x - mn) / scale + F.lit(0.5))
         )
         .otherwise(F.lit(0))
         .cast("int"),
     )
-    return df2.select(
-        id_col,
-        q.alias("qvec"),
-        mn.alias("v_min"),
-        scale.alias("v_scale"),
+    return mn, scale, q
+
+
+def _int8_approx_cosine(qvec, q_vec, v_min, v_scale, q_sum, qsq,
+                        qsum_dot, q_norm):
+    """The quantized-scan cosine — ONE definition shared by
+    :func:`quantized_rerank_topk` and :func:`ivf_quantized_topk`:
+    ``cos = (v_min * sum(query) + scale * <codes, query>) /
+    sqrt(nm2) / |query|`` with the dequantized norm EXPANDED
+    (``nm2 = n*min^2 + 2*min*scale*sum(q) + scale^2*sum(q^2)``) so no
+    float vector ever materializes; zero-denominator guards replace
+    each factor with 1."""
+    idx = F.sequence(F.lit(0), F.size(qvec) - 1)
+    dot_codes = F.aggregate(
+        F.transform(
+            idx,
+            lambda d: F.element_at(qvec, d + 1).cast("double")
+            * F.element_at(q_vec, d + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    approx_dot = v_min * qsum_dot + v_scale * dot_codes
+    n_dim = F.size(qvec).cast("double")
+    nm2 = (
+        n_dim * v_min * v_min
+        + F.lit(2.0) * v_min * v_scale * q_sum
+        + v_scale * v_scale * qsq
+    )
+    return (
+        approx_dot
+        / F.when(nm2 > 0, F.sqrt(nm2)).otherwise(F.lit(1.0))
+        / F.when(q_norm > 0, q_norm).otherwise(F.lit(1.0))
     )
 
 
@@ -1055,48 +1098,26 @@ def quantized_rerank_topk(
             F.col("qvec"), F.lit(0.0), lambda a, x: a + x.cast("double")
         ).alias("q_sum"),
     )
-    idx = F.sequence(F.lit(0), F.size(F.col("qvec")) - 1)
-    dot_codes = F.aggregate(
-        F.transform(
-            idx,
-            lambda d: F.element_at(F.col("qvec"), d + 1).cast("double")
-            * F.element_at(F.col("q_vec"), d + 1),
+    approx = _int8_approx_cosine(
+        qvec=F.col("qvec"),
+        q_vec=F.col("q_vec"),
+        v_min=F.col("v_min"),
+        v_scale=F.col("v_scale"),
+        q_sum=F.col("q_sum"),
+        qsq=F.aggregate(
+            F.col("qvec"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
         ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    qsum_dot = F.aggregate(
-        F.col("q_vec"), F.lit(0.0), lambda a, x: a + x
-    )
-    approx_dot = F.col("v_min") * qsum_dot + F.col("v_scale") * dot_codes
-    # dequantized norm: sqrt(sum (v_min + q*scale)^2) expanded to
-    # avoid a second array pass: nm2 = n*min^2 + 2*min*scale*q_sum +
-    # scale^2 * sum(q^2)
-    qsq = F.aggregate(
-        F.col("qvec"),
-        F.lit(0.0),
-        lambda a, x: a + x.cast("double") * x.cast("double"),
-    )
-    n_dim = F.size(F.col("qvec")).cast("double")
-    nm2 = (
-        n_dim * F.col("v_min") * F.col("v_min")
-        + F.lit(2.0) * F.col("v_min") * F.col("v_scale") * F.col("q_sum")
-        + F.col("v_scale") * F.col("v_scale") * qsq
+        qsum_dot=F.aggregate(
+            F.col("q_vec"), F.lit(0.0), lambda a, x: a + x
+        ),
+        q_norm=F.col("q_norm"),
     )
     coarse = (
         c.crossJoin(q)
         .where(F.col("match_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "match_id",
-            (
-                approx_dot
-                / F.when(nm2 > 0, F.sqrt(nm2)).otherwise(F.lit(1.0))
-                / F.when(F.col("q_norm") > 0, F.col("q_norm")).otherwise(
-                    F.lit(1.0)
-                )
-            ).alias("approx_cosine"),
-        )
+        .select("query_id", "match_id", approx.alias("approx_cosine"))
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_cosine").desc(), F.col("match_id").asc()
@@ -1187,7 +1208,6 @@ def ivf_quantized_topk(
     callers must switch to THIS composition."""
     if not (2 <= bits <= 16):
         raise ValueError("bits must be in [2, 16]")
-    levels = (1 << bits) - 1
     cents = F.broadcast(
         centroids.select(
             F.col(cell_col).alias("__cell__"),
@@ -1198,17 +1218,7 @@ def ivf_quantized_topk(
     # ---- stage 1: quantize (projection) + assign best cell (max_by)
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = corpus.select(F.col(id_col).alias("match_id"), dv.alias("__v__"))
-    mn = F.array_min(F.col("__v__"))
-    mx = F.array_max(F.col("__v__"))
-    scale = (mx - mn) / F.lit(float(levels))
-    codes = F.transform(
-        F.col("__v__"),
-        lambda x: F.when(
-            scale > 0, F.floor((x - mn) / scale + F.lit(0.5))
-        )
-        .otherwise(F.lit(0))
-        .cast("int"),
-    )
+    mn, scale, codes = _affine_codes(F.col("__v__"), bits)
     coded = base.select(
         "match_id",
         "__v__",
@@ -1288,41 +1298,22 @@ def ivf_quantized_topk(
             ).alias("qsum_dot"),
         )
     )
-    # ---- stage 3: int8 coarse scan over PROBED cells only — same
-    # expanded dequantized-norm algebra as quantized_rerank_topk
-    idx = F.sequence(F.lit(0), F.size(F.col("qvec")) - 1)
-    dot_codes = F.aggregate(
-        F.transform(
-            idx,
-            lambda d: F.element_at(F.col("qvec"), d + 1).cast("double")
-            * F.element_at(F.col("q_vec"), d + 1),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    approx_dot = (
-        F.col("v_min") * F.col("qsum_dot") + F.col("v_scale") * dot_codes
-    )
-    n_dim = F.size(F.col("qvec")).cast("double")
-    nm2 = (
-        n_dim * F.col("v_min") * F.col("v_min")
-        + F.lit(2.0) * F.col("v_min") * F.col("v_scale") * F.col("q_sum")
-        + F.col("v_scale") * F.col("v_scale") * F.col("qsq")
+    # ---- stage 3: int8 coarse scan over PROBED cells only — the
+    # SHARED expanded dequantized-norm algebra (_int8_approx_cosine)
+    approx = _int8_approx_cosine(
+        qvec=F.col("qvec"),
+        q_vec=F.col("q_vec"),
+        v_min=F.col("v_min"),
+        v_scale=F.col("v_scale"),
+        q_sum=F.col("q_sum"),
+        qsq=F.col("qsq"),
+        qsum_dot=F.col("qsum_dot"),
+        q_norm=F.col("q_norm"),
     )
     coarse = (
         c.join(q_probes, "cell")
         .where(F.col("match_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "match_id",
-            (
-                approx_dot
-                / F.when(nm2 > 0, F.sqrt(nm2)).otherwise(F.lit(1.0))
-                / F.when(F.col("q_norm") > 0, F.col("q_norm")).otherwise(
-                    F.lit(1.0)
-                )
-            ).alias("approx_cosine"),
-        )
+        .select("query_id", "match_id", approx.alias("approx_cosine"))
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_cosine").desc(), F.col("match_id").asc()

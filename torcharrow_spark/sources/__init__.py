@@ -844,13 +844,23 @@ def write_warc(
     otherwise rows round-robin. Returns the number of rows written.
 
     Scale note: each task streams its partition straight to ONE file
-    with no driver involvement; the ``open()`` sink assumes a shared
+    with no driver involvement; the file sink assumes a shared
     filesystem (true in local mode and on NFS-backed clusters) — an
-    object-store deployment swaps the two ``open`` lines for the
-    Hadoop FileSystem API, the partitioning logic is unchanged."""
+    object-store deployment swaps the open/replace pair for the
+    Hadoop FileSystem API, the partitioning logic is unchanged.
+    Task-retry safe: every attempt writes an attempt-unique temp file
+    and atomically ``os.replace``s it over the final name only when
+    complete, so a speculative duplicate or post-failure retry can
+    never interleave bytes into a published part (r11 review); stale
+    ``part-*.warc.gz`` from a previous write to the same path are
+    removed first, so a re-write with fewer partitions cannot leave a
+    mixed-generation directory for :func:`read_warc` to union."""
+    import glob as _glob
     import os
 
     os.makedirs(path, exist_ok=True)
+    for stale in _glob.glob(os.path.join(path, "part-*.warc.gz")):
+        os.remove(stale)
     sdf = df.to_spark() if isinstance(df, DataFrame) else df
     cols = [bytes_col] + ([order_col] if order_col else [])
     sdf = sdf.select(*cols)
@@ -864,7 +874,14 @@ def write_warc(
         sdf = sdf.repartition(int(files))
 
     def _write(pi, it):
-        out = os.path.join(path, f"part-{pi:05d}.warc.gz")
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else 0
+        final = os.path.join(path, f"part-{pi:05d}.warc.gz")
+        tmp = os.path.join(
+            path, f".part-{pi:05d}.warc.gz.attempt-{attempt}"
+        )
         n = 0
         fh = None
         try:
@@ -873,12 +890,17 @@ def write_warc(
                 if b is None:
                     continue
                 if fh is None:  # empty partitions write no file
-                    fh = open(out, "wb")
+                    fh = open(tmp, "wb")
                 fh.write(bytes(b))
                 n += 1
-        finally:
+        except BaseException:
             if fh is not None:
                 fh.close()
+                os.remove(tmp)
+            raise
+        if fh is not None:
+            fh.close()
+            os.replace(tmp, final)  # atomic publish, complete files only
         return [(pi, n)]
 
     counts = sdf.rdd.mapPartitionsWithIndex(_write).collect()
