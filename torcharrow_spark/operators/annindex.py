@@ -1,0 +1,341 @@
+"""Standing quantized ANN index — publish once, append nightly, probe
+forever (r11).
+
+This is the composition the tuning registry's N*Q ceiling row points
+at, made PERSISTENT: `similarity.ivf_quantized_topk` recomputes the
+quantized+cell-assigned codes per call, which is right for a one-shot
+query but wrong for the 100-TB pipeline that searches the same corpus
+every night — there the index build (the corpus-sized part of the
+plan) should run ONCE and each ingest should pay only for its OWN
+vectors. The storage layer is the SAME rename-free versioned-manifest
+protocol every incremental index in this engine uses
+(`operators.indexstore`: one-object commits, crash-safe on object
+stores, GC grace) — the MinHash standing-index pattern applied to ANN.
+
+Layout under ``index_root``::
+
+    codes/   indexstore root: (id, qvec, v_min, v_scale, cell,
+             q_sum, qsq) — the `similarity.assign_quantized_cells`
+             frame; batch appends land as ``codes/delta/batch_id=N``
+             partitions exactly like the streaming dedup deltas, and
+             `indexstore`/`dedup.compact_index`-style folding applies.
+    cents/   indexstore root: (cell, centroid, bits) — the trained
+             centroid table IS part of the index (cell ids are
+             meaningless without it); appends read the STORED
+             centroids, so base and delta can never be assigned
+             against different cell geometry, and the ``bits`` column
+             makes the quantization width self-describing.
+
+Result contract: ``ann_index_topk(queries, corpus, root)`` returns
+bit-for-bit what ``ivf_quantized_topk(corpus, queries, centroids)``
+returns on the union of every published/appended vector — the index
+is an ACCELERATION structure, not a semantic one (q174's oracle is
+q171's for exactly this reason). The exact re-rank joins back to the
+caller's full-precision ``corpus`` by id: codes are 4x smaller than
+float32 precisely because the floats stay in source-of-truth storage,
+and the re-rank reads |queries| x candidates of them by key.
+
+Reference parity note: torcharrow has no ANN or index surface; the
+bar is this repo's own recall ladder (bench `ivf_int8` row) and the
+indexstore lifecycle discipline (crash matrix in tests).
+"""
+
+from __future__ import annotations
+
+import logging as _logging
+import typing as _ty
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import indexstore as ixs
+from .similarity import assign_quantized_cells
+
+_log = _logging.getLogger(__name__)
+
+_CODE_COLS = ["qvec", "v_min", "v_scale", "cell", "q_sum", "qsq"]
+
+
+def _codes_root(index_root: str) -> str:
+    return ixs._join(index_root, "codes")
+
+
+def _cents_root(index_root: str) -> str:
+    return ixs._join(index_root, "cents")
+
+
+def ann_index_publish(
+    corpus: SDF,
+    centroids: SDF,
+    index_root: str,
+    spark: SparkSession | None = None,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+) -> dict:
+    """Initial (or wholesale-replacement) publish: assign + quantize
+    the corpus against ``centroids`` (one corpus scan, one
+    map-side-combined shuffle — the build you pay ONCE) and commit
+    both snapshots under the pointer protocol. Returns the two
+    manifests."""
+    spark = spark or corpus.sparkSession
+    cents_stored = centroids.select(
+        F.col(cell_col).cast("int").alias("cell"),
+        F.col(cent_col).alias("centroid"),
+        F.lit(int(bits)).alias("bits"),
+    )
+    codes = assign_quantized_cells(
+        corpus, centroids, bits, id_col, vec_col, cell_col, cent_col
+    )
+    m_codes = ixs.publish_index(codes, _codes_root(index_root), spark)
+    m_cents = ixs.publish_index(cents_stored, _cents_root(index_root), spark)
+    _log.info(
+        "ann index published at %s: %d codes, %d cells, %d bits",
+        index_root, m_codes["rows"], m_cents["rows"], bits,
+    )
+    return {"codes": m_codes, "cents": m_cents}
+
+
+def _stored_cents(spark: SparkSession, index_root: str) -> _ty.Tuple[SDF, int]:
+    cents = ixs.read_index(spark, _cents_root(index_root))
+    if cents is None:
+        raise ValueError(
+            f"ann index at {index_root!r} has no published centroids — "
+            "run ann_index_publish first"
+        )
+    bits = cents.select("bits").head()["bits"]
+    return cents.select("cell", "centroid"), int(bits)
+
+
+def _next_batch_id(fs, delta_path: str) -> int:
+    if not fs.exists(delta_path):
+        return 0
+    present = [
+        int(n.split("=", 1)[1])
+        for n in fs.list(delta_path)
+        if n.startswith("batch_id=")
+    ]
+    return (max(present) + 1) if present else 0
+
+
+def ann_index_append(
+    new_vectors: SDF,
+    index_root: str,
+    spark: SparkSession | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental append — the nightly-ingest path: assign + quantize
+    ONLY the new vectors against the STORED centroids (base and delta
+    can never disagree on cell geometry or code width, because both
+    read the same published table) and land them as a
+    ``codes/delta/batch_id=N`` partition, the exact delta layout the
+    dedup index family uses. Cost is proportional to the new vectors,
+    never the standing corpus. Probers union deltas in; fold them into
+    a new base snapshot with the indexstore compaction machinery when
+    delta count warrants."""
+    spark = spark or new_vectors.sparkSession
+    cents, bits = _stored_cents(spark, index_root)
+    codes = assign_quantized_cells(new_vectors, cents, bits, id_col, vec_col)
+    fs = ixs.fs_for(index_root, spark)
+    delta_path = ixs._join(_codes_root(index_root), "delta")
+    batch_id = _next_batch_id(fs, delta_path)
+    out = ixs._join(delta_path, f"batch_id={batch_id}")
+    codes.write.mode("error").parquet(out)
+    rows = spark.read.parquet(out).count()
+    _log.info(
+        "ann index %s delta batch %d appended (%d rows)",
+        index_root, batch_id, rows,
+    )
+    return {"batch_id": batch_id, "rows": rows, "path": out}
+
+
+def read_ann_index(spark: SparkSession, index_root: str) -> SDF:
+    """The standing code table a probe scans: manifest-resolved base
+    snapshot UNION all live delta batches (deltas are append-only
+    partitions; a fold into a new base supersedes them)."""
+    codes_root = _codes_root(index_root)
+    base = ixs.read_index(spark, codes_root)
+    if base is None:
+        raise ValueError(
+            f"ann index at {index_root!r} has no published codes — "
+            "run ann_index_publish first"
+        )
+    id_col = [c for c in base.columns if c not in _CODE_COLS]
+    cols = id_col + _CODE_COLS
+    out = base.select(*cols)
+    fs = ixs.fs_for(index_root, spark)
+    delta_path = ixs._join(codes_root, "delta")
+    if fs.exists(delta_path):
+        for n in sorted(fs.list(delta_path)):
+            if n.startswith("batch_id="):
+                out = out.unionByName(
+                    spark.read.parquet(
+                        ixs._join(delta_path, n)
+                    ).select(*cols)
+                )
+    return out
+
+
+def ann_index_topk(
+    queries: SDF,
+    corpus: SDF,
+    index_root: str,
+    k: int = 5,
+    n_probe: int = 2,
+    candidates: int = 50,
+    spark: SparkSession | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SDF:
+    """Probe the standing index: the tiny query side picks its
+    ``n_probe`` best STORED cells, the int8 coarse scan reads ONLY the
+    probed cells' persisted codes (base + deltas — no corpus-side
+    compute at all), and the exact re-rank joins the surviving
+    |queries| x candidates ids back to the caller's full-precision
+    ``corpus``. Output contract: identical to
+    ``ivf_quantized_topk(all_indexed_vectors, queries, centroids)`` —
+    bit-for-bit, which q174's oracle (q171's SQL on the same corpus)
+    pins end to end THROUGH the publish/append/probe lifecycle."""
+    spark = spark or queries.sparkSession
+    cents, bits = _stored_cents(spark, index_root)
+    codes = read_ann_index(spark, index_root)
+    src_id = [c for c in codes.columns if c not in _CODE_COLS][0]
+    return _probe_codes(
+        codes.withColumnRenamed(src_id, "match_id"),
+        cents,
+        queries,
+        corpus,
+        k=k,
+        n_probe=n_probe,
+        candidates=candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _probe_codes(
+    codes: SDF,
+    centroids: SDF,
+    queries: SDF,
+    corpus: SDF,
+    k: int,
+    n_probe: int,
+    candidates: int,
+    id_col: str,
+    vec_col: str,
+) -> SDF:
+    """Stages 2-4 of `similarity.ivf_quantized_topk` over a PERSISTED
+    stage-1 frame — the same probe window / shared coarse algebra /
+    exact re-rank expressions, reading codes instead of building
+    them."""
+    from pyspark.sql import Window
+
+    from .similarity import (
+        _cosine_from,
+        _dot,
+        _int8_approx_cosine,
+        _norm,
+    )
+
+    cents = F.broadcast(
+        centroids.select(
+            F.col("cell").alias("__cell__"),
+            F.col("centroid").alias("__cv__"),
+            _norm(F.col("centroid")).alias("__cn__"),
+        )
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "q_vec"
+        ),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    probe_sim = _cosine_from(
+        _dot(F.col("q_vec"), F.col("__cv__")),
+        F.col("q_norm"),
+        F.col("__cn__"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__psim__").desc(), F.col("__cell__").asc()
+    )
+    q_probes = F.broadcast(
+        q0.crossJoin(cents)
+        .select(
+            "query_id", "q_vec", "q_norm",
+            F.col("__cell__"), probe_sim.alias("__psim__"),
+        )
+        .withColumn("__r__", F.row_number().over(wp))
+        .where(F.col("__r__") <= n_probe)
+        .select(
+            "query_id", "q_vec", "q_norm",
+            F.col("__cell__").alias("cell"),
+            F.aggregate(
+                F.col("q_vec"), F.lit(0.0), lambda a, x: a + x
+            ).alias("qsum_dot"),
+        )
+    )
+    approx = _int8_approx_cosine(
+        qvec=F.col("qvec"),
+        q_vec=F.col("q_vec"),
+        v_min=F.col("v_min"),
+        v_scale=F.col("v_scale"),
+        q_sum=F.col("q_sum"),
+        qsq=F.col("qsq"),
+        qsum_dot=F.col("qsum_dot"),
+        q_norm=F.col("q_norm"),
+    )
+    coarse = (
+        codes.join(q_probes, "cell")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", approx.alias("approx_cosine"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("match_id").asc()
+    )
+    cand = (
+        coarse.withColumn("rank", F.row_number().over(w1))
+        .where(F.col("rank") <= candidates)
+        .select("query_id", "match_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    rescored = (
+        cand.join(full, "match_id")
+        .join(
+            F.broadcast(q0.select("query_id", "q_vec", "q_norm")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "match_id",
+            _cosine_from(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm"),
+                F.col("c_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+__all__ = [
+    "ann_index_publish",
+    "ann_index_append",
+    "ann_index_topk",
+    "read_ann_index",
+]

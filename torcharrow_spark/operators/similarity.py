@@ -1159,6 +1159,89 @@ def quantized_rerank_topk(
     )
 
 
+def assign_quantized_cells(
+    corpus: SDF,
+    centroids: SDF,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+    out_id: str | None = None,
+    prebroadcast: bool = False,
+) -> SDF:
+    """The quantized-index BUILD — stage 1 of :func:`ivf_quantized_topk`
+    and the frame :func:`operators.annindex.ann_index_publish` persists
+    (r11): per corpus vector, affine int codes (`_affine_codes`) plus
+    its argmax-cosine cell against the broadcast centroid table,
+    reduced by ONE map-side-combined max_by HashAggregate (the shuffle
+    carries one struct of codes + 2 doubles per vector, ties to the
+    LOWER cell id), with the coarse-scan stats (q_sum, qsq) projected
+    on top. Output: ``(id, qvec, v_min, v_scale, cell, q_sum, qsq)``.
+    ``prebroadcast=True`` means ``centroids`` is already the
+    broadcast-aliased (__cell__, __cv__, __cn__) frame."""
+    out_id = out_id or id_col
+    if prebroadcast:
+        cents = centroids
+    else:
+        cents = F.broadcast(
+            centroids.select(
+                F.col(cell_col).alias("__cell__"),
+                F.col(cent_col).alias("__cv__"),
+                _norm(F.col(cent_col)).alias("__cn__"),
+            )
+        )
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(F.col(id_col).alias(out_id), dv.alias("__v__"))
+    mn, scale, codes = _affine_codes(F.col("__v__"), bits)
+    coded = base.select(
+        out_id,
+        "__v__",
+        _norm(F.col("__v__")).alias("__n__"),
+        codes.alias("qvec"),
+        mn.alias("v_min"),
+        scale.alias("v_scale"),
+    )
+    asg_sim = _cosine_from(
+        _dot(F.col("__v__"), F.col("__cv__")),
+        F.col("__n__"),
+        F.col("__cn__"),
+    )
+    assigned = (
+        coded.crossJoin(cents)
+        .select(
+            out_id, "qvec", "v_min", "v_scale",
+            F.col("__cell__"), asg_sim.alias("__sim__"),
+        )
+        .groupBy(out_id)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__sim__"), (-F.col("__cell__")).alias("__nc__")
+                )
+            ).alias("__m__"),
+            F.first("qvec").alias("qvec"),
+            F.first("v_min").alias("v_min"),
+            F.first("v_scale").alias("v_scale"),
+        )
+        .select(
+            out_id, "qvec", "v_min", "v_scale",
+            (-F.col("__m__.__nc__")).alias("cell"),
+        )
+    )
+    return assigned.select(
+        out_id, "qvec", "v_min", "v_scale", "cell",
+        F.aggregate(
+            F.col("qvec"), F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("qvec"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        ).alias("qsq"),
+    )
+
+
 def ivf_quantized_topk(
     corpus: SDF,
     queries: SDF,
@@ -1216,55 +1299,9 @@ def ivf_quantized_topk(
         )
     )
     # ---- stage 1: quantize (projection) + assign best cell (max_by)
-    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = corpus.select(F.col(id_col).alias("match_id"), dv.alias("__v__"))
-    mn, scale, codes = _affine_codes(F.col("__v__"), bits)
-    coded = base.select(
-        "match_id",
-        "__v__",
-        _norm(F.col("__v__")).alias("__n__"),
-        codes.alias("qvec"),
-        mn.alias("v_min"),
-        scale.alias("v_scale"),
-    )
-    asg_sim = _cosine_from(
-        _dot(F.col("__v__"), F.col("__cv__")),
-        F.col("__n__"),
-        F.col("__cn__"),
-    )
-    assigned = (
-        coded.crossJoin(cents)
-        .select(
-            "match_id", "qvec", "v_min", "v_scale",
-            F.col("__cell__"), asg_sim.alias("__sim__"),
-        )
-        .groupBy("match_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__sim__"), (-F.col("__cell__")).alias("__nc__")
-                )
-            ).alias("__m__"),
-            F.first("qvec").alias("qvec"),
-            F.first("v_min").alias("v_min"),
-            F.first("v_scale").alias("v_scale"),
-        )
-        .select(
-            "match_id", "qvec", "v_min", "v_scale",
-            (-F.col("__m__.__nc__")).alias("cell"),
-        )
-    )
-    # per-vector code stats (projections over the assigned index rows)
-    c = assigned.select(
-        "match_id", "qvec", "v_min", "v_scale", "cell",
-        F.aggregate(
-            F.col("qvec"), F.lit(0.0), lambda a, x: a + x.cast("double")
-        ).alias("q_sum"),
-        F.aggregate(
-            F.col("qvec"),
-            F.lit(0.0),
-            lambda a, x: a + x.cast("double") * x.cast("double"),
-        ).alias("qsq"),
+    c = assign_quantized_cells(
+        corpus, cents, bits, id_col, vec_col,
+        out_id="match_id", prebroadcast=True,
     )
     # ---- stage 2: query probes (tiny side), broadcast
     q0 = queries.select(

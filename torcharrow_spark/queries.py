@@ -1010,6 +1010,47 @@ def q171_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q174_ann_standing_index",
+    oracle=ORACLES["q171_ann_ivf_int8"],  # identical by construction:
+    # the index is an acceleration structure, not a semantic one
+)
+def q174_ann_standing_index(spark: SparkSession, sf_dir: str) -> SDF:
+    """STANDING quantized ANN index (r11 — operators/annindex, the
+    persistent form of q171's composition under the same rename-free
+    versioned-manifest protocol as the incremental dedup indexes):
+    the EVEN half of the corpus is published as the base snapshot
+    (codes + stored centroid table, one corpus scan — the build you
+    pay once), the ODD half lands later as a ``delta/batch_id=0``
+    partition assigned against the STORED centroids (cost
+    proportional to the new vectors, never the standing corpus), and
+    the probe reads base UNION delta — probed cells' persisted codes
+    only — then exact-re-ranks against the caller's full-precision
+    table by id. The oracle is q171's SQL over the full corpus: the
+    publish -> append -> probe lifecycle must reproduce the one-shot
+    computation bit-for-bit, which pins cell geometry, code width,
+    and delta/base union semantics through the storage layer."""
+    import tempfile
+
+    from torcharrow_spark.operators import (
+        ann_index_append,
+        ann_index_publish,
+        ann_index_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    root = tempfile.mkdtemp(prefix="q174_annix_")
+    ann_index_publish(emb.where(F.col("vec_id") % 2 == 0), cents, root)
+    ann_index_append(emb.where(F.col("vec_id") % 2 == 1), root)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ann_index_topk(q, emb, root, k=3, n_probe=2, candidates=20)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
     "q23_ann_lsh",
     oracle=f"""
     WITH b AS (
