@@ -513,6 +513,21 @@ def damped_wall(first: float, rerun) -> float:
     return round(statistics.median(samples), 3)
 
 
+def paired_window_wall(first: float, damped: float) -> float:
+    """The r11 paired-window gate input: damped/first is a paired
+    SAME-PLAN host-speed reading — the re-runs execute the
+    byte-identical plan in a later window, so damped >> first says
+    the tail window is slower, which code cannot cause (a code
+    regression multiplies both windows equally). Windows disagreeing
+    by >1.5x -> judge the quieter window's measurement; agreeing ->
+    judge the damped median-of-3 (the r9 intermittent-detection
+    property, kept wherever the windows are comparable). Measured
+    need: r11's first two bench runs flagged DISJOINT sets of
+    byte-clean, code-untouched queries, every flag carrying damped
+    ~2x first while both probes read 0.9-2.0x."""
+    return damped if damped <= first * 1.5 else min(first, damped)
+
+
 def wall_regression(wall: float, bar: float, byte_clean: bool) -> bool:
     """Wall-gate decision: a query regresses when it exceeds the
     machine-normalized anchor by >25% — UNLESS the machine-independent
@@ -1969,24 +1984,10 @@ def main() -> None:
             # so the artifact's channels can't contradict each other.
             warm[name] = min(first, damped)
             delta_vs_r1[name] = round(warm[name] - anchor, 3)
-            # r11 paired-window rule: damped/first is itself a paired
-            # SAME-PLAN host-speed reading — the re-runs execute the
-            # byte-identical plan in a later window, so damped >>
-            # first says the tail window is slower, which code cannot
-            # cause (a code regression multiplies both windows
-            # equally). When the two windows disagree by >1.5x the
-            # gate judges the quieter window's measurement; when they
-            # agree it judges the damped median-of-3 (keeping the r9
-            # intermittent-detection property wherever the windows
-            # are comparable). Measured need: this round's first two
-            # runs flagged DISJOINT sets of byte-clean, code-
-            # untouched queries (9 vs 6, one overlap), every flag
-            # carrying damped ~2x first — the probes (CPU and
-            # string alike) read 0.9-2.0x through windows where the
-            # workloads themselves measured 2-4x.
-            gate_wall = damped if damped <= first * 1.5 else min(
-                first, damped
-            )
+            # r11 paired-window rule — see paired_window_wall's
+            # docstring for the rationale and this round's measured
+            # need (pinned in tests/test_bench_gate.py).
+            gate_wall = paired_window_wall(first, damped)
             # r11: the fresh bracket takes the MAX of the CPU-spin and
             # the string/regex probes — this round's first run put 9
             # byte-clean, code-untouched queries over their bars with

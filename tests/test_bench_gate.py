@@ -144,3 +144,25 @@ def test_compact_line_fits_driver_tail_window():
     assert len(line) <= 1900
     d = json.loads(line)
     assert "queries" in d and "metric" in d
+
+
+def test_paired_window_rule():
+    """r11: disagreeing windows (damped >> first on the SAME
+    byte-pinned plan) judge the quieter window; agreeing windows keep
+    the damped median-of-3 so intermittent regressions still flag."""
+    from bench import paired_window_wall
+
+    # tail window 2x slower than first-pass window -> host, use first
+    assert paired_window_wall(1.0, 2.0) == 1.0
+    # windows agree (intermittent or real regression reproduced in
+    # re-runs at comparable speed) -> damped median gates, even when
+    # it is above first
+    assert paired_window_wall(1.0, 1.4) == 1.4
+    # damped BELOW first (first pass was the slow window) -> damped
+    assert paired_window_wall(2.0, 0.9) == 0.9
+    # boundary: exactly 1.5x still counts as agreeing
+    assert paired_window_wall(1.0, 1.5) == 1.5
+    # a real 2x code regression present in BOTH windows: first 2.0,
+    # damped 2.1 (agreeing) -> 2.1 gates; the rule cannot be used to
+    # hide a regression that reproduces across windows
+    assert paired_window_wall(2.0, 2.1) == 2.1

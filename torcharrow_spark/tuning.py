@@ -449,7 +449,10 @@ REGISTRY: list[dict] = [
             "advisory, not enforced — pick the operator per corpus "
             "size; both share quantize_embeddings codes and the "
             "exact re-rank, so switching changes no output contract "
-            "at full probe depth."
+            "at full probe depth. For recurring search over a "
+            "standing corpus, persist the composition with "
+            "operators.annindex (publish once, append nightly, probe "
+            "the stored codes — r11)."
         ),
     },
     {
