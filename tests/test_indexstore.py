@@ -467,3 +467,105 @@ def test_ann_index_republish_supersedes(spark, tmp_path):
     assert read_ann_index(spark, root).count() == 50
     ann_index_publish(vecs.where(F.col("vec_id") < 10), cents, root)
     assert read_ann_index(spark, root).count() == 10
+
+
+def test_ann_index_append_after_compact_keeps_data(spark, tmp_path):
+    """r12 (ADVICE r11 high): the documented append->compact->append->
+    compact lifecycle must lose nothing. Pre-fix, the second append
+    reused batch_id=0 (allocator only scanned on-disk deltas), the
+    second compaction excluded it as already-merged, and its cleanup
+    deleted the delta — the appended vectors vanished silently."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import (
+        ann_index_append,
+        ann_index_compact,
+        ann_index_publish,
+        read_ann_index,
+    )
+
+    vecs = _toy_vectors(spark)
+    root = str(tmp_path / "annix5")
+    ann_index_publish(
+        vecs.where(F.col("vec_id") < 20), _toy_cents(spark, vecs), root
+    )
+    r0 = ann_index_append(
+        vecs.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)), root
+    )
+    assert r0["batch_id"] == 0
+    rep1 = ann_index_compact(root, spark)
+    assert rep1["merged_rows"] == 40
+    r1 = ann_index_append(vecs.where(F.col("vec_id") >= 40), root)
+    assert r1["batch_id"] == 1  # never reuses a folded id
+    assert read_ann_index(spark, root).count() == 60
+    rep2 = ann_index_compact(root, spark)
+    assert rep2["merged_rows"] == 60
+    assert read_ann_index(spark, root).count() == 60
+    got = sorted(
+        r["vec_id"]
+        for r in read_ann_index(spark, root).select("vec_id").collect()
+    )
+    assert got == list(range(60))
+
+
+def test_ann_index_crash_window_does_not_duplicate(spark, tmp_path):
+    """r12 (ADVICE r11 medium): crash between a compaction's manifest
+    commit and its delta cleanup leaves the folded delta on disk; the
+    reader must skip it (manifest merged_batches guard) or the folded
+    rows appear twice and corrupt the top-k."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import (
+        ann_index_append,
+        ann_index_publish,
+        ann_index_topk,
+        ivf_quantized_topk,
+        read_ann_index,
+    )
+    from torcharrow_spark.operators import indexstore as ixs
+    from torcharrow_spark.operators.annindex import _codes_root
+
+    vecs = _toy_vectors(spark)
+    cents = _toy_cents(spark, vecs)
+    root = str(tmp_path / "annix6")
+    ann_index_publish(vecs.where(F.col("vec_id") < 40), cents, root)
+    ann_index_append(vecs.where(F.col("vec_id") >= 40), root)
+
+    # simulate the crash: fold base+delta into a new committed base but
+    # leave the delta dir behind (compaction died before cleanup)
+    codes_root = _codes_root(root)
+    fs = ixs.fs_for(codes_root, spark)
+    base = spark.read.parquet(ixs.resolve_index_base(codes_root, fs=fs))
+    delta = spark.read.parquet(
+        ixs._join(codes_root, "delta", "batch_id=0")
+    )
+    merged = base.unionByName(delta.select(*base.columns))
+    v = ixs.next_version(codes_root, fs=fs)
+    bname = ixs.base_dir_name(v)
+    merged.write.parquet(ixs._join(codes_root, bname))
+    ixs.commit_manifest(
+        codes_root,
+        {
+            "version": v,
+            "base": bname,
+            "rows": merged.count(),
+            "merged_batches": [0],
+        },
+        fs=fs,
+    )
+    assert fs.exists(ixs._join(codes_root, "delta", "batch_id=0"))
+
+    idx = read_ann_index(spark, root)
+    assert idx.count() == 60  # folded delta NOT double-counted
+    assert idx.select("vec_id").distinct().count() == 60
+    q = vecs.where(F.col("vec_id") < 3)
+    got = sorted(
+        map(tuple, ann_index_topk(q, vecs, root, k=3, n_probe=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_quantized_topk(vecs, q, cents, k=3, n_probe=2).collect(),
+        )
+    )
+    assert got == want

@@ -348,3 +348,66 @@ def test_read_write_warc_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert by_type == {"warcinfo": 60, "response": 60, "request": 60}
+
+
+def test_write_warc_failed_rewrite_keeps_prior_generation(spark, tmp_path):
+    """r12 (ADVICE r11 low): a re-write whose Spark job FAILS must
+    leave the previous generation's part files intact and readable —
+    the pre-r12 code deleted them on the driver before the job ran.
+    Also: a successful re-write with fewer partitions still removes
+    the extra old parts (no mixed-generation directory)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from torcharrow_spark.operators.warc import build_warc
+    from torcharrow_spark.sources import read_warc, write_warc
+
+    def _frame(n, boom=False):
+        def _synth(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    if boom:
+                        raise RuntimeError("synthetic task failure")
+                    ids.append(d)
+                    blobs.append(bytearray(build_warc(
+                        [{"type": "response",
+                          "uri": f"https://example.com/{d}",
+                          "payload": str(d).encode(),
+                          "content_type": "text/plain"}],
+                        gzip_members=True,
+                    )))
+                yield pd.DataFrame({"doc_id": ids, "warc": blobs})
+
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType(), False),
+             T.StructField("warc", T.BinaryType(), True)]
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id")
+        ).mapInPandas(_synth, schema)
+
+    out = str(tmp_path / "gencrawl")
+    assert write_warc(_frame(20), out, order_col="doc_id", files=4) == 20
+    before = sorted(
+        f for f in os.listdir(out) if f.endswith(".warc.gz")
+    )
+    assert before
+
+    with pytest.raises(Exception):
+        write_warc(_frame(20, boom=True), out, order_col="doc_id", files=4)
+    after = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    assert after == before  # prior generation untouched
+    assert read_warc(out, spark).to_spark().count() == 20
+    # no staging junk visible to readers; next write cleans leftovers
+    assert write_warc(_frame(6), out, order_col="doc_id", files=1) == 6
+    final = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert len(final) == 1  # fewer partitions -> old extras removed
+    assert not [d for d in os.listdir(out) if d.startswith(".gen-")]
+    assert read_warc(out, spark).to_spark().count() == 6

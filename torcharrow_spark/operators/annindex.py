@@ -110,15 +110,28 @@ def _stored_cents(spark: SparkSession, index_root: str) -> _ty.Tuple[SDF, int]:
     return cents.select("cell", "centroid"), int(bits)
 
 
-def _next_batch_id(fs, delta_path: str) -> int:
-    if not fs.exists(delta_path):
-        return 0
-    present = [
+def _next_batch_id(fs, codes_root: str) -> int:
+    """Allocate the next delta batch id, never reusing one a
+    compaction has already folded (r12, ADVICE r11 high): ids come
+    from max(ids present on disk, ids recorded as ``merged_batches``
+    in the committed manifest) + 1. The pure on-disk scan this
+    replaced reset to 0 after a compaction deleted the delta dirs, so
+    an append-after-compact landed under an id the NEXT compaction's
+    ``merged_already`` guard would exclude from the merge — and its
+    cleanup loop deleted the delta anyway, silently losing the
+    appended vectors. Streaming dedup never hit this because its ids
+    come from a monotonic checkpoint; this batch path needs the
+    manifest as its monotonic source."""
+    delta_path = ixs._join(codes_root, "delta")
+    used = [
         int(n.split("=", 1)[1])
         for n in fs.list(delta_path)
         if n.startswith("batch_id=")
     ]
-    return (max(present) + 1) if present else 0
+    committed = ixs.committed_manifest(codes_root, fs=fs)
+    if committed is not None:
+        used.extend(int(b) for b in committed.get("merged_batches", []))
+    return (max(used) + 1) if used else 0
 
 
 def ann_index_append(
@@ -141,9 +154,9 @@ def ann_index_append(
     cents, bits = _stored_cents(spark, index_root)
     codes = assign_quantized_cells(new_vectors, cents, bits, id_col, vec_col)
     fs = ixs.fs_for(index_root, spark)
-    delta_path = ixs._join(_codes_root(index_root), "delta")
-    batch_id = _next_batch_id(fs, delta_path)
-    out = ixs._join(delta_path, f"batch_id={batch_id}")
+    codes_root = _codes_root(index_root)
+    batch_id = _next_batch_id(fs, codes_root)
+    out = ixs._join(codes_root, "delta", f"batch_id={batch_id}")
     codes.write.mode("error").parquet(out)
     rows = spark.read.parquet(out).count()
     _log.info(
@@ -155,8 +168,16 @@ def ann_index_append(
 
 def read_ann_index(spark: SparkSession, index_root: str) -> SDF:
     """The standing code table a probe scans: manifest-resolved base
-    snapshot UNION all live delta batches (deltas are append-only
-    partitions; a fold into a new base supersedes them)."""
+    snapshot UNION the live delta batches NOT already folded into that
+    base. The manifest's ``merged_batches`` filter (r12, ADVICE r11
+    medium) mirrors ``compact_index``'s own re-merge guard: after a
+    crash between a compaction's manifest commit and its delta
+    cleanup, a folded delta is still on disk — unioning it would
+    surface those rows twice (new base + delta), duplicating
+    ``match_id`` rows in the top-k and breaking the bit-for-bit
+    equivalence with ``ivf_quantized_topk``. (A duplicate row is
+    harmless for the hash-SET dedup indexes, which is why only this
+    reader needs the filter on the union path.)"""
     codes_root = _codes_root(index_root)
     base = ixs.read_index(spark, codes_root)
     if base is None:
@@ -168,16 +189,52 @@ def read_ann_index(spark: SparkSession, index_root: str) -> SDF:
     cols = id_col + _CODE_COLS
     out = base.select(*cols)
     fs = ixs.fs_for(index_root, spark)
+    committed = ixs.committed_manifest(codes_root, fs=fs)
+    merged = (
+        {int(b) for b in committed.get("merged_batches", [])}
+        if committed
+        else set()
+    )
     delta_path = ixs._join(codes_root, "delta")
     if fs.exists(delta_path):
         for n in sorted(fs.list(delta_path)):
-            if n.startswith("batch_id="):
+            if (
+                n.startswith("batch_id=")
+                and int(n.split("=", 1)[1]) not in merged
+            ):
                 out = out.unionByName(
                     spark.read.parquet(
                         ixs._join(delta_path, n)
                     ).select(*cols)
                 )
     return out
+
+
+def ann_index_compact(
+    index_root: str,
+    spark: SparkSession | None = None,
+    retired: SDF | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Fold the codes root's delta batches into a new immutable base
+    snapshot under the manifest protocol (r12, VERDICT r11 ask #5) —
+    the same `dedup.compact_index` machinery the MinHash/exact
+    standing indexes use, applied to the quantized-code table. Probe
+    cost is what compaction buys back: each live delta adds one
+    parquet scan + union branch to every `ann_index_topk` call (the
+    bench lifecycle tier prices the drift), and a fold returns the
+    probe to its single-snapshot plan. ``retired=`` drops vectors by
+    id in the same pass (takedowns / retention), exactly as the dedup
+    indexes do. The centroid root is NOT compacted — it is one tiny
+    published snapshot that only changes on a wholesale re-train."""
+    from .dedup import compact_index
+
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    return compact_index(
+        _codes_root(index_root), spark=spark, retired=retired,
+        id_col=id_col,
+    )
 
 
 def ann_index_topk(
@@ -336,6 +393,7 @@ def _probe_codes(
 __all__ = [
     "ann_index_publish",
     "ann_index_append",
+    "ann_index_compact",
     "ann_index_topk",
     "read_ann_index",
 ]

@@ -849,18 +849,35 @@ def write_warc(
     object-store deployment swaps the open/replace pair for the
     Hadoop FileSystem API, the partitioning logic is unchanged.
     Task-retry safe: every attempt writes an attempt-unique temp file
-    and atomically ``os.replace``s it over the final name only when
+    and atomically ``os.replace``s it over its staged name only when
     complete, so a speculative duplicate or post-failure retry can
-    never interleave bytes into a published part (r11 review); stale
-    ``part-*.warc.gz`` from a previous write to the same path are
-    removed first, so a re-write with fewer partitions cannot leave a
-    mixed-generation directory for :func:`read_warc` to union."""
+    never interleave bytes into a published part (r11 review).
+
+    Directory-rewrite crash safety (r12, ADVICE r11 low): the new
+    generation lands in a hidden ``.gen-*`` staging subdir while the
+    Spark job runs — the previous generation's ``part-*.warc.gz``
+    stay untouched and fully readable until the ENTIRE job has
+    succeeded. Only then does the driver swap: each staged part is
+    ``os.replace``d over its final name (atomically superseding the
+    old part of the same number), and old parts with numbers the new
+    generation did not produce are removed last, so a re-write with
+    fewer partitions still cannot leave a mixed-generation directory
+    for :func:`read_warc` to union. A crash mid-job leaves the prior
+    data intact (the pre-r12 code deleted it up front); a crash
+    mid-swap leaves the complete new generation staged on disk, and
+    stale staging dirs from such crashes are garbage by construction
+    (never globbed by readers) and are cleaned up on the next write."""
     import glob as _glob
     import os
+    import uuid as _uuid
 
     os.makedirs(path, exist_ok=True)
-    for stale in _glob.glob(os.path.join(path, "part-*.warc.gz")):
-        os.remove(stale)
+    for stale_gen in _glob.glob(os.path.join(path, ".gen-*")):
+        import shutil as _shutil
+
+        _shutil.rmtree(stale_gen, ignore_errors=True)
+    staging = os.path.join(path, f".gen-{_uuid.uuid4().hex[:12]}")
+    os.makedirs(staging)
     sdf = df.to_spark() if isinstance(df, DataFrame) else df
     cols = [bytes_col] + ([order_col] if order_col else [])
     sdf = sdf.select(*cols)
@@ -878,9 +895,9 @@ def write_warc(
 
         tc = TaskContext.get()
         attempt = tc.taskAttemptId() if tc is not None else 0
-        final = os.path.join(path, f"part-{pi:05d}.warc.gz")
+        staged = os.path.join(staging, f"part-{pi:05d}.warc.gz")
         tmp = os.path.join(
-            path, f".part-{pi:05d}.warc.gz.attempt-{attempt}"
+            staging, f".part-{pi:05d}.warc.gz.attempt-{attempt}"
         )
         n = 0
         fh = None
@@ -900,8 +917,24 @@ def write_warc(
             raise
         if fh is not None:
             fh.close()
-            os.replace(tmp, final)  # atomic publish, complete files only
+            os.replace(tmp, staged)  # atomic stage, complete files only
         return [(pi, n)]
 
-    counts = sdf.rdd.mapPartitionsWithIndex(_write).collect()
+    try:
+        counts = sdf.rdd.mapPartitionsWithIndex(_write).collect()
+    except BaseException:
+        import shutil as _shutil
+
+        _shutil.rmtree(staging, ignore_errors=True)
+        raise
+    # job succeeded: publish the staged generation, THEN retire the old
+    new_names = set()
+    for staged in sorted(_glob.glob(os.path.join(staging, "part-*.warc.gz"))):
+        name = os.path.basename(staged)
+        os.replace(staged, os.path.join(path, name))
+        new_names.add(name)
+    for old in _glob.glob(os.path.join(path, "part-*.warc.gz")):
+        if os.path.basename(old) not in new_names:
+            os.remove(old)
+    os.rmdir(staging)
     return sum(n for _, n in counts)
