@@ -3933,3 +3933,93 @@ def test_unigram_train_fit_properties(spark):
     chars_only = sum(v1[c] for c in "thethingsat")
     assert tok.cost(pieces) < chars_only
     assert any(len(p) > 1 for p in pieces)
+
+
+# ---------------------------------------------------------------------------
+# r12: cross-document exact substring dedup (operators/substring.py,
+# Lee et al. 2022 ExactSubstr family)
+
+
+def test_cross_doc_spans_planted(spark):
+    """Planted cross-doc substrings: extents are exact and maximal,
+    the cross-document restriction holds (a window repeated only
+    WITHIN one doc is never flagged), and within-doc copies of a
+    cross-doc span are each reported."""
+    from torcharrow_spark.operators import cross_doc_spans
+
+    shared = " ".join(f"s{i}" for i in range(6))          # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 0: shared block at positions 2..7 of 12 tokens
+            (0, "a0 a1 " + shared + " a2 a3 a4 a5"),
+            # doc 1: same block at positions 0..5
+            (1, shared + " b0 b1 b2"),
+            # doc 2: an 8-token block repeated twice WITHIN the doc
+            # only — must not be flagged (cross-doc op)
+            (2, "c0 c1 c2 c3 c4 c5 c6 c7 c0 c1 c2 c3 c4 c5 c6 c7"),
+            # doc 3: unrelated
+            (3, "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_len"], r["n_grams"],
+                      r["max_docs"])
+        for r in cross_doc_spans(docs, k=4).collect()
+    }
+    # k=4 anchors inside a 6-token shared block: 3 consecutive starts
+    assert got[0] == (2, 6, 3, 2)
+    assert got[1] == (0, 6, 3, 2)
+    assert 2 not in got and 3 not in got
+
+
+def test_cross_doc_spans_merge_and_three_way(spark):
+    """Two overlapping shared regions merge into ONE maximal span;
+    max_docs reports the widest sharing of any anchor in the span."""
+    from torcharrow_spark.operators import cross_doc_spans
+
+    left = "x0 x1 x2 x3 x4"    # 5 tokens, shared by docs 0,1,2
+    right = "y0 y1 y2 y3 y4"   # 5 tokens, shared by docs 0,1 only
+    docs = spark.createDataFrame(
+        [
+            (0, left + " " + right),      # contiguous: one 10-token span
+            (1, left + " " + right),
+            (2, "z0 " + left + " z1 z2 z3"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["span_start"]): (r["span_len"], r["max_docs"])
+        for r in cross_doc_spans(docs, k=4).collect()
+    }
+    # docs 0/1: anchors at 0..6 all shared (0,1 share the whole line;
+    # anchors 0,1 also hit doc 2) -> single merged 10-token span
+    assert rows[(0, 0)] == (10, 3)
+    assert rows[(1, 0)] == (10, 3)
+    assert rows[(2, 1)] == (5, 3)
+
+
+def test_strip_cross_doc_spans_audit(spark):
+    """Removal strips every covered token in EVERY sharing doc and the
+    audit columns reconcile; untouched docs come back normalized with
+    zero removals."""
+    from torcharrow_spark.operators import strip_cross_doc_spans
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (0, "a0 a1 " + shared + " a2  a3"),   # double space: norm
+            (1, shared + " b0 b1 b2"),
+            (2, "lone doc with no duplication at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in strip_cross_doc_spans(docs, k=4).collect()}
+    assert got[0]["text"] == "a0 a1 a2 a3"
+    assert (got[0]["n_tokens"], got[0]["n_removed"], got[0]["n_spans"]) == (
+        10, 6, 1,
+    )
+    assert got[1]["text"] == "b0 b1 b2"
+    assert got[1]["n_removed"] == 6 and got[1]["n_spans"] == 1
+    assert got[2]["text"] == "lone doc with no duplication at all"
+    assert got[2]["n_removed"] == 0 and got[2]["n_spans"] == 0
