@@ -166,3 +166,27 @@ def test_paired_window_rule():
     # damped 2.1 (agreeing) -> 2.1 gates; the rule cannot be used to
     # hide a regression that reproduces across windows
     assert paired_window_wall(2.0, 2.1) == 2.1
+
+
+def test_wall_channel_verdict_byte_primary():
+    """r12 (VERDICT r11 ask #2): byte/row/spill are the primary gate;
+    a wall excess gates only when the byte pin moved or the window was
+    certified quiet — byte-clean noisy-window excesses are watch-only
+    (three r11 same-tree runs flagged disjoint sets in that state)."""
+    from bench import QUIET_PROBE_FACTOR, wall_channel_verdict
+
+    # not flagged at all -> no verdict
+    assert wall_channel_verdict(False, True, 1.0, True) is None
+    # byte pin moved -> the wall flag rides the primary channel
+    assert wall_channel_verdict(True, False, 3.0, False) == "gate"
+    # byte-clean + quiet agreeing window -> a real CPU-side regression
+    # the probes could see: gates
+    assert wall_channel_verdict(True, True, 1.0, True) == "gate"
+    assert (
+        wall_channel_verdict(True, True, QUIET_PROBE_FACTOR, True) == "gate"
+    )
+    # byte-clean + noisy window -> watch (the r11 weather mode)
+    assert wall_channel_verdict(True, True, 1.9, True) == "watch"
+    # byte-clean + quiet probes but windows disagree (oscillating
+    # host the probes missed) -> watch
+    assert wall_channel_verdict(True, True, 1.0, False) == "watch"

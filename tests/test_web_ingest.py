@@ -244,3 +244,24 @@ def test_warc_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert landed.select("batch_id").distinct().count() >= 2
+
+
+def test_q166_fixture_path_identical(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 ask #3): bench.py's fixture-backed q166 row
+    (materialized warc_frame parquet -> q166_chain) must be
+    bit-identical to the registered per-run-synth query — the fixture
+    changes WHERE the bytes come from, never what the chain computes."""
+    from torcharrow_spark.queries import (
+        QUERIES,
+        q166_chain,
+        q166_warc_frame,
+    )
+
+    fix = str(tmp_path / "q166fix")
+    q166_warc_frame(spark, sf_dir).write.parquet(fix)
+    via_fixture = q166_chain(spark, sf_dir, spark.read.parquet(fix))
+    direct = QUERIES["q166_commoncrawl_capstone"](spark, sf_dir)
+    a = sorted(map(tuple, via_fixture.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert via_fixture.columns == direct.columns
+    assert a == b and len(a) > 0
