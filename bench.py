@@ -1811,6 +1811,165 @@ def run_warc_file_ingest(spark, sf_dir: str, cal_ratio: float = 1.0,
     return out
 
 
+def run_recall_sf10(spark) -> dict:
+    """r12 (VERDICT r11 ask #6): the ivf_int8 composition's recall at
+    the SECOND measured decade — the 200k-vector sf10 stress corpus.
+    The 512-cell table is trained ONCE per machine and cached as a
+    parquet fixture next to the corpus (md5-init, 2 Lloyd steps —
+    assignment scans cost ~4 min each at 200k x 512 cells, so the
+    kmeans++ seeding the sf1 ladder buys is traded away here; at 390
+    vectors/cell the granularity is COARSE, the regime where sf1
+    measured seeding to be worth little). Reports recall@10 and
+    effective scan bytes for a probe ladder around the sf1 operating
+    point (204/512 at 8/32 bits = 9.96% of full-scan bytes).
+
+    Cost-model note this row exists to publish: at constant cell
+    count, corpus growth packs more vectors per cell, so the SAME
+    probe count scans the same byte FRACTION but concentrates less of
+    the true neighborhood per cell — holding recall across decades
+    ultimately needs cells ~ N (constant occupancy), which raises
+    assignment cost per scan; that is the trained-fit price the
+    standing index (`annindex`) amortizes by persisting codes."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.clustering import kmeans
+    from torcharrow_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_quantized_topk,
+    )
+
+    _build_stress_sf10(spark)
+    emb = spark.read.parquet(f"{STRESS10_DIR}/embeddings.parquet")
+    cent_path = os.path.join(STRESS10_DIR, "centroids_512_md5x2")
+    if not os.path.exists(os.path.join(cent_path, "_SUCCESS")):
+        _t0 = time.perf_counter()
+        _asg, cents = kmeans(emb, k=512, max_iter=2, init="md5")
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        print(
+            f"# recall_sf10: trained+cached 512 cells in "
+            f"{time.perf_counter() - _t0:.0f}s",
+            file=sys.stderr,
+        )
+    centdf = spark.read.parquet(cent_path)
+    q = emb.where(F.pmod(F.col("vec_id"), F.lit(9001)) == 0).limit(24)
+    k = 10
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+    out: dict = {"k": k, "n_queries": 24, "cells": 512, "ladder": {}}
+    bits_frac = 8.0 / 32.0
+    for n_probe in (154, 204, 256):
+        got = {
+            (r["query_id"], r["match_id"])
+            for r in ivf_quantized_topk(
+                emb, q, centdf, k=k, n_probe=n_probe, candidates=50
+            ).collect()
+        }
+        out["ladder"][n_probe] = {
+            "recall": round(len(exact & got) / len(exact), 4),
+            "effective_bytes_pct": round(
+                n_probe / 512 * bits_frac * 100, 2
+            ),
+        }
+    print(f"# recall_sf10: {out['ladder']}", file=sys.stderr)
+    return out
+
+
+def run_ann_index_lifecycle(spark, sf01_dir: str) -> dict:
+    """r12 (VERDICT r11 ask #5): price the standing ANN index's
+    lifecycle on the sf1 stress corpus (20k vectors, dim 64, 64
+    md5-pick cells). Probe wall is measured at 0, 4, and 16 live
+    delta batches (each delta adds one parquet scan + union branch to
+    every `ann_index_topk`), then after `ann_index_compact` folds the
+    deltas into a fresh base snapshot. Reports the compaction wall
+    and the BREAK-EVEN probe count: compact_sec / (probe@16 - probe@0)
+    — run the fold when the root will be probed more times than that
+    before the next append wave. Row counts are sanity-pinned
+    (probes must return identical k x queries rows at every delta
+    state); walls are report-only (the lifecycle has no plan to
+    regress — the probe plan is pinned by q174's oracle)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import (
+        ann_index_append,
+        ann_index_compact,
+        ann_index_publish,
+        ann_index_topk,
+    )
+    from torcharrow_spark.operators.similarity import _centroids
+
+    _build_stress_sf1(spark, sf01_dir)
+    emb = spark.read.parquet(f"{STRESS_DIR}/embeddings.parquet")
+    cent_rows = _centroids(emb, 64, "vec_id", "embedding")
+    cents = spark.createDataFrame(
+        [(i, v) for i, (_cid, v) in enumerate(cent_rows)],
+        "cell int, centroid array<double>",
+    )
+    q = emb.where(F.pmod(F.col("vec_id"), F.lit(2003)) == 0).limit(24)
+    root = tempfile.mkdtemp(prefix="bench_annix_") + "/idx"
+
+    def _probe() -> tuple[float, int]:
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = ann_index_topk(
+                q, emb, root, k=10, n_probe=8, candidates=50
+            ).collect()
+            best = min(best, round(time.perf_counter() - t0, 3))
+            rows = len(got)
+        return best, rows
+
+    out: dict = {}
+    try:
+        # base = 80% of the corpus; 16 delta batches from the rest
+        base = emb.where(F.col("vec_id") % 5 != 0)
+        ann_index_publish(base, cents, root)
+        out["probe_at_0_deltas_sec"], r0 = _probe()
+        for i in range(16):
+            ann_index_append(
+                emb.where(
+                    (F.col("vec_id") % 5 == 0)
+                    & (F.col("vec_id") % 80 == i * 5)
+                ),
+                root,
+            )
+            if i == 3:
+                out["probe_at_4_deltas_sec"], r4 = _probe()
+        out["probe_at_16_deltas_sec"], r16 = _probe()
+        t0 = time.perf_counter()
+        compact_report = ann_index_compact(root, spark)
+        out["compact_sec"] = round(time.perf_counter() - t0, 3)
+        out["compact_rows"] = compact_report["merged_rows"]
+        out["probe_after_compact_sec"], rc = _probe()
+        out["rows_consistent"] = len({r0, r4, r16, rc}) == 1
+        drift = out["probe_at_16_deltas_sec"] - min(
+            out["probe_at_0_deltas_sec"], out["probe_after_compact_sec"]
+        )
+        out["break_even_probes"] = (
+            round(out["compact_sec"] / drift, 1) if drift > 0.05 else None
+        )
+        print(
+            f"# ann lifecycle: probe 0/4/16 deltas "
+            f"{out['probe_at_0_deltas_sec']}/"
+            f"{out['probe_at_4_deltas_sec']}/"
+            f"{out['probe_at_16_deltas_sec']}s, compact "
+            f"{out['compact_sec']}s -> {out['probe_after_compact_sec']}s, "
+            f"break-even {out['break_even_probes']} probes, rows "
+            f"consistent {out['rows_consistent']}",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    return out
+
+
 def run_bpe_real_vocab(spark, sf_dir: str, cal_ratio: float = 1.0) -> dict:
     """Tokenize every sf document with the full GPT-2 vocabulary
     (50,257 tokens / 50,000 merges, the PUBLIC asset shipped in the
@@ -2323,11 +2482,16 @@ def main() -> None:
 
     bpe_real: dict = {}
     recall: dict = {}
+    recall10: dict = {}
+    ann_lifecycle: dict = {}
     tensor_export: dict = {}
     warc_ingest: dict = {}
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
         bpe_real = run_bpe_real_vocab(spark, sf_dir, cal_ratio)
         recall = run_recall_curves(spark, sf_dir)
+        ann_lifecycle = run_ann_index_lifecycle(spark, sf_dir)
+        if not os.environ.get("SPARK_GRAFT_NO_SF10"):
+            recall10 = run_recall_sf10(spark)
         tensor_export = run_tensor_export(spark, sf_dir, cal_ratio)
         warc_ingest = run_warc_file_ingest(spark, sf_dir, cal_ratio, metrics)
 
@@ -2391,6 +2555,8 @@ def main() -> None:
                 "stress_sf10": stress10,
                 "bpe_real_vocab": bpe_real,
                 "recall_sf1": recall,
+                "ann_index_lifecycle": ann_lifecycle,
+                "recall_sf10": recall10,
                 "tensor_export": tensor_export,
                 "warc_file_ingest": warc_ingest,
                 "regressions_within_probe_envelope":

@@ -72,14 +72,21 @@ def test_driver_window_coverage():
         "q162_warc_ingest",       # §2.1 sources (q54 interop rotated
                                   # out r10; WARC read IS the §2.1
                                   # source family at crawl scale)
-        "q129_curation_pipeline", "q19_minhash_pairs", "q46_simhash_pairs",
-        "q43_jaccard_prefix", "q58_near_dup_clusters",
-        "q86_strip_duplicate_spans", "q87_contamination",
-        # r11 rotations (VERDICT r10 ask #9): q133 (multi-table LSH,
-        # green r6-r10) and q123 (quantization, green r2-r10) hand the
-        # ANN cluster to q170/q171, whose oracles replay the same
-        # quantization codes verbatim; q42's LSH buckets stay
-        "q42_cosine_dedup", "q170_ann_quantized_rerank",
+        # r12 rotations (VERDICT r11 ask #7): q129 (curation, green
+        # r2-r11) hands exact-dedup+packing coverage to q145/q166;
+        # q19 (MinHash, green r2-r11) keeps q58/q149/q151/q166;
+        # q86 (within-corpus span dedup, green r2-r11) hands the
+        # substring family to the NEW cross-doc rows q175/q176
+        "q145_modern_curation", "q58_near_dup_clusters",
+        "q46_simhash_pairs", "q43_jaccard_prefix",
+        "q175_cross_doc_spans", "q176_strip_cross_doc",
+        "q87_contamination",
+        # ANN cluster r12: q42's LSH buckets hand to q133 (multi-table
+        # LSH, never driver-hashed since r10), the float-probe IVF row
+        # q44 enters for the first time, and the standing index q174
+        # gets its first driver hash next to q170/q171
+        "q133_ann_lsh_multitable", "q44_ann_ivf",
+        "q174_ann_standing_index", "q170_ann_quantized_rerank",
         "q171_ann_ivf_int8",
         # kmeans family: q138's oracle replays the same Lloyd-step
         # arithmetic q67 pinned r2-r4, now composed with semantic dedup
@@ -89,11 +96,11 @@ def test_driver_window_coverage():
         "q138_kmeans_semantic_dedup", "q24_text_stats", "q72_redact_pii",
         # relevance family's streaming-twin batch side (r5)
         "q139_term_stats",
-        # r6 rotations: q148 replaces q80's HLL row (q105 keeps the
-        # sketch family), q147 replaces q126's still-image row (frames
-        # decode THROUGH the same image path, a strict superset) —
-        # both old rows stay driver_sim + pytest gated
-        "q105_heavy_hitters", "q71_deterministic_sampling",
+        # r6 rotations: q148 replaced q80's HLL row, q147 replaced
+        # q126's still-image row; r12 rotates q105 (heavy hitters,
+        # green r2-r11) out too — the sketch family stays measured
+        # every round in the sf1 stress tier + driver_sim + pytest
+        "q71_deterministic_sampling",
         "q134_pack_nosplit",
         # r7 rotation: q149 (cross-run MinHash index probe) replaces
         # q82's funnel row — events keep q16/q17/q98 in-window, and
@@ -118,7 +125,10 @@ def test_driver_window_coverage():
         # rotated out — §2.14 keeps q16, all 9 stream twins stay
         # pytest-pinned)
         "q151_incremental_dedup_retired",
-        "q146_skew_report", "q152_jpeg_decode",
+        # r12: q152 (baseline JPEG, green r9-r11) swaps back out for
+        # q153 — progressive decode walks a superset of the baseline
+        # path
+        "q146_skew_report", "q153_progressive_jpeg",
         # r9 session-2 rotations: the NEW web-ingest + CDC families get
         # driver rows. Rotated out (driver-green r2-r8, still
         # driver_sim + pytest gated): q12 (§2.6 keeps q01/q66/q110),

@@ -456,6 +456,34 @@ REGISTRY: list[dict] = [
         ),
     },
     {
+        "name": "ANN standing-index compaction cadence",
+        "kind": "operational",
+        "location": "operators.annindex.ann_index_compact",
+        "default": "caller-scheduled (no auto-fold)",
+        "effect": (
+            "Each live delta batch adds one parquet scan + union "
+            "branch to every ann_index_topk probe; compaction folds "
+            "deltas into a fresh base snapshot under the manifest "
+            "protocol and returns the probe to its single-snapshot "
+            "plan. Batch ids are manifest-monotonic, so "
+            "append-after-compact never collides (r12)."
+        ),
+        "trade": (
+            "Measured on the sf1 stress corpus (20k vectors, 64 "
+            "cells, 24 queries, BENCH ann_index_lifecycle tier): "
+            "probe 2.0 s at 0 deltas -> 3.4 s at 4 -> 5.1 s at 16; "
+            "compact cost 3.1 s, so break-even is ~ONE probe at 16 "
+            "deltas — fold whenever the root will be probed at all "
+            "before the next append wave. The drift is per-delta "
+            "JOB overhead (scan + union branch), not data volume, "
+            "so it scales with delta COUNT, not corpus size."
+        ),
+        "override": (
+            "ann_index_compact(root, retired=...) also drops vectors "
+            "by id in the same pass; indexstore GC grace applies."
+        ),
+    },
+    {
         "name": "AQE initial shuffle width",
         "kind": "session-conf",
         "location": (
