@@ -1811,6 +1811,87 @@ def run_warc_file_ingest(spark, sf_dir: str, cal_ratio: float = 1.0,
     return out
 
 
+SF100_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".stress_sf100"
+)
+
+#: r12 first measurement with THIS builder/partitioning (one-shot
+#: count sink, 5M docs in 128 files): the per-round byte pin for the
+#: third decade. The r7 one-off (SCALE_SF100.md) measured the same
+#: plan at 1154.9 MB under its own layout — byte anchors are a
+#: property of (plan, data, partitioning), so the per-round row pins
+#: its own build. Set to the measured value below.
+SF100_Q19_SHUFFLE_ANCHOR = 1_204_700_598
+
+
+def run_stress_sf100_bytes(spark) -> dict:
+    """r12 (VERDICT r11 ask #8): fold the sf100 evidence into the
+    per-round gate CHEAPLY — one byte-only assertion for one pair
+    family at the third decade, so 50k -> 5M docs shuffle linearity
+    cannot silently rot between one-off evidence runs. The 5M-doc
+    corpus is built ONCE per machine from the sf10 corpus by the
+    SCALE_SF100.md copy-tagging scheme ('z{copy}' word tags — no
+    shingle crosses any effective copy, so true near-dup structure is
+    exactly linear by construction); the measurement is a SINGLE
+    count-sink execution of q19's minhash_pairs with shuffle/spill
+    captured — no steady re-run, no wall claim (walls at this tier
+    are scan-layout noise, see SCALE_SF100.md's straggler analysis).
+    The gate: bytes within 25% of the pin and ZERO spill."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import minhash_pairs
+
+    _build_stress_sf10(spark)
+    done = os.path.join(SF100_DIR, "_BUILT_v1")
+    if not os.path.exists(done):
+        docs = spark.read.parquet(f"{STRESS10_DIR}/documents.parquet")
+        copies = spark.range(10).select(
+            F.col("id").cast("int").alias("copy")
+        )
+        d = docs.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("copy") * F.lit(10_000_000_000))
+            .alias("doc_id"),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), "
+                        "w -> concat(w, 'z', copy))"
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        d.repartition(128, "doc_id").write.mode("overwrite").parquet(
+            f"{SF100_DIR}/documents.parquet"
+        )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    try:
+        m = StageMetrics(spark)
+    except Exception:
+        m = None
+    docs100 = spark.read.parquet(f"{SF100_DIR}/documents.parquet")
+    wm = m.snapshot() if m else None
+    t0 = time.perf_counter()
+    rows = minhash_pairs(
+        docs100, shingle_k=3, num_hashes=8, bands=4
+    ).count()
+    wall = round(time.perf_counter() - t0, 1)
+    out: dict = {"rows": rows, "oneshot_wall_sec_unanchored": wall}
+    if m:
+        b = m.since(wm)
+        out["shuffle_bytes"] = b["shuffle_write"]
+        out["spill_bytes"] = b["spill"]
+        ratio = round(b["shuffle_write"] / SF100_Q19_SHUFFLE_ANCHOR, 3)
+        out["vs_shuffle_anchor"] = ratio
+        out["regression"] = bool(ratio > 1.25 or b["spill"] > 0)
+    print(f"# stress_sf100 q19 bytes: {out}", file=sys.stderr)
+    return out
+
+
 def run_recall_sf10(spark) -> dict:
     """r12 (VERDICT r11 ask #6): the ivf_int8 composition's recall at
     the SECOND measured decade — the 200k-vector sf10 stress corpus.
@@ -2060,6 +2141,11 @@ def compact_line(payload: dict, full_name: str | None) -> str:
         "stress_regressions": sorted(
             [k for k, v in stress.items() if v.get("regression")]
             + [f"{k}@sf10" for k, v in stress10.items() if v.get("regression")]
+            + (
+                ["q19_minhash_pairs@sf100"]
+                if (payload.get("stress_sf100_bytes") or {}).get("regression")
+                else []
+            )
         ),
         "machine_factor": payload.get("machine_factor"),
         # r9: the interleaved-probe envelope (min/median/max factors) —
@@ -2483,6 +2569,7 @@ def main() -> None:
     bpe_real: dict = {}
     recall: dict = {}
     recall10: dict = {}
+    sf100_bytes: dict = {}
     ann_lifecycle: dict = {}
     tensor_export: dict = {}
     warc_ingest: dict = {}
@@ -2492,6 +2579,7 @@ def main() -> None:
         ann_lifecycle = run_ann_index_lifecycle(spark, sf_dir)
         if not os.environ.get("SPARK_GRAFT_NO_SF10"):
             recall10 = run_recall_sf10(spark)
+            sf100_bytes = run_stress_sf100_bytes(spark)
         tensor_export = run_tensor_export(spark, sf_dir, cal_ratio)
         warc_ingest = run_warc_file_ingest(spark, sf_dir, cal_ratio, metrics)
 
@@ -2557,6 +2645,7 @@ def main() -> None:
                 "recall_sf1": recall,
                 "ann_index_lifecycle": ann_lifecycle,
                 "recall_sf10": recall10,
+                "stress_sf100_bytes": sf100_bytes,
                 "tensor_export": tensor_export,
                 "warc_file_ingest": warc_ingest,
                 "regressions_within_probe_envelope":

@@ -4023,3 +4023,42 @@ def test_strip_cross_doc_spans_audit(spark):
     assert got[1]["n_removed"] == 6 and got[1]["n_spans"] == 1
     assert got[2]["text"] == "lone doc with no duplication at all"
     assert got[2]["n_removed"] == 0 and got[2]["n_spans"] == 0
+
+
+def test_cross_corpus_spans_decontamination(spark):
+    """Planted train-vs-reference overlap: only training docs are
+    scored, only reference-shared spans are removed, and overlap
+    WITHIN the training corpus alone is untouched (that's
+    cross_doc_spans' job, not decontamination's)."""
+    from torcharrow_spark.operators import (
+        cross_corpus_spans,
+        strip_cross_corpus_spans,
+    )
+
+    bench = " ".join(f"b{i}" for i in range(6))   # benchmark text
+    train_dup = " ".join(f"t{i}" for i in range(6))
+    train = spark.createDataFrame(
+        [
+            (0, "x0 x1 " + bench + " x2"),        # leaked benchmark
+            # train-internal duplication only — must NOT be flagged
+            (1, train_dup + " y0"),
+            (2, train_dup + " y1"),
+        ],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(100, bench + " r0 r1")], ["doc_id", "text"]
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_len"], r["n_grams"])
+        for r in cross_corpus_spans(train, ref, k=4).collect()
+    }
+    assert spans == {0: (2, 6, 3)}
+    got = {
+        r["doc_id"]: r
+        for r in strip_cross_corpus_spans(train, ref, k=4).collect()
+    }
+    assert got[0]["text"] == "x0 x1 x2"
+    assert (got[0]["n_removed"], got[0]["n_spans"]) == (6, 1)
+    assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
+    assert set(got) == {0, 1, 2}  # reference docs never scored

@@ -203,8 +203,108 @@ def strip_cross_doc_spans(
     )
 
 
+def cross_corpus_spans(
+    df: SDF,
+    reference: SDF,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    ref_id_col: str | None = None,
+) -> SDF:
+    """Maximal spans of ``df`` documents that appear VERBATIM anywhere
+    in the ``reference`` corpus at >= k-token granularity — the
+    exact-substring DECONTAMINATION direction of this family (strip
+    benchmark/eval text from training data, Lee et al. 2022 §5 /
+    GPT-3-style overlap removal, but exact and arbitrary-length where
+    `contamination` is whole-document shingle-fraction scoring).
+
+    Same anchor-gram machinery as `cross_doc_spans` with the sharing
+    test swapped: a corpus anchor is marked iff its hash exists in the
+    reference's DISTINCT gram-hash set (one left-semi join against
+    fixed-width hashes — the reference text never rides an exchange,
+    and the build side is |distinct reference grams| x 16 bytes).
+    Returns (id, span_start, span_len, n_grams) for ``df`` rows only;
+    reference documents are never scored."""
+    grams = _anchor_grams(df, k, text_col, id_col)
+    ref = (
+        _anchor_grams(
+            reference, k, ref_text_col or text_col, ref_id_col or id_col
+        )
+        .select("__h1__", "__h2__")
+        .distinct()
+    )
+    marked = grams.join(ref, ["__h1__", "__h2__"], "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = marked.withColumn(
+        "__grp__", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "__grp__")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_len", "n_grams")
+    )
+
+
+def strip_cross_corpus_spans(
+    df: SDF,
+    reference: SDF,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    ref_id_col: str | None = None,
+) -> SDF:
+    """Remove every ``df`` token covered by a reference-shared span
+    and reassemble (normalized) — the decontamination REMOVAL step,
+    same audit contract as `strip_cross_doc_spans`: (id, text,
+    n_tokens, n_removed, n_spans). Spans come from
+    `cross_corpus_spans`; the reference corpus is read-only."""
+    from .preprocess import spread_narrow_source
+
+    spans = cross_corpus_spans(
+        df, reference, k, text_col, id_col, ref_text_col, ref_id_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_len").alias("l")
+            )
+        ).alias("__spans__")
+    )
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    base = (
+        spread_narrow_source(df)
+        .select(F.col(id_col), words.alias("__w__"))
+        .join(per_doc, id_col, "left")
+    )
+    sp = F.coalesce(
+        F.col("__spans__"),
+        F.array().cast("array<struct<s:bigint,l:bigint>>"),
+    )
+    kept = F.filter(
+        F.col("__w__"),
+        lambda x, i: ~F.exists(
+            sp, lambda s: (s["s"] <= i) & (i < s["s"] + s["l"])
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__w__").cast("long").alias("n_tokens"),
+        (F.size("__w__") - F.size(kept)).cast("long").alias("n_removed"),
+        F.size(sp).cast("long").alias("n_spans"),
+    )
+
+
 __all__ = [
     "cross_doc_duplicate_grams",
     "cross_doc_spans",
     "strip_cross_doc_spans",
+    "cross_corpus_spans",
+    "strip_cross_corpus_spans",
 ]

@@ -1051,6 +1051,47 @@ def q174_ann_standing_index(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "q177_ann_index_compacted",
+    oracle=ORACLES["q171_ann_ivf_int8"],  # identical by construction —
+    # compaction folds storage, never semantics
+)
+def q177_ann_index_compacted(spark: SparkSession, sf_dir: str) -> SDF:
+    """Standing ANN index FULL lifecycle (r12 — publish -> append ->
+    COMPACT -> append-after-compact -> probe), oracle-checked against
+    the one-shot computation: `ann_index_compact` folds the first
+    delta into a fresh base snapshot under the manifest protocol, and
+    the post-compact append must land under a NEW batch id (the
+    manifest-monotonic allocator, ADVICE r11 high — the pre-r12
+    allocator reused folded ids and the next fold silently deleted
+    the appended vectors). Exercises exactly the storage transitions
+    q174's single-epoch lifecycle cannot: merged_batches guards on
+    both the reader and the allocator, and probe correctness across a
+    fold boundary."""
+    import tempfile
+
+    from torcharrow_spark.operators import (
+        ann_index_append,
+        ann_index_compact,
+        ann_index_publish,
+        ann_index_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").to_spark()
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    root = tempfile.mkdtemp(prefix="q177_annix_")
+    ann_index_publish(emb.where(F.col("vec_id") % 3 == 0), cents, root)
+    ann_index_append(emb.where(F.col("vec_id") % 3 == 1), root)
+    ann_index_compact(root, spark)
+    ann_index_append(emb.where(F.col("vec_id") % 3 == 2), root)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ann_index_topk(q, emb, root, k=3, n_probe=2, candidates=20)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
     "q23_ann_lsh",
     oracle=f"""
     WITH b AS (
@@ -3744,6 +3785,75 @@ def q176_strip_cross_doc(spark: SparkSession, sf_dir: str) -> SDF:
 
     docs = _load(spark, sf_dir, "documents").to_spark()
     return strip_cross_doc_spans(docs, k=30)
+
+
+@query(
+    "q178_decontaminate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(w, i+1, i+20), ' ') AS gram
+      FROM toks, unnest(range(0, greatest(len(w)-19, 0))) AS t(i)
+    ),
+    ref AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 1
+    ),
+    marked AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN ref USING (gram)
+      WHERE g.doc_id % 2 = 0
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + 20 AS l,
+             COUNT(*) AS n_grams
+      FROM runs GROUP BY doc_id, grp
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i+1] AS tok, len(w) AS n
+      FROM toks, unnest(range(0, len(w))) AS t(i)
+      WHERE doc_id % 2 = 0
+    ),
+    keptt AS (
+      SELECT t.doc_id, t.pos, t.tok, t.n,
+        NOT EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = t.doc_id
+                    AND sp.s <= t.pos AND t.pos < sp.s + sp.l) AS keep
+      FROM tok t
+    )
+    SELECT k.doc_id,
+      COALESCE(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos),
+               '') AS text,
+      MAX(n)::BIGINT AS n_tokens,
+      (MAX(n) - COUNT(CASE WHEN keep THEN 1 END))::BIGINT AS n_removed,
+      COALESCE((SELECT COUNT(*) FROM spans sp WHERE sp.doc_id = k.doc_id),
+               0)::BIGINT AS n_spans
+    FROM keptt k GROUP BY k.doc_id
+    """,
+)
+def q178_decontaminate_spans(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cross-CORPUS exact-substring decontamination (r12 —
+    operators/substring.strip_cross_corpus_spans): the EVEN half of
+    the documents table plays the training corpus, the ODD half the
+    benchmark reference; every >= 20-token span of a training doc
+    that appears verbatim anywhere in the reference is removed, with
+    the q176 audit contract. Complements `contamination` (q87):
+    that scores whole documents by shingle-overlap fraction, this
+    surgically removes the exact shared text at arbitrary length —
+    the pair every published decontamination pipeline ships."""
+    from torcharrow_spark.operators import strip_cross_corpus_spans
+
+    docs = _load(spark, sf_dir, "documents").to_spark()
+    return strip_cross_corpus_spans(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        k=20,
+    )
 
 
 @query(
