@@ -1816,12 +1816,13 @@ SF100_DIR = os.path.join(
 )
 
 #: r12 first measurement with THIS builder/partitioning (one-shot
-#: count sink, 5M docs in 128 files): the per-round byte pin for the
-#: third decade. The r7 one-off (SCALE_SF100.md) measured the same
-#: plan at 1154.9 MB under its own layout — byte anchors are a
-#: property of (plan, data, partitioning), so the per-round row pins
-#: its own build. Set to the measured value below.
-SF100_Q19_SHUFFLE_ANCHOR = 1_204_700_598
+#: count sink, 5M docs in 128 files): 1,168,758,597 B, 727,097 output
+#: rows — the row count matches the r7 SCALE_SF100.md evidence run
+#: EXACTLY and the bytes sit 1.2% from its 1154.9 MB under a
+#: different file layout (byte anchors are a property of (plan,
+#: data, partitioning), so the per-round row pins its own build).
+#: Zero spill.
+SF100_Q19_SHUFFLE_ANCHOR = 1_168_758_597
 
 
 def run_stress_sf100_bytes(spark) -> dict:
