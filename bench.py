@@ -437,7 +437,12 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # text never rides a keyed exchange. q167: ONE broadcast of the
     # packed per-host rules array (19 rows); the page side is
     # exchange-free.
-    "q166_commoncrawl_capstone": 11155284,
+    # RE-PINNED r12 (was 11155284): the feat/d5 lineage cuts in
+    # q166_chain stop three output branches re-running the MinHash-CC
+    # exchanges and the logreg iterations re-running the gopher-gate
+    # joins — repeated shuffles are gone, -17% bytes on an identical
+    # logical result (driver_sim hash-clean; fixture identity test).
+    "q166_commoncrawl_capstone": 9209936,
     "q167_robots_multihost": 3315,
     # r11 pins. q170: broadcast query side + bounded candidate window
     # only. q171: + the cell-assignment HashAggregate carrying int8

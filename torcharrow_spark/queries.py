@@ -7094,6 +7094,11 @@ def q145_modern_curation(spark: SparkSession, sf_dir: str) -> SDF:
         _round8(F.col("n_chars").cast("double") / nw).alias("x2"),
         F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
+    # r12 lineage cut: `feat` feeds three logreg-train iterations plus
+    # the score/mean/cut branches — each a separate action that would
+    # re-run the gopher gate and its joins; one lazy localCheckpoint
+    # caps that chain at one execution (same trade as `withmeta`).
+    feat = feat.localCheckpoint(eager=False)
     w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
     scored = logreg_score(feat, ["x0", "x1", "x2"], w)
     # relative cutoff — keep the above-mean half (the top-k%-by-score
@@ -7512,6 +7517,11 @@ def q140_logreg_quality(spark: SparkSession, sf_dir: str) -> SDF:
         _round8(F.col("n_chars").cast("double") / nw).alias("x2"),
         F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
+    # r12 lineage cut: `feat` feeds three logreg-train iterations plus
+    # the score/mean/cut branches — each a separate action that would
+    # re-run the gopher gate and its joins; one lazy localCheckpoint
+    # caps that chain at one execution (same trade as `withmeta`).
+    feat = feat.localCheckpoint(eager=False)
     w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
     return logreg_score(feat, ["x0", "x1", "x2"], w).select(
         "doc_id", F.col("y").cast("long").alias("label"), "score"
@@ -8686,6 +8696,11 @@ def q166_chain(spark: SparkSession, sf_dir: str, with_warc: SDF) -> SDF:
         _round8(F.col("n_chars").cast("double") / nw).alias("x2"),
         F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
+    # r12 lineage cut: `feat` feeds three logreg-train iterations plus
+    # the score/mean/cut branches — each a separate action that would
+    # re-run the gopher gate and its joins; one lazy localCheckpoint
+    # caps that chain at one execution (same trade as `withmeta`).
+    feat = feat.localCheckpoint(eager=False)
     w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
     scored = logreg_score(feat, ["x0", "x1", "x2"], w)
     mean_score = (
@@ -8703,7 +8718,14 @@ def q166_chain(spark: SparkSession, sf_dir: str, with_warc: SDF) -> SDF:
         d4.select("doc_id", "text"), shingle_k=3, num_hashes=8, bands=4
     )
     keep_ids = clus.where(F.col("cluster") == F.col("doc_id")).select("doc_id")
-    d5 = d4.join(keep_ids, "doc_id", "left_semi")
+    # r12 lineage cut: d5 feeds THREE output branches (packing, the
+    # audit columns, and the CDC stats) — without a cut each branch
+    # re-runs the MinHash-LSH connected-components iteration, tripling
+    # the chain's single most expensive stage (measured: the whole
+    # 18.5 s quiet-window wall was ~3x one CC pass).
+    d5 = d4.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     cdc = cdc_dedup_stats(d5.select("doc_id", "text"))
     sized = d5.select(
         "doc_id",
