@@ -17,7 +17,9 @@ def test_registry_structure():
         for key in ("name", "kind", "location", "default", "effect",
                     "trade", "override"):
             assert e.get(key), (e.get("name"), key)
-        assert e["kind"] in ("session-conf", "module-constant", "parameter")
+        assert e["kind"] in (
+            "session-conf", "module-constant", "parameter", "operational",
+        )
     # describe() renders every knob
     text = tuning.describe()
     for e in tuning.REGISTRY:
