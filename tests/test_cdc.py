@@ -218,3 +218,20 @@ def test_cdc_ln_measures_utf8_bytes(spark):
     assert [r.ln for r in rows] == [len(c.encode("utf-8")) for c in chunks]
     assert sum(r.ln for r in rows) == len(text.encode("utf-8"))
     assert sum(r.ln for r in rows) > len(text)  # multibyte corpus
+
+
+def test_cdc_stats_single_chunker_pass(spark):
+    """r12 optimization pin: cdc_dedup_stats runs the per-character
+    Python chunker ONCE per action — the instance frame is cut from
+    its lineage (lazy localCheckpoint) before feeding both the
+    doc-frequency aggregate and the join-back, so the plan shows the
+    checkpoint RDD scan, never a second MapInPandas chunker pass."""
+    from torcharrow_spark.operators.cdc import cdc_dedup_stats
+
+    df = spark.createDataFrame(
+        [(i, f"shared run of text {i % 3} " * 6) for i in range(12)],
+        "doc_id long, text string",
+    )
+    plan = cdc_dedup_stats(df)._jdf.queryExecution().sparkPlan().toString()
+    assert "MapInPandas" not in plan  # chunker lives behind the cut
+    assert "ExistingRDD" in plan  # both consumers read the cached rows

@@ -4062,3 +4062,53 @@ def test_cross_corpus_spans_decontamination(spark):
     assert (got[0]["n_removed"], got[0]["n_spans"]) == (6, 1)
     assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
     assert set(got) == {0, 1, 2}  # reference docs never scored
+
+
+def test_connected_components_materializes_edges_once(spark):
+    """r12 optimization pin: the symmetric edge list is cut from its
+    lineage before the label loop, so the caller's (possibly very
+    expensive) pair pipeline executes exactly once — iterations read
+    executor-local blocks. The accumulator counts evaluations of the
+    edge source: 2 x 60 rows (one per union side) at materialization,
+    and nothing more across the loop's joins."""
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("long")
+    def bump(s):
+        acc.add(len(s))
+        return s
+
+    base = spark.range(0, 60, 1, 4)
+    edges = base.select(
+        bump("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = ops.connected_components(edges).collect()
+    assert {r["component"] for r in out} == {0}  # one 61-node chain
+    assert acc.value == 120  # 2 union branches x 60 rows, exactly once
+
+
+def test_unigram_train_scans_corpus_once(spark):
+    """r12 optimization pin: unigram_train's word-type table is cut
+    from its lineage, so the corpus text is read once per fit — the
+    seed's two collects and the E-step re-read the cached types, not
+    the corpus."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.functions.unigram import unigram_train
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("string")
+    def bump(s):
+        acc.add(len(s))
+        return s
+
+    df = spark.createDataFrame(
+        [(i, "the theatre heats the heather " * 3) for i in range(10)],
+        "doc_id long, text string",
+    ).select("doc_id", bump("text").alias("text"))
+    vocab = unigram_train(df)
+    assert vocab and all(isinstance(c, int) for c in vocab.values())
+    assert acc.value == 10  # corpus text evaluated exactly once

@@ -253,8 +253,20 @@ def cdc_dedup_stats(
 
     Plan shape: map-side chunking -> groupBy(md5) with map-side
     partial count-distinct -> join back on md5 -> per-doc agg. Two
-    shuffles, both keyed on a uniform 128-bit hash."""
+    shuffles, both keyed on a uniform 128-bit hash.
+
+    r12 (guide §4/§5): ``inst`` feeds BOTH the doc-frequency aggregate
+    and the join-back — two physical consumers whose common subtree is
+    the Python chunker, and exchange reuse cannot fuse them (the
+    consumers' exchanges differ), so the per-character chunking UDF ran
+    TWICE per action. One lazy localCheckpoint caps it at one pass:
+    measured at sf0.1 in one session, wall 2.08 -> 1.32 s (-37%) with
+    shuffle bytes IDENTICAL (7,535,289 — the plan's exchanges are
+    untouched, only the recompute is gone). A repartition('h')-shared
+    variant (guide §2.4) also single-passes the chunker but re-keys the
+    instance exchange (+10% bytes) and measured slower; rejected."""
     inst = cdc_chunks(df, text_col, id_col, window, modulus, min_size, max_size)
+    inst = inst.localCheckpoint(eager=False)
     freq = inst.groupBy("h").agg(F.countDistinct(id_col).alias("ndocs"))
     shared = F.col("ndocs") > 1
     return (
