@@ -235,3 +235,33 @@ def test_cdc_stats_single_chunker_pass(spark):
     plan = cdc_dedup_stats(df)._jdf.queryExecution().sparkPlan().toString()
     assert "MapInPandas" not in plan  # chunker lives behind the cut
     assert "ExistingRDD" in plan  # both consumers read the cached rows
+
+
+def test_vectorized_cuts_match_reference_loop():
+    """r12 optimization pin: the numpy stateless cut path must agree
+    bit-for-bit with the reference per-character loop on every shape —
+    empty, shorter than the window, multibyte, astral plane, and long
+    runs — since q157's oracle replays the loop's arithmetic."""
+    import random
+
+    from torcharrow_spark.operators.cdc import (
+        _chunk_cuts_stateless,
+        chunk_boundaries,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        "",
+        "a",
+        "abc",
+        "abcd",
+        "naïve café — ☃ snow 𝄞 clef",
+        "the same run of text " * 50,
+        "".join(chr(rng.randrange(32, 0x2FFF)) for _ in range(500)),
+        "".join(chr(rng.randrange(0x10000, 0x10FFF)) for _ in range(64)),
+    ]
+    for w, mod in ((4, 16), (3, 8), (6, 32)):
+        for text in cases:
+            ref = chunk_boundaries([ord(c) for c in text], w, mod)
+            vec = _chunk_cuts_stateless(text, w, mod)
+            assert vec == ref, (w, mod, text[:20])

@@ -77,6 +77,37 @@ def chunk_boundaries(
     return cuts
 
 
+def _chunk_cuts_stateless(
+    text: str, window: int, modulus: int
+) -> _ty.List[int]:
+    """Vectorized cut positions for the STATELESS form (no min/max
+    guards — boundaries are a pure position-local function, so the
+    whole document's rolling hashes are one windowed dot product).
+    Exact integer arithmetic: codepoints (< 2^21) times 31^(window-1)
+    summed over a small window stays far inside int64, and Python's
+    arbitrary-precision loop computes the identical values, so the two
+    paths agree bit-for-bit (pinned in tests). r12, guide §4.2: the
+    per-character Python loop was the chunker's whole cost; four
+    vectorized ops per document replace ~5 interpreted ops per
+    character."""
+    import numpy as np
+
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+    n = int(codes.size)
+    cuts: _ty.List[int] = []
+    if n >= window:
+        m = n - window + 1  # windows ending at positions window..n
+        acc = np.zeros(m, dtype=np.int64)
+        for k in range(window):
+            acc += codes[k : k + m].astype(np.int64) * (
+                _BASE ** (window - 1 - k)
+            )
+        cuts = (np.nonzero(acc % modulus == 0)[0] + window).tolist()
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    return cuts
+
+
 def chunk_text(
     text: str,
     window: int = DEFAULT_WINDOW,
@@ -86,10 +117,20 @@ def chunk_text(
 ) -> _ty.List[str]:
     """Split ``text`` into content-defined chunks (codepoint domain, so
     the same text chunks identically regardless of encoding)."""
-    codes = [ord(c) for c in text]
+    if min_size is None and max_size is None:
+        try:
+            cuts = _chunk_cuts_stateless(text, window, modulus)
+        except (ImportError, UnicodeEncodeError):
+            # numpy absent, or a lone surrogate utf-32 can't encode:
+            # the exact per-character loop still covers every input
+            codes = [ord(c) for c in text]
+            cuts = chunk_boundaries(codes, window, modulus)
+    else:
+        codes = [ord(c) for c in text]
+        cuts = chunk_boundaries(codes, window, modulus, min_size, max_size)
     out = []
     prev = 0
-    for cut in chunk_boundaries(codes, window, modulus, min_size, max_size):
+    for cut in cuts:
         out.append(text[prev:cut])
         prev = cut
     return out
