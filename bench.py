@@ -251,7 +251,16 @@ ANCHOR = {
     # q158: extract -> repair -> score -> gate composition; wall is
     # parse-dominated (html.parser per page), exchanges tiny.
     "q156_gif_decode": 1.633,
-    "q157_cdc_dedup": 1.174,
+    # RE-PINNED r12 (was 1.174) for two chunker optimizations, wall
+    # only (byte pin UNCHANGED at 7535289 — the plan's exchanges are
+    # untouched): (1) the instance frame is lineage-cut before its two
+    # consumers, so the per-character Python chunker runs ONCE per
+    # action instead of twice (same-session A/B: 2.08 -> 1.32 s);
+    # (2) the stateless cut computation is vectorized (2.1x on the
+    # kernel at sf0.1 doc lengths). Quiet-window measurement post-fix:
+    # 1.197 s steady inside a 1.0-1.86x probe bracket => ~0.85
+    # anchor-era; pinned there.
+    "q157_cdc_dedup": 0.85,
     # RE-PINNED r12 (was 1.017, the r9-session-2 first measurement)
     # closing the r11 drift-adjusted flag graded `weak`: the r12
     # quiet-window adjudication measured 1.524-1.701 s across SIX
@@ -289,7 +298,16 @@ ANCHOR = {
     # and the 12-stage chain (MinHash CC, logreg train, CDC, packing)
     # owns ~18.5 s — NOT the ~1 s the r11 note extrapolated from the
     # parse-only tier.
-    "q166_commoncrawl_capstone": 18.5,
+    # RE-PINNED r12-opt (was 18.5): connected_components now cuts its
+    # symmetric edge list from the lineage, so the MinHash-CC stage's
+    # label iterations stop re-executing the band/bucket/emission
+    # exchanges (each iteration re-ran them before — the same class of
+    # repeated-lineage waste the feat/d5 cuts removed), and the CDC
+    # audit stage runs its chunker once (see q157). Measured post-fix:
+    # 13.32 s steady inside a 1.0-1.86x probe bracket => ~9.5
+    # anchor-era; pinned +2%. Byte pin re-pinned alongside (8910716,
+    # -3.2% — the re-executed CC-iteration exchanges are gone).
+    "q166_commoncrawl_capstone": 9.7,
     "q167_robots_multihost": 0.72,
     # r11 first measurements, probe-bracketed on an oscillating host
     # (factors 1.0x-29x within minutes; pins use the quietest
@@ -301,7 +319,14 @@ ANCHOR = {
     "q170_ann_quantized_rerank": 1.9,
     "q171_ann_ivf_int8": 1.75,
     "q172_gif_animation": 0.9,
-    "q173_unigram_trained": 2.85,
+    # RE-PINNED r12-opt (was 2.85): unigram_train's word-type table is
+    # lineage-cut, so the fit's seed collects and E-step stop
+    # re-scanning the corpus (3+ scans -> 1; same-session A/B on the
+    # fit alone: 1.39 -> 0.93 s). Measured post-fix: 2.195 s steady in
+    # a 1.0-1.86x probe bracket => ~1.57 anchor-era; pinned +2%. Byte
+    # pin re-pinned alongside (16187, -21% — the word-count exchange
+    # now executes once per fit).
+    "q173_unigram_trained": 1.6,
     # r12 first measurements (probe-bracketed, factors 1.15-1.49x
     # across CPU/string/python; quietest normalization ~1.3x):
     # q175 steady 2.04-2.38 s, q176 1.90-2.03 s
@@ -442,17 +467,23 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # exchanges and the logreg iterations re-running the gopher-gate
     # joins — repeated shuffles are gone, -17% bytes on an identical
     # logical result (driver_sim hash-clean; fixture identity test).
-    "q166_commoncrawl_capstone": 9209936,
+    # RE-PINNED r12-opt (was 9209936, -3.2%): connected_components now
+    # lineage-cuts its edge list, so the CC label iterations stop
+    # re-executing the pair pipeline's exchanges (measured 8910716,
+    # driver_sim hash-clean).
+    "q166_commoncrawl_capstone": 8910716,
     "q167_robots_multihost": 3315,
     # r11 pins. q170: broadcast query side + bounded candidate window
     # only. q171: + the cell-assignment HashAggregate carrying int8
     # codes (the persisted-index shuffle). q172: the narrow-source
     # spread of 5k doc_ids. q173: word-type + piece-count aggregates
-    # (vocab-bounded by construction).
+    # (vocab-bounded by construction). q173 RE-PINNED r12-opt (was
+    # 20543, -21%): the fit's word-type table is lineage-cut, so its
+    # count exchange executes once per fit instead of once per collect.
     "q170_ann_quantized_rerank": 1739,
     "q171_ann_ivf_int8": 472506,
     "q172_gif_animation": 31545,
-    "q173_unigram_trained": 20543,
+    "q173_unigram_trained": 16187,
     "q127_lm_quality": 240651,
     "q128_gopher_filter": 851481,
     # RE-PINNED r9, TWO decomposed components (measured this round by

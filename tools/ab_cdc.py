@@ -38,6 +38,26 @@ def variant_shared(df, text_col="text", id_col="doc_id"):
     )
 
 
+def variant_plain(df, text_col="text", id_col="doc_id"):
+    """The pre-r12 shape: no lineage cut, the (vectorized) chunker
+    runs once per consumer subtree."""
+    from torcharrow_spark.operators.cdc import cdc_chunks
+
+    inst = cdc_chunks(df, text_col, id_col)
+    freq = inst.groupBy("h").agg(F.countDistinct(id_col).alias("ndocs"))
+    shared = F.col("ndocs") > 1
+    return (
+        inst.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(shared, 1).otherwise(0)).alias("n_shared_chunks"),
+            F.sum(F.when(shared, F.col("ln")).otherwise(0)).alias("shared_bytes"),
+            F.sum("ln").alias("total_bytes"),
+        )
+    )
+
+
 def variant_ckpt(df, text_col="text", id_col="doc_id"):
     from torcharrow_spark.operators.cdc import cdc_chunks
 
@@ -78,13 +98,14 @@ def main() -> None:
 
     variants = {
         "current": lambda: cdc_dedup_stats(docs),
+        "plain": lambda: variant_plain(docs),
         "shared": lambda: variant_shared(docs),
         "ckpt": lambda: variant_ckpt(docs),
     }
 
     # output identity first
     base = sorted(map(tuple, variants["current"]().collect()))
-    for name in ("shared", "ckpt"):
+    for name in ("plain", "shared", "ckpt"):
         got = sorted(map(tuple, variants[name]().collect()))
         print(f"identity {name}: {'OK' if got == base else 'MISMATCH'}")
         if got != base:
