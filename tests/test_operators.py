@@ -591,6 +591,86 @@ def test_kmeans_partition_invariant_and_sane(spark):
     assert len(cents) == 3
 
 
+def _awkward_vecs():
+    """Floats whose SQL round trip is the risky part: full-17-digit
+    reprs, scientific-notation reprs, negative zero, denormal-ish."""
+    return [
+        [0.1 + 0.2, -0.0, 8.683138876222074e-4, 1e-300],
+        [-1.0 / 3.0, 2.0**-40, -8.98846567431158e30, 0.0],
+        [5e-324, -5e-324, 123456789.123456789, -2.2250738585072014e-30],
+    ]
+
+
+def test_kmeans_sql_expr_matches_column_api(spark):
+    """_sq_dists builds its k x dim expression as ONE F.expr over
+    generated SQL text (r12: F.lit(list) costs a py4j round trip per
+    element, ~2 s per Lloyd iteration at 8 x 64). Pin: the SQL-text
+    form is bit-identical — rows AND schema — to the Column-API form
+    it replaced, including awkward float reprs."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.clustering import _sq_dists
+
+    cents = _awkward_vecs()
+    rows = [(i, [float(x) * (1 + i) for x in c]) for i, c in enumerate(cents)]
+    rows.append((99, [0.3, 0.0, 0.001, 1e-299]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def ref(vec, cs):  # the pre-r12 Column-API construction, verbatim
+        out = []
+        for idx, c in enumerate(cs):
+            d = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.lit([float(x) for x in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            out.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
+        return F.array(*out)
+
+    a = df.select("vec_id", ref(F.col("embedding"), cents).alias("x"))
+    b = df.select("vec_id", _sq_dists("embedding", cents).alias("x"))
+    assert a.schema.json() == b.schema.json()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cell_sims_sql_expr_matches_column_api(spark):
+    """Same pin for similarity._cell_sims (cosine-to-centroid structs):
+    SQL-text construction is bit-identical to the Column-API form,
+    /norm divide included."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.similarity import _cell_sims
+
+    cents = [(i, c) for i, c in enumerate(_awkward_vecs())]
+    rows = [(i, [float(x) + 0.5 for x in c]) for i, (_, c) in enumerate(cents)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def ref(vec, cs):  # the pre-r12 Column-API construction, verbatim
+        out = []
+        for idx, (_cid, cv) in enumerate(cs):
+            d = F.aggregate(
+                F.zip_with(vec, F.lit(cv), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            nw = math.sqrt(sum(x * x for x in cv)) or 1.0
+            out.append(
+                F.struct((d / F.lit(nw)).alias("s"), F.lit(idx).alias("c"))
+            )
+        return F.array(*out)
+
+    a = df.select("vec_id", ref(F.col("embedding"), cents).alias("x"))
+    b = df.select("vec_id", _cell_sims("embedding", cents).alias("x"))
+    assert a.schema.json() == b.schema.json()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_kmeans_assign_ties_to_lower_cluster(spark):
     from torcharrow_spark.operators.clustering import kmeans_assign
 

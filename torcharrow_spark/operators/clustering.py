@@ -35,22 +35,41 @@ from .similarity import _infer_dim
 __all__ = ["kmeans", "kmeans_assign"]
 
 
-def _sq_dists(vec, cents: _ty.List[_ty.List[float]]):
+def _dsql(v: float) -> str:
+    """Exact SQL text for a Python float: repr() is the shortest
+    round-tripping decimal and Spark's string->double cast is
+    correctly rounded, so the parsed literal is the identical IEEE
+    double; ConstantFolding collapses the cast before planning."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _qid(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq_dists(vec_col: str, cents: _ty.List[_ty.List[float]]):
     """Array of (squared-L2-distance, cluster-index) structs, one per
-    centroid; array_min picks nearest with index tie-break."""
-    out = []
+    centroid; array_min picks nearest with index tie-break.
+
+    Built as ONE ``F.expr`` over generated SQL text rather than k x dim
+    Column-API literal calls: ``F.lit(list)`` decomposes into one py4j
+    round trip per element, which costs ~2 s per construction at
+    8 x 64 dims — pure driver-side Python, re-paid on every Lloyd
+    iteration (guide §5.4 driver-side work). The parsed expression tree
+    (zip_with/aggregate fold, cast placement, tie-break struct order)
+    is identical to the Column-API form, so results are bit-identical
+    (pinned by test_kmeans_sql_expr_matches_column_api)."""
+    vec = _qid(vec_col)
+    parts = []
     for idx, c in enumerate(cents):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.lit([float(x) for x in c]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = "array(" + ",".join(_dsql(x) for x in c) + ")"
+        d = (
+            f"aggregate(zip_with({vec}, {arr}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST('0.0' AS DOUBLE), (acc, v) -> acc + v)"
         )
-        out.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
-    return F.array(*out)
+        parts.append(f"struct({d} AS d, {idx} AS c)")
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def kmeans_assign(
@@ -63,7 +82,7 @@ def kmeans_assign(
     cluster index). Zero-shuffle narrow projection."""
     return df.select(
         F.col(id_col),
-        F.array_min(_sq_dists(F.col(vec_col), centroids))["c"].alias("cluster"),
+        F.array_min(_sq_dists(vec_col, centroids))["c"].alias("cluster"),
     )
 
 
@@ -112,7 +131,7 @@ def _init_centroids_pp(df: SDF, k: int, id_col: str, vec_col: str,
     per_round = max(1, -(-(k - 1) // rounds))
     while len(cents) < k:
         take = min(per_round, k - len(cents))
-        d2 = F.array_min(_sq_dists(F.col(vec_col), cents))["d"]
+        d2 = F.array_min(_sq_dists(vec_col, cents))["d"]
         key = F.when(d2 > 0, F.log(u) / d2).otherwise(
             F.lit(float("-inf"))
         )
@@ -168,7 +187,7 @@ def kmeans(
         for _ in range(max_iter):
             asg = feat.select(
                 F.col(vec_col),
-                F.array_min(_sq_dists(F.col(vec_col), cents))["c"].alias("cluster"),
+                F.array_min(_sq_dists(vec_col, cents))["c"].alias("cluster"),
             )
             upd = asg.groupBy("cluster").agg(
                 F.count("*").alias("n"),

@@ -614,7 +614,7 @@ def semantic_dedup(
                 "-> %d clusters", n, n_clusters,
             )
         cents = _centroids(corpus, n_clusters, id_col, vec_col)
-    sims = _cell_sims(F.col(vec_col), cents)
+    sims = _cell_sims(vec_col, cents)
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -688,19 +688,33 @@ def _centroids(corpus: SDF, n_cells: int, id_col: str, vec_col: str):
     return [(r["cid"], [float(x) for x in r["cv"]]) for r in rows]
 
 
-def _cell_sims(vec, cents):
-    """Array of (cosine-to-centroid, cell-index) structs, one per cell."""
-    out = []
+def _cell_sims(vec_col, cents):
+    """Array of (cosine-to-centroid, cell-index) structs, one per cell.
+
+    Built as ONE ``F.expr`` over generated SQL text instead of k x dim
+    Column-API literal calls — ``F.lit(list)`` costs one py4j round
+    trip per element (~2 s per construction at 8 x 64; twice that in
+    `ivf_topk`, which builds this for cells AND probes). The parsed
+    tree (zip_with/aggregate fold order, cast placement, the /norm
+    divide, struct field order for the array_max tie-break) is
+    identical to the Column-API form, so results are bit-identical
+    (pinned by test_cell_sims_sql_expr_matches_column_api). Float
+    literals ride as CAST('repr' AS DOUBLE): repr round-trips and the
+    string->double cast is correctly rounded, then constant-folded."""
+    vec = "`" + vec_col.replace("`", "``") + "`"
+    parts = []
     for idx, (_cid, cv) in enumerate(cents):
-        w = F.lit(cv)
-        d = F.aggregate(
-            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        arr = "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cv) + ")"
         nw = math.sqrt(sum(x * x for x in cv)) or 1.0
-        out.append(F.struct((d / F.lit(nw)).alias("s"), F.lit(idx).alias("c")))
-    return F.array(*out)
+        d = (
+            f"aggregate(zip_with({vec}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST('0.0' AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        parts.append(
+            f"struct({d} / CAST('{nw!r}' AS DOUBLE) AS s, {idx} AS c)"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def ivf_topk(
@@ -734,10 +748,10 @@ def ivf_topk(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
-        F.array_max(_cell_sims(F.col(vec_col), cents))["c"].alias("cell"),
+        F.array_max(_cell_sims(vec_col, cents))["c"].alias("cell"),
     )
     probes = F.slice(
-        F.reverse(F.array_sort(_cell_sims(F.col(vec_col), cents))), 1, n_probe
+        F.reverse(F.array_sort(_cell_sims(vec_col, cents))), 1, n_probe
     )
     q = F.broadcast(
         queries.select(
