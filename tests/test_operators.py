@@ -671,6 +671,59 @@ def test_cell_sims_sql_expr_matches_column_api(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_language_id_fold_sql_expr_matches_column_api(spark):
+    """Same pin for classifier.language_id_score's weight fold: the
+    SQL-text int64 aggregate (`<v>L` literals) is bit-identical —
+    scores AND predicted language — to the Column-API
+    lit().cast('long') form it replaced (r12: ~7.5 s of py4j per
+    score construction at 5 langs x 256 buckets)."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.classifier import language_id_score
+
+    n_buckets = 16
+    # extreme-but-valid int64 weights incl. negatives and near-boundary
+    model = {
+        "aa": {"prior": -(2**62), "logp": [(-1) ** i * (2**40 + i) for i in range(n_buckets)]},
+        "bb": {"prior": 7, "logp": [i - 8 for i in range(n_buckets)]},
+    }
+    rows = [(1, "hello world"), (2, "der die das und"), (3, "xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = language_id_score(df, model, n_buckets=n_buckets).collect()
+
+    # reference: the pre-r12 Column-API fold, verbatim, on the same grams
+    t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    src = df.select("doc_id", t.alias("__t__")).where(F.length("__t__") >= 2)
+    buckets = F.expr(
+        "transform(sequence(1, length(__t__) - 1),"
+        " i -> (cast(conv(substring(md5(substring(__t__, i, 2)), 1, 2),"
+        f" 16, 10) AS INT) % {n_buckets}))"
+    )
+    src = src.select("doc_id", buckets.alias("__b__"))
+
+    def ref_fold(c):
+        w = F.array(*[F.lit(int(v)).cast("long") for v in model[c]["logp"]])
+        return F.aggregate(
+            F.col("__b__"),
+            F.lit(int(model[c]["prior"])).cast("long"),
+            lambda acc, b: acc + F.element_at(w, b + 1),
+        )
+
+    ref = {
+        r["doc_id"]: (r["s_aa"], r["s_bb"])
+        for r in src.select(
+            "doc_id", ref_fold("aa").alias("s_aa"), ref_fold("bb").alias("s_bb")
+        ).collect()
+    }
+    assert {r["doc_id"]: (r["s_aa"], r["s_bb"]) for r in out} == ref
+    for r in out:
+        exp = "aa" if ref[r["doc_id"]][0] >= ref[r["doc_id"]][1] else "bb"
+        if ref[r["doc_id"]][0] == ref[r["doc_id"]][1]:
+            exp = "aa"  # tie broken by language name ascending
+        assert r["pred_lang"] == exp
+
+
 def test_kmeans_assign_ties_to_lower_cluster(spark):
     from torcharrow_spark.operators.clustering import kmeans_assign
 

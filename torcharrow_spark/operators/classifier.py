@@ -284,13 +284,18 @@ def language_id_score(
     )
     src = src.select(id_col, *passthrough, buckets.alias("__b__"))
     def _fold(c: str) -> F.Column:
-        w = F.array(
-            *[F.lit(int(v)).cast("long") for v in model[c]["logp"]]
-        )
-        return F.aggregate(
-            F.col("__b__"),
-            F.lit(int(model[c]["prior"])).cast("long"),
-            lambda acc, b: acc + F.element_at(w, b + 1),
+        # ONE F.expr over generated SQL text, not n_buckets x
+        # F.lit().cast() Column-API calls: each lit+cast is a py4j
+        # round trip, ~7.5 s of driver-side Python per score
+        # construction at 5 x 256 (guide §5.4; the kmeans-centroid
+        # r12 pattern). Int64 literals ride as `<v>L` — integers
+        # render exactly, so the parsed tree computes the identical
+        # int64 fold (pinned by
+        # test_language_id_fold_sql_expr_matches_column_api).
+        arr = "array(" + ",".join(f"{int(v)}L" for v in model[c]["logp"]) + ")"
+        return F.expr(
+            f"aggregate(`__b__`, {int(model[c]['prior'])}L, "
+            f"(acc, b) -> acc + element_at({arr}, b + 1))"
         )
 
     score_cols = [_fold(c).alias(f"s_{c}") for c in langs]
