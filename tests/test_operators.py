@@ -1026,6 +1026,27 @@ def test_dedup_lines_removes_boilerplate_in_order(spark):
         dedup_lines(df, max_copies=0)
 
 
+def test_hll_lc_table_sql_expr_matches_column_api(spark):
+    """r12 pin: the linear-counting table embedded as ONE F.expr of
+    CAST('repr' AS DOUBLE) literals is bit-identical, element by
+    element, to the Column-API F.lit form it replaced — the estimate's
+    bit-determinism contract (both engines embed the SAME table)
+    survives the construction change."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.sketch import linear_counting_table
+
+    for p in (4, 8):
+        tab = linear_counting_table(p)
+        sql = F.expr(
+            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in tab) + ")"
+        )
+        api = F.array(*[F.lit(x) for x in tab])
+        row = spark.range(1).select(sql.alias("a"), api.alias("b")).first()
+        assert row["a"] == row["b"]
+        assert [x for x in row["a"]] == tab
+
+
 def test_hll_distinct_accuracy_and_merge(spark):
     from pyspark.sql import functions as F
     from torcharrow_spark.operators import hll_distinct, hll_registers

@@ -130,10 +130,21 @@ def hll_estimate(
     empties = F.lit(m) - F.col("registers_used")
     # greatest(...,1) keeps the index valid when empties==0 (branch not
     # taken, but no element_at(.., 0) may appear even unevaluated)
-    lc = F.element_at(
-        F.array(*[F.lit(x) for x in linear_counting_table(p)]),
-        F.greatest(empties, F.lit(1)).cast("int"),
+    # ONE F.expr over generated SQL text, not 2^p F.lit py4j round
+    # trips (~0.75 s of driver-side Python per construction at p=8 —
+    # guide §5.4, the r12 kmeans-centroid pattern). repr() is the
+    # shortest round-tripping decimal and Spark's string->double cast
+    # is correctly rounded, so each parsed literal is the identical
+    # IEEE double the Column-API form embedded (pinned by
+    # test_hll_lc_table_sql_expr_matches_column_api).
+    lc_tab = F.expr(
+        "array("
+        + ",".join(
+            f"CAST('{x!r}' AS DOUBLE)" for x in linear_counting_table(p)
+        )
+        + ")"
     )
+    lc = F.element_at(lc_tab, F.greatest(empties, F.lit(1)).cast("int"))
     est = F.when((empties > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
     keys = [F.col(c) for c in group_cols]
     return agg.select(
