@@ -671,6 +671,57 @@ def test_cell_sims_sql_expr_matches_column_api(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_hyperplane_proj_sql_weights_match_column_api(spark):
+    """r12 pin: _hyperplane_proj with the weight array as SQL-text
+    CAST('repr' AS DOUBLE) literals is bit-identical — projection AND
+    derived bucket ids — to the F.lit(list) form it replaced."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.similarity import (
+        _hyperplane_proj,
+        _plane_weights,
+        lsh_bucket,
+    )
+
+    dim = 64
+    rows = [
+        (i, [((i * dim + d) % 17 - 8) * 0.37 for d in range(dim)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def ref_proj(vec, plane):  # the pre-r12 F.lit(list) form, verbatim
+        w = F.lit(_plane_weights(plane, dim))
+        idx = F.sequence(F.lit(0), F.size(vec) - 1)
+        terms = F.transform(
+            idx,
+            lambda d: F.element_at(w, d + 1)
+            * F.element_at(vec, d + 1).cast("double"),
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+    v = F.col("embedding")
+    a = df.select(
+        "vec_id", *[ref_proj(v, p).alias(f"p{p}") for p in range(4)]
+    ).collect()
+    b = df.select(
+        "vec_id", *[_hyperplane_proj(v, p, dim).alias(f"p{p}") for p in range(4)]
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # bucket ids (the consumer contract) agree too
+    def ref_bucket(vec, n_planes):
+        bucket = F.lit(0)
+        for i in range(n_planes):
+            sign = F.when(ref_proj(vec, i) >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket + sign * F.lit(2**i)
+        return bucket.cast("int")
+
+    a = df.select("vec_id", ref_bucket(v, 8).alias("b")).collect()
+    b = df.select("vec_id", lsh_bucket(v, 8, dim).alias("b")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_language_id_fold_sql_expr_matches_column_api(spark):
     """Same pin for classifier.language_id_score's weight fold: the
     SQL-text int64 aggregate (`<v>L` literals) is bit-identical —

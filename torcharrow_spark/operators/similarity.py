@@ -190,8 +190,24 @@ def _plane_weights(plane: int, dim: int):
 
 def _hyperplane_proj(vec, plane: int, dim: int) -> F.Column:
     """<v, w_plane> — weights shipped as an array literal and indexed
-    with element_at (slicing the literal would copy it per row)."""
-    w = F.lit(_plane_weights(plane, dim))
+    with element_at (slicing the literal would copy it per row).
+
+    The weight array rides as ONE ``F.expr`` of CAST('repr' AS DOUBLE)
+    literals, not ``F.lit(list)`` — which decomposes into one py4j
+    round trip per element, ~1.9 s of driver-side Python per
+    bucket-expression construction at 16 planes x 64 dims (guide §5.4;
+    the r12 kmeans-centroid pattern). Every weight is a half-integer
+    in [-7.5, 7.5], exactly representable, and repr round-trips with a
+    correctly-rounded string->double cast, so each parsed literal is
+    the identical IEEE double (pinned by
+    test_hyperplane_proj_sql_weights_match_column_api)."""
+    w = F.expr(
+        "array("
+        + ",".join(
+            f"CAST('{x!r}' AS DOUBLE)" for x in _plane_weights(plane, dim)
+        )
+        + ")"
+    )
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     terms = F.transform(
         idx, lambda d: F.element_at(w, d + 1) * F.element_at(vec, d + 1).cast("double")
