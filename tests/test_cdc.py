@@ -260,8 +260,50 @@ def test_vectorized_cuts_match_reference_loop():
         "".join(chr(rng.randrange(32, 0x2FFF)) for _ in range(500)),
         "".join(chr(rng.randrange(0x10000, 0x10FFF)) for _ in range(64)),
     ]
-    for w, mod in ((4, 16), (3, 8), (6, 32)):
+    # Includes non-power-of-two moduli (wraparound mod 2^64 only
+    # preserves residues for power-of-two moduli) and windows >= 14
+    # (31^(window-1) exceeds int64): the r12 unreduced-sum form
+    # silently diverged on the former and overflowed on the latter;
+    # the r13 per-term modular reduction must match the exact loop on
+    # every combination, astral plane included.
+    for w, mod in (
+        (4, 16),
+        (3, 8),
+        (6, 32),
+        (4, 24),
+        (13, 24),
+        (5, 1000),
+        (16, 1000),
+        (32, 24),
+        (48, 17),
+    ):
         for text in cases:
             ref = chunk_boundaries([ord(c) for c in text], w, mod)
             vec = _chunk_cuts_stateless(text, w, mod)
             assert vec == ref, (w, mod, text[:20])
+
+
+def test_chunk_text_large_window_nondefault_modulus():
+    """ADVICE r12 repro: chunk_text with realistic CDC params
+    (window=13, modulus=24) must reproduce the reference loop's cut
+    count instead of the overflowed fast path's, and windows 16/32/48
+    must not crash (numpy UFuncTypeError/OverflowError on 31^15+)."""
+    from torcharrow_spark.operators.cdc import chunk_boundaries, chunk_text
+
+    rng_text = "the same run of text with drift " * 40
+    for w, mod in ((13, 24), (16, 1000), (32, 24), (48, 16)):
+        ref_cuts = chunk_boundaries([ord(c) for c in rng_text], w, mod)
+        chunks = chunk_text(rng_text, window=w, modulus=mod)
+        assert len(chunks) == len(ref_cuts), (w, mod)
+        assert "".join(chunks) == rng_text
+
+
+def test_chunk_text_huge_modulus_falls_back_to_loop():
+    """modulus >= 2^31 exceeds the int64 fast path's safety bound; the
+    public API must silently use the exact loop, not crash."""
+    from torcharrow_spark.operators.cdc import chunk_boundaries, chunk_text
+
+    text = "abcdefgh" * 32
+    big = (1 << 31) + 7
+    ref_cuts = chunk_boundaries([ord(c) for c in text], 4, big)
+    assert len(chunk_text(text, window=4, modulus=big)) == len(ref_cuts)

@@ -83,26 +83,50 @@ def _chunk_cuts_stateless(
     """Vectorized cut positions for the STATELESS form (no min/max
     guards — boundaries are a pure position-local function, so the
     whole document's rolling hashes are one windowed dot product).
-    Exact integer arithmetic: codepoints (< 2^21) times 31^(window-1)
-    summed over a small window stays far inside int64, and Python's
-    arbitrary-precision loop computes the identical values, so the two
-    paths agree bit-for-bit (pinned in tests). r12, guide §4.2: the
-    per-character Python loop was the chunker's whole cost; four
-    vectorized ops per document replace ~5 interpreted ops per
-    character."""
+    Exact integer arithmetic via per-term modular reduction: every
+    addend is ``(code % modulus) * (31^(window-1-k) mod modulus)`` —
+    strictly under ``modulus**2`` — and the accumulator is reduced each
+    step, so values stay inside int64 for any ``modulus < 2^31`` no
+    matter how large ``window`` is. The reference loop checks
+    ``h % modulus == 0`` on the exact polynomial and ``h`` is never
+    negative, so the residues agree bit-for-bit (pinned in tests,
+    including non-power-of-two moduli and windows past 31^w int64
+    range). r12, guide §4.2: the per-character Python loop was the
+    chunker's whole cost; a few vectorized ops per document replace
+    ~5 interpreted ops per character. r13: the original unreduced form
+    wrapped mod 2^64 on window >= 14 (numpy overflow) and silently
+    diverged for non-power-of-two moduli; modular reduction removes
+    both failure modes."""
     import numpy as np
 
+    if modulus >= 1 << 31:
+        # modulus**2 could exceed int64; the exact loop covers this
+        raise OverflowError("modulus too large for the int64 fast path")
     codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
     n = int(codes.size)
     cuts: _ty.List[int] = []
     if n >= window:
         m = n - window + 1  # windows ending at positions window..n
+        codes64 = codes.astype(np.int64)
+        codes64 %= modulus  # one pass; every term is now < modulus**2
         acc = np.zeros(m, dtype=np.int64)
-        for k in range(window):
-            acc += codes[k : k + m].astype(np.int64) * (
-                _BASE ** (window - 1 - k)
-            )
-        cuts = (np.nonzero(acc % modulus == 0)[0] + window).tolist()
+        if window * (modulus - 1) ** 2 < (1 << 63):
+            # sum of <= window unreduced terms provably fits int64:
+            # defer the reduction to one final pass (default 4x16 path
+            # costs the same ops as the r12 unreduced form)
+            for k in range(window):
+                acc += codes64[k : k + m] * pow(
+                    _BASE, window - 1 - k, modulus
+                )
+            acc %= modulus
+        else:
+            for k in range(window):
+                acc = (
+                    acc
+                    + codes64[k : k + m]
+                    * pow(_BASE, window - 1 - k, modulus)
+                ) % modulus
+        cuts = (np.nonzero(acc == 0)[0] + window).tolist()
     if not cuts or cuts[-1] != n:
         cuts.append(n)
     return cuts
@@ -120,9 +144,10 @@ def chunk_text(
     if min_size is None and max_size is None:
         try:
             cuts = _chunk_cuts_stateless(text, window, modulus)
-        except (ImportError, UnicodeEncodeError):
-            # numpy absent, or a lone surrogate utf-32 can't encode:
-            # the exact per-character loop still covers every input
+        except (ImportError, UnicodeEncodeError, OverflowError):
+            # numpy absent, a lone surrogate utf-32 can't encode, or a
+            # modulus too large for the int64 fast path: the exact
+            # per-character loop still covers every input
             codes = [ord(c) for c in text]
             cuts = chunk_boundaries(codes, window, modulus)
     else:
