@@ -115,6 +115,19 @@ HEADLINE = [
 # anchor (after one damping re-run) is reported under "regressions";
 # set SPARK_GRAFT_BENCH_STRICT=1 to also fail the script.
 ANCHOR_SF = 0.1
+#: Core count every anchor (wall, shuffle-byte, stress) was pinned at.
+#: r13 (VERDICT r12 ask #2): when the driver re-runs the bench at a
+#: LOWER core count to measure scaling, the 32-core anchors are
+#: meaningless bars — every query "regresses", and the deferred
+#: re-adjudication pass (2 extra runs + 6 probes per candidate) plus
+#: the stress/recall/lifecycle tiers blew the driver's window (the r12
+#: 8-core run died rc=124 mid-collect). A non-anchor core count now
+#: auto-selects SUBSET mode: headline cold/steady/count only — the
+#: same queries, same sink, same methodology, same JSON line the
+#: scaling channel needs — with the anchor gates and extra tiers
+#: skipped. SPARK_GRAFT_BENCH_SUBSET=1 forces subset mode at any core
+#: count; SPARK_GRAFT_BENCH_SUBSET=0 forces the full run.
+ANCHOR_CPUS = 32
 ANCHOR = {
     "q01_pricing_summary": 0.641,
     "q03_join_topk": 1.083,
@@ -2184,6 +2197,8 @@ def compact_line(payload: dict, full_name: str | None) -> str:
                 else []
             )
         ),
+        "cpus": payload.get("cpus"),
+        "bench_subset": payload.get("bench_subset"),
         "machine_factor": payload.get("machine_factor"),
         # r9: the interleaved-probe envelope (min/median/max factors) —
         # the artifact's own wall-uncertainty quantification
@@ -2221,6 +2236,26 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import torcharrow_spark as ts
     from torcharrow_spark.queries import QUERIES
+
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(ANCHOR_CPUS)))
+    except ValueError:
+        cpus = ANCHOR_CPUS
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_SUBSET")
+    if subset_env == "1":
+        subset = True
+    elif subset_env == "0":
+        subset = False
+    else:
+        subset = cpus != ANCHOR_CPUS
+    if subset:
+        print(
+            f"# SUBSET mode (cpus={cpus}, anchor cpus={ANCHOR_CPUS}): "
+            "headline cold/steady/count only; anchor gates and "
+            "stress/recall/lifecycle tiers skipped (see ANCHOR_CPUS "
+            "note) so a low-core scaling run fits the driver window",
+            file=sys.stderr,
+        )
 
     spark = ts.get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -2322,7 +2357,11 @@ def main() -> None:
     # (or any nonzero spill) is a real plan/volume change even when the
     # host is too noisy for the wall gate to say anything.
     byte_regressions: dict[str, dict] = {}
-    byte_gate_ran = sf_val == ANCHOR_SF and bool(shuffle_bytes)
+    # subset mode: AQE partition counts shift with the core count, so
+    # even the byte channel is only anchor-comparable at ANCHOR_CPUS
+    byte_gate_ran = (
+        sf_val == ANCHOR_SF and bool(shuffle_bytes) and not subset
+    )
     if byte_gate_ran:
         for name, anchor_b in HEADLINE_SHUFFLE_ANCHOR.items():
             got = shuffle_bytes.get(name)
@@ -2345,7 +2384,7 @@ def main() -> None:
 
     delta_vs_r1: dict[str, float] = {}
     regressions: dict[str, float] = {}
-    if sf_val == ANCHOR_SF:
+    if sf_val == ANCHOR_SF and not subset:
         for name, anchor in ANCHOR.items():
             if name not in warm:
                 continue
@@ -2397,7 +2436,7 @@ def main() -> None:
     # within the uniform-drift envelope.
     wall_drift_median = 1.0
     regressions_drift_adjusted: dict[str, float] = {}
-    if sf_val == ANCHOR_SF:
+    if sf_val == ANCHOR_SF and not subset:
         clean_ratios = sorted(
             warm[name] / (anchor * cal_ratio)
             for name, anchor in ANCHOR.items()
@@ -2452,7 +2491,7 @@ def main() -> None:
     readjudicated: dict[str, dict] = {}
     regressions_within_probe_envelope: dict[str, float] = {}
     wall_watch: dict[str, float] = {}
-    if sf_val == ANCHOR_SF:
+    if sf_val == ANCHOR_SF and not subset:
         candidates = set(regressions)
         for name, anchor in ANCHOR.items():
             if name in warm and warm[name] > anchor * env_pre["median"] * 1.5:
@@ -2598,7 +2637,11 @@ def main() -> None:
 
     stress: dict = {}
     stress10: dict = {}
-    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
+    if (
+        sf_val == 0.1
+        and not subset
+        and not os.environ.get("SPARK_GRAFT_NO_STRESS")
+    ):
         stress = run_stress(spark, warm, sf_dir, cal_ratio, metrics)
         if not os.environ.get("SPARK_GRAFT_NO_SF10"):
             stress10 = run_stress_sf10(spark, stress, cal_ratio, metrics)
@@ -2610,7 +2653,11 @@ def main() -> None:
     ann_lifecycle: dict = {}
     tensor_export: dict = {}
     warc_ingest: dict = {}
-    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_NO_STRESS"):
+    if (
+        sf_val == 0.1
+        and not subset
+        and not os.environ.get("SPARK_GRAFT_NO_STRESS")
+    ):
         bpe_real = run_bpe_real_vocab(spark, sf_dir, cal_ratio)
         recall = run_recall_curves(spark, sf_dir)
         ann_lifecycle = run_ann_index_lifecycle(spark, sf_dir)
@@ -2701,6 +2748,8 @@ def main() -> None:
                 "string_probe_spread": string_probe_spread,
                 "python_probe_spread": python_probe_spread,
                 "sf": sf_val,
+                "cpus": cpus,
+                "bench_subset": subset,
             }
     # The driver's BENCH_r{N} artifact keeps only the LAST 2000 chars of
     # stdout and json-parses the final line — r6's full payload blew past
@@ -2716,7 +2765,13 @@ def main() -> None:
             if f.startswith("BENCH_r") and f.endswith(".json") and f[7:-5].isdigit()
         ]
         n = (max(rounds) + 1) if rounds else 0
-        full_name = f"BENCH_full_r{n:02d}.json"
+        # subset (scaling) runs get their own file so they never
+        # clobber the same round's full-run payload
+        full_name = (
+            f"BENCH_full_r{n:02d}_c{cpus}.json"
+            if subset
+            else f"BENCH_full_r{n:02d}.json"
+        )
         with open(os.path.join(repo, full_name), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as e:  # read-only checkout: stderr note, no full copy

@@ -145,6 +145,63 @@ def test_spread_conf_gates(spark, sf_dir):
         spark.conf.set("spark.torcharrow.spreadNarrowSource", "true")
 
 
+def test_reliable_lineage_cut_conf(spark, tmp_path):
+    """r13 (VERDICT r12 ask #5): lineage_cut must honor a configured
+    checkpoint directory — localCheckpoint by default, reliable
+    checkpoint() once a dir is set, kill-switchable, and 'true'
+    without a dir is an error rather than a silent degrade."""
+    import os
+
+    import pytest
+
+    from torcharrow_spark.operators.preprocess import lineage_cut
+
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    has_dir = (
+        spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    )
+    if not has_dir:
+        # 'true' with no dir: explicit failure, not a silent local cut
+        spark.conf.set("spark.torcharrow.reliableLineageCuts", "true")
+        try:
+            with pytest.raises(ValueError):
+                lineage_cut(df)
+        finally:
+            spark.conf.set("spark.torcharrow.reliableLineageCuts", "auto")
+        # default with no dir: localCheckpoint, no files anywhere
+        out = lineage_cut(df, eager=True)
+        assert out.count() == 100
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    # auto + dir set -> reliable checkpoint writes blocks under the dir
+    out = lineage_cut(df, eager=True)
+    assert out.count() == 100
+    written = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing under the dir"
+    # kill switch: localCheckpoint again, nothing new under the dir
+    spark.conf.set("spark.torcharrow.reliableLineageCuts", "false")
+    try:
+        out2 = lineage_cut(df.selectExpr("id", "v + 1 as v"), eager=True)
+        assert out2.count() == 100
+        after = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        assert sorted(after) == sorted(written)
+    finally:
+        # the checkpoint dir cannot be unset on a live context; keep
+        # the kill switch ON so the rest of the (session-scoped) suite
+        # retains the default localCheckpoint behavior it was
+        # measured/pinned under.
+        spark.conf.set("spark.torcharrow.reliableLineageCuts", "false")
+
+
 def test_bytes_bound_arithmetic():
     """Effective election onset = min(member threshold, bytes bound /
     member width): narrow members keep the member onset exactly, wide

@@ -314,11 +314,13 @@ def unigram_train(
     # r12 (guide §5): the word-TYPE table feeds the seed's two collects
     # and every EM iteration's E-step — each its own action, so the
     # corpus scan + explode + groupBy re-ran 3+ times per fit. One lazy
-    # localCheckpoint makes them read executor-local blocks; the table
+    # lineage cut makes them read executor-local blocks; the table
     # is vocabulary-bounded (word types, not instances), so the stored
     # blocks stay small at any corpus scale. Measured at sf0.1: fit
     # wall 1.39 -> 0.93 s (-33%) in the same session, identical vocab.
-    words = words.localCheckpoint(eager=False)
+    from torcharrow_spark.operators.preprocess import lineage_cut
+
+    words = lineage_cut(words)
     subs = F.expr(
         f"flatten(transform(sequence(1, {int(max_piece_len)}), l -> "
         "CASE WHEN length(w) >= l THEN "

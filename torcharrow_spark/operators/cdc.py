@@ -325,14 +325,16 @@ def cdc_dedup_stats(
     and the join-back — two physical consumers whose common subtree is
     the Python chunker, and exchange reuse cannot fuse them (the
     consumers' exchanges differ), so the per-character chunking UDF ran
-    TWICE per action. One lazy localCheckpoint caps it at one pass:
+    TWICE per action. One lazy lineage cut caps it at one pass:
     measured at sf0.1 in one session, wall 2.08 -> 1.32 s (-37%) with
     shuffle bytes IDENTICAL (7,535,289 — the plan's exchanges are
     untouched, only the recompute is gone). A repartition('h')-shared
     variant (guide §2.4) also single-passes the chunker but re-keys the
     instance exchange (+10% bytes) and measured slower; rejected."""
     inst = cdc_chunks(df, text_col, id_col, window, modulus, min_size, max_size)
-    inst = inst.localCheckpoint(eager=False)
+    from torcharrow_spark.operators.preprocess import lineage_cut
+
+    inst = lineage_cut(inst)
     freq = inst.groupBy("h").agg(F.countDistinct(id_col).alias("ndocs"))
     shared = F.col("ndocs") > 1
     return (

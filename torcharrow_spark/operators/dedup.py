@@ -23,6 +23,8 @@ import logging
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import functions as F
 
+from torcharrow_spark.operators.preprocess import lineage_cut
+
 _log = logging.getLogger("torcharrow_spark.dedup")
 
 
@@ -1442,7 +1444,7 @@ def ngram_jaccard_pairs_prefix(
     # diamond, relation dedup would clone the whole lambda-heavy
     # emission pipeline with fresh lambda ids, ReuseExchange would miss
     # (SURVEY §4.3 case studies #4/#5) and the candidate stage would
-    # execute twice. A LAZY localCheckpoint (same device
+    # execute twice. A LAZY lineage cut (same device
     # connected_components uses for its iteration frontier)
     # materializes the tiny pair table once per action and both
     # consumers read the stored blocks; laziness keeps the operator's
@@ -1453,7 +1455,7 @@ def ngram_jaccard_pairs_prefix(
     # final DF's physical plan text — the double-execution cost is
     # then the caller's to accept).
     if checkpoint_survivors:
-        survivors = survivors.localCheckpoint(eager=False)
+        survivors = lineage_cut(survivors)
     # pass 2: exact 64-bit verify, survivor-sized on every EXCHANGE and
     # every SHINGLE — the raw docs are semi-filtered by survivor id
     # BEFORE re-shingling (surv_ids is output-sized, AQE broadcasts
@@ -1669,9 +1671,11 @@ def connected_components(
     shuffle), then (2) labels chase their parent's current label
     (pointer doubling, one self-join) so label chains collapse in
     O(log n) rounds instead of O(diameter). Convergence = zero labels
-    changed. Lineage is truncated every round with localCheckpoint —
-    iterative plans otherwise grow exponentially; swap for
-    checkpoint(dir) on a real cluster. Near-duplicate graphs are
+    changed. Lineage is truncated every round via
+    ``preprocess.lineage_cut`` — iterative plans otherwise grow
+    exponentially; with a checkpoint dir configured the cut uses
+    reliable ``checkpoint()`` (cluster-safe), else ``localCheckpoint``.
+    Near-duplicate graphs are
     near-cliques with tiny diameters, so this typically converges in
     2-4 rounds; max_iter is a safety bound, not a tuning knob."""
     # ids keep their native type: a cast to long would null out string /
@@ -1682,19 +1686,19 @@ def connected_components(
     # join (plus the label init) — each a separate action, so without a
     # lineage cut the caller's whole pair pipeline (minhash shingle ->
     # signature -> band buckets -> emission for near_dup_clusters)
-    # re-executes per round. One lazy localCheckpoint makes iterations
+    # re-executes per round. One lazy lineage cut makes iterations
     # read executor-local edge blocks instead: measured at sf0.1 on
     # q166's minhash edges, shuffle bytes 9,481,225 -> 2,666,167 (-72%,
     # the re-executed exchanges gone) and wall 14.8 -> 5.2 s best in
     # the same session, output identical. Edge lists are output-scale
     # (election-bounded upstream), so the stored blocks are small
     # relative to the corpus at any scale.
-    sym = sym.localCheckpoint(eager=False)
-    labels = (
+    sym = lineage_cut(sym)
+    labels = lineage_cut(
         sym.select(F.col("src").alias("id"))
         .distinct()
-        .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
+        .select("id", F.col("id").alias("label")),
+        eager=True,
     )
     for _ in range(max_iter):
         nmin = (
@@ -1718,8 +1722,8 @@ def connected_components(
                 stepped["id"],
                 F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()
         )
+        jumped = lineage_cut(jumped, eager=True)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "id")

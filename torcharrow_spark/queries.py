@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from torcharrow_spark.operators.preprocess import lineage_cut
+
 QueryFn = _ty.Callable[[SparkSession, str], SDF]
 
 QUERIES: _ty.Dict[str, QueryFn] = {}
@@ -7096,9 +7098,9 @@ def q145_modern_curation(spark: SparkSession, sf_dir: str) -> SDF:
     )
     # r12 lineage cut: `feat` feeds three logreg-train iterations plus
     # the score/mean/cut branches — each a separate action that would
-    # re-run the gopher gate and its joins; one lazy localCheckpoint
+    # re-run the gopher gate and its joins; one lazy lineage cut
     # caps that chain at one execution (same trade as `withmeta`).
-    feat = feat.localCheckpoint(eager=False)
+    feat = lineage_cut(feat)
     w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
     scored = logreg_score(feat, ["x0", "x1", "x2"], w)
     # relative cutoff — keep the above-mean half (the top-k%-by-score
@@ -7519,9 +7521,9 @@ def q140_logreg_quality(spark: SparkSession, sf_dir: str) -> SDF:
     )
     # r12 lineage cut: `feat` feeds three logreg-train iterations plus
     # the score/mean/cut branches — each a separate action that would
-    # re-run the gopher gate and its joins; one lazy localCheckpoint
+    # re-run the gopher gate and its joins; one lazy lineage cut
     # caps that chain at one execution (same trade as `withmeta`).
-    feat = feat.localCheckpoint(eager=False)
+    feat = lineage_cut(feat)
     w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
     return logreg_score(feat, ["x0", "x1", "x2"], w).select(
         "doc_id", F.col("y").cast("long").alias("label"), "score"
@@ -8639,11 +8641,11 @@ def q166_chain(spark: SparkSession, sf_dir: str, with_warc: SDF) -> SDF:
     # the chain below branches (every dedup stage joins its own input
     # against ids derived FROM that input) — without a lineage cut each
     # branch re-runs the whole Python synth+parse front door, and the
-    # recomputation count doubles per stage. One lazy localCheckpoint
+    # recomputation count doubles per stage. One lazy lineage cut
     # here caps the front door at ONE execution; downstream recomputes
     # are in-memory scans (same device-retention trade as
     # operators/dedup.py:1456, the engine's established pattern).
-    withmeta = withmeta.localCheckpoint(eager=False)
+    withmeta = lineage_cut(withmeta)
     d0 = filter_domains(
         withmeta, ["src3.example.com", "src7.example.com"],
         url_col="target_uri", mode="block",
@@ -8698,9 +8700,9 @@ def q166_chain(spark: SparkSession, sf_dir: str, with_warc: SDF) -> SDF:
     )
     # r12 lineage cut: `feat` feeds three logreg-train iterations plus
     # the score/mean/cut branches — each a separate action that would
-    # re-run the gopher gate and its joins; one lazy localCheckpoint
+    # re-run the gopher gate and its joins; one lazy lineage cut
     # caps that chain at one execution (same trade as `withmeta`).
-    feat = feat.localCheckpoint(eager=False)
+    feat = lineage_cut(feat)
     w = logreg_train(feat, ["x0", "x1", "x2"], "y", lr=1.0, iters=3)
     scored = logreg_score(feat, ["x0", "x1", "x2"], w)
     mean_score = (
@@ -8713,7 +8715,7 @@ def q166_chain(spark: SparkSession, sf_dir: str, with_warc: SDF) -> SDF:
         .select("doc_id")
     )
     d3 = d2.join(k3, "doc_id", "left_semi")
-    d4 = exact_dedup(d3).localCheckpoint(eager=False)
+    d4 = lineage_cut(exact_dedup(d3))
     clus = near_dup_clusters(
         d4.select("doc_id", "text"), shingle_k=3, num_hashes=8, bands=4
     )
@@ -8723,9 +8725,7 @@ def q166_chain(spark: SparkSession, sf_dir: str, with_warc: SDF) -> SDF:
     # re-runs the MinHash-LSH connected-components iteration, tripling
     # the chain's single most expensive stage (measured: the whole
     # 18.5 s quiet-window wall was ~3x one CC pass).
-    d5 = d4.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
+    d5 = lineage_cut(d4.join(keep_ids, "doc_id", "left_semi"))
     cdc = cdc_dedup_stats(d5.select("doc_id", "text"))
     sized = d5.select(
         "doc_id",

@@ -76,6 +76,39 @@ REGISTRY: list[dict] = [
         ),
     },
     {
+        "name": "reliable lineage cuts",
+        "kind": "session-conf",
+        "location": "spark.torcharrow.reliableLineageCuts",
+        "default": "auto",
+        "effect": (
+            "Every lineage-truncation site in the engine (iterative "
+            "connected components, multi-consumer Python-stage "
+            "outputs in CDC stats / unigram fit / the curation "
+            "chains) routes through operators.preprocess.lineage_cut. "
+            "'auto' uses reliable checkpoint() when the session has a "
+            "checkpoint directory configured "
+            "(sparkContext.setCheckpointDir / spark.checkpoint.dir) "
+            "and localCheckpoint() otherwise."
+        ),
+        "trade": (
+            "localCheckpoint blocks are executor-local and "
+            "non-replicated with truncated lineage: on a real cluster "
+            "an executor loss (preemption, dynamic deallocation) "
+            "aborts the job unrecoverably — an availability bug at "
+            "the 100 TB design point. Reliable checkpoint() writes "
+            "the cut frame through the checkpoint store once "
+            "(pay-per-cut I/O) and survives executor loss. In local "
+            "mode the single 'executor' dying kills the app anyway, "
+            "so localCheckpoint is the right default there."
+        ),
+        "override": (
+            "'false' keeps localCheckpoint even when a checkpoint dir "
+            "is set (for sessions that configure a dir for unrelated "
+            "reasons); 'true' asserts the dir is configured instead "
+            "of silently degrading."
+        ),
+    },
+    {
         "name": "pair-emission chunk / salting onset",
         "kind": "module-constant",
         "location": "operators.dedup.DEFAULT_EMIT_CHUNK",
