@@ -637,6 +637,57 @@ def test_kmeans_sql_expr_matches_column_api(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_kmeans_array_agg_matches_column_api(spark):
+    """r13: the Lloyd centroid-update aggregate is built as TWO F.expr
+    calls (count + one array() of per-dim decimal sums) instead of
+    dim+1 Column-API columns (~0.6 s of py4j per iteration at dim=64,
+    the measured per-iteration bottleneck). Pin: element i of the
+    array equals the old per-column decimal sum EXACTLY — decimal
+    type, value, and null-on-empty behavior included."""
+    from pyspark.sql import functions as F
+
+    cents = _awkward_vecs()
+    dim = len(cents[0])
+    rows = [
+        (i, i % 3, [float(x) * (1 + i) for x in c])
+        for i, c in enumerate(cents * 3)
+    ]
+    rows.append((99, 0, [0.3, 0.0, 0.001, 1e-299][:dim]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+
+    old = df.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col("embedding")[i].cast("decimal(38,12)")).alias(
+                f"s{i}"
+            )
+            for i in range(dim)
+        ],
+    )
+    sums_sql = (
+        "array("
+        + ",".join(
+            f"sum(cast(`embedding`[{i}] as decimal(38,12)))"
+            for i in range(dim)
+        )
+        + ") AS s"
+    )
+    new = df.groupBy("cluster").agg(
+        F.expr("count(*) AS n"), F.expr(sums_sql)
+    )
+    o = {r["cluster"]: r for r in old.collect()}
+    n = {r["cluster"]: r for r in new.collect()}
+    assert set(o) == set(n)
+    for cl in o:
+        assert o[cl]["n"] == n[cl]["n"]
+        assert [o[cl][f"s{i}"] for i in range(dim)] == list(n[cl]["s"])
+    # the array element type is the same decimal the old columns had
+    s_field = dict(zip(new.schema.names, new.schema.fields))["s"]
+    assert s_field.dataType.elementType.simpleString() == "decimal(38,12)"
+
+
 def test_cell_sims_sql_expr_matches_column_api(spark):
     """Same pin for similarity._cell_sims (cosine-to-centroid structs):
     SQL-text construction is bit-identical to the Column-API form,

@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for headline queries into
-plans/r12/<query>_<tag>.txt — the judge checks plan claims against these
+plans/<round>/<query>_<tag>.txt — the judge checks plan claims against these
 files (the judge cannot run Spark).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
@@ -15,7 +15,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "plans", "r12")
+OUT = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"))
 
 
 def main() -> None:

@@ -184,22 +184,41 @@ def kmeans(
             cents = _init_centroids(feat, k, id_col, vec_col)
         else:
             raise ValueError(f"unknown init {init!r} (md5 | kmeans++)")
+        # r13 (guide §5.4, measured decomposition in OPTIMIZATION_r13):
+        # the per-iteration wall was dominated by DRIVER-side
+        # construction of the 64 per-dim Column-API agg expressions
+        # (~0.6 s/iteration of py4j round trips at dim=64 — the same
+        # cost class r12's _sq_dists SQL-text change removed from the
+        # assignment side), not by centroid-literal re-analysis: an
+        # interleaved A/B of this literal form against a
+        # broadcast-data + transform() constant-shape form measured
+        # 3.27 vs 3.38 s/iteration (bit-identical updates), so the
+        # join-based form was REJECTED and the agg build is collapsed
+        # to TWO F.expr calls instead — one count, one array() of the
+        # identical per-dim decimal sums (element i == the old s{i}
+        # column exactly; pinned by
+        # test_kmeans_array_agg_matches_column_api).
+        vec = _qid(vec_col)
+        sums_sql = (
+            "array("
+            + ",".join(
+                f"sum(cast({vec}[{i}] as decimal(38,12)))"
+                for i in range(dim)
+            )
+            + ") AS s"
+        )
         for _ in range(max_iter):
             asg = feat.select(
                 F.col(vec_col),
                 F.array_min(_sq_dists(vec_col, cents))["c"].alias("cluster"),
             )
             upd = asg.groupBy("cluster").agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.col(vec_col)[i].cast("decimal(38,12)")).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+                F.expr("count(*) AS n"), F.expr(sums_sql)
             )
             cents = list(cents)
             for r in upd.collect():
                 cents[r["cluster"]] = [
-                    float(r[f"s{i}"]) / r["n"] for i in range(dim)
+                    float(r["s"][i]) / r["n"] for i in range(dim)
                 ]
         return kmeans_assign(feat, cents, id_col, vec_col), cents
     finally:
