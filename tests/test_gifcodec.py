@@ -271,3 +271,134 @@ def test_animation_errors_named():
         decode_gif_frames(data[:-10])
     with pytest.raises(ValueError, match="bad signature"):
         decode_gif_frames(b"NOTAGIF" + data)
+
+
+# ---------------------------------------------------------------------------
+# r13 pins: the integer-keyed LZW encoder and cached-base-table decoder
+# must be BYTE-IDENTICAL to the r12 byte-string reference forms, which are
+# kept here verbatim as the oracle.
+
+
+def _lzw_encode_reference(min_code_size: int, data: bytes) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(end)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_reference(min_code_size: int, data: bytes, max_out: int) -> bytearray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = nacc = pos = 0
+    n = len(data)
+    while True:
+        while nacc < width:
+            if pos >= n:
+                raise ValueError("gif: LZW stream truncated (no end code)")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code after clear is not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("gif: LZW code beyond string table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == 1 << width and width < 12:
+                width += 1
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("gif: LZW output exceeds image size")
+        prev = entry
+
+
+def test_lzw_int_table_matches_reference_implementation():
+    """Every stream shape: empty, single byte, all-one-symbol (KwKwK),
+    tiny alphabet repeats (deep strings), pseudorandom 20k (forces the
+    width ladder AND the 4096 table reset, twice), and sub-8-bit code
+    sizes. Encoder output and decoder output must be byte-identical to
+    the r12 reference forms."""
+    rng = np.random.default_rng(7)
+    streams = [
+        (8, b""),
+        (8, b"\x00"),
+        (8, b"\x07" * 500),
+        (8, bytes((rng.integers(0, 3, size=4000, dtype=np.uint8)).tobytes())),
+        (8, rng.integers(0, 256, size=20000, dtype=np.uint8).tobytes()),
+        (8, rng.integers(0, 256, size=45000, dtype=np.uint8).tobytes()),
+        (4, rng.integers(0, 16, size=3000, dtype=np.uint8).tobytes()),
+        (2, rng.integers(0, 4, size=2000, dtype=np.uint8).tobytes()),
+    ]
+    for mcs, data in streams:
+        ref = _lzw_encode_reference(mcs, data)
+        new = _lzw_encode(mcs, data)
+        assert new == ref, f"encode diverged (mcs={mcs}, n={len(data)})"
+        assert bytes(_lzw_decode(mcs, ref, len(data) + 1)) == bytes(
+            _lzw_decode_reference(mcs, ref, len(data) + 1)
+        )
+        assert bytes(_lzw_decode(mcs, ref, len(data) + 1)) == data
+
+
+def test_lzw_decode_error_contract_unchanged():
+    comp = _lzw_encode(8, b"abcabcabc")
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(8, comp[:2], 100)
+    with pytest.raises(ValueError, match="exceeds image size"):
+        _lzw_decode(8, comp, 3)

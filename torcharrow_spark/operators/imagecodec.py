@@ -258,60 +258,98 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 # standard 8/8/4/2 four-pass row order.
 
 _GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+_GRAY_PALETTE = tuple((k, k, k) for k in range(256))  # identity palette
 
 
 def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    # r13 (guide §4.2): the string table is keyed on
+    # (prefix_code << 8) | byte integers instead of byte strings, and the
+    # bit-packing emit() closure is inlined — no per-step bytes
+    # concatenation or function-call overhead. prefix codes are < 4096 so
+    # the key is collision-free; a root string's code IS its byte value,
+    # so tracking the current string's CODE is exactly tracking table[w].
+    # Byte-identical output pinned by
+    # test_lzw_int_table_matches_reference_implementation.
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
-    table = {bytes([i]): i for i in range(clear)}
+    table: dict = {}  # only 2+-length strings are ever keyed
     next_code = end + 1
     out = bytearray()
-    acc = nacc = 0
-
-    def emit(code: int) -> None:
-        nonlocal acc, nacc
-        acc |= code << nacc
+    out_append = out.append
+    acc = clear
+    nacc = width
+    while nacc >= 8:
+        out_append(acc & 0xFF)
+        acc >>= 8
+        nacc -= 8
+    wcode = -1
+    table_get = table.get
+    for b in data:
+        if wcode >= 0:
+            code = table_get((wcode << 8) | b)
+            if code is not None:
+                wcode = code
+                continue
+            acc |= wcode << nacc
+            nacc += width
+            while nacc >= 8:
+                out_append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+            table[(wcode << 8) | b] = next_code
+            next_code += 1
+            # the code emitted NEXT may be next_code-1, which needs one
+            # more bit once next_code exceeds 1<<width (decoder grows in
+            # lockstep when its table reaches 1<<width)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            if next_code == 4096:  # table full: reset rather than defer
+                acc |= clear << nacc
+                nacc += width
+                while nacc >= 8:
+                    out_append(acc & 0xFF)
+                    acc >>= 8
+                    nacc -= 8
+                table.clear()
+                next_code = end + 1
+                width = min_code_size + 1
+        wcode = b
+    if wcode >= 0:
+        acc |= wcode << nacc
         nacc += width
         while nacc >= 8:
-            out.append(acc & 0xFF)
+            out_append(acc & 0xFF)
             acc >>= 8
             nacc -= 8
-
-    emit(clear)
-    w = b""
-    for b in data:
-        c = bytes([b])
-        if w + c in table:
-            w += c
-            continue
-        emit(table[w])
-        table[w + c] = next_code
-        next_code += 1
-        # the code emitted NEXT may be next_code-1, which needs one more
-        # bit once next_code exceeds 1<<width (decoder grows in lockstep
-        # when its table reaches 1<<width)
-        if next_code == (1 << width) + 1 and width < 12:
-            width += 1
-        if next_code == 4096:  # table full: reset rather than defer
-            emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
-            next_code = end + 1
-            width = min_code_size + 1
-        w = c
-    if w:
-        emit(table[w])
-    emit(end)
+    acc |= end << nacc
+    nacc += width
+    while nacc >= 8:
+        out_append(acc & 0xFF)
+        acc >>= 8
+        nacc -= 8
     if nacc:
-        out.append(acc & 0xFF)
+        out_append(acc & 0xFF)
     return bytes(out)
+
+
+# r13: the root-string table is identical for every stream with the same
+# code size — build it once and list()-copy per decode/clear (C-level copy
+# of immutable entries vs an interpreted 256-element listcomp per frame).
+_LZW_DEC_BASE: dict = {}
 
 
 def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
     clear = 1 << min_code_size
     end = clear + 1
-    width = min_code_size + 1
-    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    min_width = min_code_size + 1
+    width = min_width
+    base = _LZW_DEC_BASE.get(clear)
+    if base is None:
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        _LZW_DEC_BASE[clear] = base
+    table = list(base)
+    tlen = end + 1  # tracked instead of len(table) in the hot loop
     out = bytearray()
     prev: bytes | None = None
     acc = nacc = pos = 0
@@ -327,25 +365,27 @@ def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
         acc >>= width
         nacc -= width
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
-            width = min_code_size + 1
+            table = list(base)
+            tlen = end + 1
+            width = min_width
             prev = None
             continue
         if code == end:
             return out
         if prev is None:
-            if code >= len(table):
+            if code >= tlen:
                 raise ValueError("gif: first code after clear is not a root")
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
-        elif code == len(table):  # the KwKwK case
+        elif code == tlen:  # the KwKwK case
             entry = prev + prev[:1]
         else:
             raise ValueError("gif: LZW code beyond string table")
-        if prev is not None and len(table) < 4096:
+        if prev is not None and tlen < 4096:
             table.append(prev + entry[:1])
-            if len(table) == 1 << width and width < 12:
+            tlen += 1
+            if tlen == 1 << width and width < 12:
                 width += 1
         out += entry
         if len(out) > max_out:
@@ -356,9 +396,21 @@ def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
 def _pack_palette(palette) -> bytes:
     """Pack (r, g, b) entries into a 256-entry (768-byte) GIF color
     table — ONE definition for the GCT and every per-frame LCT (r11
-    review: three copies had to stay in sync by hand)."""
+    review: three copies had to stay in sync by hand). r13: regular
+    (n, 3) int palettes take a numpy fast path (~10x — this ran as a
+    256-iteration loop per encoded frame); irregular shapes fall back
+    to the loop so the error contract is unchanged."""
     if len(palette) > 256:
         raise ValueError("gif: palette larger than 256 entries")
+    try:
+        arr = np.asarray(palette, dtype=np.int64)
+    except (TypeError, ValueError, OverflowError):
+        arr = None
+    if arr is not None and arr.ndim == 2 and arr.shape[1] == 3:
+        if arr.size and (int(arr.min()) < 0 or int(arr.max()) > 255):
+            raise ValueError("bytes must be in range(0, 256)")
+        ct = arr.astype(np.uint8).tobytes()
+        return ct + b"\x00" * (768 - len(ct))
     ct = bytearray()
     for r, g, b in palette:
         ct += bytes((r, g, b))
@@ -380,7 +432,7 @@ def encode_gif(
         raise ValueError("encode_gif expects a 2-D index array")
     h, w = idx.shape
     if palette is None:
-        palette = [(k, k, k) for k in range(256)]
+        palette = _GRAY_PALETTE
     gct = _pack_palette(palette)
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
@@ -512,7 +564,7 @@ def encode_gif_animated(
     ``interlace`` (bool). A Graphic Control Extension precedes every
     frame so the decoder's GCE walk runs on each."""
     if palette is None:
-        palette = [(k, k, k) for k in range(256)]
+        palette = _GRAY_PALETTE
     gct = _pack_palette(palette)
     out = bytearray(b"GIF89a")
     out += screen_w.to_bytes(2, "little") + screen_h.to_bytes(2, "little")

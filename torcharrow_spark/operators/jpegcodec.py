@@ -130,7 +130,17 @@ def _sample(x: np.ndarray) -> np.ndarray:
 
 
 def _build_huffman(bits, values) -> dict:
-    """Canonical Huffman per T.81 Annex C: {(length, code): value}."""
+    """Canonical Huffman per T.81 Annex C: {(length, code): value}.
+
+    r13 (guide §4.3, init-once-per-task): the table is a pure function
+    of (bits, values) and every stream in a batch carries the same
+    standard K.3 tables — memoized by content, consumed read-only
+    (_decode_symbol only .get()s), so rebuilding 8 dicts per decoded
+    document becomes 8 cache hits."""
+    key = (bytes(bits), bytes(values))
+    cached = _HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
     table = {}
     code = 0
     k = 0
@@ -140,7 +150,13 @@ def _build_huffman(bits, values) -> dict:
             k += 1
             code += 1
         code <<= 1
+    if len(_HUFF_CACHE) < 64:  # bound worker memory on hostile streams
+        _HUFF_CACHE[key] = table
     return table
+
+
+_HUFF_CACHE: dict = {}
+_HUFF_CODES_CACHE: dict = {}
 
 
 class _BitReader:
@@ -684,11 +700,19 @@ class _BitWriter:
 
 
 def _huff_codes(bits, values) -> dict:
-    """value -> (code, length), inverse of _build_huffman."""
-    return {
+    """value -> (code, length), inverse of _build_huffman. Memoized by
+    content like _build_huffman (consumed read-only in _write_coef)."""
+    key = (bytes(bits), bytes(values))
+    cached = _HUFF_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    codes = {
         v: (code, length)
         for (length, code), v in _build_huffman(bits, values).items()
     }
+    if len(_HUFF_CODES_CACHE) < 64:
+        _HUFF_CODES_CACHE[key] = codes
+    return codes
 
 
 def _write_coef(wtr: _BitWriter, codes: dict, run: int, value: int) -> None:
