@@ -7,10 +7,13 @@ PY ?= python
 SF001 ?= /root/testdata/sf0.001
 SF01 ?= /root/testdata/sf0.01
 
-.PHONY: test oracle driver-sim bench gate
+.PHONY: test test-full oracle driver-sim bench gate
 
 test:
 	$(PY) -m pytest tests/ -x -q
+
+test-full:
+	SPARK_GRAFT_FULL_TESTS=1 $(PY) -m pytest tests/ -x -q
 
 oracle:
 	$(PY) tools/oracle_check.py $(SF001)
