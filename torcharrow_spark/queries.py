@@ -7116,7 +7116,13 @@ def q145_modern_curation(spark: SparkSession, sf_dir: str) -> SDF:
         .where(F.col("score") >= F.col("m"))
         .select("doc_id")
     )
-    d3 = d2.join(k3, "doc_id", "left_semi")
+    # r13 (guide §5.1 recompute-vs-store): k3 ⊆ feat ⊆ d2 ⊆ docs and every
+    # stage only FILTERS rows (doc_id is the documents primary key), so
+    # semi-joining docs directly against k3 yields exactly d2 ⋉ k3 — but
+    # skips re-executing the url-dedup shuffle and the gopher word-stats
+    # scan inside the final action (measured 3.3 s of the 11.3 s wall at
+    # sf0.1; stage decomposition in OPTIMIZATION_r13.md).
+    d3 = docs.join(k3, "doc_id", "left_semi")
     surv = exact_dedup(d3)
     sized = surv.select(
         "doc_id",
@@ -8714,7 +8720,14 @@ def q166_chain(spark: SparkSession, sf_dir: str, with_warc: SDF) -> SDF:
         .where(F.col("score") >= F.col("m"))
         .select("doc_id")
     )
-    d3 = d2.join(k3, "doc_id", "left_semi")
+    # r13 (guide §5.1, same proof as q145): k3 ⊆ feat ⊆ d2 ⊆ withmeta,
+    # every stage below the lineage cut only FILTERS rows (filter_domains
+    # ends `.select(*df.columns)`, robots_gate's `allowed` is dropped,
+    # gopher is a semi-join; doc_id is unique — one 200 text/html record
+    # per document), so semi-joining the checkpointed `withmeta` against
+    # k3 is exactly d2 ⋉ k3 minus a re-execution of the domain/robots/
+    # gopher stages inside this branch.
+    d3 = withmeta.join(k3, "doc_id", "left_semi")
     d4 = lineage_cut(exact_dedup(d3))
     clus = near_dup_clusters(
         d4.select("doc_id", "text"), shingle_k=3, num_hashes=8, bands=4
