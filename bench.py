@@ -1359,6 +1359,70 @@ def run_stress(
             f"shuffle {bytes_['shuffle_write'] if bytes_ else '?'}B)",
             file=sys.stderr,
         )
+    # r13 (VERDICT r12 ask #9): pair-stage SKEW EVIDENCE at stress scale
+    # for the q42 cosine family — measurement-only, additions to the
+    # stress payload, no timed region touched. The quantified "no skew
+    # by construction" argument this row evidences: (1) election caps a
+    # bucket at min(DEFAULT_ELECT_THRESHOLD, ELECT_BYTES_BOUND /
+    # member_bytes) members (~116k at dim 64); (2) the salted emitter
+    # splits a bucket of m members into ceil(m/chunk)^2 chunk-pair
+    # tasks of <= chunk^2 candidate pairs each — so bucket skew
+    # becomes MORE tasks, never BIGGER tasks, and the max-task
+    # candidate count is min(C(m_max,2), chunk^2) regardless of the
+    # key distribution. The histogram shows where organic sf1 buckets
+    # actually sit relative to both bounds.
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators.dedup import (
+        DEFAULT_ELECT_THRESHOLD,
+        DEFAULT_EMIT_CHUNK,
+        ELECT_BYTES_BOUND,
+    )
+    from torcharrow_spark.operators.similarity import (
+        _infer_dim,
+        _resolve_n_planes,
+        lsh_bucket,
+    )
+
+    e = emb()
+    n_planes = _resolve_n_planes(e, "auto", "cosine_pairs")
+    dim = _infer_dim(e, "embedding")
+    sizes = (
+        e.select(lsh_bucket(F.col("embedding"), n_planes, dim).alias("b"))
+        .groupBy("b")
+        .count()
+    )
+    h = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_members"),
+        F.expr("percentile(count, 0.5)").alias("p50_members"),
+        F.expr("percentile(count, 0.99)").alias("p99_members"),
+    ).collect()[0]
+    member_bytes = 32 + 4 * dim
+    elect_cap = min(DEFAULT_ELECT_THRESHOLD, ELECT_BYTES_BOUND // member_bytes)
+    m_max = int(h["max_members"])
+    chunk = DEFAULT_EMIT_CHUNK
+    max_task_pairs = min(m_max * (m_max - 1) // 2, chunk * chunk)
+    med = float(h["p50_members"])
+    out["pair_skew_q42"] = {
+        "n_planes": n_planes,
+        "n_buckets": int(h["n_buckets"]),
+        "max_members": m_max,
+        "p50_members": med,
+        "p99_members": float(h["p99_members"]),
+        "elect_cap_members": int(elect_cap),
+        "emit_chunk": chunk,
+        "per_task_candidate_cap": chunk * chunk,
+        "max_task_candidate_pairs": max_task_pairs,
+        "max_bucket_under_elect_cap": m_max <= elect_cap,
+    }
+    print(
+        f"# stress sf1 pair-skew q42: {h['n_buckets']} buckets, members "
+        f"max {m_max} / p99 {h['p99_members']} / p50 {med} "
+        f"(elect cap {elect_cap}); max task candidates {max_task_pairs} "
+        f"(hard cap {chunk * chunk})",
+        file=sys.stderr,
+    )
     return out
 
 
