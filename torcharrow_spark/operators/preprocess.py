@@ -17,6 +17,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
+#: per-session memo of spread decisions keyed on the normalized plan
+#: string (see the r13 comment inside spread_narrow_source).
+_SPREAD_DECISIONS: dict = {}
+
+
 def spread_narrow_source(df: SDF) -> SDF:
     """Widen a NARROW file-backed plan before compute-heavy per-row
     work (r7). A parquet scan parallelizes at best one task per row
@@ -84,13 +89,34 @@ def spread_narrow_source(df: SDF) -> SDF:
     ):
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
+    # r13 (guide §5.4): the split-count probe below costs ~0.45 s of
+    # DRIVER time per call (df.rdd materializes the full physical plan
+    # and its partition packing), paid by every text_stats/dedup build
+    # inside the bench's timed region. The decision is a pure function
+    # of (plan shape, file layout, parallelism), so memoize it per
+    # session keyed on the expr-id-normalized plan string — the plan
+    # text embeds the file listing and pushed filters, and the same
+    # normalized scan over immutable files always packs into the same
+    # splits. Metadata only (a bool per plan shape); no rows are cached.
+    try:
+        app_id = df.sparkSession.sparkContext.applicationId
+    except Exception:
+        app_id = None
+    key = (app_id, par, re.sub(r"#\d+", "#x", plan))
+    cached = _SPREAD_DECISIONS.get(key)
+    if cached is not None:
+        return df.repartition(par) if cached else df
     try:
         # safe here: the plan has no Exchange, so converting to an RDD
         # plans the scan splits without executing any query stage
         nparts = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if nparts * 2 > par:
+    spread = nparts * 2 <= par
+    if len(_SPREAD_DECISIONS) > 512:
+        _SPREAD_DECISIONS.clear()
+    _SPREAD_DECISIONS[key] = spread
+    if not spread:
         return df
     return df.repartition(par)
 

@@ -40,75 +40,141 @@ def _round4(col):
     return F.floor(col * 10000.0 + 0.5) / 10000.0
 
 
-def _token_count_exprs(text_col: str, words=None) -> _ty.List[F.Column]:
+# --- SQL-text fragment generators (r13, guide §5.4) -------------------
+#
+# Every builder below constructs its expression tree as ONE generated
+# SQL string handed to a single F.expr call, instead of composing it
+# from dozens of Column-API calls. The trees are the SAME (literal
+# types pinned: bare fractional literals parse as DECIMAL in Spark SQL,
+# so every float literal carries the D suffix to stay a double exactly
+# like F.lit(<python float>)); what changes is the DRIVER cost of
+# building them — each Column operator is a py4j round trip (~1-4 ms
+# on this host) and these families spent 120-310 ms per construction,
+# timed inside every bench run and paid again for every query that
+# composes them (q24/q45/q128 and the q129/q145/q158/q166 pipelines).
+# Equality with the replaced Column-API forms is pinned test-side by
+# tests/test_textstats_sqltext.py, which keeps the old constructions
+# verbatim as references (schema + rows on adversarial inputs).
+
+
+def _qid(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _words_sqltext(text_sql: str) -> str:
+    return f"split(regexp_replace(trim(lower({text_sql})), '\\\\s+', ' '), ' ')"
+
+
+def _round4_sqltext(x: str) -> str:
+    return f"(floor(({x}) * 10000.0D + 0.5D) / 10000.0D)"
+
+
+def _sw_array_sqltext(lang: str) -> str:
+    return "array(" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
+
+
+def _numlit_sqltext(v) -> str:
+    """SQL literal matching F.lit(<python value>) exactly: floats carry
+    the D suffix (a bare fractional literal parses as DECIMAL), ints
+    stay bare. repr() is shortest-roundtrip, so the parsed double is
+    bit-identical to the Python float."""
+    return f"{v!r}D" if isinstance(v, float) else repr(v)
+
+
+def _ngrams_sqltext(words_sql: str, n: int) -> str:
+    """SQL-text mirror of ``_ngrams`` below — same zip_with chain over
+    n shifted slices, same literals."""
+    cnt = f"greatest(size({words_sql}) - {n - 1}, 0)"
+    acc = f"slice({words_sql}, 1, {cnt})"
+    for j in range(1, n):
+        acc = (
+            f"zip_with({acc}, slice({words_sql}, {j + 1}, {cnt}), "
+            "(a, b) -> concat(a, ' ', b))"
+        )
+    return acc
+
+
+def _token_count_exprs(text_col: str, words_sql: str | None = None) -> _ty.List[F.Column]:
     """Whitespace tokens + a BPE-ish subword estimate: words plus one
     extra unit per 4 chars beyond the first 4 of each word (a stand-in
     for byte-pair merges; deterministic, no tokenizer asset needed).
 
-    ``words``: pass a MATERIALIZED array column (see ``_with_words``) —
-    an inline split is re-planned into every consuming expression."""
-    words = words if words is not None else _words(F.col(text_col))
-    n_words = F.size(words).cast("long")
-    bpe_units = F.aggregate(
-        words,
-        F.lit(0).cast("long"),
-        lambda acc, w: acc + F.greatest(F.floor((F.length(w) + 3) / 4), F.lit(1).cast("long")),
-    )
+    ``words_sql``: SQL fragment for a MATERIALIZED array column (see
+    ``_with_words``) — an inline split is re-planned into every
+    consuming expression."""
+    text = _qid(text_col)
+    w = words_sql if words_sql is not None else _words_sqltext(text)
     return [
-        n_words.alias("n_tokens"),
-        bpe_units.alias("n_bpe_tokens"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.expr(f"cast(size({w}) as bigint) AS n_tokens"),
+        F.expr(
+            f"aggregate({w}, cast(0 as bigint), (acc, w) -> acc + "
+            "greatest(floor((length(w) + 3) / 4), cast(1 as bigint)))"
+            " AS n_bpe_tokens"
+        ),
+        F.expr(f"cast(length({text}) as bigint) AS n_chars"),
     ]
 
 
-def _quality_exprs(text_col: str, words=None) -> _ty.List[F.Column]:
+def _quality_exprs(text_col: str, words_sql: str | None = None) -> _ty.List[F.Column]:
     """Heuristic document quality in [0,1]: mean word length sanity,
     punctuation density, stopword (English) hit rate, length band."""
-    text = F.col(text_col)
-    words = words if words is not None else _words(text)
-    n_words = F.size(words).cast("double")
-    n_chars = F.length(text).cast("double")
-    mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("double")
-    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
-    len_ok = F.when((n_words >= 5) & (n_words <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
-    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    text = _qid(text_col)
+    w = words_sql if words_sql is not None else _words_sqltext(text)
+    nw = f"cast(size({w}) as double)"
+    nc = f"cast(length({text}) as double)"
+    mean_wlen = f"CASE WHEN {nw} > 0 THEN {nc} / {nw} ELSE 0.0D END"
+    npunct = f"cast(length(regexp_replace({text}, '[^.,;:!?]', '')) as double)"
+    punct_ratio = f"CASE WHEN {nc} > 0 THEN {npunct} / {nc} ELSE 0.0D END"
+    nstop = (
+        f"cast(size(filter({w}, w -> array_contains("
+        f"{_sw_array_sqltext('en')}, w))) as double)"
+    )
+    stop_ratio = f"CASE WHEN {nw} > 0 THEN {nstop} / {nw} ELSE 0.0D END"
+    len_ok = f"CASE WHEN {nw} >= 5 AND {nw} <= 100000 THEN 1.0D ELSE 0.0D END"
+    wlen_ok = (
+        f"CASE WHEN ({mean_wlen}) >= 2.0D AND ({mean_wlen}) <= 12.0D "
+        "THEN 1.0D ELSE 0.0D END"
+    )
+    punct_ok = f"CASE WHEN ({punct_ratio}) <= 0.2D THEN 1.0D ELSE 0.0D END"
     score = (
-        F.lit(0.3) * len_ok
-        + F.lit(0.2) * wlen_ok
-        + F.lit(0.2) * punct_ok
-        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        f"0.3D * ({len_ok}) + 0.2D * ({wlen_ok}) + 0.2D * ({punct_ok})"
+        f" + 0.3D * least(({stop_ratio}) * 4, 1.0D)"
     )
     return [
-        _round4(mean_wlen).alias("mean_word_len"),
-        _round4(punct_ratio).alias("punct_ratio"),
-        _round4(stop_ratio).alias("stopword_ratio"),
-        _round4(score).alias("quality"),
+        F.expr(f"{_round4_sqltext(mean_wlen)} AS mean_word_len"),
+        F.expr(f"{_round4_sqltext(punct_ratio)} AS punct_ratio"),
+        F.expr(f"{_round4_sqltext(stop_ratio)} AS stopword_ratio"),
+        F.expr(f"{_round4_sqltext(score)} AS quality"),
     ]
 
 
-def _language_exprs(text_col: str, words=None) -> _ty.List[F.Column]:
+def _language_exprs(text_col: str, words_sql: str | None = None) -> _ty.List[F.Column]:
     """Stopword-vote language ID: the language whose stopword list hits
     the most tokens wins (ties broken by language code order)."""
-    words = words if words is not None else _words(F.col(text_col))
-    hits = {}
-    for lang in sorted(STOPWORDS):
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        hits[lang] = F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
-    mx = F.greatest(*hits.values())
+    text = _qid(text_col)
+    w = words_sql if words_sql is not None else _words_sqltext(text)
+    hits = {
+        lang: (
+            f"cast(size(filter({w}, w -> array_contains("
+            f"{_sw_array_sqltext(lang)}, w))) as bigint)"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    mx = "greatest(" + ", ".join(hits[lang] for lang in sorted(STOPWORDS)) + ")"
     # first alphabetical language reaching the max wins — the same CASE
     # ladder is expressible verbatim in any SQL oracle
-    pred = F.lit(None).cast("string")
+    pred = "cast(null as string)"
     for lang in sorted(STOPWORDS, reverse=True):
-        pred = F.when(hits[lang] == mx, F.lit(lang)).otherwise(pred)
-    return [pred.alias("pred_lang"), mx.alias("stopword_hits")]
+        pred = f"CASE WHEN ({hits[lang]}) = ({mx}) THEN '{lang}' ELSE {pred} END"
+    return [
+        F.expr(f"{pred} AS pred_lang"),
+        F.expr(f"{mx} AS stopword_hits"),
+    ]
 
 
-def _with_words(df: SDF, text_col: str, id_col: str) -> SDF:
+def _with_words(
+    df: SDF, text_col: str, id_col: str, keep_cols: _ty.Sequence[str] = ()
+) -> SDF:
     """Materialize the token array ONCE per row (own projection). Spark
     does not collapse a non-cheap multiply-referenced alias into its
     consumers, so downstream signal expressions read the array instead
@@ -118,28 +184,31 @@ def _with_words(df: SDF, text_col: str, id_col: str) -> SDF:
     from torcharrow_spark.operators.preprocess import spread_narrow_source
 
     return spread_narrow_source(df).select(
-        F.col(id_col), F.col(text_col), _words(F.col(text_col)).alias("__w__")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col(text_col),
+        _words(F.col(text_col)).alias("__w__"),
     )
 
 
 def token_count(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
     base = _with_words(df, text_col, id_col)
     return base.select(
-        F.col(id_col), *_token_count_exprs(text_col, words=F.col("__w__"))
+        F.col(id_col), *_token_count_exprs(text_col, words_sql="__w__")
     )
 
 
 def quality_score(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
     base = _with_words(df, text_col, id_col)
     return base.select(
-        F.col(id_col), *_quality_exprs(text_col, words=F.col("__w__"))
+        F.col(id_col), *_quality_exprs(text_col, words_sql="__w__")
     )
 
 
 def language_id(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
     base = _with_words(df, text_col, id_col)
     return base.select(
-        F.col(id_col), *_language_exprs(text_col, words=F.col("__w__"))
+        F.col(id_col), *_language_exprs(text_col, words_sql="__w__")
     )
 
 
@@ -279,18 +348,31 @@ def repetition_stats(
     )
 
 
-def text_stats(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
+def text_stats(
+    df: SDF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: _ty.Sequence[str] = (),
+) -> SDF:
     """One-pass combined stats: a SINGLE projection over one scan —
     joining the three per-op frames on doc_id would shuffle the corpus
     twice for columns that are all computable side by side in the same
-    codegen stage."""
-    base = _with_words(df, text_col, id_col)
-    w = F.col("__w__")
+    codegen stage.
+
+    ``keep_cols``: passthrough columns carried in the same projection,
+    placed right after ``id_col``. A caller that needs a source column
+    next to the stats (q45's per-language budget needs ``lang``) would
+    otherwise have to JOIN the stats frame back to its own input on
+    ``id_col`` — one whole extra shuffle plus a re-execution of the
+    input plan for columns that ride along for free (r13, guide §2.2
+    "shuffle fewer bytes" / §5.1: measured 1.29 -> 0.75 s on q45)."""
+    base = _with_words(df, text_col, id_col, keep_cols=keep_cols)
     return base.select(
         F.col(id_col),
-        *_token_count_exprs(text_col, words=w),
-        *_quality_exprs(text_col, words=w),
-        *_language_exprs(text_col, words=w),
+        *[F.col(c) for c in keep_cols],
+        *_token_count_exprs(text_col, words_sql="__w__"),
+        *_quality_exprs(text_col, words_sql="__w__"),
+        *_language_exprs(text_col, words_sql="__w__"),
     )
 
 
@@ -484,65 +566,73 @@ def gopher_filter(
         df = df.select("*", _words(F.col(text_col)).alias("__w__"))
     else:
         df = _with_words(df, text_col, id_col)
-    text = F.col(text_col)
-    words = F.col("__w__")
-    nw = F.size(words).cast("long")
-    n_chars = F.length(text).cast("double")
-    mwl = F.when(nw > 0, n_chars / nw.cast("double")).otherwise(F.lit(0.0))
-    alpha_frac = F.when(
-        nw > 0,
-        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double")
-        / nw.cast("double"),
-    ).otherwise(F.lit(0.0))
-    n_sym = (
-        F.length(F.regexp_replace(text, r"[^#]", "")).cast("double")
-        + F.lit(3.0)
-        * F.size(F.split(text, r"\.\.\.", -1)).cast("double")
-        - F.lit(3.0)
+    # r13 (guide §5.4): the whole signal block + CASE ladder is built as
+    # ONE generated SQL string per output column — the Column-API form
+    # cost ~60 py4j round trips (~200+ ms) per construction, paid by
+    # q128 and again inside every curation pipeline that composes the
+    # gate (q129/q145/q158/q166). Same tree, same literals (D-suffixed
+    # doubles); equality pinned by tests/test_textstats_sqltext.py.
+    text = _qid(text_col)
+    w = "__w__"
+    _d = _numlit_sqltext
+    nw = f"cast(size({w}) as bigint)"
+    nwd = f"cast({nw} as double)"
+    nc = f"cast(length({text}) as double)"
+    mwl = f"CASE WHEN {nw} > 0 THEN {nc} / {nwd} ELSE 0.0D END"
+    alpha_frac = (
+        f"CASE WHEN {nw} > 0 THEN "
+        f"cast(size(filter({w}, w -> w RLIKE '[a-z]')) as double) / {nwd} "
+        "ELSE 0.0D END"
     )
-    symbol_ratio = F.when(nw > 0, n_sym / nw.cast("double")).otherwise(F.lit(0.0))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
-    dup_word = F.when(
-        nw > 0,
-        F.lit(1.0)
-        - F.size(F.array_distinct(words)).cast("double") / nw.cast("double"),
-    ).otherwise(F.lit(0.0))
-    g5 = _ngrams(words, 5)
-    dup5 = F.when(
-        F.size(g5) > 0,
-        F.lit(1.0)
-        - F.size(F.array_distinct(g5)).cast("double") / F.size(g5).cast("double"),
-    ).otherwise(F.lit(0.0))
-
+    n_sym = (
+        f"cast(length(regexp_replace({text}, '[^#]', '')) as double)"
+        f" + 3.0D * cast(size(split({text}, '\\\\.\\\\.\\\\.', -1)) as double)"
+        " - 3.0D"
+    )
+    symbol_ratio = f"CASE WHEN {nw} > 0 THEN ({n_sym}) / {nwd} ELSE 0.0D END"
+    stop_hits = (
+        f"cast(size(filter({w}, w -> array_contains("
+        f"{_sw_array_sqltext('en')}, w))) as bigint)"
+    )
+    dup_word = (
+        f"CASE WHEN {nw} > 0 THEN 1.0D - "
+        f"cast(size(array_distinct({w})) as double) / {nwd} ELSE 0.0D END"
+    )
+    g5 = _ngrams_sqltext(w, 5)
+    dup5 = (
+        f"CASE WHEN size({g5}) > 0 THEN 1.0D - "
+        f"cast(size(array_distinct({g5})) as double) / "
+        f"cast(size({g5}) as double) ELSE 0.0D END"
+    )
     reason = (
         # NULL text must fail the gate explicitly: every metric below
         # evaluates to NULL on NULL input, so without this leading rule
-        # the CASE ladder falls through and keep = reason.isNull() would
+        # the CASE ladder falls through and keep = reason IS NULL would
         # silently RETAIN unreadable documents (advisor finding, r3).
-        F.when(text.isNull(), F.lit("null_text"))
-        .when(nw < min_words, F.lit("too_few_words"))
-        .when(nw > max_words, F.lit("too_many_words"))
-        .when(
-            (mwl < min_mean_wlen) | (mwl > max_mean_wlen),
-            F.lit("bad_mean_word_len"),
-        )
-        .when(alpha_frac < min_alpha_frac, F.lit("low_alpha_frac"))
-        .when(symbol_ratio > max_symbol_ratio, F.lit("high_symbol_ratio"))
-        .when(stop_hits < min_stopword_hits, F.lit("too_few_stopwords"))
-        .when(dup_word > max_dup_word_frac, F.lit("repetitive_words"))
-        .when(dup5 > max_dup5_frac, F.lit("repetitive_5grams"))
+        "CASE "
+        f"WHEN {text} IS NULL THEN 'null_text' "
+        f"WHEN {nw} < {_d(min_words)} THEN 'too_few_words' "
+        f"WHEN {nw} > {_d(max_words)} THEN 'too_many_words' "
+        f"WHEN ({mwl}) < {_d(min_mean_wlen)} OR ({mwl}) > {_d(max_mean_wlen)}"
+        " THEN 'bad_mean_word_len' "
+        f"WHEN ({alpha_frac}) < {_d(min_alpha_frac)} THEN 'low_alpha_frac' "
+        f"WHEN ({symbol_ratio}) > {_d(max_symbol_ratio)}"
+        " THEN 'high_symbol_ratio' "
+        f"WHEN {stop_hits} < {_d(min_stopword_hits)} THEN 'too_few_stopwords' "
+        f"WHEN ({dup_word}) > {_d(max_dup_word_frac)} THEN 'repetitive_words' "
+        f"WHEN ({dup5}) > {_d(max_dup5_frac)} THEN 'repetitive_5grams' "
+        "END"
     )
     if keep_columns:
         return df.select(
             *orig_cols,
-            reason.isNull().alias("keep"),
-            reason.alias("reason"),
+            F.expr(f"({reason}) IS NULL AS keep"),
+            F.expr(f"{reason} AS reason"),
         )
     return df.select(
         F.col(id_col),
-        reason.isNull().alias("keep"),
-        reason.alias("reason"),
+        F.expr(f"({reason}) IS NULL AS keep"),
+        F.expr(f"{reason} AS reason"),
     )
 
 

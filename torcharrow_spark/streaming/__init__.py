@@ -1161,8 +1161,8 @@ def web_ingest_batch(
         F.col("text"),
         _words(F.col("text")).alias("__w__"),
     )
-    quality = _quality_exprs("text", words=F.col("__w__"))[-1]
-    pred_lang = _language_exprs("text", words=F.col("__w__"))[0]
+    quality = _quality_exprs("text", words_sql="__w__")[-1]
+    pred_lang = _language_exprs("text", words_sql="__w__")[0]
     scored = base.select(
         id_col,
         "title",
@@ -1274,8 +1274,8 @@ def warc_ingest_batch(
         F.col("text"),
         _words(F.col("text")).alias("__w__"),
     )
-    quality = _quality_exprs("text", words=F.col("__w__"))[-1]
-    pred_lang = _language_exprs("text", words=F.col("__w__"))[0]
+    quality = _quality_exprs("text", words_sql="__w__")[-1]
+    pred_lang = _language_exprs("text", words_sql="__w__")[0]
     scored = base.select(
         id_col,
         "target_uri",
