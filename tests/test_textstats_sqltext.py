@@ -341,3 +341,90 @@ def test_spread_decision_cache_skips_repeat_probe(spark, monkeypatch):
         ("Repartition" in r1._jdf.queryExecution().logical().toString())
         == ("Repartition" in r2._jdf.queryExecution().logical().toString())
     )
+
+
+def _logreg_train_ref(df, feature_cols, label_col, lr=1.0, iters=3):
+    """pre-r13 Column-API training loop, verbatim."""
+    from torcharrow_spark.operators.classifier import _margin
+    from torcharrow_spark.operators.relevance import _round8
+
+    cols = list(feature_cols)
+    feat = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols],
+        F.col(label_col).cast("double").alias("__y__"),
+    ).na.drop()
+    w = [0.0] * len(cols)
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(cols, w)))
+        err = p - F.col("__y__")
+        row = feat.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            *[
+                F.sum(_round8(err * F.col(c)).cast("decimal(28,8)")).alias(
+                    f"__g{i}__"
+                )
+                for i, c in enumerate(cols)
+            ],
+        ).collect()[0]
+        n = float(row["__n__"])
+        w = [
+            wi - lr * (float(row[f"__g{i}__"]) / n) for i, wi in enumerate(w)
+        ]
+    return w
+
+
+def test_logreg_sqltext_fit_matches_column_api(spark):
+    """r13: the per-iteration gradient aggregate is ONE F.expr per
+    column instead of ~40 Column-API calls rebuilt every iteration.
+    Pin: bit-identical weights (exact float equality) across iterations,
+    including awkward intermediate weight reprs."""
+    from torcharrow_spark.operators import logreg_train
+
+    rows = [
+        (1.0, 0.3333333333333333, 7.25, 1.0),
+        (1.0, 2.1, -1.5, 0.0),
+        (1.0, 1e-9, 3.0, 1.0),
+        (1.0, -4.75, 0.1, 0.0),
+        (1.0, 123.456, -0.0, 1.0),
+        (1.0, 0.1, 0.2, 0.0),
+        (1.0, None, 1.0, 1.0),  # null row must be excluded identically
+    ]
+    df = spark.createDataFrame(
+        rows, "x0 double, x1 double, x2 double, y double"
+    )
+    ref = _logreg_train_ref(df, ["x0", "x1", "x2"], "y", lr=0.7, iters=4)
+    new = logreg_train(df, ["x0", "x1", "x2"], "y", lr=0.7, iters=4)
+    assert ref == new  # exact float equality, not approx
+
+
+def test_logreg_sqltext_score_matches_column_api(spark):
+    from torcharrow_spark.operators.classifier import (
+        _margin,
+        logreg_score,
+    )
+    from torcharrow_spark.operators.relevance import _round6
+
+    df = spark.createDataFrame(
+        [(1.0, 0.5), (1.0, -3.25), (1.0, 1e300), (1.0, None)],
+        "x0 double, x1 double",
+    )
+    w = [0.1, -0.6999999999999998]
+    old = df.withColumn(
+        "score",
+        _round6(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(["x0", "x1"], w)))
+        ),
+    )
+    new = logreg_score(df, ["x0", "x1"], w)
+    assert old.schema.json() == new.schema.json()
+    assert old.collect() == new.collect()
+    # non-finite weights take the legacy path and still work
+    winf = [float("inf"), 0.0]
+    a = df.withColumn(
+        "score",
+        _round6(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(["x0", "x1"], winf)))
+        ),
+    )
+    b = logreg_score(df, ["x0", "x1"], winf)
+    assert a.collect() == b.collect()

@@ -50,6 +50,36 @@ def _margin(feature_cols: _ty.Sequence[str], w: _ty.Sequence[float]) -> F.Column
     return z
 
 
+def _margin_sqltext(
+    feature_cols: _ty.Sequence[str], w: _ty.Sequence[float]
+) -> str | None:
+    """SQL-text mirror of ``_margin`` (r13, guide §5.4): the sigmoid +
+    per-feature gradient expressions were rebuilt through ~40 Column-API
+    py4j round trips on EVERY training iteration; one generated string
+    per aggregate keeps the tree identical (left-associated adds,
+    D-suffixed shortest-roundtrip double literals) at a fraction of the
+    driver cost. Returns None when any weight is non-finite — inf/nan
+    have no SQL double literal, so those (already-degenerate) fits keep
+    the legacy Column construction. Equality pinned by
+    tests/test_textstats_sqltext.py::test_logreg_sqltext_*."""
+    import math
+
+    ws = [float(wi) for wi in w]
+    if not all(math.isfinite(wi) for wi in ws):
+        return None
+    from .textstats import _qid
+
+    parts = [
+        f"cast({_qid(c)} as double) * {wi!r}D"
+        for c, wi in zip(feature_cols, ws)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _round8_sqltext(x: str) -> str:
+    return f"(floor(({x}) * 100000000.0D + 0.5D) / 100000000.0D)"
+
+
 def logreg_train(
     df: SDF,
     feature_cols: _ty.Sequence[str],
@@ -85,17 +115,35 @@ def logreg_train(
     try:
         w = [0.0] * len(cols)
         for _ in range(iters):
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(cols, w)))
-            err = p - F.col("__y__")
-            row = feat.agg(
-                F.count(F.lit(1)).alias("__n__"),
-                *[
-                    F.sum(
-                        _round8(err * F.col(c)).cast("decimal(28,8)")
-                    ).alias(f"__g{i}__")
-                    for i, c in enumerate(cols)
-                ],
-            ).collect()[0]
+            m = _margin_sqltext(cols, w)
+            if m is None:  # non-finite weight: exact legacy construction
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(cols, w)))
+                err = p - F.col("__y__")
+                aggs = [
+                    F.count(F.lit(1)).alias("__n__"),
+                    *[
+                        F.sum(
+                            _round8(err * F.col(c)).cast("decimal(28,8)")
+                        ).alias(f"__g{i}__")
+                        for i, c in enumerate(cols)
+                    ],
+                ]
+            else:
+                from .textstats import _qid
+
+                err = f"(1.0D / (1.0D + exp(-{m})) - `__y__`)"
+                aggs = [
+                    F.expr("count(1) AS __n__"),
+                    *[
+                        F.expr(
+                            "sum(cast("
+                            + _round8_sqltext(f"{err} * {_qid(c)}")
+                            + f" as decimal(28,8))) AS __g{i}__"
+                        )
+                        for i, c in enumerate(cols)
+                    ],
+                ]
+            row = feat.agg(*aggs).collect()[0]
             n = float(row["__n__"])
             if n == 0:
                 raise ValueError(
@@ -122,10 +170,18 @@ def logreg_score(
     """Score every row with a trained model: adds ``out_col`` =
     sigmoid(w·x), rounded half-up to 6 decimals by default (cross-engine
     `exp` ulp policy — same as BM25 scores). Zero-shuffle projection."""
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(list(feature_cols), weights)))
+    m = _margin_sqltext(list(feature_cols), weights)
+    if m is None:  # non-finite weight: exact legacy construction
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-_margin(list(feature_cols), weights))
+        )
+        if round6:
+            p = _round6(p)
+        return df.withColumn(out_col, p)
+    p = f"1.0D / (1.0D + exp(-{m}))"
     if round6:
-        p = _round6(p)
-    return df.withColumn(out_col, p)
+        p = f"(floor(({p}) * 1000000.0D + 0.5D) / 1000000.0D)"
+    return df.withColumn(out_col, F.expr(p))
 
 
 def char_ngram_features(

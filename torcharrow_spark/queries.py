@@ -7129,7 +7129,11 @@ def q145_modern_curation(spark: SparkSession, sf_dir: str) -> SDF:
         .where(F.col("keep"))
         .select("doc_id")
     )
-    d2 = d1.join(g, "doc_id", "left_semi")
+    # r13 (guide §5.1, same subset proof as d3 below): g ⊆ d1 ⊆ docs with
+    # doc_id unique, so docs ⋉ g selects the identical row set as d1 ⋉ g
+    # while the probe side skips re-executing the url-dedup shuffle that
+    # d1 embeds (the g side still runs it exactly once).
+    d2 = docs.join(g, "doc_id", "left_semi")
     nw = F.size(_words(F.col("text"))).cast("double")
     feat = d2.where(nw > 0).select(
         "doc_id",
@@ -8736,7 +8740,12 @@ def q166_chain(spark: SparkSession, sf_dir: str, with_warc: SDF) -> SDF:
         .where(F.col("keep"))
         .select("doc_id")
     )
-    d2 = d1.join(keep, "doc_id", "left_semi")
+    # r13 (guide §5.1, same subset proof as d3 below): keep ⊆ d1 ⊆
+    # withmeta with doc_id unique, so withmeta ⋉ keep is exactly
+    # d1 ⋉ keep — the probe side reads the checkpoint scan instead of
+    # re-running the domain filter + robots join (the keep side still
+    # runs them exactly once).
+    d2 = withmeta.join(keep, "doc_id", "left_semi")
     feat_src = d2.join(docs.select("doc_id", "lang"), "doc_id")
     nw = F.size(_words(F.col("text"))).cast("double")
     feat = feat_src.where(nw > 0).select(
