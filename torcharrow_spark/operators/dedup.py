@@ -90,6 +90,29 @@ SIMHASH_MIN_BITS = 16
 SIMHASH_MAX_BITS = 64
 
 
+#: memo of CONSTRUCTED Column expression trees (r13, guide §5.4).
+#: PySpark Columns are immutable unresolved-expression holders — the
+#: same object is freely reusable across DataFrames and queries — but
+#: BUILDING one costs a py4j round trip per operator (~1-4 ms on this
+#: host), and the emission machinery below assembles hundreds of
+#: operators on every call (measured ~2 s of the q43 build; shared by
+#: q19/q21/q42/q43/q46 and near_dup_clusters). The memo stores only
+#: expression metadata — never rows, never anything bound to data or a
+#: path — keyed by the pure construction parameters, so a hit IS the
+#: identical expression tree the miss would have built.
+_COLMEMO: dict = {}
+
+
+def _colmemo(key, build):
+    c = _COLMEMO.get(key)
+    if c is None:
+        c = build()
+        if len(_COLMEMO) > 512:
+            _COLMEMO.clear()
+        _COLMEMO[key] = c
+    return c
+
+
 def _emit_pairs(
     grouped: SDF,
     arr_col: str,
@@ -232,6 +255,30 @@ def _emit_pairs(
     # by O(m) RUN-SLICING on the sorted array (run starts -> one slice
     # per class) instead of a filter-per-rep scan. SURVEY §4.3 case
     # study #5.
+    # memo key: elect_key is fingerprinted by the expression string it
+    # produces on a probe column (2-3 py4j calls) — the lambdas at the
+    # call sites are pure field accessors / hashes, so equal strings
+    # mean equal expressions
+    _fp = str(elect_key(F.col("__fp_probe__")))
+
+    def _build_election_cols():
+        return _build_emit_election_cols(
+            arr_col, elect_key, elect_threshold, link_reps
+        )
+
+    g0_cols, g1_cols = _colmemo(
+        ("emit_ub", arr_col, elect_threshold, bool(link_reps), _fp),
+        _build_election_cols,
+    )
+    g1 = grouped.select(*g0_cols).select(*g1_cols)
+    return _emit_pairs_units(g1, "__ss__", arr_col, chunk)
+
+
+def _build_emit_election_cols(arr_col, elect_key, elect_threshold, link_reps):
+    """Column construction for `_emit_pairs`' election rewrite —
+    extracted so `_colmemo` can reuse the (immutable) trees across
+    calls. Body unchanged from the in-line r6 form; see the block
+    comments in `_emit_pairs` for why the structure is what it is."""
     arr = F.col(arr_col)
 
     def _units_of(kd_):
@@ -299,7 +346,7 @@ def _emit_pairs(
         ),
         1,
     )
-    g0 = grouped.select(ub.alias("__ub__"), arr.alias("__raw__"))
+    g0_cols = [ub.alias("__ub__"), arr.alias("__raw__")]
     ubc = F.col("__ub__")
     # TWO parallel columns per bucket row: the BARE anchor array the
     # emission posexplodes and tail-slices exactly as r5 (organic rows
@@ -308,13 +355,13 @@ def _emit_pairs(
     # star-target lists aligned with the bare array — NULL on organic
     # rows, so the per-anchor star lookup is a null-propagating
     # element_at that costs one null check on organic data
-    g1 = g0.select(
+    g1_cols = [
         F.when(ubc.isNotNull(), ubc["b"])
         .otherwise(F.col("__raw__"))
         .alias(arr_col),
         F.when(ubc.isNotNull(), ubc["s"]).alias("__ss__"),
-    )
-    return _emit_pairs_units(g1, "__ss__", arr_col, chunk)
+    ]
+    return g0_cols, g1_cols
 
 
 def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
@@ -345,29 +392,65 @@ def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
     pipeline breaker between the two explodes. Organic rows (NULL
     stars) cost the overflow branch zero rows, and its upstream scan
     reuses the grouped aggregate's exchange like the small/big pair
-    branches do. Returns ``__a__``/``__b__`` (bare element type)."""
+    branches do. Returns ``__a__``/``__b__`` (bare element type).
+
+    r13: every Column below is a pure function of (bare_col, stars_col,
+    chunk), so the whole set is built once per shape via `_colmemo`
+    (same trees, a fraction of the py4j cost)."""
+    c = _colmemo(
+        ("emit_units", bare_col, stars_col, chunk),
+        lambda: _build_emit_units_cols(bare_col, stars_col, chunk),
+    )
+    small_pairs = grouped.where(c["small_pred"]).select(*c["ex_cols"]).select(
+        *c["small_out"]
+    )
+    step2 = grouped.where(c["big_pred"]).select(*c["step1_cols"]).select(
+        *c["step2_cols"]
+    )
+    # pinned partition count — AQE byte-based coalescing would
+    # re-serialize the chunk-pair explosion (see _emit_pairs_impl)
+    n_part = grouped.sparkSession.sparkContext.defaultParallelism * 2
+    big_pairs = (
+        step2.repartition(n_part, *c["spread_keys"])
+        .select(*c["ex2_cols"])
+        .select(*c["big_out"])
+    )
+    star_pairs = (
+        grouped.where(c["stars_notnull"])
+        .select(*c["z1_cols"])
+        .select(*c["z2_cols"])
+        .select(*c["z3_cols"])
+        .where(c["ovf_pred"])
+        .select(*c["seg_cols"])
+        .repartition(n_part, *c["seg_keys"])
+        .select(*c["star_out"])
+    )
+    return small_pairs.unionByName(big_pairs).unionByName(star_pairs)
+
+
+def _build_emit_units_cols(bare_col: str, stars_col: str, chunk: int) -> dict:
+    """Column construction for `_emit_pairs_units`, extracted verbatim
+    for `_colmemo` reuse (see the docstring above for the plan shape)."""
     bare = F.col(bare_col)
     inline_ok = lambda s: s.isNotNull() & (F.size(s) > 0) & (  # noqa: E731
         F.size(s) <= F.lit(chunk)
     )
 
-    small = grouped.where(F.size(bare) <= chunk)
-    ex = small.select(
+    small_pred = F.size(bare) <= chunk
+    ex_cols = [
         F.posexplode(bare_col).alias("__i__", "__a__"),
         bare.alias("__arr__"),
         F.col(stars_col).alias("__ss__"),
-    )
+    ]
     tail = F.slice(F.col("__arr__"), F.col("__i__") + 2, F.size("__arr__"))
     # NULL __ss__ (organic row) or empty/oversize star list -> just the
     # tail; the element_at index is always in-bounds (__ss__ aligned
     # with the bare array), NULL input null-propagates
     st = F.element_at(F.col("__ss__"), F.col("__i__") + 1)
     targets = F.when(inline_ok(st), F.concat(tail, st)).otherwise(tail)
-    small_pairs = ex.select(
-        F.col("__a__"), F.explode(targets).alias("__b__")
-    )
+    small_out = [F.col("__a__"), F.explode(targets).alias("__b__")]
 
-    big = grouped.where(F.size(bare) > chunk)
+    big_pred = F.size(bare) > chunk
     m = F.size(bare)
     # csz first, nch derived: the chunk size floors at ``chunk`` and
     # grows as ceil(m/256) for pathological groups, so nch <= 256 (the
@@ -385,16 +468,16 @@ def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
             ),
         )
     )
-    step1 = big.select(
+    step1_cols = [
         bare.alias("__arr__"),
         F.col(stars_col).alias("__ss__"),
         csz.alias("__csz__"),
         F.explode(idx_pairs).alias("__p__"),
-    )
+    ]
     # star slices ride only the DIAGONAL chunk-pairs (where they are
     # consumed): off-diagonal rows carry NULL, so the star payload
     # crosses the exchange exactly once
-    step2 = step1.select(
+    step2_cols = [
         F.col("__p__.i").alias("__ci__"),
         F.col("__p__.j").alias("__cj__"),
         F.slice(
@@ -421,20 +504,17 @@ def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
                 lambda s: F.when(F.size(s) <= F.lit(chunk), s),
             ),
         ).alias("__cs__"),
-    )
-    # pinned partition count — AQE byte-based coalescing would
-    # re-serialize the chunk-pair explosion (see _emit_pairs_impl)
-    n_part = grouped.sparkSession.sparkContext.defaultParallelism * 2
-    spread = step2.repartition(
-        n_part, F.col("__ci__"), F.col("__cj__"), F.xxhash64(F.col("__cb__"))
-    )
-    ex2 = spread.select(
+    ]
+    spread_keys = [
+        F.col("__ci__"), F.col("__cj__"), F.xxhash64(F.col("__cb__"))
+    ]
+    ex2_cols = [
         F.col("__ci__"),
         F.col("__cj__"),
         F.col("__cb__"),
         F.col("__cs__"),
         F.posexplode("__ca__").alias("__i__", "__a__"),
-    )
+    ]
     tail2 = F.when(
         F.col("__ci__") == F.col("__cj__"),
         F.slice(F.col("__cb__"), F.col("__i__") + 2, F.size("__cb__")),
@@ -443,54 +523,99 @@ def _emit_pairs_units(grouped: SDF, stars_col: str, bare_col: str,
     targets2 = F.when(
         st2.isNotNull() & (F.size(st2) > 0), F.concat(tail2, st2)
     ).otherwise(tail2)
-    big_pairs = ex2.select(
-        F.col("__a__"), F.explode(targets2).alias("__b__")
-    )
+    big_out = [F.col("__a__"), F.explode(targets2).alias("__b__")]
 
     # overflow branch: (rep, star-segment) rows for star lists the
     # inline paths refused. zip first (one Generate row per anchor —
     # the bare array never rides along duplicated), filter to the rare
     # oversize lists, two-stage explode with the exchange in between.
-    zipped = (
-        grouped.where(F.col(stars_col).isNotNull())
-        .select(F.col(bare_col).alias("__mm__"), F.col(stars_col).alias("__sl__"))
-        .select(F.explode(F.arrays_zip("__mm__", "__sl__")).alias("__z__"))
-        .select(
-            F.col("__z__.__mm__").alias("__a__"),
-            F.col("__z__.__sl__").alias("__st__"),
-        )
-        .where(F.size("__st__") > chunk)
-    )
+    stars_notnull = F.col(stars_col).isNotNull()
+    z1_cols = [
+        F.col(bare_col).alias("__mm__"), F.col(stars_col).alias("__sl__")
+    ]
+    z2_cols = [F.explode(F.arrays_zip("__mm__", "__sl__")).alias("__z__")]
+    z3_cols = [
+        F.col("__z__.__mm__").alias("__a__"),
+        F.col("__z__.__sl__").alias("__st__"),
+    ]
+    ovf_pred = F.size("__st__") > chunk
     nseg = F.ceil(F.size("__st__") / F.lit(chunk)).cast("int")
     segments = F.transform(
         F.sequence(F.lit(0), nseg - 1),
         lambda c: F.slice(F.col("__st__"), c * F.lit(chunk) + 1, F.lit(chunk)),
     )
-    seg_rows = zipped.select(F.col("__a__"), F.explode(segments).alias("__sc__"))
-    seg_spread = seg_rows.repartition(
-        n_part, F.col("__a__"), F.xxhash64(F.col("__sc__"))
-    )
-    star_pairs = seg_spread.select(
-        F.col("__a__"), F.explode("__sc__").alias("__b__")
-    )
+    seg_cols = [F.col("__a__"), F.explode(segments).alias("__sc__")]
+    seg_keys = [F.col("__a__"), F.xxhash64(F.col("__sc__"))]
+    star_out = [F.col("__a__"), F.explode("__sc__").alias("__b__")]
 
-    return small_pairs.unionByName(big_pairs).unionByName(star_pairs)
+    return {
+        "small_pred": small_pred,
+        "ex_cols": ex_cols,
+        "small_out": small_out,
+        "big_pred": big_pred,
+        "step1_cols": step1_cols,
+        "step2_cols": step2_cols,
+        "spread_keys": spread_keys,
+        "ex2_cols": ex2_cols,
+        "big_out": big_out,
+        "stars_notnull": stars_notnull,
+        "z1_cols": z1_cols,
+        "z2_cols": z2_cols,
+        "z3_cols": z3_cols,
+        "ovf_pred": ovf_pred,
+        "seg_cols": seg_cols,
+        "seg_keys": seg_keys,
+        "star_out": star_out,
+    }
 
 
 def _emit_pairs_impl(grouped: SDF, arr_col: str, chunk: int) -> SDF:
     """The r5 emission machinery (small zero-shuffle path + salted
-    chunk-pair path) — see `_emit_pairs` for the contract."""
+    chunk-pair path) — see `_emit_pairs` for the contract. r13: the
+    Column set is pure in (arr_col, chunk) and memoized via
+    `_colmemo`."""
+    c = _colmemo(
+        ("emit_impl", arr_col, chunk),
+        lambda: _build_emit_impl_cols(arr_col, chunk),
+    )
+    small_pairs = (
+        grouped.where(c["small_pred"])
+        .select(*c["ex_cols"])
+        .select(*c["small_out"])
+    )
+    step2 = grouped.where(c["big_pred"]).select(*c["step1_cols"]).select(
+        *c["step2_cols"]
+    )
+    # hash-spread the chunk-pairs: (ci, cj, content-hash) is unique per
+    # group x chunk-pair, so one hot bucket's emission parallelizes.
+    # The partition count is pinned EXPLICITLY: AQE's coalescing sizes
+    # partitions by shuffle BYTES, but a chunk-pair's cost is its
+    # downstream chunk^2 pair explosion (~32 KB of input -> ~4M pairs),
+    # so byte-based coalescing would re-serialize the hot bucket into
+    # one task — the exact failure this path exists to break up.
+    n_part = grouped.sparkSession.sparkContext.defaultParallelism * 2
+    big_pairs = (
+        step2.repartition(n_part, *c["spread_keys"])
+        .select(*c["ex2_cols"])
+        .select(*c["big_out"])
+    )
+    return small_pairs.unionByName(big_pairs)
+
+
+def _build_emit_impl_cols(arr_col: str, chunk: int) -> dict:
+    """Column construction for `_emit_pairs_impl`, extracted verbatim
+    for `_colmemo` reuse."""
     arr = F.col(arr_col)
 
-    small = grouped.where(F.size(arr) <= chunk)
-    ex = small.select(
+    small_pred = F.size(arr) <= chunk
+    ex_cols = [
         F.posexplode(arr_col).alias("__i__", "__a__"),
         F.col(arr_col).alias("__arr__"),
-    )
+    ]
     tail = F.slice(F.col("__arr__"), F.col("__i__") + 2, F.size("__arr__"))
-    small_pairs = ex.select(F.col("__a__"), F.explode(tail).alias("__b__"))
+    small_out = [F.col("__a__"), F.explode(tail).alias("__b__")]
 
-    big = grouped.where(F.size(arr) > chunk)
+    big_pred = F.size(arr) > chunk
     m = F.size(arr)
     # csz first, nch derived: the chunk size floors at ``chunk`` and
     # grows as ceil(m/256) for pathological groups, so nch <= 256 (the
@@ -510,12 +635,12 @@ def _emit_pairs_impl(grouped: SDF, arr_col: str, chunk: int) -> SDF:
             ),
         )
     )
-    step1 = big.select(
+    step1_cols = [
         arr.alias("__arr__"),
         csz.alias("__csz__"),
         F.explode(idx_pairs).alias("__p__"),
-    )
-    step2 = step1.select(
+    ]
+    step2_cols = [
         F.col("__p__.i").alias("__ci__"),
         F.col("__p__.j").alias("__cj__"),
         F.slice(
@@ -528,24 +653,16 @@ def _emit_pairs_impl(grouped: SDF, arr_col: str, chunk: int) -> SDF:
             F.col("__p__.j") * F.col("__csz__") + 1,
             F.col("__csz__"),
         ).alias("__cb__"),
-    )
-    # hash-spread the chunk-pairs: (ci, cj, content-hash) is unique per
-    # group x chunk-pair, so one hot bucket's emission parallelizes.
-    # The partition count is pinned EXPLICITLY: AQE's coalescing sizes
-    # partitions by shuffle BYTES, but a chunk-pair's cost is its
-    # downstream chunk^2 pair explosion (~32 KB of input -> ~4M pairs),
-    # so byte-based coalescing would re-serialize the hot bucket into
-    # one task — the exact failure this path exists to break up.
-    n_part = grouped.sparkSession.sparkContext.defaultParallelism * 2
-    spread = step2.repartition(
-        n_part, F.col("__ci__"), F.col("__cj__"), F.xxhash64(F.col("__ca__"))
-    )
-    ex2 = spread.select(
+    ]
+    spread_keys = [
+        F.col("__ci__"), F.col("__cj__"), F.xxhash64(F.col("__ca__"))
+    ]
+    ex2_cols = [
         F.col("__ci__"),
         F.col("__cj__"),
         F.col("__cb__"),
         F.posexplode("__ca__").alias("__i__", "__a__"),
-    )
+    ]
     # diagonal chunk-pair (ci == cj): tail-slice within the chunk
     # (ca == cb there); off-diagonal: every (a in ca, b in cb) is an
     # ordered pair because the source array is sorted and cj > ci
@@ -553,9 +670,19 @@ def _emit_pairs_impl(grouped: SDF, arr_col: str, chunk: int) -> SDF:
         F.col("__ci__") == F.col("__cj__"),
         F.slice(F.col("__cb__"), F.col("__i__") + 2, F.size("__cb__")),
     ).otherwise(F.col("__cb__"))
-    big_pairs = ex2.select(F.col("__a__"), F.explode(tail2).alias("__b__"))
+    big_out = [F.col("__a__"), F.explode(tail2).alias("__b__")]
 
-    return small_pairs.unionByName(big_pairs)
+    return {
+        "small_pred": small_pred,
+        "ex_cols": ex_cols,
+        "small_out": small_out,
+        "big_pred": big_pred,
+        "step1_cols": step1_cols,
+        "step2_cols": step2_cols,
+        "spread_keys": spread_keys,
+        "ex2_cols": ex2_cols,
+        "big_out": big_out,
+    }
 
 
 def _elect_audit(
