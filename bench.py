@@ -147,7 +147,11 @@ ANCHOR = {
     # exchange (byte anchor re-pinned below). Text-family anchors
     # q21/q24/q86/q127/q128/q141 re-pinned downward for the same
     # change, ~10% above the r7 normalized measurement each.
-    "q19_minhash_pairs": 1.75,
+    # RE-PINNED r13 (was 1.75): pair-emitter Column-tree memo + the
+    # scan-handle registry removed ~1 s of per-build driver cost;
+    # measured 1.425 s at machine factor 1.006, pinned +9%. Byte pin
+    # unchanged (2271686 B exactly) — pure driver-side.
+    "q19_minhash_pairs": 1.55,
     "q21_ngram_jaccard": 1.6,
     "q22_ann_brute_force": 0.454,
     "q23_ann_lsh": 0.912,
@@ -162,7 +166,11 @@ ANCHOR = {
     # cost, and the r11 string probe reads 1.2-1.5x the CPU probe's
     # factor on the same windows). Quietest-window decomposition:
     # 0.769 s at CPU probe factor 1.30 => 0.59 anchor-era; pinned +2%.
-    "q24_text_stats": 0.60,
+    # RE-PINNED r13 (was 0.60): the token/quality/language stats
+    # builders are generated SQL text (one F.expr per output column,
+    # ~0.5 s less construction per build); measured 0.348 s at machine
+    # factor 1.006, pinned +9%. Plan shape unchanged (Exchange 2->2).
+    "q24_text_stats": 0.38,
     "q27_rec_ops": 0.734,
     "q37_asof_join": 0.336,
     "q41_bpe_tokenize": 0.917,
@@ -175,13 +183,22 @@ ANCHOR = {
     # real corpus (the resolved plan and its bytes are identical:
     # vs_shuffle_anchor 1.00). Decomposition: 1.561 + 0.40 = 1.96.
     "q42_cosine_dedup": 1.96,
-    "q45_llm_pipeline": 0.869,
+    # RE-PINNED r13 (was 0.869): the lang re-attach self-join is gone
+    # (text_stats keep_cols — doc_id unique, projection proven equal)
+    # and the stats construction is SQL text; Exchange 14 -> 8
+    # (plans/r13). Measured 0.569 s at machine factor 1.006, +9%.
+    "q45_llm_pipeline": 0.62,
     "q80_hll_distinct": 0.462,
     "q81_local_supplier_volume": 0.913,
     "q82_funnel": 0.49,
     "q86_strip_duplicate_spans": 0.57,
     "q92_order_priority_exists": 0.517,
-    "q98_market_share": 0.979,
+    # RE-PINNED r13 (was 0.979): no plan/code change on this path
+    # (plans/r13 before/after identical modulo expr ids) — the win is
+    # the session scan-handle registry + spread-decision memo cutting
+    # fixed per-build driver cost every query paid. Measured 0.578 s
+    # at machine factor 1.006, pinned +9%.
+    "q98_market_share": 0.63,
     "q100_returned_top_customers": 0.568,
     "q102_waiting_suppliers": 0.944,
     "q105_heavy_hitters": 0.541,
@@ -213,7 +230,10 @@ ANCHOR = {
     "q43_jaccard_prefix": 4.95,
     "q126_multimodal_decode": 0.898,
     "q127_lm_quality": 1.05,
-    "q128_gopher_filter": 0.55,
+    # RE-PINNED r13 (was 0.55): gopher_filter's signal block + CASE
+    # ladder ride as generated SQL text (~0.2 s less construction);
+    # measured 0.257 s at machine factor 1.006, pinned +9%.
+    "q128_gopher_filter": 0.28,
     "q129_curation_pipeline": 2.185,
     # RE-PINNED r12 (was 0.342, an r3-era first measurement) closing
     # the r11 drift-adjusted flag the VERDICT graded `weak`: the r12
@@ -240,9 +260,17 @@ ANCHOR = {
     # both steps in SQL) — one more full corpus scan + k x dim decimal
     # aggregate is new WORK, not a regression (bytes re-pinned +1.6%
     # alongside; measured 7.66 s at factor 1.396 = 5.49 anchor-era)
-    "q138_kmeans_semantic_dedup": 5.49,
+    # RE-PINNED r13 (was 5.49): the Lloyd centroid-update aggregate is
+    # two F.expr calls (count + one array-of-decimal-sums) instead of
+    # dim+1 Column-API calls per iteration (~0.6 s/iter of py4j at
+    # dim 64); fit A/B ~2x, bit-identical centroids. Measured 4.256 s
+    # at machine factor 1.006, pinned +8%.
+    "q138_kmeans_semantic_dedup": 4.6,
     "q139_term_stats": 0.337,
-    "q140_logreg_quality": 0.716,
+    # RE-PINNED r13 (was 0.716): logreg gradient aggregates ride as
+    # generated SQL text per iteration (fit equality pinned exact);
+    # measured 0.455 s at machine factor 1.006, pinned +10%.
+    "q140_logreg_quality": 0.50,
     "q141_decontaminate": 0.77,
     "q142_audio_decode": 0.277,
     "q143_video_container": 0.241,
@@ -256,11 +284,22 @@ ANCHOR = {
     # not survive the host's string-throughput decay. q144's r10
     # 1.93x flag is closed as anchor rot with this decomposition.
     "q144_url_dedup": 0.50,
-    "q145_modern_curation": 4.551,
+    # RE-PINNED r13 (was 4.551): two rejoin cuts — d2/d3 re-anchor
+    # their semi-joins on the base docs frame (k3/g id-subset proof in
+    # OPTIMIZATION_r13.md), so the final action stops re-executing the
+    # url-dedup + gopher chain; Exchange 42 -> 18 (plans/r13), byte
+    # pin re-pinned DOWN alongside (42098). Measured 2.684 s at
+    # machine factor 1.006, pinned +8%.
+    "q145_modern_curation": 2.9,
     # r9 first measurement: 1.501 s steady best-of-3 at probe factor
     # 1.240 -> 1.211 normalized (synth + baseline JPEG decode of 5k
     # documents' streams through the Arrow batch path)
-    "q152_jpeg_decode": 1.211,
+    # RE-PINNED r13 (was 1.211): T.81 K.3 Huffman tables and code maps
+    # are memoized by (bits, values) content — 8 identical rebuilds per
+    # document gone (kernel A/B 1.3 -> 0.88 s per 2000 docs, bit-exact,
+    # r12 implementations kept as in-test references). Measured 0.890 s
+    # at machine factor 1.006, pinned +8%.
+    "q152_jpeg_decode": 0.96,
     # r9 session-2 first measurements, steady best-of-3, probe factor
     # recorded per run (1.623-1.792 on this host):
     # q156: GIF synth (real LZW encode) + decode of 5k streams, sized
@@ -279,7 +318,11 @@ ANCHOR = {
     # kernel at sf0.1 doc lengths). Quiet-window measurement post-fix:
     # 1.197 s steady inside a 1.0-1.86x probe bracket => ~0.85
     # anchor-era; pinned there.
-    "q157_cdc_dedup": 0.85,
+    # RE-PINNED r13 (was 0.85): measured 0.723 s at machine factor
+    # 1.006 with the overflow-safe vectorized cuts (ADVICE r12 fix)
+    # and the scan-handle registry; pinned +8%. Byte pin unchanged
+    # at 7535289.
+    "q157_cdc_dedup": 0.78,
     # RE-PINNED r12 (was 1.017, the r9-session-2 first measurement)
     # closing the r11 drift-adjusted flag graded `weak`: the r12
     # quiet-window adjudication measured 1.524-1.701 s across SIX
@@ -291,7 +334,12 @@ ANCHOR = {
     # a host decay mode no probe tracks or an unusually fast pin
     # window — either way the plan never changed: anchor rot.
     # Re-pinned to the quiet-window median.
-    "q158_web_ingest_curation": 1.55,
+    # RE-PINNED r13 (was 1.55, itself an r12 anchor-rot loosening the
+    # VERDICT kept on watch): the textstats/gopher SQL-text builders
+    # cut ~0.5 s of per-build construction on this composition;
+    # measured 1.068 s at machine factor 1.006, pinned +8% — back
+    # UNDER the pre-r12 1.017 pin, closing the watch.
+    "q158_web_ingest_curation": 1.15,
     # r10 first measurements. q166: the WARC->pack capstone — wall is
     # stage-count overhead + Python parse (synth + WARC + charset +
     # extract + repair), measured 23.5 s steady on a quiet host
@@ -326,7 +374,13 @@ ANCHOR = {
     # 13.32 s steady inside a 1.0-1.86x probe bracket => ~9.5
     # anchor-era; pinned +2%. Byte pin re-pinned alongside (8910716,
     # -3.2% — the re-executed CC-iteration exchanges are gone).
-    "q166_commoncrawl_capstone": 9.7,
+    # RE-PINNED r13 (was 9.7): the d2/d3 rejoin cut (see q145) keeps
+    # the probe side from re-executing the domain filter + robots
+    # join; byte pin re-pinned +7.3% alongside (9565514, the probe-
+    # side swap moves slightly more rows through the d3 semi-join).
+    # Measured 7.712 s median-of-3 in the deferred-adjudication quiet
+    # window at machine factor 1.006, pinned +8%.
+    "q166_commoncrawl_capstone": 8.3,
     "q167_robots_multihost": 0.72,
     # r11 first measurements, probe-bracketed on an oscillating host
     # (factors 1.0x-29x within minutes; pins use the quietest
@@ -337,7 +391,10 @@ ANCHOR = {
     # E-step UDF) + held-out segmentation.
     "q170_ann_quantized_rerank": 1.9,
     "q171_ann_ivf_int8": 1.75,
-    "q172_gif_animation": 0.9,
+    # RE-PINNED r13 (was 0.9): int-keyed LZW tables + numpy palette
+    # pack (see q156 kernel A/B); measured 0.691 s at machine factor
+    # 1.006, pinned +9%.
+    "q172_gif_animation": 0.75,
     # RE-PINNED r12-opt (was 2.85): unigram_train's word-type table is
     # lineage-cut, so the fit's seed collects and E-step stop
     # re-scanning the corpus (3+ scans -> 1; same-session A/B on the
