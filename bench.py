@@ -469,9 +469,17 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q37_asof_join": 850008,     # r9 re-pin (was 806733, +5.4% r6 framing; bit-identical r7->r8)
     "q41_bpe_tokenize": 0,
     "q42_cosine_dedup": 557556,
-    "q45_llm_pipeline": 854218,    # was 713249; +140969 r6 framing
-                                   # spread over the composite's
-                                   # dedup+agg exchanges
+    # RE-PINNED r13-s2 (was 854218 = 713249 + 140969 r6 framing; the
+    # r13 keep_cols self-join cut had already brought the measured
+    # value back to 713680 — BENCH_full_r13.json — leaving the dict
+    # pin stale-high). New decomposition: 713680 (r13 measured) +
+    # 289414 (textstats pushdown_barrier: the stop-ratio gate filter
+    # no longer sinks below the narrow-source spread, so the spread
+    # exchange carries the PRE-gate rows' text — the price of running
+    # the quality gate in 32 tasks instead of the scan's one; same
+    # mechanism as q129's exact decomposition) = 1003094 measured at
+    # sf0.1, oracle hash-clean at sf0.001+sf0.01.
+    "q45_llm_pipeline": 1003094,
     "q80_hll_distinct": 146270,
     "q81_local_supplier_volume": 531,
     "q82_funnel": 1885026,       # r9 re-pin (was 1932570, -2.5%; bit-identical r7->r8)
@@ -547,7 +555,10 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # lineage-cuts its edge list, so the CC label iterations stop
     # re-executing the pair pipeline's exchanges (measured 8910716,
     # driver_sim hash-clean).
-    "q166_commoncrawl_capstone": 8910716,
+    # RE-PINNED r13 (+7.3%): the d2/d3 rejoin cut moves slightly more
+    # rows through the d3 semi-join (see the wall-anchor entry, which
+    # recorded this value; the dict entry was missed — fixed r13-s2).
+    "q166_commoncrawl_capstone": 9565514,
     "q167_robots_multihost": 3315,
     # r11 pins. q170: broadcast query side + bounded candidate window
     # only. q171: + the cell-assignment HashAggregate carrying int8
@@ -570,13 +581,29 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # exchange of the gated document columns before the composite's
     # per-row compute — spark.torcharrow.spreadNarrowSource=false
     # reproduces EXACTLY the r6 value 136743, re-measured this round)
-    # = 150890, bit-identical r7->r8->r9.
-    "q129_curation_pipeline": 150890,
+    # = 150890, bit-identical r7->r8->r9 (superseded below).
+    # RE-PINNED r13-s2, exact two-component decomposition: the
+    # pushdown_barrier (operators/preprocess.py) stops the Gopher
+    # keep-filter from sinking below the narrow-source spread, so the
+    # spread's round-robin exchange now carries the PRE-gate
+    # (doc_id, text) rows — measured 851481 B, byte-identical to
+    # q128_gopher_filter's pin (the same ungated spread) — plus the
+    # unchanged conf-isolated no-spread components 136743 B
+    # (spreadNarrowSource=false reproduces it) = 988224. The win this
+    # buys: the gate's signal battery runs in 32 tasks instead of the
+    # scan's one (2.03 -> 0.87 s steady at sf0.1).
+    "q129_curation_pipeline": 988224,
     "q130_grouped_cdf": 915,
     # r6: +1.6% from the election branch plan shape (zero rows on
     # organic data) + the second Lloyd step
     "q138_kmeans_semantic_dedup": 588954,
-    "q139_term_stats": 1641449,
+    # RE-PINNED r13-s2 (was 1641449, +3.7%): stale-pin correction, NOT
+    # barrier-caused — the r13 final driver-format bench already
+    # measured 1702472 (BENCH_full_r13.json) on a plan this session's
+    # normalized sweep shows UNCHANGED, and the same value reproduces
+    # after the barrier. The +3.7% dates to the r13 textstats SQL-text
+    # re-form and sat under the 25% gate unflagged.
+    "q139_term_stats": 1702472,
     "q140_logreg_quality": 380,
     "q141_decontaminate": 1776788,
     "q142_audio_decode": 0,
@@ -594,7 +621,15 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # matching the source's column bytes) = 89397, bit-identical across
     # the r7 driver run and two local re-measurements of the unchanged
     # plan.
-    "q145_modern_curation": 89397,
+    # RE-PINNED r13 to 42098 (the d2/d3 rejoin cuts dropped the
+    # url-dedup exchange from the probe path; the wall-anchor comment
+    # recorded the value but this dict entry was missed — fixed
+    # r13-s2). RE-PINNED AGAIN r13-s2: the textstats pushdown_barrier
+    # moves the PRE-gate document columns through the gopher spread
+    # exchange (+71185 B vs the post-gate subset — same mechanism and
+    # exact-decomposition discipline as q129's entry) = 113283
+    # measured at sf0.1, oracle hash-clean at sf0.001+sf0.01.
+    "q145_modern_curation": 113283,
     # r12 first measurements: four fixed-width hash exchanges
     # (per-doc-distinct, per-gram count, join-back, run merge); the
     # strip row adds the per-doc span collect + mask join

@@ -399,13 +399,24 @@ def test_shuffle_payloads_are_narrow(spark, sf_dir):
 def test_curation_pipeline_shuffles_hashes_not_text(spark, sf_dir):
     """q129 end-to-end: after the zero-shuffle gate, the dedup and
     packing exchanges carry ids, hashes and token counts — the corpus
-    text stays in the scan stage and never crosses the network."""
+    text stays in the scan stage and never crosses the network.
+
+    Pinned under ``_no_spread`` like test_shuffle_payloads_are_narrow:
+    on the bench's single-split table the narrow-source spread fires
+    and its ROUND-ROBIN exchange moves the source's bytes by design
+    (r13: the gate evaluates ABOVE that exchange behind a
+    pushdown_barrier, so the spread actually parallelizes it) — the
+    organic-scale guarantee this test pins is that no KEYED exchange
+    ever carries text."""
     from torcharrow_spark.plans import shuffle_payloads
 
-    payloads = shuffle_payloads(QUERIES["q129_curation_pipeline"](spark, sf_dir))
-    assert len(payloads) >= 2
-    for e in payloads:
-        assert "text" not in e["columns"], e
+    with _no_spread(spark):
+        payloads = shuffle_payloads(
+            QUERIES["q129_curation_pipeline"](spark, sf_dir)
+        )
+        assert len(payloads) >= 2
+        for e in payloads:
+            assert "text" not in e["columns"], e
 
 
 def test_r5_operator_plan_shapes(spark, sf_dir):
@@ -463,3 +474,42 @@ def test_spread_narrow_source_plan(spark, sf_dir):
     with _no_spread(spark):
         stats_off = plan_stats(QUERIES["q24_text_stats"](spark, sf_dir))
     assert stats_off["exchanges"] == 0, stats_off
+
+
+def test_pushdown_barrier_keeps_gate_above_spread(spark, sf_dir):
+    """r13-s2: a consumer's ``.where(keep)`` over gopher_filter must
+    NOT sink below the narrow-source spread into the single-split scan
+    (measured 1.86 s single-threaded vs 0.35 s parallel at sf0.1).
+    Pins: (a) the fired spread wraps the stats in a CollectMetrics
+    barrier and the scan's DataFilters stay empty — the signal CASE
+    evaluates above the round-robin exchange; (b) rows are identical
+    with the spread (and therefore the barrier) disabled; (c) with the
+    spread off no barrier node appears, preserving organic-scale
+    scan-level pushdown."""
+    from pyspark.sql import functions as F
+
+    from torcharrow_spark.operators import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gate():  # q129's corpus-tuned params: non-empty at every SF
+        return (
+            gopher_filter(docs, min_words=30, max_dup_word_frac=0.6)
+            .where(F.col("keep"))
+            .select("doc_id")
+        )
+
+    gated = gate()
+    text = formatted_plan(gated)
+    assert "CollectMetrics" in text, text[:2000]
+    assert "RoundRobinPartitioning" in text
+    # the giant keep-CASE must not ride the scan: its DataFilters may
+    # hold at most trivial predicates, never a CASE ladder
+    m = re.search(r"DataFilters: \[([^\n]*)\]", text)
+    assert m is None or "CASE WHEN" not in m.group(1), m.group(0)[:500]
+    rows = sorted(r.doc_id for r in gated.collect())
+    with _no_spread(spark):
+        plain = gate()
+        assert "CollectMetrics" not in formatted_plan(plain)
+        rows_off = sorted(r.doc_id for r in plain.collect())
+    assert rows == rows_off and len(rows) > 0

@@ -21,6 +21,40 @@ from pyspark.sql import functions as F
 #: string (see the r13 comment inside spread_narrow_source).
 _SPREAD_DECISIONS: dict = {}
 
+#: monotonically unique suffix for pushdown_barrier metric names (the
+#: analyzer requires observed-metrics names to be unique per query
+#: unless the subtrees are identical, which reused DataFrames are).
+import itertools as _itertools
+
+_BARRIER_IDS = _itertools.count()
+
+
+def pushdown_barrier(df: SDF) -> SDF:
+    """Stop Catalyst from pushing consumer FILTERS below this point
+    (r13, measured on q129): a deterministic predicate sinks through
+    Project (by alias substitution) and through RepartitionOperation,
+    so ``spread_narrow_source(df) -> heavy projection -> caller's
+    .where(signal)`` collapses back into the narrow FILE SCAN — the
+    giant signal expression then runs in the scan's single task and
+    the spread exchange above it spreads the already-filtered rows
+    (measured: the q129 Gopher gate at 1.86 s single-threaded vs
+    0.35 s behind this barrier at sf0.1, identical rows).
+
+    The barrier is a ``CollectMetrics`` node (``df.observe``) with one
+    ``count(1)`` metric: observed metrics must reflect exactly the
+    rows that pass through the node, so predicate pushdown through it
+    is forbidden BY DESIGN (it is not in PushPredicateThroughNonJoin's
+    ``canPushThrough`` set) — a supported, documented optimizer fence,
+    zero extra exchange, no row or schema change. The metric itself is
+    never read.
+
+    Use it ONLY above a fired spread (small-bytes, compute-heavy
+    source): on a healthy multi-split layout, pushing cheap predicates
+    into the scan is exactly what row-group skipping wants."""
+    return df.observe(
+        f"__ta_barrier_{next(_BARRIER_IDS)}__", F.count(F.lit(1)).alias("n")
+    )
+
 
 def spread_narrow_source(df: SDF) -> SDF:
     """Widen a NARROW file-backed plan before compute-heavy per-row

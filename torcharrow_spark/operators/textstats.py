@@ -180,15 +180,29 @@ def _with_words(
     consumers, so downstream signal expressions read the array instead
     of each re-running split(regexp_replace(...)) — the same rule as
     dedup._shingles (measured 6.5x there, ~2x across the fused stats
-    here)."""
-    from torcharrow_spark.operators.preprocess import spread_narrow_source
+    here).
 
-    return spread_narrow_source(df).select(
+    When the spread FIRED, the result is wrapped in a
+    ``pushdown_barrier`` (r13): a caller's ``.where(keep)`` over the
+    fused stats otherwise sinks below the spread exchange into the
+    narrow scan and the whole signal battery runs in ONE task
+    (measured 5.4x on the q129 gate; see pushdown_barrier's doc). On
+    healthy layouts the spread is a no-op and no barrier is added, so
+    organic-scale plans — and their scan-level predicate pushdown —
+    are untouched."""
+    from torcharrow_spark.operators.preprocess import (
+        pushdown_barrier,
+        spread_narrow_source,
+    )
+
+    src = spread_narrow_source(df)
+    out = src.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.col(text_col),
         _words(F.col(text_col)).alias("__w__"),
     )
+    return pushdown_barrier(out) if src is not df else out
 
 
 def token_count(df: SDF, text_col: str = "text", id_col: str = "doc_id") -> SDF:
