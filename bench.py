@@ -558,7 +558,12 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     # RE-PINNED r13 (+7.3%): the d2/d3 rejoin cut moves slightly more
     # rows through the d3 semi-join (see the wall-anchor entry, which
     # recorded this value; the dict entry was missed — fixed r13-s2).
-    "q166_commoncrawl_capstone": 9565514,
+    # RE-PINNED r13-s5 (-0.05%): connected_components' per-round
+    # convergence check no longer re-joins the label sets (the __chg__
+    # flag rides the checkpointed frame), removing the tiny per-round
+    # label exchange (9565514 -> 9561054, qbench; driver_sim
+    # hash-clean at sf0.001+sf0.01).
+    "q166_commoncrawl_capstone": 9561054,
     "q167_robots_multihost": 3315,
     # r11 pins. q170: broadcast query side + bounded candidate window
     # only. q171: + the cell-assignment HashAggregate carrying int8

@@ -1833,11 +1833,17 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the round's starting label through as __old__ so
+        # convergence is a filter-count on the checkpointed frame —
+        # the r12 form re-joined jumped against labels on id (one more
+        # exchange of both label sets per round) to recover the same
+        # bit of information (r13, guide §2.4)
         stepped = (
             labels.join(nmin, labels["id"] == nmin["src"], "left")
             .select(
                 labels["id"],
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                labels["label"].alias("__old__"),
             )
         )
         parents = stepped.select(
@@ -1848,16 +1854,20 @@ def connected_components(
             .select(
                 stepped["id"],
                 F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+                stepped["__old__"],
+            )
+            .select(
+                "id",
+                "label",
+                (F.col("label") != F.col("__old__")).alias("__chg__"),
             )
         )
-        jumped = lineage_cut(jumped, eager=True)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        # lazy cut: the changed-count action below materializes the
+        # checkpoint as it runs, so each round is ONE Spark job (the
+        # r12 form paid an eager-checkpoint job plus a count job)
+        jumped = lineage_cut(jumped)
+        changed = jumped.where(F.col("__chg__")).count()
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
