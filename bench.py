@@ -601,7 +601,12 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q130_grouped_cdf": 915,
     # r6: +1.6% from the election branch plan shape (zero rows on
     # organic data) + the second Lloyd step
-    "q138_kmeans_semantic_dedup": 588954,
+    # RE-PINNED r13-s5 (was 588954): qbench measured 605766 (+2.9%,
+    # under the gate — stale drift predating this session) BEFORE the
+    # Arrow pair kernel and 605751 after it; the kernel replaces the
+    # pair-explosion branch with a mapInArrow drop-id frame (wall
+    # 4.16 -> 2.72 s steady; driver_sim hash-clean sf0.001+sf0.01).
+    "q138_kmeans_semantic_dedup": 605751,
     # RE-PINNED r13-s2 (was 1641449, +3.7%): stale-pin correction, NOT
     # barrier-caused — the r13 final driver-format bench already
     # measured 1702472 (BENCH_full_r13.json) on a plan this session's

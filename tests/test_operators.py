@@ -3477,6 +3477,53 @@ def test_semantic_dedup_election_output_identical(spark, monkeypatch):
     assert got[1000] and not got[1001] and got[1002]
 
 
+def test_semantic_dedup_kernel_matches_jvm_path(spark):
+    """r13 optimization pin: the Arrow pair kernel
+    (similarity._bucket_drop_ids) computes the EXACT output of the
+    legacy all-JVM pair plan — including Spark's NaN-compares-greatest
+    semantics, zip_with null padding on ragged/null vectors, and the
+    when() 0.0 fallback for non-positive norms. The conf flip keeps
+    both paths permanently comparable."""
+    from torcharrow_spark.operators.similarity import semantic_dedup
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),       # exact duplicate of 0
+        (2, [0.999, 0.01, 0.0, 0.0]),    # near-dup of 0
+        (3, None),                        # null vector -> cos 0.0
+        (4, [1.0, None, 0.0, 0.0]),      # null element -> null cos
+        (5, [nan, 0.0, 0.0, 0.0]),       # NaN norm/cos -> DROPS (NaN >= t)
+        (6, [0.0, 0.0, 0.0, 0.0]),       # zero norm -> cos 0.0
+        (7, [1.0, 0.0]),                 # ragged length -> null cos
+        (8, [inf, 0.0, 0.0, 0.0]),       # inf norm
+        (9, [-1.0, 0.0, 0.0, 0.0]),      # anti-parallel
+        (10, [0.6, 0.8, 0.0, 0.0]),
+        (11, [nan, 0.0, 0.0, 0.0]),      # NaN pair with 5: cos NaN drops 11
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    def run():
+        out = semantic_dedup(df, threshold=0.5, centroids=cents)
+        return sorted(
+            (r["vec_id"], r["cluster"], r["keep"]) for r in out.collect()
+        )
+
+    kernel = run()
+    spark.conf.set("spark.torcharrow.arrowPairKernels", "false")
+    try:
+        legacy = run()
+    finally:
+        spark.conf.unset("spark.torcharrow.arrowPairKernels")
+    assert kernel == legacy
+    keep = {i: k for i, _c, k in kernel}
+    assert keep[0] and not keep[1] and not keep[2]  # dup class collapses
+    assert keep[3] and keep[4] and keep[7]          # null cos never drops
+    assert keep[5] and not keep[11]                 # NaN cosine drops the
+    #                                                 higher id of the pair
+
+
 def test_bucket_audit_operators(spark):
     """minhash_bucket_audit / simhash_bucket_audit surface the buckets
     the policy collapses — the non-silent half of the r5 ask."""
