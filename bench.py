@@ -468,7 +468,12 @@ HEADLINE_SHUFFLE_ANCHOR: dict[str, int] = {
     "q27_rec_ops": 263,
     "q37_asof_join": 850008,     # r9 re-pin (was 806733, +5.4% r6 framing; bit-identical r7->r8)
     "q41_bpe_tokenize": 0,
-    "q42_cosine_dedup": 557556,
+    # RE-PINNED r13-s5 (+3.6%, was 557556): the Arrow pair-cosine
+    # kernel ships the xxhash64(v) election class key in the bucket
+    # struct (+8 B/member on the bucket exchange) so the kernel can
+    # replay the legacy election exactly; buys the pair stage 1.88 ->
+    # 0.66 s at sf0.1 (driver_sim hash-clean sf0.001+sf0.01).
+    "q42_cosine_dedup": 577897,
     # RE-PINNED r13-s2 (was 854218 = 713249 + 140969 r6 framing; the
     # r13 keep_cols self-join cut had already brought the measured
     # value back to 713680 — BENCH_full_r13.json — leaving the dict

@@ -3524,6 +3524,63 @@ def test_semantic_dedup_kernel_matches_jvm_path(spark):
     #                                                 higher id of the pair
 
 
+def test_cosine_pairs_kernel_matches_jvm_path(spark, monkeypatch):
+    """r13 optimization pin: the Arrow pair-cosine kernel
+    (similarity._bucket_pair_cosines) emits the EXACT rows of the
+    legacy JVM pair plan — same pair set (including the election's
+    thinned C(reps,2)+stars list when a duplicated class crosses the
+    onset), bit-identical cosine doubles, and the same hostile-input
+    semantics (null/ragged vectors never pass the threshold filter,
+    NaN cosines always do)."""
+    import math
+
+    import torcharrow_spark.operators.dedup as dd
+    from torcharrow_spark.operators.similarity import cosine_pairs
+
+    nan = float("nan")
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]  # dup class
+    rows += [
+        (100, [0.0, 1.0, 0.0, 0.0]),
+        (101, [0.0, 0.999, 0.01, 0.0]),
+        (102, None),
+        (103, [1.0, None, 0.0, 0.0]),
+        (104, [nan, 0.0, 0.0, 0.0]),
+        (105, [0.0, 0.0, 0.0, 0.0]),
+        (106, [1.0, 0.0]),
+        (107, [0.6, 0.8, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run():
+        out = cosine_pairs(df, threshold=0.5, n_planes=2)
+        return sorted(
+            (r["id_a"], r["id_b"], r["cosine"]) for r in out.collect()
+        )
+
+    def check_equal():
+        kern = run()
+        spark.conf.set("spark.torcharrow.arrowPairKernels", "false")
+        try:
+            legacy = run()
+        finally:
+            spark.conf.unset("spark.torcharrow.arrowPairKernels")
+        assert len(kern) == len(legacy)
+        for (a, b, c), (la, lb, lc) in zip(kern, legacy):
+            assert (a, b) == (la, lb)
+            assert c == lc or (math.isnan(c) and math.isnan(lc))
+        return kern
+
+    full = check_equal()
+    # force election: the 30-member duplicate class must THIN to
+    # C(reps,2) + stars on both paths — fewer rows than full emission
+    monkeypatch.setattr(dd, "DEFAULT_ELECT_THRESHOLD", 8)
+    elected = check_equal()
+    assert len(elected) < len(full)
+    # the dup class stays fully covered through its rep's stars
+    star_targets = {b for a, b, _ in elected if a == 0}
+    assert star_targets >= set(range(1, 30))
+
+
 def test_bucket_audit_operators(spark):
     """minhash_bucket_audit / simhash_bucket_audit surface the buckets
     the policy collapses — the non-silent half of the r5 ask."""

@@ -352,10 +352,20 @@ def test_pair_sites_use_bounded_emission(spark, sf_dir):
     a flatten(transform(...)) pair array materializes C(m, 2) structs
     in one value and OOMed the executor on hot simhash buckets at 10x
     scale (sf1 stress finding)."""
-    for q in ("q19_minhash_pairs", "q42_cosine_dedup",
-              "q46_simhash_pairs"):
+    for q in ("q19_minhash_pairs", "q46_simhash_pairs"):
         text = formatted_plan(QUERIES[q](spark, sf_dir))
         assert "posexplode" in text, q
+    # q42 (cosine pairs): the r13 default sweeps pairs inside an Arrow
+    # kernel (no explosion at all — the memory bound is the kernel's
+    # tiling); the legacy bounded emission is pinned under the conf
+    text = formatted_plan(QUERIES["q42_cosine_dedup"](spark, sf_dir))
+    assert "MapInArrow" in text, "q42_cosine_dedup (kernel node)"
+    spark.conf.set("spark.torcharrow.arrowPairKernels", "false")
+    try:
+        text = formatted_plan(QUERIES["q42_cosine_dedup"](spark, sf_dir))
+        assert "posexplode" in text, "q42_cosine_dedup (legacy)"
+    finally:
+        spark.conf.unset("spark.torcharrow.arrowPairKernels")
     # q43 (prefix jaccard): the r8 survivor localCheckpoint truncates
     # the final DF's plan text at the checkpoint boundary, hiding the
     # emission subplan — inspect the un-checkpointed form instead

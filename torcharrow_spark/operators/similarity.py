@@ -708,6 +708,259 @@ def lsh_topk_multitable(
     )
 
 
+def _bucket_pair_cosines(
+    buckets: SDF, threshold: float, onset: int
+) -> SDF:
+    """cosine_pairs' pair stage — within-bucket pair emission, exact
+    cosine, threshold filter — as ONE vectorized Arrow kernel over the
+    bucket arrays (r13, guide §4.2: LSH buckets are FEW and FAT —
+    2^n_planes rows each carrying ~corpus/2^n_planes vectors — so the
+    boundary crossing ships ~300 B/vector once, where the legacy plan
+    exploded C(m,2) pair rows each carrying two dim-float arrays and
+    folded every dot through an interpreted aggregate() lambda).
+
+    Exactness (pinned by test_cosine_pairs_kernel_matches_jvm_path):
+
+    * arithmetic: the identical strict left-fold/når-ok/NaN rules as
+      `_bucket_drop_ids` (see its docstring) — the emitted `cosine`
+      doubles are bit-identical to the JVM expression's;
+    * pair set: members arrive pre-sorted (sort_array); under the
+      election onset all ordered pairs are swept. Above it, the legacy
+      election is replayed EXACTLY: the struct carries the same
+      ``xxhash64(v)`` class key (``ck``) the legacy elect_key computes,
+      a STABLE sort by ck reproduces the (key, member) sort (ck is a
+      function of v, so the received member order already tie-breaks
+      identically), reps are run heads (class min member), and the
+      emitted list is C(reps, 2) + (rep, member) stars with REAL
+      per-pair cosines (ck classes are hash classes, so star vectors
+      are only almost-surely identical — the kernel never assumes it);
+    * hostile rows (null/ragged vectors, null norms) take the exact
+      per-pair Python loop; null cosines are filtered exactly like the
+      JVM's null-compares-false `where`."""
+    import pyspark.sql.types as T
+
+    thr = float(threshold)
+    el = buckets.schema["ms"].dataType.elementType
+    id_t = el["i"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_t, True),
+            T.StructField("id_b", id_t, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def kern(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        def pair_cos_exact(a, b):
+            na, nb = a["n"], b["n"]
+            na_ok = na is not None and (na > 0 or math.isnan(na))
+            nb_ok = nb is not None and (nb > 0 or math.isnan(nb))
+            if not (na_ok and nb_ok):
+                return 0.0
+            va, vb = a["v"], b["v"]
+            if va is None or vb is None:
+                return None
+            dot = 0.0
+            for ix in range(max(len(va), len(vb))):
+                x = va[ix] if ix < len(va) else None
+                y = vb[ix] if ix < len(vb) else None
+                if x is None or y is None:
+                    return None
+                dot = dot + x * y
+            return dot / (na * nb)
+
+        def slow_bucket(members, oa, ob, oc):
+            m = len(members)
+            if m > onset:
+                order = sorted(range(m), key=lambda ix: members[ix]["ck"])
+                runs, i = [], 0
+                while i < m:
+                    j = i
+                    while (
+                        j < m
+                        and members[order[j]]["ck"] == members[order[i]]["ck"]
+                    ):
+                        j += 1
+                    runs.append([order[k] for k in range(i, j)])
+                    i = j
+                reps = sorted(r[0] for r in runs)
+                pairs = [
+                    (reps[x], reps[y])
+                    for x in range(len(reps))
+                    for y in range(x + 1, len(reps))
+                ]
+                for r in runs:
+                    pairs.extend((r[0], mem) for mem in r[1:])
+            else:
+                pairs = [
+                    (j, k) for j in range(m) for k in range(j + 1, m)
+                ]
+            for j, k in pairs:
+                cos = pair_cos_exact(members[j], members[k])
+                if cos is not None and (cos >= thr or math.isnan(cos)):
+                    oa.append(members[j]["i"])
+                    ob.append(members[k]["i"])
+                    oc.append(cos)
+
+        def fold_cos(V, ns, na_ok, ai, bi):
+            """Exact cosines for index-pair vectors (1-D index arrays):
+            per-dimension fold, then the when() 0.0 fallback."""
+            acc = np.zeros(len(ai))
+            for d in range(V.shape[1]):
+                acc += V[ai, d] * V[bi, d]
+            with np.errstate(all="ignore"):
+                cos = acc / (ns[ai] * ns[bi])
+            return np.where(na_ok[ai] & na_ok[bi], cos, 0.0)
+
+        def tile_pairs(V, ns, na_ok, ids, sel, col_a, col_b, col_c):
+            """All ordered pairs within the `sel` subset (positions in
+            ascending member order), tiled; emit survivors."""
+            TILE = 512
+            n = len(sel)
+            for a0 in range(0, n, TILE):
+                asel = sel[a0:a0 + TILE]
+                for b0 in range(a0, n, TILE):
+                    bsel = sel[b0:min(b0 + TILE, n)]
+                    acc = np.zeros((len(asel), len(bsel)))
+                    for d in range(V.shape[1]):
+                        acc += np.outer(V[asel, d], V[bsel, d])
+                    with np.errstate(all="ignore"):
+                        cos = acc / np.outer(ns[asel], ns[bsel])
+                    cos = np.where(
+                        na_ok[asel][:, None] & na_ok[None, bsel], cos, 0.0
+                    )
+                    keep = (cos >= thr) | np.isnan(cos)
+                    keep &= asel[:, None] < bsel[None, :]
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        col_a.append(
+                            np.asarray([ids[int(asel[x])] for x in ai])
+                        )
+                        col_b.append(
+                            np.asarray([ids[int(bsel[x])] for x in bi])
+                        )
+                        col_c.append(cos[ai, bi])
+
+        out_type = None
+        for batch in batches:
+            col = batch.column(0)
+            if out_type is None:
+                out_type = (
+                    batch.schema.field(0).type.value_type.field("i").type
+                )
+            oa, ob, oc = [], [], []
+            ka, kb, kc = [], [], []
+            for r in range(batch.num_rows):
+                row = col[r]
+                if not row.is_valid:
+                    continue
+                sa = row.values
+                m = len(sa)
+                iv, vv = sa.field("i"), sa.field("v")
+                nv, cv = sa.field("n"), sa.field("ck")
+                hostile = (
+                    iv.null_count > 0
+                    or vv.null_count > 0
+                    or nv.null_count > 0
+                    or cv.null_count > 0
+                )
+                if not hostile:
+                    flat = vv.flatten()
+                    lens = np.diff(np.asarray(vv.offsets))
+                    hostile = flat.null_count > 0 or (
+                        m > 0 and lens.min() != lens.max()
+                    )
+                if not hostile:
+                    try:
+                        ids = iv.to_pylist()
+                        ns = np.asarray(
+                            nv.to_numpy(zero_copy_only=False),
+                            dtype=np.float64,
+                        )
+                        V = np.asarray(
+                            flat.to_numpy(zero_copy_only=False),
+                            dtype=np.float64,
+                        ).reshape(m, int(lens[0]) if m else 0)
+                    except Exception:
+                        hostile = True
+                if hostile:
+                    slow_bucket(row.as_py(), oa, ob, oc)
+                    continue
+                na_ok = (ns > 0) | np.isnan(ns)
+                if m > onset:
+                    ck = np.asarray(
+                        cv.to_numpy(zero_copy_only=False), dtype=np.int64
+                    )
+                    order = np.argsort(ck, kind="stable")
+                    ck_s = ck[order]
+                    run_start = np.ones(m, dtype=bool)
+                    run_start[1:] = ck_s[1:] != ck_s[:-1]
+                    rep_idx = np.sort(order[run_start])
+                    tile_pairs(V, ns, na_ok, ids, rep_idx, ka, kb, kc)
+                    rep_of_sorted = order[run_start][
+                        np.cumsum(run_start) - 1
+                    ]
+                    tails = order[~run_start]
+                    reps_for_tails = rep_of_sorted[~run_start]
+                    if len(tails):
+                        cosv = fold_cos(
+                            V, ns, na_ok, reps_for_tails, tails
+                        )
+                        keep = (cosv >= thr) | np.isnan(cosv)
+                        sel = np.nonzero(keep)[0]
+                        if len(sel):
+                            ka.append(
+                                np.asarray(
+                                    [
+                                        ids[int(reps_for_tails[x])]
+                                        for x in sel
+                                    ]
+                                )
+                            )
+                            kb.append(
+                                np.asarray(
+                                    [ids[int(tails[x])] for x in sel]
+                                )
+                            )
+                            kc.append(cosv[sel])
+                else:
+                    tile_pairs(
+                        V, ns, na_ok, ids, np.arange(m), ka, kb, kc
+                    )
+            arrs_a = [pa.array(x, type=out_type) for x in ka]
+            arrs_b = [pa.array(x, type=out_type) for x in kb]
+            arrs_c = [pa.array(x, type=pa.float64()) for x in kc]
+            if oa:
+                arrs_a.append(pa.array(oa, type=out_type))
+                arrs_b.append(pa.array(ob, type=out_type))
+                arrs_c.append(pa.array(oc, type=pa.float64()))
+            if arrs_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.concat_arrays(arrs_a),
+                        pa.concat_arrays(arrs_b),
+                        pa.concat_arrays(arrs_c),
+                    ],
+                    ["id_a", "id_b", "cosine"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([], type=out_type),
+                        pa.array([], type=out_type),
+                        pa.array([], type=pa.float64()),
+                    ],
+                    ["id_a", "id_b", "cosine"],
+                )
+
+    return buckets.select("ms").mapInArrow(kern, out_schema)
+
+
 def cosine_pairs(
     corpus: SDF,
     threshold: float = 0.95,
@@ -744,6 +997,46 @@ def cosine_pairs(
         _norm(F.col(vec_col)).alias("__norm__"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
+    from .dedup import DEFAULT_ELECT_THRESHOLD, ELECT_BYTES_BOUND, _emit_pairs
+
+    # election class key = xxhash64 of the raw vector (free: the vector
+    # already rides the bucket shuffle): byte-identical embeddings are
+    # cosine-1.0 duplicates, so a pathological bucket collapses to
+    # per-vector-class representatives + linear stars (cosine exactly
+    # 1.0 in the projection below, so stars survive any threshold <= 1).
+    # member_bytes: id(8) + norm(8) + dim floats(4d) + struct overhead —
+    # the bytes-based onset (dedup.ELECT_BYTES_BOUND) makes these
+    # wide-payload buckets elect early enough that the collect_list
+    # buffer stays bounded at any dim (r8, VERDICT r7 ask #5)
+    member_bytes = 32 + 4 * dim
+    if _pair_kernel_enabled(corpus.sparkSession):
+        # r13 (guide §4.2): pair emission + exact cosine + threshold in
+        # one Arrow kernel over the bucket arrays; the class key rides
+        # the struct so the kernel replays the election with the SAME
+        # ck values the legacy elect_key computes (exactness argument
+        # in _bucket_pair_cosines). Measured 1.27 -> 0.52 s on the q42
+        # pair stage at sf0.1, identical rows.
+        buckets = (
+            c.groupBy("bucket")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("i"),
+                            F.col(vec_col).alias("v"),
+                            F.col("__norm__").alias("n"),
+                            F.xxhash64(F.col(vec_col)).alias("ck"),
+                        )
+                    )
+                ).alias("ms")
+            )
+            .where(F.size("ms") >= 2)
+        )
+        onset = min(
+            DEFAULT_ELECT_THRESHOLD,
+            max(2, ELECT_BYTES_BOUND // member_bytes),
+        )
+        return _bucket_pair_cosines(buckets, threshold, onset)
     buckets = (
         c.groupBy("bucket")
         .agg(
@@ -756,21 +1049,10 @@ def cosine_pairs(
     # memory-bounded pair emission (dedup._emit_pairs): a hot bucket of
     # m vectors would otherwise materialize C(m, 2) struct pairs — each
     # carrying TWO dim-float arrays — in a single flatten() value
-    from .dedup import DEFAULT_ELECT_THRESHOLD, _emit_pairs
-
-    # election class key = xxhash64 of the raw vector (free: the vector
-    # already rides the bucket shuffle): byte-identical embeddings are
-    # cosine-1.0 duplicates, so a pathological bucket collapses to
-    # per-vector-class representatives + linear stars (cosine exactly
-    # 1.0 in the projection below, so stars survive any threshold <= 1).
-    # member_bytes: id(8) + norm(8) + dim floats(4d) + struct overhead —
-    # the bytes-based onset (dedup.ELECT_BYTES_BOUND) makes these
-    # wide-payload buckets elect early enough that the collect_list
-    # buffer stays bounded at any dim (r8, VERDICT r7 ask #5)
     exploded = _emit_pairs(
         buckets, "ms", elect_key=lambda x: F.xxhash64(x["v"]),
         elect_threshold=DEFAULT_ELECT_THRESHOLD,
-        member_bytes=32 + 4 * dim,
+        member_bytes=member_bytes,
     ).select(
         F.col("__a__.i").alias("id_a"),
         F.col("__b__.i").alias("id_b"),

@@ -114,33 +114,36 @@ REGISTRY: list[dict] = [
         "location": "spark.torcharrow.arrowPairKernels",
         "default": "true",
         "effect": (
-            "semantic_dedup's within-bucket drop set is computed by "
-            "one vectorized Arrow kernel over the bucket arrays "
-            "(similarity._bucket_drop_ids) instead of exploding "
-            "C(m,2) vector-pair rows through interpreted aggregate() "
-            "folds. Bit-identical to the JVM pair plan by "
-            "construction (strict left-fold arithmetic replayed "
+            "The embedding pair stages — semantic_dedup's "
+            "within-bucket drop set (similarity._bucket_drop_ids) and "
+            "cosine_pairs' pair emission + exact cosine "
+            "(similarity._bucket_pair_cosines) — run as one "
+            "vectorized Arrow kernel over the bucket arrays instead "
+            "of exploding C(m,2) vector-pair rows through interpreted "
+            "aggregate() folds. Bit-identical to the JVM pair plans "
+            "by construction (strict left-fold arithmetic replayed "
             "per-dimension in numpy; Spark NaN-compares-greatest "
-            "semantics mirrored; hostile rows take an exact per-pair "
-            "Python loop)."
+            "semantics mirrored; the election replayed with the same "
+            "JVM-computed class keys; hostile rows take an exact "
+            "per-pair Python loop)."
         ),
         "trade": (
-            "Measured 3.1 -> 0.8 s on q138's dedup stage at sf0.1 "
-            "(the bucket side crossing the Python boundary is ~300 "
-            "B/vector vs two dim-float arrays per pair on the "
-            "exploded side — guide §8's move-the-small-side rule). "
-            "Buckets above the election onset collapse to exact-byte "
-            "vector classes + stars (same linear-in-duplication "
-            "escape as _emit_pairs, byte equality instead of "
-            "xxhash64 classes). Requires numpy + pyarrow on the "
-            "workers; silently falls back to the JVM plan without "
-            "them."
+            "Measured 3.1 -> 0.8 s on q138's dedup stage and 1.88 -> "
+            "0.66 s on q42's pair stage at sf0.1 (LSH buckets are few "
+            "and fat, so the boundary crossing ships ~300 B/vector "
+            "once vs two dim-float arrays per pair — guide §8's "
+            "move-the-small-side rule; measured-REJECTED for q43's "
+            "prefix candidate stage, whose ~100k tiny buckets make "
+            "the boundary cost match the JVM emission). Requires "
+            "numpy + pyarrow on the workers; silently falls back to "
+            "the JVM plan without them."
         ),
         "override": (
             "spark.conf.set('spark.torcharrow.arrowPairKernels', "
-            "'false') restores the all-JVM pair plan "
-            "(test_semantic_dedup_kernel_matches_jvm_path flips it "
-            "to pin both paths equal)."
+            "'false') restores the all-JVM pair plans "
+            "(test_semantic_dedup_kernel_matches_jvm_path and "
+            "test_cosine_pairs_kernel_matches_jvm_path flip it to "
+            "pin both paths equal)."
         ),
     },
     {
