@@ -182,7 +182,11 @@ ANCHOR = {
     # job-scheduling round-trip, a fixed cost that is invisible at any
     # real corpus (the resolved plan and its bytes are identical:
     # vs_shuffle_anchor 1.00). Decomposition: 1.561 + 0.40 = 1.96.
-    "q42_cosine_dedup": 1.96,
+    # RE-PINNED r13-s5 (was 1.96): the Arrow pair-cosine kernel
+    # (pair stage 1.88 -> 0.66 s same-JVM A/B). Measured steady
+    # 0.787 s in the driver-format subset run (machine factor 0.929)
+    # and 0.80 s qbench (probe 0.90x); pinned +25%.
+    "q42_cosine_dedup": 1.0,
     # RE-PINNED r13 (was 0.869): the lang re-attach self-join is gone
     # (text_stats keep_cols — doc_id unique, projection proven equal)
     # and the stats construction is SQL text; Exchange 14 -> 8
@@ -265,7 +269,13 @@ ANCHOR = {
     # dim+1 Column-API calls per iteration (~0.6 s/iter of py4j at
     # dim 64); fit A/B ~2x, bit-identical centroids. Measured 4.256 s
     # at machine factor 1.006, pinned +8%.
-    "q138_kmeans_semantic_dedup": 4.6,
+    # RE-PINNED r13-s5 (was 4.6): the Arrow pair kernel replaced the
+    # C(m,2) pair explosion + interpreted cosine folds in
+    # semantic_dedup (3.44 -> 0.78 s on the dedup stage; the fit's
+    # ~1.8 s of aggregate jobs is the rest). Measured steady 2.18 s
+    # (probe 1.07x) / 2.72 s (0.94x) qbench; pinned with margin for
+    # the fit's job-latency variance.
+    "q138_kmeans_semantic_dedup": 2.9,
     "q139_term_stats": 0.337,
     # RE-PINNED r13 (was 0.716): logreg gradient aggregates ride as
     # generated SQL text per iteration (fit equality pinned exact);
@@ -380,7 +390,11 @@ ANCHOR = {
     # side swap moves slightly more rows through the d3 semi-join).
     # Measured 7.712 s median-of-3 in the deferred-adjudication quiet
     # window at machine factor 1.006, pinned +8%.
-    "q166_commoncrawl_capstone": 8.3,
+    # RE-PINNED r13-s5 (was 8.3): connected_components' one-job
+    # rounds shave the CC stage (~0.3-0.5 s on the near-dup chain);
+    # measured 7.348 s in the driver-format subset run (machine
+    # factor 0.929).
+    "q166_commoncrawl_capstone": 7.9,
     "q167_robots_multihost": 0.72,
     # r11 first measurements, probe-bracketed on an oscillating host
     # (factors 1.0x-29x within minutes; pins use the quietest
