@@ -992,7 +992,10 @@ STRESS_ANCHOR: dict[str, float] = {
     # keeps teeth — a later round regressing back to 9.6-era cost
     # should flag.
     "q21_ngram_jaccard_auto": 7.5,
-    "q42_cosine_dedup": 4.774,
+    # RE-PINNED r13-s5 (was 4.774): the Arrow pair-cosine kernel at
+    # sf1 (256 buckets x ~78 members — still the few-and-fat shape);
+    # measured 1.139 s at machine factor 1.156 (~0.99 anchor-era).
+    "q42_cosine_dedup": 1.4,
     "q105_heavy_hitters": 3.052,
     # r9 session-2 first measurement (best-of-2 steady 4.537 at probe
     # factor ~0.916 => anchor-era seconds below); chunking is map work,
@@ -1041,7 +1044,10 @@ STRESS_SHUFFLE_ANCHOR: dict[str, int] = {
     # few on the election-bounded corpus); the sf10 decade is where the
     # intermediate dominates and the same plan measures -37%.
     "q21_ngram_jaccard_auto": 215683097,
-    "q42_cosine_dedup": 6135460,
+    # RE-PINNED r13-s5 (+3.2%, was 6135460): the xxhash64(v) election
+    # class key rides the bucket exchange (8 B/member; see the
+    # headline q42 pin).
+    "q42_cosine_dedup": 6331168,
     "q105_heavy_hitters": 871654,
     # r9 session-2 first measurement: 3.80 B shuffle per corpus char at
     # sf1 (19.7M chars) — instance rows (id, md5, ln) through the freq
@@ -1234,7 +1240,10 @@ STRESS_SF10_SHUFFLE_ANCHOR: dict[str, int] = {
     # estimate, zero spill, oracle output identical (pinned vs direct
     # mode incl. forced 32-bit collisions in pytest).
     "q21_ngram_jaccard_auto": 10_911_099_791,
-    "q42_cosine_dedup": 54_983_694,
+    # RE-PINNED r13-s5 (+9%, was 54_983_694): the class key's
+    # 8 B/member on the sf10 bucket exchange (duplicate-heavier
+    # corpus, more members per bucket — same cause as sf1).
+    "q42_cosine_dedup": 59_918_395,
     # r9 session-2 first measurement: 4.14 B/char at sf10 (246M corpus
     # chars, 12.47x sf1's) — the +9% per-char vs sf1 is the sharing
     # join-back on a deliberately duplicate-heavier corpus, not plan
