@@ -110,12 +110,44 @@ class UnigramTokenizer:
         vocab.update(multi)
         return cls(vocab)
 
+    #: per-instance memo cap: natural-language word-type counts plateau
+    #: far below this; a hostile high-entropy stream resets the dict
+    #: rather than growing worker memory without bound
+    _MEMO_CAP = 1 << 17
+
+    def __getstate__(self):
+        # the memo never rides a task closure: each worker rebuilds
+        # its own (keeps serialized tasks small; contents would be
+        # correct either way — the memo only holds pure-function
+        # results)
+        d = dict(self.__dict__)
+        d.pop("_memo", None)
+        return d
+
     def encode_word(self, w: str) -> _ty.List[str]:
         """Viterbi-optimal segmentation (min total cost). Characters
         absent from the vocabulary raise — the toy/test corpora are
-        pre-normalized, and a real vocab includes all seen chars."""
-        if self.canonical_ties:
-            return self._encode_word_canonical(w)
+        pre-normalized, and a real vocab includes all seen chars.
+
+        Memoized by word (r13, guide §4.5): segmentation is a pure
+        function of (vocab, w) and corpora repeat word TYPES heavily,
+        so each worker pays the DP once per type. The memo starts
+        empty on every (de)serialized copy — callers always see the
+        pure-function result; the returned list is a COPY so mutating
+        callers cannot poison the cache."""
+        memo = self.__dict__.setdefault("_memo", {})
+        hit = memo.get(w)
+        if hit is None:
+            if self.canonical_ties:
+                hit = self._encode_word_canonical(w)
+            else:
+                hit = self._encode_word_min(w)
+            if len(memo) >= self._MEMO_CAP:
+                memo.clear()
+            memo[w] = hit
+        return list(hit)
+
+    def _encode_word_min(self, w: str) -> _ty.List[str]:
         n = len(w)
         INF = float("inf")
         best: _ty.List[float] = [INF] * (n + 1)
